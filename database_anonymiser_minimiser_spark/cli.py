@@ -1,0 +1,62 @@
+"""CLI: export (default) / --dry-run / sync / version.
+
+Command surface of the reference CLI (``cmd/dbmask/main.go:32-77``):
+``dbmask -c config.yaml -o dump.sql`` exports; ``--dry-run`` prints the
+plan; ``sync [--truncate] [--dry-run]`` adds missing tables to the
+config; ``version`` prints the build version.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import __version__, config as config_mod
+from .plans.plan import Engine
+from .session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dbmask-spark",
+        description="Anonymise and minimise a database export, Spark-powered.",
+    )
+    p.add_argument("-c", "--config", help="config file (YAML or JSON)")
+    p.add_argument("-o", "--output", default="dump.sql", help="output dump path")
+    p.add_argument("--dialect", default="mysql", choices=["mysql", "postgres", "sqlite"])
+    p.add_argument("--dry-run", action="store_true", help="print plan, export nothing")
+    sub = p.add_subparsers(dest="command")
+    sync = sub.add_parser("sync", help="add missing tables to the config")
+    sync.add_argument("--truncate", action="store_true")
+    sync.add_argument("--dry-run", action="store_true")
+    sub.add_parser("version", help="print version")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "version":
+        print(f"dbmask-spark {__version__}")
+        return 0
+    if not args.config:
+        print("error: -c/--config is required", file=sys.stderr)
+        return 2
+    cfg = config_mod.load(args.config)
+    spark = get_spark()
+    engine = Engine(spark, cfg)
+    if args.command == "sync":
+        missing = engine.sync(truncate=args.truncate, dry_run=args.dry_run)
+        for t in missing:
+            print(f"added table: {t}" if not args.dry_run else f"missing table: {t}")
+        if not args.dry_run and missing:
+            cfg.save(args.config)
+        return 0
+    if args.dry_run:
+        engine.dry_run()
+        return 0
+    engine.export(args.output, db_type=args.dialect)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,307 @@
+"""SQL-dump sink: dialect headers, DDL, batched INSERT text, escaping.
+
+Re-expresses the reference exporter (``internal/exporter/exporter.go``)
+Spark-first. The reference formats each row in a Go loop
+(``formatValue``/``escapeString``, exporter.go:312-349) and writes
+1000-row multi-INSERT statements (exporter.go:273-306) through a 64 KiB
+buffered writer, one table at a time (exporter.go:72-80).
+
+Here the hot path — per-value SQL-literal formatting + escaping + row
+tuple assembly — is built from JVM column expressions (replace/concat/
+date_format), so a 100 TB table formats inside WholeStageCodegen across
+all executors; Python only assembles the ordered file from per-table
+iterators (header -> tables in FK-topo order -> footer), streaming via
+``toLocalIterator`` so the driver never materialises a table.
+
+Output format parity (checked by tests against reference-derived goldens):
+- escaping: backslash doubling first, then ``'``->``''``, NUL->``\\0``,
+  LF->``\\n``, CR->``\\r``, ^Z->``\\Z`` (exporter.go:339-349),
+- values: NULL / bool as 1|0 / ints verbatim / floats shortest-form /
+  strings+timestamps escaped-quoted, timestamps as
+  ``YYYY-MM-DD HH:MM:SS`` (exporter.go:312-336),
+- statements: ``INSERT INTO `t` (`c1`, `c2`) VALUES\\n(v, v),\\n(v, v);``
+  batches of <=1000 rows (exporter.go:273-306),
+- headers/footers + DROP TABLE per dialect (exporter.go:91-166, 259-271).
+
+Scale note: a single ordered text file is inherently a sequential sink —
+the parquet/delta writer (``write_parquet``) is the native alternative for
+cluster-scale output; the SQL-text path still computes distributed and
+only serialises the final concatenation.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import IO, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+DEFAULT_BATCH_SIZE = 1000  # rows per multi-row INSERT (exporter.go:16-17)
+
+# ---------------------------------------------------------------------------
+# Pure-Python mirrors of the reference's formatting (golden-tested; used for
+# driver-side formatting and as the spec for the JVM expressions below).
+# ---------------------------------------------------------------------------
+
+_ESCAPES = [
+    ("\\", "\\\\"),
+    ("'", "''"),
+    ("\x00", "\\0"),
+    ("\n", "\\n"),
+    ("\r", "\\r"),
+    ("\x1a", "\\Z"),
+]
+
+
+def escape_string(s: str) -> str:
+    """SQL string escaping, reference-exact (exporter.go:339-349)."""
+    for old, new in _ESCAPES:
+        s = s.replace(old, new)
+    return f"'{s}'"
+
+
+def format_float(v: float) -> str:
+    """Go ``%v`` shortest-form float (exporter.go:325-326)."""
+    if v != v or v in (float("inf"), float("-inf")):
+        return str(v)
+    if v == int(v) and abs(v) < 1e16:
+        return str(int(v))
+    return repr(v)
+
+
+def format_value(v: object) -> str:
+    """SQL literal for one runtime value (exporter.go:312-336)."""
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return format_float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return escape_string(bytes(v).decode("utf-8", errors="replace"))
+    if isinstance(v, datetime.datetime):
+        return escape_string(v.strftime("%Y-%m-%d %H:%M:%S"))
+    if isinstance(v, datetime.date):
+        return escape_string(v.strftime("%Y-%m-%d"))
+    if isinstance(v, str):
+        return escape_string(v)
+    return escape_string(str(v))
+
+
+# ---------------------------------------------------------------------------
+# JVM-side (distributed) formatting expressions
+# ---------------------------------------------------------------------------
+
+
+def escape_column(c: Column) -> Column:
+    """The escape chain as JVM expressions — order matters (backslash
+    first), exactly as exporter.go:339-349."""
+    for old, new in _ESCAPES:
+        c = F.replace(c, F.lit(old), F.lit(new))
+    return F.concat(F.lit("'"), c, F.lit("'"))
+
+
+def sql_literal_column(df: DataFrame, name: str) -> Column:
+    """Column -> its SQL-literal text, per type (exporter.go:312-336)."""
+    dt = df.schema[name].dataType
+    c = F.col(f"`{name}`")
+    if isinstance(dt, T.BooleanType):
+        lit = F.when(c, F.lit("1")).otherwise(F.lit("0"))
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        lit = c.cast("string")
+    elif isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        # shortest-form-ish: strip a trailing ".0" so whole doubles print
+        # like Go %v (3.0 -> 3); plain decimals are unchanged
+        lit = F.regexp_replace(c.cast("string"), r"\.0$", "")
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        lit = escape_column(F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
+    elif isinstance(dt, T.DateType):
+        lit = escape_column(F.date_format(c, "yyyy-MM-dd"))
+    elif isinstance(dt, T.BinaryType):
+        lit = escape_column(c.cast("string"))
+    elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        lit = escape_column(F.to_json(c))
+    else:
+        lit = escape_column(c.cast("string"))
+    return F.when(c.isNull(), F.lit("NULL")).otherwise(lit)
+
+
+def duckdb_literal_sql(name: str, duck_type: str) -> str:
+    """Oracle-side mirror of ``sql_literal_column`` (DuckDB SQL) so the
+    dump formatter itself is correctness-gated."""
+    q = f'"{name}"'
+    esc = q
+    # same chain; chr() avoids literal control characters in SQL text
+    esc = f"replace({esc}, chr(92), chr(92) || chr(92))"
+    esc = f"replace({esc}, chr(39), chr(39) || chr(39))"
+    esc = f"replace({esc}, chr(0), chr(92) || '0')"
+    esc = f"replace({esc}, chr(10), chr(92) || 'n')"
+    esc = f"replace({esc}, chr(13), chr(92) || 'r')"
+    esc = f"replace({esc}, chr(26), chr(92) || 'Z')"
+    t = duck_type.lower()
+    if t in ("boolean",):
+        lit = f"CASE WHEN {q} THEN '1' ELSE '0' END"
+    elif t in ("tinyint", "smallint", "integer", "bigint", "hugeint"):
+        lit = f"CAST({q} AS VARCHAR)"
+    elif t in ("real", "float", "double") or t.startswith("decimal"):
+        lit = f"regexp_replace(CAST({q} AS VARCHAR), '\\.0$', '')"
+    elif t.startswith("timestamp"):
+        inner = f"strftime({q}, '%Y-%m-%d %H:%M:%S')"
+        lit = f"concat(chr(39), {inner}, chr(39))"  # timestamps never contain escapables
+    elif t == "date":
+        inner = f"strftime({q}, '%Y-%m-%d')"
+        lit = f"concat(chr(39), {inner}, chr(39))"
+    else:
+        lit = f"concat(chr(39), {esc}, chr(39))"
+    return f"CASE WHEN {q} IS NULL THEN 'NULL' ELSE {lit} END"
+
+
+def row_tuple_column(df: DataFrame) -> Column:
+    """``(v1, v2, ...)`` text for each row, all JVM-side."""
+    parts: list[Column] = []
+    for i, name in enumerate(df.columns):
+        if i:
+            parts.append(F.lit(", "))
+        parts.append(sql_literal_column(df, name))
+    return F.concat(F.lit("("), *parts, F.lit(")"))
+
+
+def insert_statements(
+    df: DataFrame,
+    table: str,
+    order_by: str | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> DataFrame:
+    """DataFrame of one ``stmt`` string column: multi-row INSERTs of
+    ``batch_size`` rows (exporter.go:273-306).
+
+    Tuple formatting is distributed; only batching into numbered groups
+    needs a global row order. With ``order_by`` (pk) the order is
+    deterministic; without, source order is preserved like the reference
+    (which is likewise order-nondeterministic, mysql.go:163-166).
+    """
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    head = f"INSERT INTO `{table}` ({cols}) VALUES\n"
+    tuples = df.select(
+        row_tuple_column(df).alias("t"),
+        (F.col(f"`{order_by}`") if order_by else F.monotonically_increasing_id()).alias("_ord"),
+    )
+    w = Window.orderBy(F.col("_ord"))
+    batched = tuples.withColumn(
+        "_batch", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size))
+    )
+    return (
+        batched.groupBy("_batch")
+        .agg(F.concat_ws(",\n", F.collect_list("t")).alias("body"))
+        .orderBy("_batch")
+        .select(F.concat(F.lit(head), F.col("body"), F.lit(";")).alias("stmt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect text (exporter.go:91-166, 259-271)
+# ---------------------------------------------------------------------------
+
+_DIALECT_HEADERS = {
+    "mysql": (
+        "SET NAMES utf8mb4;\n"
+        "SET FOREIGN_KEY_CHECKS = 0;\n"
+        "SET SQL_MODE = 'NO_AUTO_VALUE_ON_ZERO';\n"
+        "SET AUTOCOMMIT = 0;\n"
+        "START TRANSACTION;\n\n"
+    ),
+    "postgres": (
+        "SET client_encoding = 'UTF8';\n"
+        "SET standard_conforming_strings = on;\n"
+        "SET check_function_bodies = false;\n"
+        "SET client_min_messages = warning;\n\n"
+    ),
+    "sqlite": "PRAGMA foreign_keys = OFF;\n\n",
+}
+
+_DIALECT_FOOTERS = {
+    "mysql": "\nCOMMIT;\nSET FOREIGN_KEY_CHECKS = 1;\n",
+    "postgres": "\n-- End of dump\n",
+    "sqlite": "\nPRAGMA foreign_keys = ON;\n",
+}
+
+
+def header_text(db_type: str, generated_at: str | None = None) -> str:
+    ts = generated_at or time.strftime("%Y-%m-%dT%H:%M:%S%z")
+    return (
+        f"-- Database Dump\n-- Generated by dbmask-spark\n-- Date: {ts}\n"
+        f"-- Database Type: {db_type}\n\n" + _DIALECT_HEADERS.get(db_type, "")
+    )
+
+
+def footer_text(db_type: str) -> str:
+    return _DIALECT_FOOTERS.get(db_type, "")
+
+
+def drop_table_statement(db_type: str, table: str) -> str:
+    quoted = f"`{table}`" if db_type == "mysql" else f'"{table}"'
+    if db_type == "postgres":
+        return f"DROP TABLE IF EXISTS {quoted} CASCADE;"
+    return f"DROP TABLE IF EXISTS {quoted};"
+
+
+# ---------------------------------------------------------------------------
+# Full export orchestration
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ExportStats:
+    """exporter.go:23-28 counters."""
+
+    tables_exported: int = 0
+    tables_truncated: int = 0
+    rows_exported: int = 0
+    per_table_rows: dict[str, int] = field(default_factory=dict)
+
+
+def write_dump(
+    out: IO[str],
+    db_type: str,
+    tables: Iterator[tuple[str, str, DataFrame | None, str | None]],
+) -> ExportStats:
+    """Stream an ordered dump: header -> per-table sections -> footer.
+
+    ``tables`` yields (name, create_ddl, dataframe_or_None, order_by); a
+    None dataframe means truncate (DDL only, exporter.go:191-197). The
+    iterator must already be in FK-topo order (schema.go:62-166).
+    """
+    stats = ExportStats()
+    out.write(header_text(db_type))
+    for name, ddl, df, order_by in tables:
+        out.write(f"\n--\n-- Table: {name}\n--\n\n")
+        out.write(drop_table_statement(db_type, name) + "\n")
+        out.write(ddl.rstrip("\n") + "\n\n")
+        if df is None:
+            stats.tables_truncated += 1
+            continue
+        n = 0
+        stmts = insert_statements(df, name, order_by=order_by)
+        for row in stmts.toLocalIterator():  # streamed; never collected whole
+            out.write(row["stmt"] + "\n")
+        n = df.count()
+        stats.rows_exported += n
+        stats.per_table_rows[name] = n
+        stats.tables_exported += 1
+    out.write(footer_text(db_type))
+    return stats
+
+
+def write_parquet(df: DataFrame, path: str | Path, mode: str = "overwrite") -> None:
+    """Native sink alternative: columnar, partition-parallel, splittable —
+    what you actually want at 100 TB instead of a text dump."""
+    df.write.mode(mode).parquet(str(path))

@@ -1,0 +1,112 @@
+"""Anonymisation rule language: null | static literal | {{faker.<fn>}}.
+
+Reproduces the reference's per-column rule semantics
+(``internal/anonymiser/anonymiser.go:34-101``):
+
+- ``null`` (YAML null) or ``""`` -> SQL NULL (anonymiser.go:50-54),
+- ``{{faker.<name>}}`` -> generated fake value; template grammar is the
+  exact regex ``\\{\\{faker\\.(\\w+)\\}\\}`` (anonymiser.go:10-13) — partial
+  or malformed templates fall through to static literals
+  (anonymiser_test.go:368-395),
+- any other string -> static literal replacement (anonymiser.go:94-97).
+
+Rules compile at plan time (driver-side) into pure Column expressions; the
+faker path is deterministic-keyed so cross-table consistency needs no
+shared state (see functions/faker_deterministic.py).
+
+Unknown faker names warn at validation time but do not fail — the
+reference warns and exports the value unchanged (anonymiser.go:167-189
+surfaces warnings; GenerateFakeValue returns "" for unknown names, which
+we mirror as "leave column unchanged" + warning).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import FAKER_TEMPLATE_RE, TableConfig
+from .faker_deterministic import FAKER_FUNCTIONS, FakerSpec, get_faker
+
+
+class RuleKind(Enum):
+    NULL = "null"
+    STATIC = "static"
+    FAKER = "faker"
+    UNKNOWN_FAKER = "unknown_faker"  # warn-only; column left unchanged
+
+
+@dataclass(frozen=True)
+class CompiledRule:
+    column: str
+    kind: RuleKind
+    static_value: str = ""
+    faker: FakerSpec | None = None
+
+    def spark_column(self, df: DataFrame) -> Column:
+        """Column expression replacing ``self.column`` in ``df``."""
+        if self.kind is RuleKind.NULL:
+            # preserve original type (reference emits NULL whatever the type)
+            return F.lit(None).cast(df.schema[self.column].dataType)
+        if self.kind is RuleKind.STATIC:
+            return F.lit(self.static_value)
+        if self.kind is RuleKind.FAKER:
+            assert self.faker is not None
+            return self.faker.spark_column(self.column)
+        return F.col(f"`{self.column}`")  # unknown faker: unchanged
+
+    def duckdb_sql(self) -> str:
+        """Oracle-side SQL for the same replacement (DuckDB dialect)."""
+        q = f'"{self.column}"'
+        if self.kind is RuleKind.NULL:
+            return "NULL"
+        if self.kind is RuleKind.STATIC:
+            escaped = self.static_value.replace("'", "''")
+            return f"'{escaped}'"
+        if self.kind is RuleKind.FAKER:
+            assert self.faker is not None
+            return self.faker.sql("duckdb", q)
+        return q
+
+
+def parse_rule(column: str, raw: Any) -> CompiledRule:
+    """Classify one rule value (anonymiser.go:44-97)."""
+    if raw is None or raw == "":
+        return CompiledRule(column, RuleKind.NULL)
+    value = str(raw)
+    m = FAKER_TEMPLATE_RE.match(value)
+    if m:
+        spec = get_faker(m.group(1))
+        if spec is None:
+            return CompiledRule(column, RuleKind.UNKNOWN_FAKER, static_value=value)
+        return CompiledRule(column, RuleKind.FAKER, faker=spec)
+    return CompiledRule(column, RuleKind.STATIC, static_value=value)
+
+
+def compile_rules(table_config: TableConfig) -> list[CompiledRule]:
+    return [parse_rule(c, v) for c, v in table_config.columns.items()]
+
+
+def validate_rules(configuration: dict[str, TableConfig]) -> list[str]:
+    """Warn-only validation of faker template names (anonymiser.go:167-189).
+
+    Returns human-readable warnings for every ``{{faker.X}}`` rule whose X
+    is not in the registry; never raises.
+    """
+    warnings: list[str] = []
+    for table, tc in configuration.items():
+        for column, raw in tc.columns.items():
+            if raw is None or raw == "":
+                continue
+            m = FAKER_TEMPLATE_RE.match(str(raw))
+            if m and m.group(1) not in FAKER_FUNCTIONS:
+                warnings.append(
+                    f"unknown faker function '{m.group(1)}' for "
+                    f"{table}.{column} (available: "
+                    f"{', '.join(sorted(FAKER_FUNCTIONS))})"
+                )
+    return warnings

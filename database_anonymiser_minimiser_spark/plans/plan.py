@@ -1,0 +1,141 @@
+"""Per-table logical plans + the export / dry-run / sync entry points.
+
+Mirrors the reference's lifecycle (``cmd/dbmask/main.go:80-199``, SURVEY.md
+section 3.1): parse config -> validate rules -> bind catalog -> FK topo
+order -> execute. Differences, by design:
+
+- each table compiles to a declarative DataFrame plan; Catalyst performs
+  the pushdowns the reference hand-codes (SURVEY.md section 4),
+- tables are independent jobs; only the dump *commit order* follows the
+  topo sort (the reference loops sequentially, exporter.go:72-80),
+- ``dry_run`` renders the same decisions as ``printDryRun``
+  (main.go:201-228) plus Spark's own ``explain`` when requested.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import Config, TableConfig
+from ..functions.rules import validate_rules
+from ..operators.anonymise import anonymise
+from ..operators.minimise import minimise
+from ..sources.parquet import ParquetSource
+from .. import dump as dump_mod
+from .topo import sort_tables_by_dependency
+
+
+@dataclass
+class TablePlan:
+    """Compiled plan for one table (the reference's StreamOptions + rule
+    set, exporter.go:211-215)."""
+
+    name: str
+    config: TableConfig
+    row_count: int | None = None
+
+    @property
+    def action(self) -> str:
+        """The dry-run decision label (main.go:209-222)."""
+        if self.config.truncate:
+            return "TRUNCATE"
+        r = self.config.retain
+        if r.is_date_based:
+            return (
+                f"RETAIN rows where {r.column_name} > "
+                f"{r.after_date:%Y-%m-%d %H:%M:%S}"
+            )
+        if r.is_count_based:
+            return f"RETAIN {r.count} rows"
+        return "FULL EXPORT"
+
+    def build(self, df: DataFrame) -> DataFrame:
+        """scan -> minimise -> anonymise, one declarative plan."""
+        return anonymise(minimise(df, self.config), self.config)
+
+
+@dataclass
+class Engine:
+    """Config-driven engine over a catalog source (the reference's whole
+    CLI pipeline as a library)."""
+
+    spark: SparkSession
+    config: Config
+    source: ParquetSource = field(init=False)
+
+    def __post_init__(self) -> None:
+        if self.config.connection.type != "parquet":
+            raise NotImplementedError(
+                "this build executes against parquet sources; JDBC plumbing "
+                "lives in sources/jdbc.py"
+            )
+        self.source = ParquetSource(self.spark, self.config.connection.path)
+
+    def plan_tables(self) -> list[TablePlan]:
+        """Bind catalog + topo order (main.go:125-139)."""
+        tables = self.source.get_tables()
+        ordered = sort_tables_by_dependency(tables, self.source.get_foreign_keys())
+        return [
+            TablePlan(t, self.config.configuration.get(t, TableConfig()))
+            for t in ordered
+        ]
+
+    def dataframes(self) -> dict[str, DataFrame]:
+        """name -> fully transformed DataFrame, in topo order."""
+        return {p.name: p.build(self.source.read(p.name)) for p in self.plan_tables()}
+
+    def dry_run(self, with_counts: bool = True, out=sys.stderr) -> list[str]:
+        """EXPLAIN: render decisions, move no data (main.go:201-228)."""
+        lines: list[str] = ["Dry run - no data will be exported", ""]
+        for p in self.plan_tables():
+            count = self.source.get_row_count(p.name) if with_counts else "?"
+            lines.append(f"Table: {p.name} ({count} rows)")
+            lines.append(f"  Action: {p.action}")
+            masked = sorted(p.config.columns)
+            if masked:
+                lines.append(f"  Anonymised columns: {', '.join(masked)}")
+        for w in validate_rules(self.config.configuration):
+            lines.append(f"Warning: {w}")
+        print("\n".join(lines), file=out)
+        return lines
+
+    def export(self, out_path: str, db_type: str = "mysql") -> dump_mod.ExportStats:
+        """Full dump export (main.go:167-174)."""
+        started = time.time()
+        plans = self.plan_tables()
+        with open(out_path, "w") as f:
+            stats = dump_mod.write_dump(
+                f,
+                db_type,
+                (
+                    (
+                        p.name,
+                        self.source.get_table_schema(p.name),
+                        None if p.config.truncate else p.build(self.source.read(p.name)),
+                        p.config.primary_key or None,
+                    )
+                    for p in plans
+                ),
+            )
+        elapsed = time.time() - started
+        print(
+            f"Export complete: {stats.tables_exported} tables exported, "
+            f"{stats.tables_truncated} truncated, {stats.rows_exported} rows "
+            f"in {elapsed:.2f}s",
+            file=sys.stderr,
+        )
+        return stats
+
+    def sync(self, truncate: bool = False, dry_run: bool = False) -> list[str]:
+        """Add DB tables missing from config (main.go:230-315)."""
+        missing = [
+            t for t in self.source.get_tables() if not self.config.has_table(t)
+        ]
+        if not dry_run:
+            for t in missing:
+                self.config.add_table(t, truncate=truncate)
+        return missing

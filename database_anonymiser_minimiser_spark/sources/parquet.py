@@ -1,0 +1,184 @@
+"""Parquet source + catalog.
+
+Plays the role of the reference's ``Driver`` interface
+(``internal/database/driver.go:48-69``: Connect/GetTables/GetTableSchema/
+GetColumns/GetForeignKeys/StreamRows/GetRowCount) over a directory of
+``<table>.parquet`` files (the test corpus, TESTDATA.md).
+
+Catalog semantics preserved:
+- ``get_tables`` lists base tables sorted by name (mysql.go:44-65),
+- ``get_columns`` returns name/type/nullability in ordinal order
+  (mysql.go:81-105) — here straight from the parquet footer via the
+  DataFrame StructType, no data read,
+- ``get_table_schema`` returns CREATE TABLE DDL; parquet has no stored DDL
+  so we reconstruct from the StructType the way the reference reconstructs
+  for Postgres (postgres.go:68-114) — documented divergence (SURVEY.md
+  section 7.3),
+- FKs: parquet has no FK catalog; edges come from a sidecar
+  ``foreign_keys.json`` next to the data, or the built-in TPC-H-ish edges
+  for the test corpus (mirrors GetForeignKeys, mysql.go:108-135).
+
+Scale note: reads go through ``spark.read.parquet`` so predicate pushdown,
+column pruning, and partition pruning are Catalyst-native; a 100 TB table
+is just more files behind the same DataFrame.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.topo import ForeignKey
+
+
+@dataclass(frozen=True)
+class ColumnInfo:
+    """driver.go:26-32."""
+
+    name: str
+    data_type: str  # dialect-ish type string
+    is_nullable: bool
+    default: str | None = None
+
+
+# FK edges of the driver-generated TPC-H-ish corpus (TESTDATA.md).
+TESTDATA_FOREIGN_KEYS = [
+    ForeignKey("nation", "n_regionkey", "region", "r_regionkey"),
+    ForeignKey("customer", "c_nationkey", "nation", "n_nationkey"),
+    ForeignKey("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ForeignKey("orders", "o_custkey", "customer", "c_custkey"),
+    ForeignKey("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ForeignKey("lineitem", "l_partkey", "part", "p_partkey"),
+    ForeignKey("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ForeignKey("events", "user_id", "customer", "c_custkey"),
+]
+
+_SPARK_TO_SQL_TYPE = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "REAL",
+    "double": "DOUBLE",
+    "string": "TEXT",
+    "binary": "BLOB",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def spark_type_to_sql(dt: T.DataType) -> str:
+    """StructField type -> dialect type string (inverse of the reference's
+    opaque DataType strings, driver.go:29)."""
+    simple = dt.simpleString()
+    if simple.startswith("decimal"):
+        return simple.upper()
+    if simple.startswith("array") or simple.startswith("struct") or simple.startswith("map"):
+        return "JSON"  # nested types have no SQL-dump dialect; documented divergence
+    return _SPARK_TO_SQL_TYPE.get(simple, simple.upper())
+
+
+def _nanos_timestamp_columns(path: Path) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorised
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). Detected from the footer
+    via pyarrow — metadata only, no data read."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(str(path))
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet_table(spark: SparkSession, path: str | Path) -> DataFrame:
+    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark has no nanosecond timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a
+    BIGINT of epoch-nanos, which we convert to a microsecond timestamp
+    with integer ``div`` (epoch-nanos ~1.7e18 exceeds double precision, so
+    float division would corrupt low digits). The ns->us truncation is a
+    documented divergence; the DuckDB oracle compares at formatted-second
+    granularity.
+    """
+    path = str(path)
+    ns_cols = _nanos_timestamp_columns(Path(path))
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+class ParquetSource:
+    """Catalog + scan over a directory of ``<table>.parquet``."""
+
+    def __init__(self, spark: SparkSession, path: str | Path):
+        self.spark = spark
+        self.path = Path(path)
+        if not self.path.is_dir():
+            raise FileNotFoundError(f"parquet source dir not found: {self.path}")
+
+    # -- catalog (S4-S8) ----------------------------------------------------
+
+    def get_tables(self) -> list[str]:
+        """Base tables sorted by name (mysql.go:44-65)."""
+        return sorted(p.stem for p in self.path.glob("*.parquet"))
+
+    def read(self, table: str) -> DataFrame:
+        """S1-S3: the table scan. Filters/limits/projections are applied by
+        callers declaratively; Catalyst pushes them into this scan."""
+        f = self.path / f"{table}.parquet"
+        if not f.exists():
+            raise FileNotFoundError(f"table not found: {table} ({f})")
+        return read_parquet_table(self.spark, f)
+
+    def get_columns(self, table: str) -> list[ColumnInfo]:
+        """S6: ordinal-order column metadata from the parquet footer."""
+        return [
+            ColumnInfo(f.name, spark_type_to_sql(f.dataType), f.nullable)
+            for f in self.read(table).schema.fields
+        ]
+
+    def get_table_schema(self, table: str) -> str:
+        """S5: CREATE TABLE DDL reconstructed from the schema
+        (postgres.go:68-114 pattern)."""
+        cols = ",\n".join(
+            f"  `{c.name}` {c.data_type}{'' if c.is_nullable else ' NOT NULL'}"
+            for c in self.get_columns(table)
+        )
+        return f"CREATE TABLE `{table}` (\n{cols}\n);"
+
+    def get_row_count(self, table: str) -> int:
+        """S8: COUNT(*) (mysql.go:227-235). Parquet footer metadata makes
+        this a metadata-only query in Spark."""
+        return self.read(table).count()
+
+    def get_foreign_keys(self) -> list[ForeignKey]:
+        """S7: sidecar JSON if present, else built-in corpus edges."""
+        sidecar = self.path / "foreign_keys.json"
+        if sidecar.exists():
+            rows = json.loads(sidecar.read_text())
+            return [
+                ForeignKey(
+                    r["table"], r["column"], r["referenced_table"], r["referenced_column"]
+                )
+                for r in rows
+            ]
+        tables = set(self.get_tables())
+        return [fk for fk in TESTDATA_FOREIGN_KEYS if fk.table in tables]

@@ -1,0 +1,76 @@
+"""Rule-language parsing spec — from the reference's
+``internal/anonymiser/anonymiser_test.go`` (rule classification, template
+grammar negatives ``:368-395``, warn-only unknown fakers ``:167-189``) and
+``faker_test.go:39-62`` (registry completeness)."""
+
+from database_anonymiser_minimiser_spark.config import TableConfig
+from database_anonymiser_minimiser_spark.functions.faker_deterministic import (
+    FAKER_FUNCTIONS,
+    get_faker,
+    list_faker_functions,
+)
+from database_anonymiser_minimiser_spark.functions.rules import (
+    RuleKind,
+    parse_rule,
+    validate_rules,
+)
+
+REFERENCE_FAKERS = [
+    "name", "firstName", "lastName", "email", "phone", "address", "city",
+    "country", "company", "uuid", "username", "password", "ipv4", "date",
+    "text", "number",
+]
+
+
+def test_registry_completeness():
+    # the reference registers exactly these 16 (faker.go:11-28)
+    assert sorted(REFERENCE_FAKERS) == list_faker_functions()
+    assert len(FAKER_FUNCTIONS) == 16
+    assert get_faker("nope") is None
+
+
+def test_null_rules():
+    assert parse_rule("c", None).kind is RuleKind.NULL
+    assert parse_rule("c", "").kind is RuleKind.NULL
+
+
+def test_static_rule():
+    r = parse_rule("c", "REDACTED")
+    assert r.kind is RuleKind.STATIC and r.static_value == "REDACTED"
+
+
+def test_faker_rule():
+    r = parse_rule("c", "{{faker.email}}")
+    assert r.kind is RuleKind.FAKER and r.faker.name == "email"
+
+
+def test_malformed_templates_are_static():
+    # anonymiser_test.go:368-395: partial/malformed templates -> literal
+    for raw in (
+        "{{faker.email",
+        "faker.email}}",
+        "{faker.email}",
+        "{{faker.}}",
+        "{{notfaker.email}}",
+        "x{{faker.email}}",
+        "{{faker.email}}x",
+    ):
+        assert parse_rule("c", raw).kind is RuleKind.STATIC, raw
+
+
+def test_unknown_faker_is_warn_only():
+    r = parse_rule("c", "{{faker.nonexistent}}")
+    assert r.kind is RuleKind.UNKNOWN_FAKER
+    warnings = validate_rules(
+        {"t": TableConfig(columns={"c": "{{faker.nonexistent}}", "d": "static"})}
+    )
+    assert len(warnings) == 1 and "nonexistent" in warnings[0]
+    assert validate_rules({"t": TableConfig(columns={"c": "{{faker.email}}"})}) == []
+
+
+def test_duckdb_sql_rendering():
+    r = parse_rule("c_name", "{{faker.email}}")
+    sql = r.duckdb_sql()
+    assert "md5" in sql and '"c_name"' in sql
+    assert parse_rule("c", None).duckdb_sql() == "NULL"
+    assert parse_rule("c", "O'Brien").duckdb_sql() == "'O''Brien'"
