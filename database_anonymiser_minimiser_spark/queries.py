@@ -1,0 +1,557 @@
+"""The engine's query registry: every SURVEY.md §2 operator as a
+(spark-DataFrame-builder, DuckDB-oracle-SQL) pair.
+
+This module backs ``__spark_entry__.py``. Each entry returns a DataFrame
+whose *column names and values* match the oracle SQL run by DuckDB over
+the same parquet tables — the driver hash-compares them (order-insensitive,
+columns sorted by name), so:
+
+- every computed column is aliased identically on both sides,
+- timestamps are formatted to strings (second granularity) — pandas dtype
+  differences (ns vs us) would break value-hash equality otherwise,
+- money aggregations run in DECIMAL (exact, order-independent) and are
+  cast to a fixed scale on both sides; averages divide a decimal-exact sum
+  by a count in ONE double division (bit-identical in both engines),
+- faker masking uses the deterministic cross-engine templates from
+  functions/faker_deterministic.py.
+
+Scale notes are attached per query; the general stance: no driver-side
+collects, broadcast hints on dimension joins, aggregations are partial-
+aggregated map-side by Catalyst, and every filter lands in PushedFilters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .config import TableConfig
+from .dump import duckdb_literal_sql, row_tuple_column
+from .functions.faker_deterministic import FAKER_FUNCTIONS
+from .operators.anonymise import anonymise
+from .operators.minimise import minimise, retain_after_date, retain_count
+from .sources.parquet import read_parquet_table
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one corpus table (nanos-tolerant, UTC session)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return read_parquet_table(spark, f"{sf_dir}/{table}.parquet")
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _ts(col: str, alias: str | None = None) -> F.Column:
+    """Timestamp -> 'yyyy-MM-dd HH:mm:ss' string (cross-engine-safe)."""
+    return F.date_format(F.col(col), "yyyy-MM-dd HH:mm:ss").alias(alias or col)
+
+
+def _duck_ts(col: str, alias: str | None = None) -> str:
+    return f"strftime(\"{col}\", '%Y-%m-%d %H:%M:%S') AS {alias or col}"
+
+
+# ===========================================================================
+# Core parity: scans / projections / minimisation (SURVEY §2.1, §2.2, §2.6)
+# ===========================================================================
+
+
+@register(
+    "full_export_customer",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def q_full_export_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 stable-ordered full projection (mysql.go:140-153). The explicit
+    select keeps column order catalog-stable; Catalyst prunes unused
+    columns if a consumer narrows it."""
+    df = load(spark, sf_dir, "customer")
+    return df.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@register(
+    "retain_count_orders",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+    "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority "
+    "FROM orders ORDER BY o_orderkey LIMIT 100",
+)
+def q_retain_count_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 count-retain, hardened to ORDER BY pk LIMIT n (SURVEY §7.3).
+    Executes as TakeOrderedAndProject — a distributed top-k, NOT a global
+    sort; scales to any row count."""
+    df = retain_count(load(spark, sf_dir, "orders"), 100, order_by="o_orderkey")
+    return df.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        _ts("o_orderdate"), "o_orderpriority",
+    )
+
+
+@register(
+    "retain_date_events",
+    "SELECT event_id, user_id, event_type, value, "
+    "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts "
+    "FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'",
+)
+def q_retain_date_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 date-retain: strict col > ts (mysql.go:157-161), pushed into the
+    parquet scan by Catalyst (visible as PushedFilters)."""
+    from datetime import datetime
+
+    df = retain_after_date(load(spark, sf_dir, "events"), "ts", datetime(2024, 1, 15))
+    return df.select("event_id", "user_id", "event_type", "value", _ts("ts"))
+
+
+@register(
+    "truncate_part",
+    "SELECT p_partkey, p_name FROM part WHERE 1 = 0",
+)
+def q_truncate_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 truncate gate: schema only, zero rows (exporter.go:191-197).
+    LocalLimit 0 means the scan never runs."""
+    return load(spark, sf_dir, "part").select("p_partkey", "p_name").limit(0)
+
+
+@register(
+    "row_counts",
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n FROM {t}"
+        for t in TABLES
+    ),
+)
+def q_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/A1 catalog row counts (mysql.go:227-235). Parquet footer metadata
+    makes each count a metadata-only job."""
+    parts = [
+        load(spark, sf_dir, t)
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit(t).alias("table_name"), "n")
+        for t in TABLES
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
+# ===========================================================================
+# Anonymisation rules (SURVEY §2.8, §2.9)
+# ===========================================================================
+
+
+@register(
+    "mask_static_null",
+    "SELECT c_custkey, 'REDACTED' AS c_mktsegment, CAST(NULL AS DOUBLE) AS c_acctbal "
+    "FROM customer",
+)
+def q_mask_static_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 null rule + F18 static literal rule (anonymiser.go:50-54, 94-97)."""
+    df = anonymise(
+        load(spark, sf_dir, "customer"),
+        TableConfig(columns={"c_mktsegment": "REDACTED", "c_acctbal": None}),
+    )
+    return df.select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+def _register_mask_queries() -> None:
+    """One oracle-checked query per faker function (F1-F16): the 16-entry
+    registry is the reference's whole scalar-function surface
+    (faker.go:11-28)."""
+    for fname, spec in FAKER_FUNCTIONS.items():
+        oracle = (
+            f"SELECT c_custkey, {spec.duckdb_sql('c_name')} AS masked FROM customer"
+        )
+
+        def fn(spark: SparkSession, sf_dir: str, _spec=spec) -> DataFrame:
+            df = load(spark, sf_dir, "customer")
+            return df.select(
+                "c_custkey", _spec.spark_column("c_name").alias("masked")
+            )
+
+        QUERIES[f"mask_{fname}"] = fn
+        ORACLE[f"mask_{fname}"] = oracle
+
+
+_register_mask_queries()
+
+
+@register(
+    "consistency_mapping",
+    "SELECT original, "
+    + FAKER_FUNCTIONS["email"].sql("duckdb", '"original"')
+    + " AS masked FROM (SELECT c_name AS original FROM customer "
+    "UNION SELECT s_name AS original FROM supplier) t",
+)
+def q_consistency_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consistency-map semantics (anonymiser.go:74-91): every original
+    value maps to ONE fake value across all tables. Deterministic keyed
+    generation replaces the reference's shared mutex dict; the union of
+    distincts is exactly the mapping table a realistic mode would
+    broadcast-join (SURVEY §2.3)."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_name").alias("original"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_name").alias("original"))
+    mapping = cust.union(supp).distinct()
+    return mapping.select(
+        "original", F.expr(FAKER_FUNCTIONS["email"].sql("spark", "original")).alias("masked")
+    )
+
+
+@register(
+    "anonymise_customer_full",
+    "SELECT c_custkey, "
+    + FAKER_FUNCTIONS["name"].sql("duckdb", '"c_name"')
+    + " AS c_name, c_nationkey, CAST(NULL AS DOUBLE) AS c_acctbal, "
+    "'REDACTED' AS c_mktsegment FROM customer ORDER BY c_custkey LIMIT 100",
+)
+def q_anonymise_customer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 full row-transform + O1 retain in one plan: the flagship per-table
+    pipeline (scan -> minimise -> anonymise), all one Catalyst-collapsed
+    projection over a top-k."""
+    tc = TableConfig(
+        primary_key="c_custkey",
+        columns={
+            "c_name": "{{faker.name}}",
+            "c_acctbal": None,
+            "c_mktsegment": "REDACTED",
+        },
+    )
+    tc.retain.count = 100
+    return anonymise(minimise(load(spark, sf_dir, "customer"), tc), tc)
+
+
+# ===========================================================================
+# SQL-dump formatting as data (SURVEY §2.8 F20/F21) — the sink hot path is
+# itself oracle-checked.
+# ===========================================================================
+
+_CUSTOMER_DUCK_TYPES = {
+    "c_custkey": "bigint",
+    "c_name": "varchar",
+    "c_nationkey": "integer",
+    "c_acctbal": "double",
+    "c_mktsegment": "varchar",
+}
+
+
+@register(
+    "sqldump_tuple_customer",
+    "SELECT c_custkey, concat('(', "
+    + ", ', ', ".join(
+        duckdb_literal_sql(c, t) for c, t in _CUSTOMER_DUCK_TYPES.items()
+    )
+    + ", ')') AS line FROM customer",
+)
+def q_sqldump_tuple_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 SQL literal formatting (exporter.go:312-336) as a distributed
+    JVM-side expression — the INSERT tuple text for every customer row."""
+    df = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    return df.select("c_custkey", row_tuple_column(df).alias("line"))
+
+
+_ESCAPE_CASES = [
+    "concat('plain', '')",
+    "concat('quote ', chr(39), ' mid')",
+    "concat('back', chr(92), 'slash')",
+    "concat('line1', chr(10), 'line2')",
+    "concat('cr', chr(13), 'end')",
+    "concat('ctrlz', chr(26), 'end')",
+    "concat('both', chr(92), chr(39), chr(10), 'x')",
+]
+
+
+@register(
+    "sqldump_escape_golden",
+    "SELECT i, "
+    + duckdb_literal_sql("s", "varchar")
+    + " AS escaped FROM (VALUES "
+    + ", ".join(f"({i}, {e})" for i, e in enumerate(_ESCAPE_CASES))
+    + ") t(i, s)",
+)
+def q_sqldump_escape_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 escaping goldens (exporter.go:339-349): every escape class —
+    quote, backslash, NUL, LF, CR, ^Z — built with chr() so both engines
+    see identical bytes, then run through the JVM escape chain."""
+    from .dump import escape_column
+
+    rows = ", ".join(
+        f"(CAST({i} AS INT), {e})" for i, e in enumerate(_ESCAPE_CASES)
+    )
+    df = spark.sql(f"SELECT i, s FROM VALUES {rows} AS t(i, s)")
+    return df.select(F.col("i"), escape_column(F.col("s")).alias("escaped"))
+
+
+# ===========================================================================
+# Analytics extensions: aggregation / join / window / event-time (SURVEY
+# §2.4, §2.5, §7.6 — absent from the reference but required Spark surface)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan->filter->partial-agg->final-agg.
+    Money math in DECIMAL so the result is exact and order-independent
+    (distributed double summation would differ run-to-run AND from the
+    oracle); averages = one double division of exact operands.
+    Scale: partial aggregation map-side; 6 groups — no skew possible."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+        F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+        F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+        (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+        (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+        cnt.cast("long").alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer is the small side at any SF ratio -> explicit broadcast (no
+    shuffle of orders/lineitem on the customer join); top-10 via
+    TakeOrderedAndProject, deterministic tiebreak on o_orderkey."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", _ts("o_orderdate"))
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join. region/nation/supplier/customer are
+    dimensions -> broadcast them all; only orders|x|lineitem shuffles, on
+    the join key. At 100 TB the dims are still MBs — the plan keeps ONE
+    big-table shuffle."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("revenue")
+    )
+
+
+@register(
+    "window_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking (SURVEY §2.5 gap): top-3 orders per customer.
+    One shuffle on the partition key; deterministic tiebreak on
+    o_orderkey so both engines rank identically."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (SURVEY §2.10 gap): F.window is the
+    streaming-compatible form — identical code runs under Structured
+    Streaming with a watermark (streaming/events.py)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+# ===========================================================================
+# Training-data pipeline operators: dedup + text analysis (first slice)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact_documents",
+    "SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+    "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",
+)
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy: keep the minimum doc_id per distinct
+    text (deterministic, unlike dropDuplicates' arbitrary row). One
+    shuffle on the (hashed) text; md5 keys the output so the oracle never
+    compares megabyte strings."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "keep_id", "n_copies")
+    )
+
+
+@register(
+    "text_token_count",
+    "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+    " AS n_tokens FROM documents",
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting, JVM-side split (no UDF)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+    "AS fingerprint FROM documents",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalised lowercase text
+    — the exact-dedup key robust to spacing differences."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    )
+
+
+# ===========================================================================
+# Entry point
+# ===========================================================================
+
+
+def entry_df(spark: SparkSession) -> DataFrame:
+    """Flagship: the full anonymise pipeline over sf0.001 customer."""
+    return q_anonymise_customer_full(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,81 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry through Spark AND its ``oracle_sql()`` through DuckDB
+on the same parquet tables, then compare row count, column names, and
+order-insensitive values (exact — the driver hash-compares)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def normalise(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def rows_to_comparable(columns, rows):
+    """Sort columns by name, then rows by string repr (order-insensitive)."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(normalise(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+QUERIES = E.queries()
+ORACLES = E.oracle_sql()
+
+
+def test_every_oracle_key_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ]
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(ORACLES[name])
+    duck_cols = rel.columns
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = rows_to_comparable(spark_cols, spark_rows)
+    b = rows_to_comparable(duck_cols, duck_rows)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
