@@ -1,0 +1,367 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all Spark-first (arrays + built-in hash functions inside
+whole-stage codegen; shuffles only where semantically required):
+
+- exact: hash-groupBy on the text (or its fingerprint) — one shuffle,
+- MinHash + LSH: shingle -> k-permutation min-hash signature -> banded
+  bucket join -> exact-Jaccard verification of candidates. The signature
+  computation is embarrassingly parallel; the only shuffle is the
+  band-bucket self-join, whose fan-out is bounded by bucket sizes (the
+  standard LSH trade-off),
+- n-gram Jaccard via inverted index: explode shingles, drop "stop
+  shingles" (document frequency > max_df — the classic guard that keeps
+  the candidate join from exploding on common n-grams at scale), pair
+  docs sharing a rare shingle, verify with exact Jaccard on full sets,
+- SimHash: 16-bit frequency-weighted bit-majority fingerprint; candidate
+  pairs from 4-bit band buckets, ranked by Hamming distance.
+
+Hashes are md5-derived so every operator has a bit-identical DuckDB
+oracle (``duck_*_sql``); a production ``mode="xxhash"`` swaps in
+xxhash64 (numeric, no hex strings — measurably faster, same plan shape)
+at the cost of oracle-checkability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3
+NUM_HASHES = 16
+# banding theory: candidate threshold ~ (1/b)^(1/r); b=8, r=2 -> ~0.35,
+# the right operating point for verifying pairs at jaccard >= 0.5
+# (b=4, r=4 would miss ~70% of 0.5-jaccard pairs at candidate stage)
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = SHINGLE_K
+) -> DataFrame:
+    """(id, s: array<string>) — distinct word k-gram shingles; documents
+    with fewer than k tokens yield no shingles and are dropped (they
+    cannot near-duplicate anything under this measure)."""
+    parts = ", ".join(f"element_at(ts, i + {j})" for j in range(k))
+    sh = (
+        f"CASE WHEN size(ts) < {k} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size(ts) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts}))) END"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ts"),
+        )
+        .select("id", F.expr(sh).alias("s"))
+        .filter(F.size("s") > 0)
+    )
+
+
+def _duck_shingles_cte(table: str, k: int = SHINGLE_K) -> str:
+    parts = " || ' ' || ".join(f"ts[i + {j}]" for j in range(k))
+    return f"""
+    tok AS (SELECT doc_id AS id,
+        regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM {table}),
+    sh AS (SELECT id, CASE WHEN len(ts) < {k} THEN [] ELSE
+        list_distinct(list_transform(generate_series(1, len(ts) - {k - 1}),
+            i -> {parts})) END AS s FROM tok),
+    shf AS (SELECT * FROM sh WHERE len(s) > 0)
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep min-id per duplicate group: deterministic, unlike
+    dropDuplicates (which keeps an arbitrary row per partition order)."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    shingled: DataFrame, num_hashes: int = NUM_HASHES, mode: str = "md5"
+) -> DataFrame:
+    """(id, s, sig: array<string|bigint>). Permutation i is simulated by
+    hashing each shingle with salt i and taking the minimum — the standard
+    one-pass minhash (no true permutations needed)."""
+    if mode == "md5":
+        mins = [
+            f"array_min(transform(s, x -> md5(concat('{i}|', x))))"
+            for i in range(num_hashes)
+        ]
+    else:  # xxhash64: production fast path (numeric min, no hex strings)
+        mins = [
+            f"array_min(transform(s, x -> xxhash64(concat('{i}|', x))))"
+            for i in range(num_hashes)
+        ]
+    sig = "array(" + ", ".join(mins) + ")"
+    return shingled.select("id", "s", F.expr(sig).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
+) -> DataFrame:
+    """(id_a, id_b) candidates sharing at least one signature band.
+
+    Banding: hash each contiguous ``rows``-slice of the signature; docs
+    agreeing on any band collide. The self-join shuffles on (band_id,
+    band_key) — bucket sizes, not n^2, bound the work.
+    """
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, md5(concat_ws('|', slice(sig, {b * rows + 1}, {rows}))) AS band_key)"
+        for b in range(bands)
+    )
+    banded = sig_df.select(
+        "id", F.expr(f"inline(array({band_structs}))")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on the full shingle sets of each candidate pair."""
+    sa = shingled.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = shingled.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    mode: str = "md5",
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH -> verify."""
+    shingled = shingles(df, text_col, id_col)
+    sig = minhash_signature(shingled, mode=mode)
+    cands = lsh_candidate_pairs(sig)
+    return verify_jaccard(cands, shingled, threshold)
+
+
+def duck_minhash_lsh_sql(
+    table: str = "documents",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}|' || x)))" for i in range(num_hashes)
+    )
+    band_rows = ", ".join(
+        f"({b}, md5(array_to_string(sig[{b * rows + 1}:{b * rows + rows}], '|')))"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_duck_shingles_cte(table)},
+    sig AS (SELECT id, s, [{mins}] AS sig FROM shf),
+    banded AS (SELECT id, b.* FROM sig,
+        LATERAL (SELECT * FROM (VALUES {band_rows}) v(band_id, band_key)) b),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id),
+    ver AS (SELECT id_a AS doc_a, id_b AS doc_b,
+        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+        FROM cand JOIN shf sa ON cand.id_a = sa.id JOIN shf sb ON cand.id_b = sb.id)
+    SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact-verified near-dup pairs from an inverted shingle index.
+
+    Candidates = pairs sharing >=1 *rare* shingle (document frequency <=
+    max_df). Shingles more common than max_df are "stop shingles": they
+    connect too many docs to be discriminative and their pair fan-out is
+    O(df^2) — dropping them is what keeps this scalable. Verification then
+    uses FULL shingle sets, so reported Jaccard values are exact; only
+    recall of pairs sharing *no* rare shingle is sacrificed (such pairs
+    are overwhelmingly below any useful threshold).
+    """
+    shingled = shingles(df, text_col, id_col)
+    inv = shingled.select("id", F.explode("s").alias("sh"))
+    rare = (
+        inv.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") <= max_df)
+        .select("sh")
+    )
+    inv_rare = inv.join(rare, "sh")
+    a, b = inv_rare.alias("a"), inv_rare.alias("b")
+    cands = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return verify_jaccard(cands, shingled, threshold)
+
+
+def duck_ngram_jaccard_sql(
+    table: str = "documents", threshold: float = 0.5, max_df: int = 100
+) -> str:
+    return f"""
+    WITH {_duck_shingles_cte(table)},
+    inv AS (SELECT id, unnest(s) AS sh FROM shf),
+    rare AS (SELECT sh FROM inv GROUP BY sh HAVING count(*) <= {max_df}),
+    invr AS (SELECT inv.id, inv.sh FROM inv JOIN rare USING (sh)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM invr a JOIN invr b ON a.sh = b.sh AND a.id < b.id),
+    ver AS (SELECT id_a AS doc_a, id_b AS doc_b,
+        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+        FROM cand JOIN shf sa ON cand.id_a = sa.id JOIN shf sb ON cand.id_b = sb.id)
+    SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash int, n_tokens): frequency-weighted bit-majority over
+    per-token 16-bit hashes (md5-digit-derived so DuckDB mirrors it).
+    One explode + one groupBy — shuffles on the doc id only."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    h16 = "CAST(substr(translate(md5(tok), 'abcdef', '012345'), 1, 5) AS INT) % 65536"
+    hashed = toks.select("id", F.expr(h16).alias("h"))
+    bit_sums = [
+        F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    sim = " + ".join(
+        f"CASE WHEN 2 * b{j} > n THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return agg.select(
+        F.col("id").alias("doc_id"),
+        F.expr(sim).cast("int").alias("simhash"),
+        F.col("n").cast("long").alias("n_tokens"),
+    )
+
+
+def duck_simhash_sql(table: str = "documents") -> str:
+    bit_sums = ", ".join(
+        f"sum((h >> {j}) & 1) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN 2 * b{j} > n THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id AS id,
+        unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM {table}),
+    hashed AS (SELECT id,
+        CAST(substr(translate(md5(tok), 'abcdef', '012345'), 1, 5) AS INT) % 65536 AS h
+        FROM toks),
+    agg AS (SELECT id, count(*) AS n, {bit_sums} FROM hashed GROUP BY id)
+    SELECT id AS doc_id, CAST({sim} AS INT) AS simhash, CAST(n AS BIGINT) AS n_tokens
+    FROM agg
+    """
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over simhash, candidates from
+    4-bit band buckets (a pair within Hamming<=2 of 16 bits must agree on
+    at least 2 of 4 bands; one shared band suffices to become a
+    candidate, so recall at max_hamming<=3 is 100%)."""
+    sh = simhash(df, text_col, id_col).select("doc_id", "simhash")
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, shiftright(simhash, {4 * b}) & 15 AS band_val)"
+        for b in range(4)
+    )
+    banded = sh.select("doc_id", "simhash", F.expr(f"inline(array({band_structs}))"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def duck_simhash_near_pairs_sql(table: str = "documents", max_hamming: int = 2) -> str:
+    base = duck_simhash_sql(table).strip()
+    bands = ", ".join(f"({b}, (simhash >> {4 * b}) & 15)" for b in range(4))
+    return f"""
+    WITH sims AS ({base}),
+    banded AS (SELECT doc_id, simhash, b.* FROM sims,
+        LATERAL (SELECT * FROM (VALUES {bands}) v(band_id, band_val)) b),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS INT) AS hamming
+        FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Convention for image/audio/video at 100 TB: a ``media`` struct column
+``struct<data: binary, meta: struct<format string, n_bytes bigint,
+checksum string>>`` stored alongside the row — Spark treats the payload
+as opaque bytes, so partitioning/shuffling/column-pruning all work
+normally, and only the operators that truly need pixels pay to read
+``media.data`` (parquet column projection skips it otherwise).
+
+The decode step (PIL/ffmpeg/librosa) is NOT available in this
+environment, so ``decode_image``/``decode_audio`` are stubs behind an
+import-try raising NotImplementedError — but everything Spark-side is
+real and tested: the schema, the Arrow-batched ``mapInPandas`` plumbing,
+batch shapes, and the deterministic fallback featurizer (byte-statistics)
+that exercises the exact same code path a real decoder would.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media struct<data: binary, meta: struct<format: string, n_bytes: bigint, "
+    "checksum: string>>"
+)
+
+FEATURE_DIM = 4
+
+
+def attach_media(df: DataFrame, payload_col: str = "text", fmt: str = "text/plain") -> DataFrame:
+    """Wrap a payload column as a media struct (here the corpus ``text``
+    encoded to bytes — real pipelines ingest actual image/audio bytes the
+    same way; the engine only sees binary)."""
+    data = F.encode(F.col(payload_col), "UTF-8")
+    return df.withColumn(
+        "media",
+        F.struct(
+            data.alias("data"),
+            F.struct(
+                F.lit(fmt).alias("format"),
+                F.octet_length(data).cast("long").alias("n_bytes"),
+                F.md5(data).alias("checksum"),
+            ).alias("meta"),
+        ),
+    )
+
+
+def media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Metadata projection — never touches media.data after the scan
+    (column pruning drops the payload bytes at the parquet reader)."""
+    return df.select(
+        id_col,
+        F.col("media.meta.format").alias("format"),
+        F.col("media.meta.n_bytes").alias("n_bytes"),
+        F.col("media.meta.checksum").alias("checksum"),
+    )
+
+
+def decode_image(data: bytes):  # pragma: no cover - env has no imaging libs
+    """Real decoder stub: plugs in PIL when available."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(data))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires PIL, not present in this environment; "
+            "the Spark-side plumbing (schema, mapInPandas batching) is real — "
+            "swap _byte_features for a decode in extract_features"
+        ) from e
+
+
+def _byte_features(data: bytes) -> list[float]:
+    """Deterministic stand-in featurizer: byte statistics in place of a
+    neural embedding. Same signature/shape a real model head would have."""
+    if not data:
+        return [0.0] * FEATURE_DIM
+    n = len(data)
+    mean = sum(data) / n
+    first = data[0] / 255.0
+    last = data[-1] / 255.0
+    return [float(n), mean / 255.0, first, last]
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over media payloads.
+
+    ``mapInPandas``: each worker receives columnar batches (id, data),
+    runs the featurizer vectorised per batch, and emits (id, n_bytes,
+    feature array). This is the decode/resize/embed execution shape — CPU
+    work scales with partitions, no driver involvement, and Arrow keeps
+    the Python boundary cheap (one serialisation per batch, not per row).
+    """
+    out_schema = f"{id_col} bigint, n_bytes bigint, features array<double>"
+    narrowed = df.select(F.col(id_col), F.col("media.data").alias("data"))
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["data"]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "features": payloads.map(
+                        lambda b: _byte_features(bytes(b)) if b is not None else None
+                    ),
+                }
+            )
+
+    return narrowed.mapInPandas(featurize, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """"Frame" sampling plumbing: slice the opaque payload at fixed strides
+    (a real video pipeline samples keyframes the same way — one input row
+    explodes to N frame rows). Pure JVM expressions: substring on binary."""
+    frames = F.expr(
+        f"transform(sequence(0, least(int(octet_length(media.data) div {every_n_bytes}), "
+        f"{max_frames - 1})), i -> struct(i AS frame_id, "
+        f"substring(media.data, i * {every_n_bytes} + 1, {every_n_bytes}) AS frame))"
+    )
+    return df.select(
+        F.col(id_col), F.explode(frames).alias("f")
+    ).select(
+        id_col,
+        F.col("f.frame_id").alias("frame_id"),
+        F.md5(F.col("f.frame")).alias("frame_checksum"),
+        F.octet_length(F.col("f.frame")).cast("long").alias("frame_bytes"),
+    )

@@ -1,0 +1,269 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per SURVEY.md's north-star extensions:
+
+- brute-force cosine top-k: broadcast the (small) query set, cross-join
+  against the corpus, fold the dot product with built-in higher-order
+  array functions (zip_with/aggregate — JVM-side, no UDF), rank per
+  query. Linear in corpus size, embarrassingly parallel: the corpus side
+  never shuffles. This is the exact baseline,
+- LSH-bucketed ANN: deterministic random-hyperplane signatures (sign of
+  dot with fixed literal planes) bucket the corpus; only the query's
+  bucket is scanned and re-ranked exactly. The scale path: bucket count
+  grows 2^planes, per-bucket work shrinks proportionally.
+
+Floating-point discipline: embeddings are cast float->double *before*
+multiplication and folded strictly left-to-right, matching the DuckDB
+oracle's ``list_reduce`` fold — the doubles come out bit-identical, so
+even ranks-by-cosine compare exactly across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# fold expressions (spark + duckdb mirrors)
+# ---------------------------------------------------------------------------
+
+
+def _spark_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _spark_norm(a: str) -> str:
+    return f"sqrt({_spark_dot(a, a)})"
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _duck_norm(a: str) -> str:
+    return f"sqrt({_duck_dot(a, a)})"
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def topk_cosine(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): exact top-k by cosine for each query
+    vector, self-match excluded, ties broken by neighbor id.
+
+    The query side is broadcast (it is a handful of vectors); the corpus
+    side streams through map-side only — no shuffle until the final
+    per-query top-k, which TakeOrdered handles per partition then merges.
+    """
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    cos = F.expr(_spark_dot("qv", "nv")) / (
+        F.expr(_spark_norm("qv")) * F.expr(_spark_norm("nv"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def duck_topk_cosine_sql(
+    query_ids: list[int], k: int = 5, table: str = "embeddings"
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = f"{_duck_dot('q.qv', 'c.nv')} / ({_duck_norm('q.qv')} * {_duck_norm('c.nv')})"
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM {table}
+               WHERE vec_id IN ({ids})),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM {table}),
+    scored AS (SELECT query_id, neighbor_id, {cos} AS cosine
+               FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    ranked AS (SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicate pairs (within a blocking key)
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine >= threshold) within each blocking bucket.
+
+    Brute force within blocks: the join shuffles on the block key, so
+    work is sum(block^2) not n^2 — choose the block column accordingly
+    (cluster id from any cheap pre-clustering works; label here)."""
+    a = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col(block_col).alias("blk"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col(block_col).alias("blk"),
+    )
+    cos = F.expr(_spark_dot("va", "vb")) / (
+        F.expr(_spark_norm("va")) * F.expr(_spark_norm("vb"))
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def duck_embedding_neardup_sql(
+    threshold: float = 0.95, table: str = "embeddings"
+) -> str:
+    cos = f"{_duck_dot('a.embedding', 'b.embedding')} / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')})"
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+    FROM {table} a JOIN {table} b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(num_planes: int, dim: int) -> list[list[int]]:
+    """Fixed +-1 hyperplanes derived from md5 — identical literals land in
+    both engines' SQL, so bucketing is reproducible everywhere."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane-{p}-{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr_spark(vec: str, planes: list[list[int]]) -> str:
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + ")"
+        bits.append(f"CASE WHEN {_spark_dot(vec, arr)} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(bits)
+
+
+def _bucket_expr_duck(vec: str, planes: list[list[int]]) -> str:
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + "]"
+        bits.append(f"CASE WHEN {_duck_dot(vec, arr)} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(bits)
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's hyperplane-sign
+    bucket are scored. 2^num_planes buckets -> ~n/2^p candidates per
+    query; exact re-rank inside the bucket. Misses neighbors across the
+    bucket boundary — the accepted ANN trade-off (multi-probe extends
+    recall; see docstring tests)."""
+    planes = _hyperplanes(num_planes, dim)
+    bucketed = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.expr(_bucket_expr_spark(vec_col, planes)).cast("int").alias("bucket"),
+    )
+    queries = bucketed.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("query_id"),
+        F.col("nv").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = F.expr(_spark_dot("qv", "nv")) / (
+        F.expr(_spark_norm("qv")) * F.expr(_spark_norm("nv"))
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(queries), F.col("bucket") == F.col("qbucket")
+        )
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id", F.col("nid").alias("neighbor_id"), cos.alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+
+
+def duck_ann_lsh_sql(
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    planes = _hyperplanes(num_planes, dim)
+    ids = ", ".join(str(i) for i in query_ids)
+    bucket = _bucket_expr_duck("embedding", planes)
+    cos = f"{_duck_dot('q.qv', 'c.nv')} / ({_duck_norm('q.qv')} * {_duck_norm('c.nv')})"
+    return f"""
+    WITH bucketed AS (SELECT vec_id AS nid, embedding AS nv,
+        CAST({bucket} AS INT) AS bucket FROM {table}),
+    q AS (SELECT nid AS query_id, nv AS qv, bucket AS qbucket
+          FROM bucketed WHERE nid IN ({ids})),
+    c AS (SELECT * FROM bucketed),
+    scored AS (SELECT query_id, c.nid AS neighbor_id, {cos} AS cosine
+        FROM c JOIN q ON c.bucket = q.qbucket WHERE c.nid <> q.query_id),
+    ranked AS (SELECT query_id, neighbor_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    """

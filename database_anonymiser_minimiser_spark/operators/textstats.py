@@ -1,0 +1,148 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+All pure JVM column expressions (split / regexp / array ops) — no Python
+in the data path, so every operator whole-stage-codegens and scales
+linearly with input splits. Each has an exact DuckDB oracle (the score
+arithmetic uses integer counts and single double divisions, bit-identical
+across engines).
+
+These extend the reference's surface (it has no text operators) as the
+north-star LLM-pipeline layer (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker vocabularies for the n-gram-free language heuristic: the
+# count of *distinct marker types* present in the document decides.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "zh": ["de5", "shi4", "bu4", "wo3", "zai4", "you3", "le5", "ren2"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens_column(text: Column) -> Column:
+    """Whitespace tokenisation, lowercased."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        id_col,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, mean token length, alpha ratio,
+    stopword hit ratio — combined into one double score.
+
+    Every intermediate is an exact integer (counts, lengths); the only
+    float ops are final divisions, so Spark and DuckDB agree bitwise.
+    """
+    toks = tokens_column(F.col(text_col))
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    # total alphabetic chars (exact int): length minus non-alpha count
+    alpha_chars = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
+    ).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS]))
+    ).cast("long")
+    mean_tok_len = (n_chars.cast("double") / n_tokens)
+    alpha_ratio = alpha_chars.cast("double") / n_chars
+    stop_ratio = stop_hits.cast("double") / F.lit(len(STOPWORDS))
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + alpha_ratio * F.lit(0.4)
+        + stop_ratio * F.lit(0.2)
+    )
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-vocabulary language ID: the language with the most distinct
+    marker types present wins; ties break in fixed language order. This is
+    the classic stopword-profile heuristic (an n-gram profile reduces to
+    the same distinct-type-hit counting at word granularity)."""
+    toks = F.array_distinct(tokens_column(F.col(text_col)))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        ).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    }
+    scored = df.select(id_col, *scores.values())
+    langs = list(LANG_MARKERS)
+    best: Column = F.lit(langs[-1])
+    # fold right-to-left so earlier languages win ties
+    for lang in reversed(langs[:-1]):
+        cond = F.col(f"score_{lang}") >= F.greatest(
+            *[F.col(f"score_{l}") for l in langs if l != lang]
+        )
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+    return scored.select(
+        id_col, *[f"score_{l}" for l in langs], best.alias("predicted_lang")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """md5 over whitespace-normalised lowercase text."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(id_col, F.md5(norm.cast("binary")).alias("fingerprint"))
+
+
+# ---- DuckDB oracle SQL builders (same semantics, DuckDB dialect) ----------
+
+
+def duck_quality_score_sql(table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_token_len,
+      CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+      CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), [{stop_list}])) AS DOUBLE) / {len(STOPWORDS)} AS stopword_ratio,
+      least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.4
+        + (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)) * 0.4
+        + (CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), [{stop_list}])) AS DOUBLE) / {len(STOPWORDS)}) * 0.2
+        AS quality_score
+    FROM {table}
+    """
+
+
+def duck_language_id_sql(table: str = "documents") -> str:
+    langs = list(LANG_MARKERS)
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"CAST(len(list_intersect(list_distinct(regexp_split_to_array("
+            f"lower(trim(text)), '\\s+')), [{lst}])) AS INT) AS score_{lang}"
+        )
+    case = f"'{langs[-1]}'"
+    for lang in reversed(langs[:-1]):
+        others = ", ".join(f"score_{l}" for l in langs if l != lang)
+        case = f"CASE WHEN score_{lang} >= greatest({others}) THEN '{lang}' ELSE {case} END"
+    return (
+        f"SELECT doc_id, {', '.join('score_' + l for l in langs)}, {case} AS predicted_lang "
+        f"FROM (SELECT doc_id, {', '.join(score_exprs)} FROM {table}) s"
+    )

@@ -548,6 +548,286 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Event-time: session + sliding windows
+# ===========================================================================
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap via
+    F.session_window — the built-in stateful-streaming-compatible form
+    (runs identically under Structured Streaming + watermark). Oracle is
+    the classic gaps-and-islands rewrite: a new session starts when the
+    gap since the previous event is >= 30 min (Spark's session window is
+    the half-open [start, last+gap), so an event landing exactly at
+    last+gap opens a new session)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_sliding_2h_1h",
+    """
+    WITH wins AS (SELECT event_type, value,
+        unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+          AS window_start
+        FROM events)
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+    FROM wins GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h width, 1h slide): every event belongs to two
+    windows — F.window generates them natively; the oracle materialises
+    the same two starts per event."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+# ===========================================================================
+# Text analysis (quality / language)
+# ===========================================================================
+
+from .operators import textstats as _ts_ops  # noqa: E402
+
+
+@register("text_quality_score", _ts_ops.duck_quality_score_sql())
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts_ops.quality_score(load(spark, sf_dir, "documents"))
+
+
+@register("text_language_id", _ts_ops.duck_language_id_sql())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts_ops.language_id(load(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Dedup: MinHash-LSH / n-gram Jaccard / SimHash
+# ===========================================================================
+
+from .operators import dedup as _dd  # noqa: E402
+
+
+@register("dedup_minhash_lsh", _dd.duck_minhash_lsh_sql(threshold=0.5))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_ngram_jaccard", _dd.duck_ngram_jaccard_sql(threshold=0.5, max_df=100))
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, max_df=100
+    )
+
+
+@register("dedup_simhash", _dd.duck_simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.simhash(load(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_pairs", _dd.duck_simhash_near_pairs_sql(max_hamming=2))
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=2)
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+
+from .operators import similarity as _sim  # noqa: E402
+
+_QUERY_VEC_IDS = [0, 1, 2]
+
+
+@register("ann_topk_cosine", _sim.duck_topk_cosine_sql(_QUERY_VEC_IDS, k=5))
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.topk_cosine(load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5)
+
+
+@register("embedding_neardup", _sim.duck_embedding_neardup_sql(threshold=0.2))
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.2
+    )
+
+
+@register("ann_lsh_topk", _sim.duck_ann_lsh_sql(_QUERY_VEC_IDS, k=5))
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ann_lsh_topk(load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5)
+
+
+# ===========================================================================
+# Structured Streaming (same transforms, streaming runner)
+# ===========================================================================
+
+from .streaming import events as _stream  # noqa: E402
+
+
+@register("streaming_events_tumbling", ORACLE["events_tumbling_hourly"])
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL streaming query (file source -> availableNow -> memory sink,
+    complete mode) sharing the batch tumbling oracle: streaming and batch
+    produce identical results for bounded input, by construction."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _stream.run_streaming_tumbling(spark, sf_dir)
+
+
+@register("streaming_events_watermark")  # rows-only: append-mode emission set
+def q_streaming_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode counts: only windows sealed by the
+    watermark emit (bounded state). Rows-only check: the emitted subset
+    depends on micro-batch watermark advancement, which SQL cannot
+    express."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _stream.run_streaming_with_watermark(spark, sf_dir)
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+from .operators import multimodal as _mm  # noqa: E402
+
+
+@register(
+    "multimodal_meta",
+    "SELECT doc_id, 'text/plain' AS format, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+    "md5(text) AS checksum FROM documents",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media struct + metadata projection; the payload column is
+    pruned out of the scan (only meta survives the projection)."""
+    df = _mm.attach_media(load(spark, sf_dir, "documents"))
+    return _mm.media_metadata(df)
+
+
+@register("multimodal_features")  # rows-only: mapInPandas featurizer
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction (decode stubbed with
+    deterministic byte statistics — the real decoder slots into the same
+    plumbing)."""
+    return _mm.extract_features(_mm.attach_media(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "multimodal_frame_sample",
+    # DuckDB cannot slice BLOBs, so the oracle slices the VARCHAR — byte-
+    # equivalent here because the corpus text is pure ASCII (asserted in
+    # tests); md5(substr) then hashes the same bytes Spark hashes.
+    """
+    WITH frames AS (SELECT doc_id, i AS frame_id,
+        substring(text, i * 64 + 1, 64) AS frame
+      FROM documents, LATERAL (
+        SELECT unnest(generate_series(0,
+          least(octet_length(encode(text)) // 64, 7))) AS i))
+    SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+      md5(frame) AS frame_checksum,
+      CAST(octet_length(encode(frame)) AS BIGINT) AS frame_bytes
+    FROM frames
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride payload slicing (the video frame-sampling shape): one
+    row explodes to N frame rows, checksummed JVM-side."""
+    return _mm.frame_sample(_mm.attach_media(load(spark, sf_dir, "documents")))
+
+
+# ===========================================================================
+# Consistency via broadcast mapping join (realistic-mode path) + realistic
+# pandas-UDF faker
+# ===========================================================================
+
+from .operators import consistency as _cons  # noqa: E402
+
+
+@register(
+    "consistency_broadcast_apply",
+    "SELECT c_custkey, "
+    + FAKER_FUNCTIONS["email"].sql("duckdb", '"c_name"')
+    + " AS c_name FROM customer",
+)
+def q_consistency_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable realistic-mode pipeline: distinct originals ->
+    generate once per value -> broadcast left-join back. With the
+    deterministic generator the result must equal direct column
+    application — which is exactly what the oracle asserts, proving the
+    join path loses/duplicates nothing."""
+    cust = load(spark, sf_dir, "customer")
+    mapping = _cons.build_mapping([(cust, "c_name")])
+    return _cons.apply_mapping(cust, "c_name", mapping).select("c_custkey", "c_name")
+
+
+@register("realistic_mask_profile")  # rows-only: pandas-UDF generators
+def q_realistic_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorised realistic faker (pandas_udf): name/email/phone
+    derived per distinct original value. Not SQL-expressible -> rows-only."""
+    from .functions.faker_realistic import realistic_column
+
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        realistic_column("name", "c_name").alias("masked_name"),
+        realistic_column("email", "c_name").alias("masked_email"),
+        realistic_column("phone", "c_name").alias("masked_phone"),
+    )
+
+
+@register("topo_order")  # rows-only: driver-side metadata operator
+def q_topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 FK topological sort (schema.go:62-166) surfaced as data: table
+    name -> commit position. Pure driver-side metadata (graph of ~10
+    nodes); the DataFrame is createDataFrame of the result."""
+    from .plans.topo import sort_tables_by_dependency
+    from .sources.parquet import ParquetSource
+
+    src = ParquetSource(spark, sf_dir)
+    order = sort_tables_by_dependency(src.get_tables(), src.get_foreign_keys())
+    return spark.createDataFrame(
+        [(t, i) for i, t in enumerate(order)], "table_name string, position int"
+    )
+
+
+# ===========================================================================
 # Entry point
 # ===========================================================================
 

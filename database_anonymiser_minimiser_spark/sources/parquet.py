@@ -103,6 +103,14 @@ def _nanos_timestamp_columns(path: Path) -> list[str]:
         return []
 
 
+def convert_ns_columns(df: DataFrame, ns_cols: list[str]) -> DataFrame:
+    """BIGINT epoch-nanos -> microsecond timestamps, integer `div` (no
+    float precision loss at 1e18)."""
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def read_parquet_table(spark: SparkSession, path: str | Path) -> DataFrame:
     """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
 
@@ -119,10 +127,7 @@ def read_parquet_table(spark: SparkSession, path: str | Path) -> DataFrame:
     if not ns_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return convert_ns_columns(spark.read.parquet(path), ns_cols)
 
 
 class ParquetSource:

@@ -1,0 +1,147 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming (its "streams data in batches" claim is
+bounded cursor iteration, README.md:11 / mysql.go:180-222 — SURVEY §2.10);
+this module supplies the Spark-native event-time layer:
+
+- the SAME transform functions serve batch and streaming (that is the
+  point of Structured Streaming: one declarative plan, two runners),
+- tumbling/sliding aggregations via F.window, sessions via
+  F.session_window,
+- late-data handling via withWatermark in append mode: windows emit only
+  once the watermark passes their end, late events beyond the allowed
+  lateness are dropped — state is bounded, which is what makes an
+  unbounded 100 TB/day stream feasible,
+- file source + Trigger.availableNow for replayable, exactly-once batch
+  backfills of the same pipeline.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import _nanos_timestamp_columns, convert_ns_columns
+
+
+def tumbling_counts(ev: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Shared batch/streaming transform: per-window, per-type counts and
+    exact decimal totals."""
+    return (
+        ev.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. The file source demands
+    a *directory* (it tails new files landing there — the production
+    ingestion shape), so a single-file corpus is exposed through a temp
+    directory holding a symlink. Applies the same TIMESTAMP(NANOS)
+    tolerance as the batch reader."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    ns_cols = _nanos_timestamp_columns(Path(path))
+    stream_dir = tempfile.mkdtemp(prefix="dbmask_stream_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    return convert_ns_columns(stream, ns_cols)
+
+
+def run_streaming_tumbling(
+    spark: SparkSession, sf_dir: str, width: str = "1 hour"
+) -> DataFrame:
+    """Run the tumbling aggregation as a real streaming query (memory
+    sink, complete mode, availableNow trigger) and return the final
+    result table. Deterministic: equals the batch result, which is why
+    this can share the batch oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_counts(ev, width)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_streaming_with_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "1 hour",
+    lateness: str = "2 hours",
+) -> DataFrame:
+    """Append-mode windowed counts with a watermark: only windows whose
+    end precedes (max event time - lateness) are emitted; the tail stays
+    in state awaiting data that never comes. This is the bounded-state
+    production shape for unbounded streams."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", lateness)
+    agg = (
+        ev.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"watermark_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_streaming_sessions(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Session windows under streaming: session_window + watermark is the
+    built-in stateful-merge operator (no applyInPandasWithState needed
+    for gap sessions)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

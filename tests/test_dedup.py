@@ -1,0 +1,111 @@
+"""Dedup operator behavior on planted near-duplicates (the corpus has no
+duplicates at small SF, so recall must be proven on synthetic rows)."""
+
+import pytest
+
+from database_anonymiser_minimiser_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while birds sing in the tall green trees above the quiet meadow"
+)
+DOCS = [
+    # 0 and 1: near-identical (one word changed out of 24 -> jaccard ~0.87)
+    (0, BASE),
+    (1, BASE.replace("jumps", "leaps")),
+    # 2: exact copy of 0
+    (2, BASE),
+    # 3: unrelated
+    (3, "completely different content about databases and distributed query engines"),
+    # 4: short doc (< 3 tokens -> no shingles)
+    (4, "tiny doc"),
+    # 5: another unrelated
+    (5, "spark catalyst optimizer rewrites logical plans into physical plans"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_shingles(spark, docs_df):
+    rows = {r["id"]: r["s"] for r in D.shingles(docs_df).collect()}
+    assert 4 not in rows  # too short
+    assert "the quick brown" in rows[0]
+    # 24 tokens -> 22 trigrams, minus one duplicate-free check
+    assert len(rows[0]) == len(set(rows[0]))
+
+
+def test_exact_dedup(spark, docs_df):
+    res = {
+        r["keep_id"]: r["n_copies"]
+        for r in D.exact_dedup(docs_df, ["text"]).collect()
+    }
+    assert res[0] == 2  # docs 0 and 2 identical, keep min id
+    assert res[1] == 1
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(docs_df, threshold=0.4).collect()
+    }
+    assert pairs[(0, 2)] == 1.0  # exact copy
+    assert (0, 1) in pairs and 0.4 <= pairs[(0, 1)] < 1.0
+    assert (1, 2) in pairs
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_minhash_xxhash_mode_finds_strong_pairs(spark, docs_df):
+    """The production xxhash64 path differs only in candidate-generation
+    hashes (candidate sets may differ at the LSH margin); high-jaccard
+    pairs must be found by both, and every reported jaccard is exact."""
+    for mode in ("md5", "xxhash"):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.minhash_lsh_pairs(docs_df, threshold=0.4, mode=mode).collect()
+        }
+        assert pairs[(0, 2)] == 1.0, mode
+        assert (0, 1) in pairs and pairs[(0, 1)] > 0.7, mode
+
+
+def test_ngram_jaccard_exact_values(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs_df, threshold=0.1).collect()
+    }
+    assert pairs[(0, 2)] == 1.0
+    # one word changed invalidates exactly 3 trigrams: shared = n-3,
+    # union = n+3 where n = distinct trigrams of doc 0
+    n = len({tuple(BASE.split()[i : i + 3]) for i in range(len(BASE.split()) - 2)})
+    assert abs(pairs[(0, 1)] - (n - 3) / (n + 3)) < 1e-12
+
+
+def test_simhash_identical_docs_equal(spark, docs_df):
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash(docs_df).collect()}
+    assert sims[0] == sims[2]
+    assert 0 <= sims[0] < 2**16
+    assert sims[0] != sims[3]
+
+
+def test_simhash_near_pairs(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(docs_df, max_hamming=3).collect()
+    }
+    assert pairs[(0, 2)] == 0
+    for (a, b), h in pairs.items():
+        assert h <= 3
+
+
+def test_stop_shingle_guard(spark):
+    """A shingle appearing in more docs than max_df must not generate
+    candidate pairs on its own."""
+    docs = [(i, f"common shared prefix unique{i} tail{i} words{i}") for i in range(8)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # 'common shared prefix' appears in all 8 docs; with max_df=3 it is a
+    # stop shingle -> no candidates -> no pairs
+    assert D.ngram_jaccard_pairs(df, threshold=0.01, max_df=3).count() == 0
+    # with the guard relaxed the same pairs appear
+    assert D.ngram_jaccard_pairs(df, threshold=0.01, max_df=100).count() > 0

@@ -1,0 +1,66 @@
+"""Multimodal plumbing: media struct schema, Arrow mapInPandas feature
+extraction, frame sampling, decode stub behavior."""
+
+import pytest
+
+from database_anonymiser_minimiser_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media_df(spark, sf_dir):
+    from database_anonymiser_minimiser_spark.queries import load
+
+    return M.attach_media(load(spark, sf_dir, "documents").limit(20))
+
+
+def test_media_struct_schema(media_df):
+    f = dict(zip(media_df.schema.names, media_df.schema.fields))["media"]
+    dt = f.dataType
+    assert dt.simpleString() == (
+        "struct<data:binary,meta:struct<format:string,n_bytes:bigint,checksum:string>>"
+    )
+
+
+def test_metadata_matches_payload(media_df):
+    rows = media_df.select("doc_id", "media.*").collect()
+    for r in rows:
+        assert r["meta"]["n_bytes"] == len(r["data"])
+
+
+def test_extract_features_shape(media_df):
+    feats = M.extract_features(media_df).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["features"]) == M.FEATURE_DIM
+        assert r["features"][0] == float(r["n_bytes"])
+        assert 0.0 <= r["features"][1] <= 1.0
+
+
+def test_extract_features_deterministic(media_df):
+    a = sorted(map(tuple, M.extract_features(media_df).collect()))
+    b = sorted(map(tuple, M.extract_features(media_df).collect()))
+    assert a == b
+
+
+def test_frame_sample(media_df):
+    frames = M.frame_sample(media_df, every_n_bytes=64, max_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, fs in by_doc.items():
+        ids = sorted(f["frame_id"] for f in fs)
+        assert ids == list(range(len(ids)))  # contiguous frame ids from 0
+        assert len(ids) <= 4
+        for f in fs:
+            assert f["frame_bytes"] <= 64
+
+
+def test_decode_stub_raises():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        M.decode_image(b"\x89PNG fake")

