@@ -20,21 +20,39 @@ from database_anonymiser_minimiser_spark import queries as Q
 from database_anonymiser_minimiser_spark.session import get_spark
 
 HEADLINE = [
+    # reference-parity pipeline
     "full_export_customer",
     "retain_count_orders",
     "retain_date_events",
     "anonymise_customer_full",
     "mask_email",
     "consistency_mapping",
+    "consistency_broadcast_apply",
     "sqldump_tuple_customer",
+    # analytics
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "window_top_orders_per_customer",
     "events_tumbling_hourly",
+    "events_sliding_2h_1h",
+    "events_sessionize",
+    # training-data pipeline
     "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "ann_topk_cosine",
+    "ann_lsh_topk",
+    "embedding_neardup",
     "text_token_count",
     "text_fingerprint",
+    "text_quality_score",
+    "text_language_id",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "realistic_mask_profile",
+    "streaming_events_tumbling",
 ]
 
 
@@ -51,9 +69,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
+        # one unmeasured warm run per query: whole-stage-codegen JIT
+        # compiles on first execution (~10s for heavy array expressions);
+        # steady-state throughput is what 100 TB jobs amortise to
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()  # drop operator-internal persists
         start = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - start, 4)
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -46,20 +46,34 @@ def shingles(
 ) -> DataFrame:
     """(id, s: array<string>) — distinct word k-gram shingles; documents
     with fewer than k tokens yield no shingles and are dropped (they
-    cannot near-duplicate anything under this measure)."""
+    cannot near-duplicate anything under this measure).
+
+    Repartitions by id first: shingling + k-permutation hashing is
+    CPU-bound, and a small input file otherwise arrives as ONE split so
+    the whole signature computation would run on one core (observed 20x
+    slowdown at sf0.1). The hash-repartition also pre-aligns the id-keyed
+    verification joins downstream. At 100 TB the input already has
+    thousands of splits and this repartition is a cheap rebalance.
+    """
     parts = ", ".join(f"element_at(ts, i + {j})" for j in range(k))
     sh = (
-        f"CASE WHEN size(ts) < {k} THEN array() "
-        f"ELSE array_distinct(transform(sequence(1, size(ts) - {k - 1}), "
-        f"i -> concat_ws(' ', {parts}))) END"
+        f"array_distinct(transform(sequence(1, size(ts) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts})))"
     )
+    n = df.sparkSession.sparkContext.defaultParallelism
+    # Filter on the TOKEN count, before building shingles: filtering on
+    # size(s) afterwards makes Catalyst substitute the whole shingle
+    # expression into the filter predicate — the array is then computed
+    # twice per row outside codegen (measured 19x slower). A >= k token
+    # count is equivalent (k tokens always yield >= 1 shingle).
     return (
-        df.select(
+        df.repartition(n, F.col(id_col))
+        .select(
             F.col(id_col).alias("id"),
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ts"),
         )
+        .filter(F.size("ts") >= k)
         .select("id", F.expr(sh).alias("s"))
-        .filter(F.size("s") > 0)
     )
 
 
@@ -67,11 +81,12 @@ def _duck_shingles_cte(table: str, k: int = SHINGLE_K) -> str:
     parts = " || ' ' || ".join(f"ts[i + {j}]" for j in range(k))
     return f"""
     tok AS (SELECT doc_id AS id,
-        regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM {table}),
-    sh AS (SELECT id, CASE WHEN len(ts) < {k} THEN [] ELSE
+        regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM {table}
+        ),
+    tokf AS (SELECT * FROM tok WHERE len(ts) >= {k}),
+    shf AS (SELECT id,
         list_distinct(list_transform(generate_series(1, len(ts) - {k - 1}),
-            i -> {parts})) END AS s FROM tok),
-    shf AS (SELECT * FROM sh WHERE len(s) > 0)
+            i -> {parts})) AS s FROM tokf)
     """
 
 
@@ -94,24 +109,48 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> D
 # ---------------------------------------------------------------------------
 
 
+# Universal-hash family h_i(x) = (a_i * base(x) + b_i) mod P over one base
+# hash per shingle: hashing each shingle ONCE then applying k cheap linear
+# maps is ~k times less hash work than k salted hashes — the standard
+# minhash trick. P < 2^31 keeps a_i * base + b_i inside int64 exactly
+# (identical in Spark and DuckDB; no overflow wrap to disagree on).
+_MINHASH_P = 2147483647  # 2^31 - 1 (prime)
+_BASE_MOD = 1000000007
+
+
+def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        h = hashlib.md5(f"minhash-perm-{i}".encode()).hexdigest()
+        a = int(h[:8], 16) % (_MINHASH_P - 1) + 1  # a != 0
+        b = int(h[8:16], 16) % _MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(
     shingled: DataFrame, num_hashes: int = NUM_HASHES, mode: str = "md5"
 ) -> DataFrame:
-    """(id, s, sig: array<string|bigint>). Permutation i is simulated by
-    hashing each shingle with salt i and taking the minimum — the standard
-    one-pass minhash (no true permutations needed)."""
+    """(id, s, sig: array<bigint>). One base hash per shingle (md5-derived
+    for oracle mode, xxhash64 for the production fast path), then
+    ``num_hashes`` linear permutations, min each — computed as a real
+    projection step so the expensive base pass is evaluated once, not
+    duplicated into every permutation's expression tree."""
     if mode == "md5":
-        mins = [
-            f"array_min(transform(s, x -> md5(concat('{i}|', x))))"
-            for i in range(num_hashes)
-        ]
-    else:  # xxhash64: production fast path (numeric min, no hex strings)
-        mins = [
-            f"array_min(transform(s, x -> xxhash64(concat('{i}|', x))))"
-            for i in range(num_hashes)
-        ]
-    sig = "array(" + ", ".join(mins) + ")"
-    return shingled.select("id", "s", F.expr(sig).alias("sig"))
+        base = (
+            "transform(s, x -> CAST(substr(translate(md5(x), 'abcdef', '012345'), "
+            f"1, 15) AS BIGINT) % {_BASE_MOD})"
+        )
+    else:
+        base = f"transform(s, x -> abs(xxhash64(x)) % {_BASE_MOD})"
+    with_base = shingled.select("id", "s", F.expr(base).alias("hb"))
+    mins = ", ".join(
+        f"array_min(transform(hb, h -> ({a} * h + {b}) % {_MINHASH_P}))"
+        for a, b in _perm_constants(num_hashes)
+    )
+    return with_base.select("id", "s", F.expr(f"array({mins})").alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -124,7 +163,8 @@ def lsh_candidate_pairs(
     band_key) — bucket sizes, not n^2, bound the work.
     """
     band_structs = ", ".join(
-        f"struct({b} AS band_id, md5(concat_ws('|', slice(sig, {b * rows + 1}, {rows}))) AS band_key)"
+        f"struct({b} AS band_id, md5(concat_ws('|', transform(slice(sig, {b * rows + 1}, {rows}), "
+        f"x -> CAST(x AS STRING)))) AS band_key)"
         for b in range(bands)
     )
     banded = sig_df.select(
@@ -169,9 +209,23 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     mode: str = "md5",
+    persist: bool = True,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle -> minhash -> LSH -> verify."""
+    """Full near-dup pipeline: shingle -> minhash -> LSH -> verify.
+
+    The shingle relation feeds FOUR plan subtrees (both sides of the band
+    self-join via the signature, both sides of the verification join);
+    ``persist`` materialises it once (MEMORY_AND_DISK — spills, never
+    OOMs) instead of re-tokenising the corpus four times. At 100 TB the
+    persisted relation is the distinct-shingle arrays, same order of
+    magnitude as the text itself — disk-backed persist is the right
+    trade; pass False to keep the plan fully lazy.
+    """
     shingled = shingles(df, text_col, id_col)
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature(shingled, mode=mode)
     cands = lsh_candidate_pairs(sig)
     return verify_jaccard(cands, shingled, threshold)
@@ -185,15 +239,20 @@ def duck_minhash_lsh_sql(
     rows: int = ROWS_PER_BAND,
 ) -> str:
     mins = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}|' || x)))" for i in range(num_hashes)
+        f"list_min(list_transform(hb, h -> ({a} * h + {b}) % {_MINHASH_P}))"
+        for a, b in _perm_constants(num_hashes)
     )
     band_rows = ", ".join(
-        f"({b}, md5(array_to_string(sig[{b * rows + 1}:{b * rows + rows}], '|')))"
+        f"({b}, md5(array_to_string(list_transform("
+        f"sig[{b * rows + 1}:{b * rows + rows}], x -> CAST(x AS VARCHAR)), '|')))"
         for b in range(bands)
     )
     return f"""
     WITH {_duck_shingles_cte(table)},
-    sig AS (SELECT id, s, [{mins}] AS sig FROM shf),
+    based AS (SELECT id, s, list_transform(s, x ->
+        CAST(substr(translate(md5(x), 'abcdef', '012345'), 1, 15) AS BIGINT)
+          % {_BASE_MOD}) AS hb FROM shf),
+    sig AS (SELECT id, s, [{mins}] AS sig FROM based),
     banded AS (SELECT id, b.* FROM sig,
         LATERAL (SELECT * FROM (VALUES {band_rows}) v(band_id, band_key)) b),
     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -230,6 +289,9 @@ def ngram_jaccard_pairs(
     are overwhelmingly below any useful threshold).
     """
     shingled = shingles(df, text_col, id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     inv = shingled.select("id", F.explode("s").alias("sh"))
     rare = (
         inv.groupBy("sh")
@@ -278,7 +340,8 @@ def simhash(
     """(id, simhash int, n_tokens): frequency-weighted bit-majority over
     per-token 16-bit hashes (md5-digit-derived so DuckDB mirrors it).
     One explode + one groupBy — shuffles on the doc id only."""
-    toks = df.select(
+    n = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(n, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )

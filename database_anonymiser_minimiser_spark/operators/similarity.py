@@ -130,20 +130,25 @@ def embedding_neardup_pairs(
 
     Brute force within blocks: the join shuffles on the block key, so
     work is sum(block^2) not n^2 — choose the block column accordingly
-    (cluster id from any cheap pre-clustering works; label here)."""
+    (cluster id from any cheap pre-clustering works; label here).
+
+    Each row's norm is computed ONCE in the pre-join projection (the join
+    is a projection-collapse barrier, so Catalyst cannot inline it back
+    into the per-pair expression); each of the O(block^2) pairs then
+    costs a single dot-product fold + scalar ops instead of three folds."""
     a = emb.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
+        F.expr(_spark_norm(vec_col)).alias("na"),
         F.col(block_col).alias("blk"),
     )
     b = emb.select(
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
+        F.expr(_spark_norm(vec_col)).alias("nb"),
         F.col(block_col).alias("blk"),
     )
-    cos = F.expr(_spark_dot("va", "vb")) / (
-        F.expr(_spark_norm("va")) * F.expr(_spark_norm("vb"))
-    )
+    cos = F.expr(_spark_dot("va", "vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "blk")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -155,11 +160,14 @@ def embedding_neardup_pairs(
 def duck_embedding_neardup_sql(
     threshold: float = 0.95, table: str = "embeddings"
 ) -> str:
-    cos = f"{_duck_dot('a.embedding', 'b.embedding')} / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')})"
+    # mirror of the norm-precomputed form: same dot/(na*nb) op order so
+    # doubles stay bit-identical
+    cos = f"{_duck_dot('a.nv', 'b.nv')} / (a.nrm * b.nrm)"
     return f"""
+    WITH n AS (SELECT vec_id, label, embedding AS nv,
+        {_duck_norm('embedding')} AS nrm FROM {table})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
-    FROM {table} a JOIN {table} b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {cos} >= {threshold}
     """
 
