@@ -548,6 +548,149 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Set operations, subquery joins, grouping sets (SURVEY §2.7 extensions)
+# ===========================================================================
+
+
+@register(
+    "setop_union_intersect_except",
+    """
+    SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      UNION SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    UNION ALL
+    SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except (distinct semantics) — absent from the
+    reference (§2.7), native DataFrame ops here."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    parts = [
+        ("union", a.union(b).distinct()),
+        ("intersect", a.intersect(b)),
+        ("except", a.distinct().subtract(b.distinct())),
+    ]
+    from functools import reduce as _r
+
+    dfs = [
+        d.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+        for op, d in parts
+    ]
+    return _r(DataFrame.unionAll, dfs)
+
+
+@register(
+    "semi_join_orders_with_big_items",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders containing any high-quantity item.
+    Semi joins never duplicate or widen rows — the build side carries
+    keys only."""
+    orders = load(spark, sf_dir, "orders")
+    big = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "anti_join_customers_without_big_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers who never placed a large
+    order (selective inner filter keeps the result non-trivial at every
+    SF — an unfiltered variant returns zero rows on this corpus; 300k keeps ~20% of customers)."""
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "rollup_orders_by_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per (status, priority), per status, grand
+    total — one pass, Catalyst expands the grouping sets."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total",
+        )
+    )
+
+
+@register(
+    "distinct_agg_events",
+    """
+    SELECT event_type,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase under the hood).
+    The approx variant (approx_count_distinct, HLL++) is the 100 TB
+    default — benchmarked in approx_distinct_events (rows-only: sketch
+    estimates are engine-specific)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register("approx_distinct_events")  # rows-only: HLL estimates are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory
+    distinct-count for 100 TB inputs — no expand, no second shuffle; rsd
+    2% default."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+# ===========================================================================
 # Event-time: session + sliding windows
 # ===========================================================================
 

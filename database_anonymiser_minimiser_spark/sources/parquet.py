@@ -121,6 +121,14 @@ def read_parquet_table(spark: SparkSession, path: str | Path) -> DataFrame:
     float division would corrupt low digits). The ns->us truncation is a
     documented divergence; the DuckDB oracle compares at formatted-second
     granularity.
+
+    Scale caveat: predicates over a converted ns column do NOT push into
+    the parquet scan (the stored type is INT64 nanos; Catalyst will not
+    invert ``timestamp_micros(x div 1000) > C``). For very large
+    ns-timestamp tables, filter on the raw long (``col div 1000 >
+    epoch_micros(bound)``) before conversion, or re-encode the data at
+    micros. Native micro/milli timestamp columns push down normally
+    (asserted in tests/test_plans.py).
     """
     path = str(path)
     ns_cols = _nanos_timestamp_columns(Path(path))

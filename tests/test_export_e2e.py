@@ -1,0 +1,124 @@
+"""End-to-end engine test: config -> Engine -> dump file, mirroring the
+reference exporter's E2E specs (exporter_test.go:116-304, 589-637):
+headers per dialect, DROP/CREATE/INSERT present, truncate => no INSERT,
+retain => row count, anonymised value present & original absent, FK topo
+section order."""
+
+import re
+
+import pytest
+
+from database_anonymiser_minimiser_spark import config as C
+from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+CFG = {
+    "connection": {"type": "parquet", "path": None},  # filled by fixture
+    "configuration": {
+        "part": {"truncate": True},
+        "documents": {"truncate": True},
+        "embeddings": {"truncate": True},
+        "orders": {"retain": 25, "primary_key": "o_orderkey"},
+        "events": {
+            "retain": {"column_name": "ts", "after_date": "2024-01-25"},
+        },
+        "customer": {
+            "primary_key": "c_custkey",
+            "columns": {
+                "c_name": "{{faker.name}}",
+                "c_mktsegment": "SEGMENT-X",
+                "c_acctbal": None,
+            },
+        },
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def dump_text(spark, sf_dir, tmp_path_factory):
+    raw = dict(CFG)
+    raw["connection"] = {"type": "parquet", "path": sf_dir}
+    cfg = C.Config.from_dict(raw)
+    eng = Engine(spark, cfg)
+    out = tmp_path_factory.mktemp("dump") / "dump.sql"
+    stats = eng.export(str(out), db_type="mysql")
+    text = out.read_text()
+    return text, stats
+
+
+def section(text: str, table: str) -> str:
+    parts = text.split("-- Table: ")
+    for p in parts[1:]:
+        if p.startswith(table):
+            return p
+    raise AssertionError(f"no section for {table}")
+
+
+def test_header_and_footer(dump_text):
+    text, _ = dump_text
+    assert text.startswith("-- Database Dump")
+    assert "SET FOREIGN_KEY_CHECKS = 0;" in text
+    assert text.rstrip().endswith("SET FOREIGN_KEY_CHECKS = 1;")
+
+
+def test_every_table_has_ddl(dump_text):
+    text, _ = dump_text
+    for t in ["region", "nation", "customer", "orders", "lineitem", "part"]:
+        sec = section(text, t)
+        assert f"DROP TABLE IF EXISTS `{t}`;" in sec
+        assert f"CREATE TABLE `{t}`" in sec
+
+
+def test_truncate_tables_have_no_inserts(dump_text):
+    text, stats = dump_text
+    for t in ["part", "documents", "embeddings"]:
+        assert "INSERT INTO" not in section(text, t)
+    assert stats.tables_truncated == 3
+
+
+def test_retain_counts(dump_text):
+    text, stats = dump_text
+    assert stats.per_table_rows["orders"] == 25
+    rows = re.findall(r"^\(", section(text, "orders"), re.M)
+    assert len(rows) == 25
+
+
+def test_anonymised_values(dump_text):
+    text, _ = dump_text
+    sec = section(text, "customer")
+    assert "SEGMENT-X" in sec
+    assert "Customer#" not in sec  # original names gone
+    assert re.search(r"\(\d+, '[a-z]+ [a-z]+', \d+, NULL, 'SEGMENT-X'\)", sec)
+
+
+def test_topo_order_of_sections(dump_text):
+    text, _ = dump_text
+    pos = {t: text.index(f"-- Table: {t}\n") for t in
+           ["region", "nation", "customer", "supplier", "orders", "lineitem"]}
+    assert pos["region"] < pos["nation"] < pos["customer"] < pos["orders"] < pos["lineitem"]
+    assert pos["supplier"] < pos["lineitem"]
+
+
+def test_sync_adds_missing_tables(spark, sf_dir):
+    cfg = C.Config.from_dict(
+        {"connection": {"type": "parquet", "path": sf_dir},
+         "configuration": {"customer": {}}}
+    )
+    eng = Engine(spark, cfg)
+    missing = eng.sync(dry_run=True)
+    assert "orders" in missing and "customer" not in missing
+    assert not cfg.has_table("orders")  # dry run did not mutate
+    eng.sync(truncate=True)
+    assert cfg.has_table("orders") and cfg.configuration["orders"].truncate
+
+
+def test_dry_run_renders_decisions(spark, sf_dir, capsys):
+    raw = dict(CFG)
+    raw["connection"] = {"type": "parquet", "path": sf_dir}
+    eng = Engine(spark, C.Config.from_dict(raw))
+    lines = eng.dry_run(with_counts=False)
+    joined = "\n".join(lines)
+    assert "Action: TRUNCATE" in joined
+    assert "Action: RETAIN 25 rows" in joined
+    assert "Action: RETAIN rows where ts > 2024-01-25 00:00:00" in joined
+    assert "Action: FULL EXPORT" in joined
+    assert "Anonymised columns: c_acctbal, c_mktsegment, c_name" in joined
