@@ -767,6 +767,99 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Semi-structured (JSON) + advanced window functions
+# ===========================================================================
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+           THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from a string column (events.props) —
+    get_json_object stays JVM-side; at scale prefer from_json with an
+    explicit schema once the shape is known (single parse, typed struct).
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k >= 50, F.lit("high")).otherwise(F.lit("low")).alias("k_band"),
+    )
+
+
+@register(
+    "json_schema_agg",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse (from_json with schema) feeding an aggregation —
+    the production pattern: parse once into a struct, then plain columnar
+    ops."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k BIGINT").alias("p"), F.col("value")
+    )
+    return (
+        parsed.select(
+            F.expr("p.k div 10").cast("long").alias("k_decile"), "value"
+        )
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "window_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(18,2)) AS running_total,
+      CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+           AS BIGINT) AS prev_orderkey,
+      CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT)
+        AS quartile
+    FROM orders
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames + offsets: running decimal sum (ROWS UNBOUNDED
+    PRECEDING), lag, ntile — one shuffle on the partition key serves all
+    three (same window spec)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("decimal(18,2)")
+        .alias("running_total"),
+        F.lag("o_orderkey").over(w).cast("long").alias("prev_orderkey"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# ===========================================================================
 # Text analysis (quality / language)
 # ===========================================================================
 
