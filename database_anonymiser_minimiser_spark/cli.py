@@ -25,6 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default="dump.sql", help="output dump path")
     p.add_argument("--dialect", default="mysql", choices=["mysql", "postgres", "sqlite"])
     p.add_argument("--dry-run", action="store_true", help="print plan, export nothing")
+    p.add_argument(
+        "--parallel", action="store_true",
+        help="format tables as concurrent Spark jobs (output unchanged)",
+    )
     sub = p.add_subparsers(dest="command")
     sync = sub.add_parser("sync", help="add missing tables to the config")
     sync.add_argument("--truncate", action="store_true")
@@ -54,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.dry_run:
         engine.dry_run()
         return 0
-    engine.export(args.output, db_type=args.dialect)
+    engine.export(args.output, db_type=args.dialect, parallel=args.parallel)
     return 0
 
 

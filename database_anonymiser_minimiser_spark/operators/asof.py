@@ -1,0 +1,112 @@
+"""As-of (point-in-time) join: for each left row, the most recent right
+row at or before the left timestamp, per key.
+
+Spark has no native ASOF JOIN (DuckDB/kdb/Pandas do). Two realisations:
+
+- ``asof_join`` — the scalable **union-merge** form: tag both sides, union
+  them, and run ONE window pass per key ordered by time, carrying the
+  last-seen right-side values forward (``last(..., ignorenulls)``). Cost:
+  a single shuffle of (left + right) on the key — the same price as a
+  regular join, with no row explosion, no range-condition fallback to
+  broadcast-nested-loop. This is the classic merge-join formulation of
+  as-of and holds at any scale; skew on the key is addressable with the
+  standard salting in operators/skew.py (the window is per-key, so hot
+  keys serialize — document/partition accordingly).
+- a naive pair-and-filter form (join on key, filter time range, keep max)
+  is O(pairs) and exists only in tests as a correctness cross-check.
+
+Ordering ties: a right row at exactly the left timestamp matches
+(``at or before``); several right rows at the same timestamp resolve to
+the one with the largest order key (deterministic, mirrored in the
+oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join; output = all left columns + ``payload_cols`` from
+    the matched right row (NULL when no right row precedes)."""
+    lcols = left.columns
+    l = left.select(
+        F.col(left_key).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload_cols],
+        F.lit(None).cast("long").alias("__tb"),
+    )
+    tb = (
+        F.col(tiebreak_col).cast("long")
+        if tiebreak_col
+        else F.monotonically_increasing_id()
+    )
+    r = right.select(
+        F.col(right_key).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+        tb.alias("__tb"),
+    )
+    # order: time asc, right rows BEFORE left rows at the same instant
+    # ("at or before" includes equality), late tiebreak wins among rights
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l.unionByName(r)
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__c_{c}").alias(c) for c in payload_cols],
+    )
+
+
+def duck_asof_sql(
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    left_cols: list[str],
+    payload_cols: list[str],
+    tiebreak_col: str,
+) -> str:
+    """Oracle: pair-and-filter left join + QUALIFY picking the latest
+    right row per left row, with the same (time, tiebreak) ordering as
+    ``asof_join``. DuckDB's native ASOF JOIN exists but breaks timestamp
+    ties arbitrarily; the explicit window keeps ties deterministic.
+    O(pairs) — fine for an oracle, not for production (that is what the
+    union-merge Spark form is for)."""
+    lsel = ", ".join(f"l.{c}" for c in left_cols)
+    psel = ", ".join(f"r.{c} AS {c}" for c in payload_cols)
+    return f"""
+    SELECT {lsel}, {psel}
+    FROM {left_table} l LEFT JOIN {right_table} r
+      ON l.{left_key} = r.{right_key} AND r.{right_time} <= l.{left_time}
+    QUALIFY row_number() OVER (
+      PARTITION BY l.{left_cols[0]}
+      ORDER BY r.{right_time} DESC NULLS LAST, r.{tiebreak_col} DESC NULLS LAST) = 1
+    """

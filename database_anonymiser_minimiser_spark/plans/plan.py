@@ -103,24 +103,29 @@ class Engine:
         print("\n".join(lines), file=out)
         return lines
 
-    def export(self, out_path: str, db_type: str = "mysql") -> dump_mod.ExportStats:
-        """Full dump export (main.go:167-174)."""
+    def export(
+        self, out_path: str, db_type: str = "mysql", parallel: bool = False
+    ) -> dump_mod.ExportStats:
+        """Full dump export (main.go:167-174). ``parallel=True`` formats
+        tables as concurrent Spark jobs (sink commit order still follows
+        the FK topo sort) — the reference cannot do this
+        (exporter.go:72-80 is strictly sequential)."""
         started = time.time()
         plans = self.plan_tables()
-        with open(out_path, "w") as f:
-            stats = dump_mod.write_dump(
-                f,
-                db_type,
-                (
-                    (
-                        p.name,
-                        self.source.get_table_schema(p.name),
-                        None if p.config.truncate else p.build(self.source.read(p.name)),
-                        p.config.primary_key or None,
-                    )
-                    for p in plans
-                ),
+        sections = [
+            (
+                p.name,
+                self.source.get_table_schema(p.name),
+                None if p.config.truncate else p.build(self.source.read(p.name)),
+                p.config.primary_key or None,
             )
+            for p in plans
+        ]
+        with open(out_path, "w") as f:
+            if parallel:
+                stats = dump_mod.write_dump_parallel(f, db_type, sections)
+            else:
+                stats = dump_mod.write_dump(f, db_type, iter(sections))
         elapsed = time.time() - started
         print(
             f"Export complete: {stats.tables_exported} tables exported, "

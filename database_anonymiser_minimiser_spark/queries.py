@@ -860,6 +860,47 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# As-of (point-in-time) join
+# ===========================================================================
+
+from .operators import asof as _asof  # noqa: E402
+
+
+@register(
+    "asof_join_events_orders",
+    """
+    SELECT event_id, user_id,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, o_orderkey, o_totalprice
+    FROM (
+      SELECT l.event_id, l.user_id, l.ts,
+        r.o_orderkey AS o_orderkey, r.o_totalprice AS o_totalprice
+      FROM events l LEFT JOIN orders r
+        ON l.user_id = r.o_custkey AND r.o_orderdate <= l.ts
+      QUALIFY row_number() OVER (
+        PARTITION BY l.event_id
+        ORDER BY r.o_orderdate DESC NULLS LAST, r.o_orderkey DESC NULLS LAST) = 1
+    ) t
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event paired with the user's most recent order at
+    or before the event time. Spark lacks native ASOF; this is the
+    union-merge realisation (operators/asof.py) — one shuffle of
+    events+orders on the user key, one window pass, no pair explosion
+    (the oracle's pair-and-filter form is O(events x orders per user))."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders")
+    out = _asof.asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak_col="o_orderkey",
+    )
+    return out.select("event_id", "user_id", _ts("ts"), "o_orderkey", "o_totalprice")
+
+
+# ===========================================================================
 # Text analysis (quality / language)
 # ===========================================================================
 
@@ -945,6 +986,25 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce identical results for bounded input, by construction."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _stream.run_streaming_tumbling(spark, sf_dir)
+
+
+@register(
+    "streaming_stateful_user_totals",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      CAST(epoch_us(CAST(max(ts) AS TIMESTAMP)) AS BIGINT) AS last_event_us
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) run as a REAL
+    4-micro-batch stream: per-user running counts + latest event time
+    carried in the state store across batches. The final state must equal
+    the batch aggregate — the oracle asserts exactly that."""
+    from .streaming.stateful import run_stateful_totals
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_stateful_totals(spark, sf_dir)
 
 
 @register("streaming_events_watermark")  # rows-only: append-mode emission set

@@ -1,0 +1,117 @@
+"""Custom stateful streaming: applyInPandasWithState.
+
+Built-in windows (tumbling/sliding/session — streaming/events.py) cover
+time-bucketed state; this module is the escape hatch for state machines
+Spark has no operator for: per-key running totals, CUSUM/anomaly
+trackers, entity resolution. The shape:
+
+- ``groupBy(key).applyInPandasWithState(fn, output_schema, state_schema,
+  outputMode, timeout)`` — fn receives, per key and micro-batch, an
+  iterator of Arrow-backed pandas frames plus a GroupState handle,
+  updates the state, and yields output frames,
+- state lives in the state store (checkpointed, bounded by keys not
+  events — this scales to unbounded streams),
+- here: running per-user event count + latest event time. Counts and
+  timestamps are exact integers/instants, so the final emission equals
+  the batch groupBy — which is what the oracle checks.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, last_event_us bigint"
+STATE_SCHEMA = "n bigint, last_us bigint"
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, last_us = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # ts arrives as datetime64; epoch micros are exact ints
+        batch_max = int(pd.DatetimeIndex(pdf["ts"]).asi8.max()) // 1000
+        last_us = max(last_us, batch_max)
+    state.update((n, last_us))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "last_event_us": [last_us]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals; emits the updated total for
+    every key seen in each micro-batch (outputMode=update)."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stateful_totals(
+    spark: SparkSession, sf_dir: str, n_splits: int = 4
+) -> DataFrame:
+    """Run the stateful operator as a real multi-micro-batch stream: the
+    events table is split into ``n_splits`` files, streamed one file per
+    trigger (so state genuinely carries across batches), and the LAST
+    emission per user is returned — which must equal the batch
+    ``groupBy(user).count/max`` exactly."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile, os
+
+    from ..sources.parquet import _nanos_timestamp_columns, convert_ns_columns
+    from pathlib import Path
+
+    src = f"{sf_dir}/events.parquet"
+    tbl = pq.read_table(src, columns=["user_id", "ts", "event_id"])
+    split_dir = tempfile.mkdtemp(prefix="dbmask_stateful_")
+    step = (tbl.num_rows + n_splits - 1) // n_splits
+    for i in range(n_splits):
+        pq.write_table(tbl.slice(i * step, step), os.path.join(split_dir, f"part{i}.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(split_dir).schema
+    ns_cols = _nanos_timestamp_columns(Path(os.path.join(split_dir, "part0.parquet")))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    stream = convert_ns_columns(stream, ns_cols)
+
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the memory sink accumulates every update; the final state per user is
+    # the row with the highest n_events (monotone counter)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emissions = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emissions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,98 @@
+"""As-of join semantics on hand-built fixtures: at-or-before matching,
+tie handling, no-match NULLs, and equivalence with the naive
+pair-and-filter formulation."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_anonymiser_minimiser_spark.operators.asof import asof_join
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 100, 9.9),
+            (1, ts("2024-01-01 11:00:00"), 101, 10.1),
+            (1, ts("2024-01-01 11:00:00"), 102, 10.2),  # tie: higher key wins
+            (2, ts("2024-01-01 09:00:00"), 200, 55.0),
+        ],
+        ["key", "qt", "qid", "price"],
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, 1, ts("2024-01-01 10:30:00")),  # -> quote 100
+            (2, 1, ts("2024-01-01 11:00:00")),  # exactly at tie -> 102
+            (3, 1, ts("2024-01-01 09:00:00")),  # before any quote -> NULL
+            (4, 2, ts("2024-01-01 12:00:00")),  # -> quote 200
+            (5, 3, ts("2024-01-01 12:00:00")),  # key with no quotes -> NULL
+        ],
+        ["trade_id", "key", "tt"],
+    )
+    return trades, quotes
+
+
+def run(trades, quotes):
+    out = asof_join(
+        trades, quotes,
+        left_key="key", right_key="key",
+        left_time="tt", right_time="qt",
+        payload_cols=["qid", "price"],
+        tiebreak_col="qid",
+    )
+    return {r["trade_id"]: (r["qid"], r["price"]) for r in out.collect()}
+
+
+def test_at_or_before_semantics(spark, fixtures):
+    trades, quotes = fixtures
+    got = run(trades, quotes)
+    assert got[1] == (100, 9.9)      # strictly-before quote
+    assert got[2] == (102, 10.2)     # equality matches; tie -> max tiebreak
+    assert got[3] == (None, None)    # nothing before
+    assert got[4] == (200, 55.0)
+    assert got[5] == (None, None)    # key never quoted
+
+
+def test_row_count_preserved(spark, fixtures):
+    trades, quotes = fixtures
+    out = asof_join(
+        trades, quotes, "key", "key", "tt", "qt", ["qid"], tiebreak_col="qid"
+    )
+    assert out.count() == trades.count()
+
+
+def test_matches_naive_formulation(spark, sf_dir):
+    """Union-merge result == pair-and-filter result on real corpus data."""
+    from database_anonymiser_minimiser_spark.queries import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts").limit(300)
+    orders = load(spark, sf_dir, "orders")
+    merged = {
+        r["event_id"]: r["o_orderkey"]
+        for r in asof_join(
+            ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+            ["o_orderkey"], tiebreak_col="o_orderkey",
+        ).collect()
+    }
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    naive = {
+        r["event_id"]: r["o_orderkey"]
+        for r in ev.join(
+            orders,
+            (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+            "left",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert merged == naive
