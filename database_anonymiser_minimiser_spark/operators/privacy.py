@@ -1,0 +1,87 @@
+"""Privacy guarantees beyond per-column masking: k-anonymity,
+generalisation, suppression, l-diversity.
+
+The reference masks columns independently (anonymiser.go:34-101) — it
+cannot say anything about re-identification via quasi-identifier
+COMBINATIONS (the classic linkage attack: zip+age+gender singles people
+out even with names masked). These operators close that gap, all as
+plain DataFrame aggregations/projections:
+
+- ``generalize_*``: lower the resolution of a quasi-identifier (numeric
+  binning, timestamp truncation, string prefixing) — the standard
+  generalisation hierarchies,
+- ``k_anonymity_stats`` / ``k_anonymity_violations``: equivalence-class
+  sizes over the quasi-identifier set; a table is k-anonymous iff every
+  class has >= k rows,
+- ``suppress_below_k``: drop rows in classes smaller than k (suppression,
+  the complement of generalisation),
+- ``l_diversity_stats``: distinct sensitive values per class (protects
+  against homogeneity within a k-anonymous class).
+
+Scale: everything is one groupBy over the quasi-identifiers (map-side
+partial aggregation; the class-size join back is a broadcast when the
+class count is modest, AQE otherwise). No row-level Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def generalize_numeric(col: str, bin_width: float) -> Column:
+    """value -> left edge of its bin (e.g. acctbal 1234.56, width 1000 ->
+    1000.0)."""
+    return (
+        (F.floor(F.col(f"`{col}`") / F.lit(bin_width)) * F.lit(bin_width))
+        .cast("double")
+    )
+
+
+def generalize_prefix(col: str, length: int) -> Column:
+    """string -> its first ``length`` chars (zip/phone prefix hierarchy)."""
+    return F.substring(F.col(f"`{col}`").cast("string"), 1, length)
+
+
+def generalize_time(col: str, unit: str = "month") -> Column:
+    """timestamp -> truncated to unit ('year'|'month'|'week'|'day'|'hour')."""
+    return F.date_trunc(unit, F.col(f"`{col}`"))
+
+
+def k_anonymity_stats(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
+    """Equivalence-class size per quasi-identifier combination."""
+    return df.groupBy(*[F.col(f"`{c}`") for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Classes with fewer than k rows — the re-identifiable combinations.
+    Empty result == table is k-anonymous for these quasi-identifiers."""
+    return k_anonymity_stats(df, quasi_cols).filter(F.col("class_size") < k)
+
+
+def suppress_below_k(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
+    """Drop every row whose equivalence class is smaller than k.
+
+    Implemented as an inner join against the >=k classes (broadcast when
+    small, AQE-chosen otherwise) — never a window over the whole table."""
+    ok = (
+        k_anonymity_stats(df, quasi_cols)
+        .filter(F.col("class_size") >= k)
+        .select(*quasi_cols)
+    )
+    return df.join(ok, quasi_cols, "inner").select(*df.columns)
+
+
+def l_diversity_stats(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str
+) -> DataFrame:
+    """Distinct sensitive values per equivalence class; l-diverse iff every
+    class has >= l distinct values."""
+    return df.groupBy(*[F.col(f"`{c}`") for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.count_distinct(F.col(f"`{sensitive_col}`")).cast("long").alias("l_distinct"),
+    )

@@ -860,6 +860,84 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Privacy: k-anonymity / generalisation / suppression / l-diversity
+# ===========================================================================
+
+from .operators import privacy as _priv  # noqa: E402
+
+
+@register(
+    "privacy_generalize_customer",
+    """
+    SELECT c_custkey,
+      CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_bin,
+      substring(c_name, 1, 9) AS name_prefix,
+      c_mktsegment
+    FROM customer
+    """,
+)
+def q_privacy_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier generalisation: numeric binning + string prefix —
+    resolution-lowering hierarchies applied as plain projections."""
+    df = load(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        _priv.generalize_numeric("c_acctbal", 1000).alias("acctbal_bin"),
+        _priv.generalize_prefix("c_name", 9).alias("name_prefix"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "privacy_k_anonymity_stats",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_privacy_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence-class sizes over the quasi-identifier pair
+    (nation, segment) — the k-anonymity audit the reference cannot do."""
+    return _priv.k_anonymity_stats(
+        load(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"]
+    )
+
+
+@register(
+    "privacy_suppress_below_k",
+    """
+    SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment FROM customer c
+    JOIN (SELECT c_nationkey, c_mktsegment FROM customer
+          GROUP BY c_nationkey, c_mktsegment HAVING count(*) >= 3) ok
+    ON c.c_nationkey = ok.c_nationkey AND c.c_mktsegment = ok.c_mktsegment
+    """,
+)
+def q_privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression: rows in equivalence classes smaller than k=3 removed
+    (result is 3-anonymous on the quasi-identifier pair by construction)."""
+    df = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return _priv.suppress_below_k(df, ["c_nationkey", "c_mktsegment"], k=3)
+
+
+@register(
+    "privacy_l_diversity",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS class_size,
+      CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: distinct sensitive values (segment) per
+    quasi-identifier class (nation)."""
+    return _priv.l_diversity_stats(
+        load(spark, sf_dir, "customer"), ["c_nationkey"], "c_mktsegment"
+    )
+
+
+# ===========================================================================
 # As-of (point-in-time) join
 # ===========================================================================
 

@@ -1,0 +1,87 @@
+"""Privacy operator semantics on hand-built fixtures where the k-anonymity
+properties are known exactly."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_anonymiser_minimiser_spark.operators import privacy as P
+
+ROWS = [
+    # (id, zip, age, diagnosis) — class (981, 2x) has 2 rows, (982, 3x) has 3
+    (1, "98101", 34, "flu"),
+    (2, "98102", 35, "cold"),
+    (3, "98201", 30, "flu"),
+    (4, "98202", 31, "flu"),
+    (5, "98203", 32, "covid"),
+    (6, "99901", 77, "rare-disease"),  # singleton class
+]
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(ROWS, ["id", "zip", "age", "diagnosis"])
+
+
+@pytest.fixture(scope="module")
+def generalized(people):
+    return people.select(
+        "id",
+        P.generalize_prefix("zip", 3).alias("zip3"),
+        P.generalize_numeric("age", 10).alias("age_band"),
+        "diagnosis",
+    )
+
+
+def test_generalize_numeric(people):
+    bands = {r["id"]: r["b"] for r in
+             people.select("id", P.generalize_numeric("age", 10).alias("b")).collect()}
+    assert bands[1] == 30.0 and bands[6] == 70.0
+
+
+def test_generalize_prefix(people):
+    zips = {r["id"]: r["z"] for r in
+            people.select("id", P.generalize_prefix("zip", 3).alias("z")).collect()}
+    assert zips[1] == "981" and zips[3] == "982"
+
+
+def test_generalize_time(spark):
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 5, 17, 13, 45))], ["id", "ts"]
+    )
+    out = df.select(P.generalize_time("ts", "month").alias("m")).collect()[0]["m"]
+    assert out == datetime(2024, 5, 1)
+
+
+def test_k_anonymity_stats_and_violations(generalized):
+    sizes = {
+        (r["zip3"], r["age_band"]): r["class_size"]
+        for r in P.k_anonymity_stats(generalized, ["zip3", "age_band"]).collect()
+    }
+    assert sizes[("981", 30.0)] == 2
+    assert sizes[("982", 30.0)] == 3
+    assert sizes[("999", 70.0)] == 1
+    violations = P.k_anonymity_violations(generalized, ["zip3", "age_band"], k=2)
+    assert {tuple(r)[:2] for r in violations.collect()} == {("999", 70.0)}
+    # k=1 is always satisfied
+    assert P.k_anonymity_violations(generalized, ["zip3", "age_band"], k=1).count() == 0
+
+
+def test_suppress_below_k(generalized):
+    kept = P.suppress_below_k(generalized, ["zip3", "age_band"], k=2)
+    ids = {r["id"] for r in kept.collect()}
+    assert ids == {1, 2, 3, 4, 5}  # singleton row 6 suppressed
+    assert kept.columns == generalized.columns
+    # result is now 2-anonymous
+    assert P.k_anonymity_violations(kept, ["zip3", "age_band"], k=2).count() == 0
+
+
+def test_l_diversity(generalized):
+    stats = {
+        r["zip3"]: (r["class_size"], r["l_distinct"])
+        for r in P.l_diversity_stats(generalized, ["zip3"], "diagnosis").collect()
+    }
+    assert stats["981"] == (2, 2)  # flu, cold
+    assert stats["982"] == (3, 2)  # flu, flu, covid -> 2 distinct
+    assert stats["999"] == (1, 1)  # homogeneity: l=1 exposes the diagnosis
