@@ -53,6 +53,19 @@ HEADLINE = [
     "multimodal_frame_sample",
     "realistic_mask_profile",
     "streaming_events_tumbling",
+    # temporal / privacy / profiling
+    "asof_join_events_orders",
+    "streaming_stateful_user_totals",
+    "privacy_k_anonymity_stats",
+    "privacy_suppress_below_k",
+    "events_multires_rollup",
+    "profile_customer",
+    "sample_hash_10pct",
+    "string_suite_part",
+    "json_schema_agg",
+    "window_running_totals",
+    "setop_union_intersect_except",
+    "semi_join_orders_with_big_items",
 ]
 
 

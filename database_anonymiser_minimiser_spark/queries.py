@@ -860,6 +860,140 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Profiling, sampling, string suite, multi-resolution rollups
+# ===========================================================================
+
+
+@register(
+    "profile_customer",
+    """
+    SELECT 'c_custkey' AS column_name,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(c_custkey) AS BIGINT) AS n_nonnull,
+      CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+      CAST(min(c_custkey) AS VARCHAR) AS min_val,
+      CAST(max(c_custkey) AS VARCHAR) AS max_val
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', CAST(count(*) AS BIGINT), CAST(count(c_name) AS BIGINT),
+      CAST(count(DISTINCT c_name) AS BIGINT),
+      CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', CAST(count(*) AS BIGINT), CAST(count(c_acctbal) AS BIGINT),
+      CAST(count(DISTINCT c_acctbal) AS BIGINT),
+      CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR)
+    FROM customer
+    """,
+)
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE/data-quality primitive): row/null/
+    distinct counts + min/max per column, one aggregation pass per
+    column set, string-cast for a uniform schema."""
+    df = load(spark, sf_dir, "customer")
+    parts = []
+    for c in ["c_custkey", "c_name", "c_acctbal"]:
+        parts.append(
+            df.groupBy().agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count(F.col(c)).cast("long").alias("n_nonnull"),
+                F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_val"),
+                F.max(F.col(c)).cast("string").alias("max_val"),
+            ).select(F.lit(c).alias("column_name"), "*")
+        )
+    return reduce(DataFrame.unionAll, parts)
+
+
+@register(
+    "sample_hash_10pct",
+    "SELECT c_custkey, c_name FROM customer WHERE "
+    "CAST(substr(translate(md5(CAST(c_custkey AS VARCHAR)), 'abcdef', '012345'), 1, 6) "
+    "AS BIGINT) % 100 < 10",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent hash sampling: deterministic ~10% sample keyed on the
+    primary key. Unlike rand()-based sampling this is reproducible across
+    runs/engines AND consistent across tables (the same keys are sampled
+    everywhere — exactly what a coherent sampled dev corpus needs)."""
+    df = load(spark, sf_dir, "customer")
+    bucket = F.expr(
+        "CAST(substr(translate(md5(CAST(c_custkey AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 100"
+    )
+    return df.filter(bucket < 10).select("c_custkey", "c_name")
+
+
+@register(
+    "string_suite_part",
+    """
+    SELECT p_partkey,
+      upper(p_brand) AS brand_upper,
+      lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+      regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+      concat_ws('|', p_brand, p_type) AS brand_type,
+      CAST(length(p_name) AS INT) AS name_len,
+      CAST(levenshtein(p_brand, 'Brand#00') AS INT) AS brand_dist,
+      replace(p_type, ' ', '_') AS type_snake,
+      CAST(strpos(p_name, 'a') AS INT) AS first_a
+    FROM part
+    """,
+)
+def q_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General string-function surface (the reference has none beyond
+    escaping): case, padding, regex extraction, concat, length, edit
+    distance, replace, find — all JVM built-ins."""
+    df = load(spark, sf_dir, "part")
+    return df.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).cast("int").alias("brand_dist"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("first_a"),
+    )
+
+
+@register(
+    "events_multires_rollup",
+    """
+    SELECT CASE WHEN grouping(h) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+      strftime(coalesce(h, d), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+    FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d, value
+          FROM events) t
+    GROUP BY GROUPING SETS ((h, d), (d))
+    """,
+)
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly AND daily buckets
+    from ONE scan via grouping sets (the continuous-aggregate pattern —
+    at scale you materialise each resolution incrementally; here both
+    resolutions come out of a single pass)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "value",
+    )
+    grouped = ev.groupingSets([["h", "d"], ["d"]], "h", "d").agg(
+        F.grouping("h").alias("gh"),  # grouping() is only legal inside the agg
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("total_value"),
+    )
+    return grouped.select(
+        F.when(F.col("gh") == 0, F.lit("hour")).otherwise(F.lit("day")).alias("resolution"),
+        F.date_format(F.coalesce("h", "d"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+# ===========================================================================
 # Privacy: k-anonymity / generalisation / suppression / l-diversity
 # ===========================================================================
 
