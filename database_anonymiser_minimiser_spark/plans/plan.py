@@ -127,13 +127,27 @@ class Engine:
             else:
                 stats = dump_mod.write_dump(f, db_type, iter(sections))
         elapsed = time.time() - started
+        self._print_stats(stats, elapsed)
+        return stats
+
+    @staticmethod
+    def _print_stats(stats: dump_mod.ExportStats, elapsed: float) -> None:
+        """Run report in the reference's shape (main.go:177-191): tables,
+        rows, wall time, peak memory, CPU count — stderr."""
+        import os
+        import resource
+
+        peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         print(
-            f"Export complete: {stats.tables_exported} tables exported, "
-            f"{stats.tables_truncated} truncated, {stats.rows_exported} rows "
-            f"in {elapsed:.2f}s",
+            "\nExport Statistics:\n"
+            f"  Tables exported:  {stats.tables_exported}\n"
+            f"  Tables truncated: {stats.tables_truncated}\n"
+            f"  Rows exported:    {stats.rows_exported}\n"
+            f"  Time elapsed:     {elapsed:.2f}s\n"
+            f"  Peak memory:      {peak_kb / 1024:.1f} MB (driver RSS)\n"
+            f"  CPU cores:        {os.cpu_count()}",
             file=sys.stderr,
         )
-        return stats
 
     def sync(self, truncate: bool = False, dry_run: bool = False) -> list[str]:
         """Add DB tables missing from config (main.go:230-315)."""

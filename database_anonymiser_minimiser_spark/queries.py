@@ -308,10 +308,10 @@ def q_sqldump_escape_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -335,10 +335,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * (F.lit(1) + dec("l_tax"))
     cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-        F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-        F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
-        F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+        F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
         (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
         (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
         (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
@@ -350,7 +350,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT o_orderkey,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -382,7 +382,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("decimal(18,4)")
+            .cast("decimal(38,4)")
             .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -395,7 +395,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
     FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -431,7 +431,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-        .cast("decimal(18,4)")
+        .cast("decimal(38,4)")
         .alias("revenue")
     )
 
@@ -470,7 +470,7 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       event_type,
       CAST(count(*) AS BIGINT) AS n_events,
-      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -484,7 +484,7 @@ def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
+            .cast("decimal(38,6)")
             .alias("total_value"),
         )
         .select(
@@ -634,7 +634,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
       coalesce(o_orderpriority, 'ALL') AS priority,
       CAST(count(*) AS BIGINT) AS n,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
@@ -647,7 +647,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("decimal(38,2)")
             .alias("total"),
         )
         .select(
@@ -742,7 +742,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events)
     SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
       CAST(count(*) AS BIGINT) AS n_events,
-      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
     FROM wins GROUP BY 1, 2
     """,
 )
@@ -756,7 +756,7 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
+            .cast("decimal(38,6)")
             .alias("total_value"),
         )
         .select(
@@ -799,7 +799,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
       CAST(count(*) AS BIGINT) AS n,
-      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -819,7 +819,7 @@ def q_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
+            .cast("decimal(38,6)")
             .alias("total_value"),
         )
     )
@@ -962,7 +962,7 @@ def q_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN grouping(h) = 0 THEN 'hour' ELSE 'day' END AS resolution,
       strftime(coalesce(h, d), '%Y-%m-%d %H:%M:%S') AS bucket_start,
       CAST(count(*) AS BIGINT) AS n_events,
-      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
     FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d, value
           FROM events) t
     GROUP BY GROUPING SETS ((h, d), (d))
@@ -982,7 +982,7 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("h").alias("gh"),  # grouping() is only legal inside the agg
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(18,6)")
+        .cast("decimal(38,6)")
         .alias("total_value"),
     )
     return grouped.select(

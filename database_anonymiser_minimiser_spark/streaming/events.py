@@ -34,7 +34,7 @@ def tumbling_counts(ev: DataFrame, width: str = "1 hour") -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
+            .cast("decimal(38,6)")
             .alias("total_value"),
         )
         .select(
