@@ -175,11 +175,21 @@ def row_tuple_column(df: DataFrame) -> Column:
     return F.concat(F.lit("("), *parts, F.lit(")"))
 
 
+def quote_ident(db_type: str, ident: str) -> str:
+    """Per-dialect identifier quoting (backtick doubling for MySQL,
+    quote doubling for postgres/sqlite — mysql.go:237-240,
+    postgres.go:288-291, sqlite.go:251-254)."""
+    if db_type == "mysql":
+        return "`" + ident.replace("`", "``") + "`"
+    return '"' + ident.replace('"', '""') + '"'
+
+
 def insert_statements(
     df: DataFrame,
     table: str,
     order_by: str | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    db_type: str = "mysql",
 ) -> DataFrame:
     """DataFrame of one ``stmt`` string column: multi-row INSERTs of
     ``batch_size`` rows (exporter.go:273-306).
@@ -189,8 +199,8 @@ def insert_statements(
     deterministic; without, source order is preserved like the reference
     (which is likewise order-nondeterministic, mysql.go:163-166).
     """
-    cols = ", ".join(f"`{c}`" for c in df.columns)
-    head = f"INSERT INTO `{table}` ({cols}) VALUES\n"
+    cols = ", ".join(quote_ident(db_type, c) for c in df.columns)
+    head = f"INSERT INTO {quote_ident(db_type, table)} ({cols}) VALUES\n"
     tuples = df.select(
         row_tuple_column(df).alias("t"),
         (F.col(f"`{order_by}`") if order_by else F.monotonically_increasing_id()).alias("_ord"),
@@ -290,7 +300,7 @@ def write_dump(
             stats.tables_truncated += 1
             continue
         n = 0
-        stmts = insert_statements(df, name, order_by=order_by)
+        stmts = insert_statements(df, name, order_by=order_by, db_type=db_type)
         for row in stmts.toLocalIterator():  # streamed; never collected whole
             out.write(row["stmt"] + "\n")
         n = df.count()
@@ -327,7 +337,7 @@ def write_dump_parallel(
 
     def format_table(idx: int, name: str, df: DataFrame, order_by: str | None):
         path = f"{spool_root}/{idx:04d}_{name}"
-        stmts = insert_statements(df, name, order_by=order_by)
+        stmts = insert_statements(df, name, order_by=order_by, db_type=db_type)
         stmts.coalesce(1).write.mode("overwrite").text(path)
         return path
 

@@ -65,15 +65,22 @@ class Engine:
 
     spark: SparkSession
     config: Config
-    source: ParquetSource = field(init=False)
+    source: object = field(init=False)
 
     def __post_init__(self) -> None:
-        if self.config.connection.type != "parquet":
+        conn = self.config.connection
+        if conn.type == "parquet":
+            self.source = ParquetSource(self.spark, conn.path)
+        elif conn.type == "sqlite":
+            from ..sources.sqlite import SqliteSource
+
+            self.source = SqliteSource(self.spark, conn.file)
+        else:
             raise NotImplementedError(
-                "this build executes against parquet sources; JDBC plumbing "
-                "lives in sources/jdbc.py"
+                f"{conn.type} executes over JDBC (sources/jdbc.py); this "
+                "environment has no JDBC driver jars — parquet and sqlite "
+                "run end-to-end"
             )
-        self.source = ParquetSource(self.spark, self.config.connection.path)
 
     def plan_tables(self) -> list[TablePlan]:
         """Bind catalog + topo order (main.go:125-139)."""
