@@ -312,9 +312,9 @@ def q_sqldump_escape_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-      CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+      CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
       CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -339,9 +339,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
         F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
         F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
-        (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-        (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-        (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+        (F.sum(dec("l_quantity")).cast("string").cast("double") / cnt).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice")).cast("string").cast("double") / cnt).alias("avg_price"),
+        (F.sum(dec("l_discount")).cast("string").cast("double") / cnt).alias("avg_disc"),
         cnt.cast("long").alias("count_order"),
     )
 
@@ -990,6 +990,79 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.coalesce("h", "d"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
         "n_events",
         "total_value",
+    )
+
+
+# ===========================================================================
+# Grouped-map normalisation: exact-SQL form + applyInPandas form
+# ===========================================================================
+
+
+@register(
+    "zscore_events_exact",
+    """
+    WITH stats AS (
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n,
+        -- decimal -> double via the STRING form: engines' native
+        -- decimal->double conversions differ by 1 ulp; both parse the
+        -- identical digit string with correctly-rounded strtod
+        CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS VARCHAR) AS DOUBLE) AS s_d,
+        CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+             AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS ss_d
+      FROM events GROUP BY event_type)
+    SELECT e.event_id,
+      (e.value - st.s_d / st.n)
+        / sqrt((st.ss_d - st.s_d * st.s_d / st.n) / (st.n - 1)) AS zscore
+    FROM events e JOIN stats st ON e.event_type = st.event_type
+    """,
+)
+def q_zscore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalisation with DECIMAL-exact sufficient
+    statistics (sum, sum of squares): the moments are order-independent,
+    so the derived doubles are bit-identical across engines AND across
+    cluster repartitionings — the distributed-safe way to normalise.
+    The stats side is tiny (one row per group) -> broadcast join back."""
+    ev = load(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        # decimal -> string -> double keeps the conversion bit-identical
+        # across engines (see oracle comment)
+        F.sum(d).cast("decimal(38,6)").cast("string").cast("double").alias("s_d"),
+        F.sum(d * d).cast("decimal(38,12)").cast("string").cast("double").alias("ss_d"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("s_d") / F.col("n")
+    var = (F.col("ss_d") - F.col("s_d") * F.col("s_d") / F.col("n")) / (
+        F.col("n") - F.lit(1)
+    )
+    return j.select(
+        "event_id", ((F.col("value") - mean) / F.sqrt(var)).alias("zscore")
+    )
+
+
+@register("zscore_events_pandas")  # rows-only: pandas pairwise summation
+def q_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same normalisation as a grouped-map applyInPandas: each group
+    arrives as one pandas frame, transformed vectorised. Rows-only check
+    (pandas' pairwise float summation differs from the exact-decimal oracle
+    in low bits); the unit test asserts agreement with the exact form to
+    1e-9 (tests/test_grouped_map.py)."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def normalise(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        std = v.std(ddof=1)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "zscore": (v - v.mean()) / std}
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        normalise, schema="event_id bigint, zscore double"
     )
 
 

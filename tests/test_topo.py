@@ -67,6 +67,52 @@ def test_duplicate_edges_collapse():
     assert graph["orders"] == ["users"]
 
 
+def test_property_random_dags_valid_order():
+    """Hypothesis: for ANY random edge set, the output (a) contains every
+    table exactly once, and (b) respects every edge that is part of an
+    acyclic component (referenced before referencing)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = [f"t{i}" for i in range(8)]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(names), st.sampled_from(names)),
+            max_size=20,
+        )
+    )
+    def run(edges):
+        fks = [fk(a, b) for a, b in edges]
+        order = sort_tables_by_dependency(list(names), fks)
+        assert sorted(order) == sorted(names)  # permutation, always
+        pos = {t: i for i, t in enumerate(order)}
+        # edges whose endpoints are NOT in any cycle must be respected;
+        # detect cycle membership via iterated graph pruning (Kahn on the
+        # full graph): tables left over are cyclic
+        graph = build_dependency_graph(list(names), fks)
+        in_deg = {t: len(graph[t]) for t in names}
+        dependents = {t: [] for t in names}
+        for t in names:
+            for r in graph[t]:
+                dependents[r].append(t)
+        queue = [t for t in names if in_deg[t] == 0]
+        emitted = set()
+        while queue:
+            t = queue.pop()
+            emitted.add(t)
+            for d in dependents[t]:
+                in_deg[d] -= 1
+                if in_deg[d] == 0:
+                    queue.append(d)
+        for a, b in edges:  # a references b -> b first (acyclic part only)
+            if a != b and a in emitted and b in emitted:
+                assert pos[b] < pos[a], (a, b, order)
+
+    run()
+
+
 def test_testdata_corpus_order():
     from database_anonymiser_minimiser_spark.sources.parquet import (
         TESTDATA_FOREIGN_KEYS,
