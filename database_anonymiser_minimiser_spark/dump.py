@@ -299,11 +299,14 @@ def write_dump(
         if df is None:
             stats.tables_truncated += 1
             continue
-        n = 0
         stmts = insert_statements(df, name, order_by=order_by, db_type=db_type)
+        n = 0
         for row in stmts.toLocalIterator():  # streamed; never collected whole
             out.write(row["stmt"] + "\n")
-        n = df.count()
+            # each tuple sits on its own line starting "(" (embedded
+            # newlines in data are escaped to literal \n) — counting them
+            # avoids a df.count() that would RE-RUN the whole plan
+            n += row["stmt"].count("\n(")
         stats.rows_exported += n
         stats.per_table_rows[name] = n
         stats.tables_exported += 1
@@ -356,10 +359,13 @@ def write_dump_parallel(
                 stats.tables_truncated += 1
                 continue
             spool = jobs[name].result()  # wait only for THIS table
+            rows = 0
             for part in sorted(Path(spool).glob("part-*")):
                 with open(part) as f:
-                    shutil.copyfileobj(f, out)
-            rows = df.count()
+                    for line in f:
+                        out.write(line)
+                        if line.startswith("("):  # one tuple per line
+                            rows += 1
             stats.rows_exported += rows
             stats.per_table_rows[name] = rows
             stats.tables_exported += 1

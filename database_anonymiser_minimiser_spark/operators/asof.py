@@ -39,14 +39,29 @@ def asof_join(
     tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Left as-of join; output = all left columns + ``payload_cols`` from
-    the matched right row (NULL when no right row precedes)."""
+    the matched right row (NULL when no right row precedes).
+
+    The payload travels as ONE struct so the most recent right ROW is
+    carried atomically: per-column ``last(ignorenulls)`` would skip a
+    right row whose payload value is genuinely NULL and stitch fields
+    from different right rows together. The struct is non-NULL for every
+    right row (even when all its fields are NULL), so ``last(struct,
+    ignorenulls)`` always selects exactly the latest right row."""
     lcols = left.columns
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
+    null_payload = F.lit(None).cast(
+        "struct<"
+        + ", ".join(
+            f"{c}: {right.schema[c].dataType.simpleString()}" for c in payload_cols
+        )
+        + ">"
+    )
     l = left.select(
         F.col(left_key).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload_cols],
+        null_payload.alias("__payload"),
         F.lit(None).cast("long").alias("__tb"),
     )
     tb = (
@@ -59,7 +74,7 @@ def asof_join(
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+        payload_struct.alias("__payload"),
         tb.alias("__tb"),
     )
     # order: time asc, right rows BEFORE left rows at the same instant
@@ -71,15 +86,11 @@ def asof_join(
     )
     unioned = l.unionByName(r)
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in payload_cols
-        ],
+        "*", F.last("__payload", ignorenulls=True).over(w).alias("__c")
     )
     return carried.filter(F.col("__is_left") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__c_{c}").alias(c) for c in payload_cols],
+        *[F.col(f"__c.{c}").alias(c) for c in payload_cols],
     )
 
 

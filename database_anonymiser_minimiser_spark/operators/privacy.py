@@ -67,13 +67,21 @@ def suppress_below_k(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
     """Drop every row whose equivalence class is smaller than k.
 
     Implemented as an inner join against the >=k classes (broadcast when
-    small, AQE-chosen otherwise) — never a window over the whole table."""
+    small, AQE-chosen otherwise) — never a window over the whole table.
+
+    The join is NULL-safe (<=>): groupBy treats NULL as its own
+    equivalence class, so a NULL-valued class with >= k members must be
+    retained — a plain equality join would silently suppress it."""
     ok = (
         k_anonymity_stats(df, quasi_cols)
         .filter(F.col("class_size") >= k)
-        .select(*quasi_cols)
+        .select(*[F.col(c).alias(f"__ok_{c}") for c in quasi_cols])
     )
-    return df.join(ok, quasi_cols, "inner").select(*df.columns)
+    cond = None
+    for c in quasi_cols:
+        clause = df[f"`{c}`"].eqNullSafe(F.col(f"__ok_{c}"))
+        cond = clause if cond is None else (cond & clause)
+    return df.join(ok, cond, "inner").select(*[df[f"`{c}`"] for c in df.columns])
 
 
 def l_diversity_stats(

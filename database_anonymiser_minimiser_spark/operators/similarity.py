@@ -206,6 +206,94 @@ def _bucket_expr_duck(vec: str, planes: list[list[int]]) -> str:
     return " + ".join(bits)
 
 
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists by nearest
+    centroid; a query scans only its own centroid's list (nprobe=1).
+
+    Centroids here are the first ``num_centroids`` vectors by id — a
+    deterministic stand-in for k-means (production would train centroids;
+    the *search* plan is identical either way): centroids broadcast, one
+    pass assigns every vector to its nearest centroid (argmax cosine,
+    tie-break lowest centroid id), the probe joins the query's cell only.
+    Work per query: |corpus| / num_centroids on average, vs |corpus| for
+    brute force. Recall loss at cell boundaries is the IVF trade-off
+    (raise nprobe to recover)."""
+    centroids = emb.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    cos_c = F.expr(_spark_dot(vec_col, "cv")) / (
+        F.expr(_spark_norm(vec_col)) * F.expr(_spark_norm("cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+        F.col("cid"), cos_c.alias("ccos"),
+    )
+    w_assign = Window.partitionBy("nid").orderBy(F.col("ccos").desc(), F.col("cid"))
+    assigned = (
+        scored.select("nid", "nv", "cid", F.row_number().over(w_assign).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    queries = assigned.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("query_id"), F.col("nv").alias("qv"),
+        F.col("cid").alias("qcid"),
+    )
+    cos_q = F.expr(_spark_dot("qv", "nv")) / (
+        F.expr(_spark_norm("qv")) * F.expr(_spark_norm("nv"))
+    )
+    cand = (
+        assigned.join(F.broadcast(queries), F.col("cid") == F.col("qcid"))
+        .filter(F.col("nid") != F.col("query_id"))
+        .select("query_id", F.col("nid").alias("neighbor_id"), cos_q.alias("cosine"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return cand.select(
+        "query_id", "neighbor_id", F.row_number().over(w_rank).alias("rank")
+    ).filter(F.col("rank") <= k)
+
+
+def duck_ann_ivf_sql(
+    query_ids: list[int],
+    k: int = 5,
+    num_centroids: int = 8,
+    table: str = "embeddings",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos_c = (
+        f"{_duck_dot('e.embedding', 'c.cv')} / "
+        f"({_duck_norm('e.embedding')} * {_duck_norm('c.cv')})"
+    )
+    cos_q = f"{_duck_dot('q.qv', 'a.nv')} / ({_duck_norm('q.qv')} * {_duck_norm('a.nv')})"
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM {table}
+                  WHERE vec_id < {num_centroids}),
+    scored AS (SELECT e.vec_id AS nid, e.embedding AS nv, c.cid, {cos_c} AS ccos
+               FROM {table} e CROSS JOIN cent c),
+    assigned AS (SELECT nid, nv, cid FROM (
+        SELECT nid, nv, cid,
+          row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS rn
+        FROM scored) t WHERE rn = 1),
+    q AS (SELECT nid AS query_id, nv AS qv, cid AS qcid FROM assigned
+          WHERE nid IN ({ids})),
+    cand AS (SELECT q.query_id, a.nid AS neighbor_id, {cos_q} AS cosine
+             FROM assigned a JOIN q ON a.cid = q.qcid
+             WHERE a.nid <> q.query_id),
+    ranked AS (SELECT query_id, neighbor_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM cand)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

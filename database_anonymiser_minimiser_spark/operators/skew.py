@@ -34,34 +34,50 @@ def _salt_col(buckets: int, deterministic_from: str | None) -> Column:
     return (F.rand() * buckets).cast("int")
 
 
+# decomposable aggregates: phase-1 fn -> phase-2 merge fn
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts combine by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+
 def salted_agg(
     df: DataFrame,
     group_cols: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[str, "Column | str"]],
     salt_buckets: int = 16,
     deterministic_from: str | None = None,
 ) -> DataFrame:
     """Two-phase aggregation with salting.
 
-    ``aggs`` maps output name -> phase-1 aggregate Column; phase 2
-    re-combines with the matching merge (sum->sum, count->sum, min->min,
-    max->max) inferred from the expression name, so pass aggregates whose
-    merge is themselves (sum/min/max) or counts (merged by sum).
-    """
+    ``aggs`` maps output name -> (kind, column) where kind is one of
+    ``sum | count | min | max`` — the decomposable aggregates whose
+    two-phase split is exact. Non-decomposable aggregates (avg, stddev,
+    first, collect_*) are rejected: express them via decomposable
+    moments (avg = salted sum / salted count; see zscore_events_exact
+    for the variance pattern)."""
+    for name, (kind, _c) in aggs.items():
+        if kind not in _MERGE:
+            raise ValueError(
+                f"aggregate {name!r}: kind {kind!r} is not decomposable; "
+                f"supported: {sorted(_MERGE)} (derive avg/variance from "
+                "sum+count moments)"
+            )
     salted = df.withColumn("__salt", _salt_col(salt_buckets, deterministic_from))
-    phase1 = salted.groupBy(*group_cols, "__salt").agg(
-        *[c.alias(f"__p1_{name}") for name, c in aggs.items()]
-    )
-    merges = []
-    for name, c in aggs.items():
-        expr_str = str(c._jc)  # expression text reveals the aggregate kind
-        p1 = F.col(f"__p1_{name}")
-        if "min(" in expr_str:
-            merges.append(F.min(p1).alias(name))
-        elif "max(" in expr_str:
-            merges.append(F.max(p1).alias(name))
-        else:  # sum and count both merge by sum
-            merges.append(F.sum(p1).alias(name))
+    p1_aggs = []
+    for name, (kind, c) in aggs.items():
+        if kind == "count" and c is None:
+            target = F.lit(1)
+        else:
+            target = F.col(c) if isinstance(c, str) else c
+        p1_aggs.append(getattr(F, kind)(target).alias(f"__p1_{name}"))
+    phase1 = salted.groupBy(*group_cols, "__salt").agg(*p1_aggs)
+    merges = [
+        _MERGE[kind](F.col(f"__p1_{name}")).alias(name)
+        for name, (kind, _c) in aggs.items()
+    ]
     return phase1.groupBy(*group_cols).agg(*merges)
 
 
@@ -80,7 +96,20 @@ def salted_join(
     distinct partitions per hot key. Replication cost: |small| * buckets
     rows — keep the replicated side genuinely small (it is broadcast-
     eligible anyway; salting matters when the big side's shuffle is the
-    bottleneck or broadcast is impossible)."""
+    bottleneck or broadcast is impossible).
+
+    Only join types that preserve big-side semantics are allowed: with
+    right/full outer, each unmatched *small* row would surface once per
+    salt replica (``salt_buckets``-fold duplication), so those are
+    rejected."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            "rows are replicated per salt under right/full outer joins; "
+            f"supported: inner, left, left_semi, left_anti"
+        )
     big_salted = big.withColumn("__salt", _salt_col(salt_buckets, deterministic_from))
     small_salted = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

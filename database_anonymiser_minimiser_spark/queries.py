@@ -509,14 +509,12 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (deterministic, unlike dropDuplicates' arbitrary row). One
     shuffle on the (hashed) text; md5 keys the output so the oracle never
     compares megabyte strings."""
-    return (
-        load(spark, sf_dir, "documents")
-        .groupBy("text")
-        .agg(
-            F.min("doc_id").cast("long").alias("keep_id"),
-            F.count(F.lit(1)).cast("long").alias("n_copies"),
-        )
-        .select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "keep_id", "n_copies")
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"), ["text"]).select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        "keep_id",
+        "n_copies",
     )
 
 
@@ -1116,7 +1114,8 @@ def q_privacy_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment FROM customer c
     JOIN (SELECT c_nationkey, c_mktsegment FROM customer
           GROUP BY c_nationkey, c_mktsegment HAVING count(*) >= 3) ok
-    ON c.c_nationkey = ok.c_nationkey AND c.c_mktsegment = ok.c_mktsegment
+    ON c.c_nationkey IS NOT DISTINCT FROM ok.c_nationkey
+    AND c.c_mktsegment IS NOT DISTINCT FROM ok.c_mktsegment
     """,
 )
 def q_privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1255,6 +1254,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_lsh_topk", _sim.duck_ann_lsh_sql(_QUERY_VEC_IDS, k=5))
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_lsh_topk(load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5)
+
+
+@register("ann_ivf_topk", _sim.duck_ann_ivf_sql(_QUERY_VEC_IDS, k=5))
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN (nprobe=1): assignment + probe both
+    oracle-checked; see operators/similarity.py."""
+    return _sim.ann_ivf_topk(load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5)
 
 
 # ===========================================================================

@@ -64,10 +64,15 @@ class SqliteSource:
         if not Path(self.path).exists():
             raise FileNotFoundError(f"sqlite database not found: {self.path}")
 
-    def _connect(self) -> sqlite3.Connection:
+    def _connect(self):
+        """Context manager yielding a connection that is CLOSED on exit —
+        bare ``with sqlite3.connect(...)`` only manages the transaction,
+        leaking the file handle to GC."""
+        import contextlib
+
         con = sqlite3.connect(self.path)
         con.text_factory = str
-        return con
+        return contextlib.closing(con)
 
     # -- catalog ------------------------------------------------------------
 
@@ -163,11 +168,10 @@ class SqliteSource:
                     arrays.append(pa.array(vals, type=f.type))
                 batches.append(pa.RecordBatch.from_arrays(arrays, schema=arrow_schema))
         if batches:
+            # Arrow table straight into Spark (zero per-row Python objects;
+            # NULLs preserved for every type including long columns)
             tbl = pa.Table.from_batches(batches)
-            # to_pylist keeps NULLs as None for every type (to_pandas would
-            # coerce nullable ints to float NaN and break the Long schema)
-            rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
-            return self.spark.createDataFrame(rows, schema=schema)
+            return self.spark.createDataFrame(tbl, schema=schema)
         return self.spark.createDataFrame([], schema=schema)
 
     @staticmethod

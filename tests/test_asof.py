@@ -60,6 +60,39 @@ def test_at_or_before_semantics(spark, fixtures):
     assert got[5] == (None, None)    # key never quoted
 
 
+def test_null_payload_carried_atomically(spark):
+    """A matched right row whose payload value is NULL must be returned
+    as-is — NOT skipped in favour of an older non-null value, and never
+    stitched together from different right rows (regression: per-column
+    last(ignorenulls) did exactly that)."""
+    from pyspark.sql import types as T
+
+    qschema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("qt", T.TimestampType()),
+            T.StructField("qid", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 100, 9.9),
+            (1, ts("2024-01-01 11:00:00"), 101, None),  # newer, NULL price
+        ],
+        qschema,
+    )
+    trades = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 12:00:00"))], ["trade_id", "key", "tt"]
+    )
+    out = asof_join(
+        trades, quotes, "key", "key", "tt", "qt", ["qid", "price"],
+        tiebreak_col="qid",
+    ).collect()[0]
+    assert out["qid"] == 101
+    assert out["price"] is None  # the newer row's NULL, not 9.9 from the older
+
+
 def test_row_count_preserved(spark, fixtures):
     trades, quotes = fixtures
     out = asof_join(

@@ -77,6 +77,16 @@ def test_suppress_below_k(generalized):
     assert P.k_anonymity_violations(kept, ["zip3", "age_band"], k=2).count() == 0
 
 
+def test_suppress_keeps_null_classes(spark):
+    """A NULL quasi-identifier value forms its own equivalence class; if
+    that class has >= k rows it must survive suppression (null-safe join
+    regression test)."""
+    rows = [(i, None, "x") for i in range(5)] + [(9, "981", "y")]
+    df = spark.createDataFrame(rows, ["id", "zip3", "v"])
+    kept = {r["id"] for r in P.suppress_below_k(df, ["zip3"], k=3).collect()}
+    assert kept == {0, 1, 2, 3, 4}  # NULL class of 5 kept, singleton dropped
+
+
 def test_l_diversity(generalized):
     stats = {
         r["zip3"]: (r["class_size"], r["l_distinct"])

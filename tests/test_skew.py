@@ -32,9 +32,9 @@ def test_salted_agg_equals_plain(spark, skewed_df):
             skewed_df,
             ["key"],
             {
-                "total": F.sum("v"),
-                "cnt": F.count(F.lit(1)),
-                "mx": F.max("n"),
+                "total": ("sum", "v"),
+                "cnt": ("count", None),
+                "mx": ("max", "n"),
             },
             salt_buckets=8,
             deterministic_from="n",
@@ -51,10 +51,29 @@ def test_salted_agg_random_salt_equals_plain(spark, skewed_df):
     salted = {
         r["key"]: r["cnt"]
         for r in S.salted_agg(
-            skewed_df, ["key"], {"cnt": F.count(F.lit(1))}, salt_buckets=4
+            skewed_df, ["key"], {"cnt": ("count", None)}, salt_buckets=4
         ).collect()
     }
     assert salted == plain
+
+
+def test_salted_agg_rejects_non_decomposable(spark, skewed_df):
+    """avg merged by sum would be silently ~buckets-times wrong; the API
+    must refuse instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="not decomposable"):
+        S.salted_agg(skewed_df, ["key"], {"m": ("avg", "v")})
+
+
+def test_salted_join_rejects_outer_modes(spark, skewed_df):
+    """right/full would emit each unmatched small row once per salt."""
+    import pytest
+
+    dim = spark.createDataFrame([("hot", "HOT"), ("ghost", "G")], ["key", "label"])
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            S.salted_join(skewed_df, dim, "key", how=how)
 
 
 def test_salted_join_equals_plain(spark, skewed_df):
