@@ -33,6 +33,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q12_priority_shipping",
+    "q14_promo_share",
+    "q18_large_volume_customers",
+    "zscore_events_exact",
+    "ann_ivf_topk",
     "window_top_orders_per_customer",
     "events_tumbling_hourly",
     "events_sliding_2h_1h",
