@@ -48,6 +48,48 @@ def generalize_time(col: str, unit: str = "month") -> Column:
     return F.date_trunc(unit, F.col(f"`{col}`"))
 
 
+def shift_dates(col: str, key_col: str, max_days: int = 30) -> Column:
+    """Deterministic per-key date shifting: every timestamp of a key moves
+    by the SAME hash-derived offset in [1, max_days], so intervals and
+    ordering within a key are preserved while absolute dates are
+    decoupled — the standard longitudinal-data anonymisation. Pure JVM
+    expression (cross-engine: md5-digit derived, mirrored by
+    duck_shift_dates_sql)."""
+    days = (
+        f"CAST(substr(translate(md5(CAST(`{key_col}` AS STRING)), "
+        f"'abcdef', '012345'), 1, 6) AS BIGINT) % {max_days} + 1"
+    )
+    return F.expr(f"timestampadd(DAY, CAST({days} AS INT), `{col}`)")
+
+
+def duck_shift_dates_sql(col: str, key_col: str, max_days: int = 30) -> str:
+    days = (
+        f"CAST(substr(translate(md5(CAST({key_col} AS VARCHAR)), "
+        f"'abcdef', '012345'), 1, 6) AS BIGINT) % {max_days} + 1"
+    )
+    return f"{col} + CAST({days} AS INTEGER) * INTERVAL 1 DAY"
+
+
+def perturb_numeric(col: str, key_col: str, step: float, buckets: int = 21) -> Column:
+    """Deterministic numeric perturbation: value + (hash(key) mod buckets
+    - buckets//2) * step — zero-mean hash noise that breaks exact-value
+    linkage while bounding the error to +-(buckets//2)*step. Reversible
+    only with the key universe; cross-engine deterministic."""
+    offset = (
+        f"(CAST(substr(translate(md5(CAST(`{key_col}` AS STRING)), "
+        f"'abcdef', '012345'), 7, 6) AS BIGINT) % {buckets} - {buckets // 2})"
+    )
+    return F.expr(f"`{col}` + {offset} * CAST({step} AS DOUBLE)")
+
+
+def duck_perturb_numeric_sql(col: str, key_col: str, step: float, buckets: int = 21) -> str:
+    offset = (
+        f"(CAST(substr(translate(md5(CAST({key_col} AS VARCHAR)), "
+        f"'abcdef', '012345'), 7, 6) AS BIGINT) % {buckets} - {buckets // 2})"
+    )
+    return f"{col} + {offset} * CAST({step} AS DOUBLE)"
+
+
 def k_anonymity_stats(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
     """Equivalence-class size per quasi-identifier combination."""
     return df.groupBy(*[F.col(f"`{c}`") for c in quasi_cols]).agg(

@@ -1268,6 +1268,40 @@ def q_privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "privacy_shift_dates",
+    "SELECT o_orderkey, strftime("
+    + _priv.duck_shift_dates_sql("o_orderdate", "o_custkey")
+    + ", '%Y-%m-%d %H:%M:%S') AS shifted_date FROM orders",
+)
+def q_privacy_shift_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer deterministic date shifting: intervals between a
+    customer's orders survive; absolute dates decouple from reality."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            _priv.shift_dates("o_orderdate", "o_custkey"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("shifted_date"),
+    )
+
+
+@register(
+    "privacy_perturb_numeric",
+    "SELECT c_custkey, "
+    + _priv.duck_perturb_numeric_sql("c_acctbal", "c_custkey", 0.01)
+    + " AS acctbal_noisy FROM customer",
+)
+def q_privacy_perturb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded deterministic perturbation of a numeric column (breaks
+    exact-value linkage, preserves distribution within +-0.10)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        _priv.perturb_numeric("c_acctbal", "c_custkey", 0.01).alias("acctbal_noisy"),
+    )
+
+
+@register(
     "privacy_l_diversity",
     """
     SELECT c_nationkey, CAST(count(*) AS BIGINT) AS class_size,
@@ -1436,6 +1470,20 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return run_stateful_totals(spark, sf_dir)
+
+
+@register(
+    "streaming_anonymise_events",
+    "SELECT event_id, "
+    + FAKER_FUNCTIONS["number"].sql("duckdb", "user_id")
+    + " AS pseudo_user, event_type FROM events",
+)
+def q_streaming_anonymise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking applied ON A STREAM (stateless projection, append
+    mode): deterministic masking makes the streamed result equal the
+    batch oracle exactly — in-flight anonymisation at ingestion."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _stream.run_streaming_anonymise(spark, sf_dir)
 
 
 @register("streaming_events_watermark")  # rows-only: append-mode emission set

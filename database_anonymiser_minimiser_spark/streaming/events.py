@@ -119,6 +119,33 @@ def run_streaming_with_watermark(
     return spark.table(name)
 
 
+def run_streaming_anonymise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anonymisation on a LIVE stream — the engine's own domain under
+    Structured Streaming: deterministic pseudonymisation (faker.number on
+    user_id) is a stateless projection, so it runs identically in
+    micro-batch mode with no state store at all. This is how you mask
+    PII in-flight at ingestion time rather than post-hoc."""
+    from ..functions.faker_deterministic import FAKER_FUNCTIONS
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir)
+    masked = ev.select(
+        "event_id",
+        F.expr(FAKER_FUNCTIONS["number"].sql("spark", "user_id")).alias("pseudo_user"),
+        "event_type",
+    )
+    name = f"anonstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        masked.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_streaming_sessions(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:

@@ -77,6 +77,50 @@ def test_suppress_below_k(generalized):
     assert P.k_anonymity_violations(kept, ["zip3", "age_band"], k=2).count() == 0
 
 
+def test_shift_dates_preserves_intervals(spark):
+    """Each key's timestamps shift by ONE common offset: intervals and
+    ordering inside a key survive; different keys shift differently."""
+    rows = [
+        (1, "u1", datetime(2024, 1, 1)),
+        (2, "u1", datetime(2024, 1, 11)),
+        (3, "u2", datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["id", "user", "ts"])
+    out = {
+        r["id"]: r["shifted"]
+        for r in df.select(
+            "id", P.shift_dates("ts", "user", max_days=30).alias("shifted")
+        ).collect()
+    }
+    # interval within u1 preserved exactly
+    assert (out[2] - out[1]).days == 10
+    # offset in [1, 30] days
+    assert 1 <= (out[1] - datetime(2024, 1, 1)).days <= 30
+    # different keys get (almost surely) different offsets
+    assert out[3] != out[1]
+
+
+def test_perturb_numeric_bounded_and_deterministic(spark):
+    rows = [(i, float(100 + i)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {
+        r["k"]: r["p"]
+        for r in df.select(
+            "k", P.perturb_numeric("v", "k", step=0.5, buckets=21).alias("p")
+        ).collect()
+    }
+    for k, p in out.items():
+        assert abs(p - (100 + k)) <= 10 * 0.5 + 1e-9  # bounded noise
+    again = {
+        r["k"]: r["p"]
+        for r in df.select(
+            "k", P.perturb_numeric("v", "k", step=0.5, buckets=21).alias("p")
+        ).collect()
+    }
+    assert out == again
+    assert any(p != 100 + k for k, p in out.items())  # actually perturbs
+
+
 def test_suppress_keeps_null_classes(spark):
     """A NULL quasi-identifier value forms its own equivalence class; if
     that class has >= k rows it must survive suppression (null-safe join
