@@ -415,6 +415,83 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, ids: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(id, cluster_id): connected components over near-dup pairs, where
+    cluster_id = the minimum id reachable through any chain of pairs —
+    turning pairwise matches into dedup groups (a~b, b~c => one cluster).
+
+    Iterative hash-min label propagation on DataFrames: each round every
+    node adopts the smallest label among itself and its neighbours;
+    converges in O(component diameter) rounds (checked via an exact
+    count, loop capped at ``max_iterations``). Each round is one join +
+    one aggregation — the standard scalable CC formulation (no driver-side
+    graph, no recursion depth limits).
+
+    ``pairs``: (id_a, id_b) undirected; ``ids``: (id) node universe
+    (isolated nodes become singleton clusters).
+    """
+    edges = (
+        pairs.selectExpr("id_a AS a", "id_b AS b")
+        .union(pairs.selectExpr("id_b AS a", "id_a AS b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # every round references the previous labels in BOTH the propagation
+    # join and the convergence check — without truncation the lineage
+    # doubles per iteration and the analyzer blows up around round ~8.
+    # localCheckpoint materialises the (small) label table and cuts the
+    # plan back to a leaf each round: the required pattern for ANY
+    # iterative DataFrame algorithm.
+    labels = ids.selectExpr("id", "id AS cluster_id").localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("n_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "new_cid")
+            .join(labels, "id")
+            .filter(F.col("new_cid") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duck_dedup_clusters_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    """Oracle for minhash-pair clustering: recursive CTE computing the
+    min reachable id per node (UNION dedup makes the fixpoint converge)."""
+    pairs = duck_minhash_lsh_sql(table, threshold=threshold).strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT doc_id AS id FROM {table}),
+    reach(v, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.a, r.l FROM reach r JOIN edges e ON r.v = e.b
+    )
+    SELECT v AS id, CAST(min(l) AS BIGINT) AS cluster_id FROM reach GROUP BY v
+    """
+
+
 def duck_simhash_near_pairs_sql(table: str = "documents", max_hamming: int = 2) -> str:
     base = duck_simhash_sql(table).strip()
     bands = ", ".join(f"({b}, (simhash >> {4 * b}) & 15)" for b in range(4))

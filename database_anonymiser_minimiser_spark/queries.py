@@ -1302,6 +1302,39 @@ def q_privacy_perturb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "privacy_risk_metrics",
+    """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS sz
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(sum(sz) AS BIGINT) AS total_rows,
+      CAST(count(*) AS BIGINT) AS n_classes,
+      CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unique_rows,
+      CAST(min(sz) AS BIGINT) AS min_class,
+      CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(sum(sz) AS BIGINT) AS reident_risk
+    FROM classes
+    """,
+)
+def q_privacy_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit over a quasi-identifier set: rows in
+    singleton equivalence classes are directly re-identifiable; the
+    metric pack (total, classes, uniques, min class size, risk share) is
+    the go/no-go summary before release."""
+    classes = load(spark, sf_dir, "customer").groupBy(
+        "c_nationkey", "c_mktsegment"
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    uniq = F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+    return classes.groupBy().agg(
+        F.sum("sz").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        uniq.cast("long").alias("unique_rows"),
+        F.min("sz").cast("long").alias("min_class"),
+        (uniq.cast("double") / F.sum("sz").cast("long")).alias("reident_risk"),
+    )
+
+
+@register(
     "privacy_l_diversity",
     """
     SELECT c_nationkey, CAST(count(*) AS BIGINT) AS class_size,
@@ -1392,6 +1425,21 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=0.5, max_df=100
     )
+
+
+@register("dedup_clusters", _dd.duck_dedup_clusters_sql(threshold=0.5))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> dedup groups: iterative hash-min connected components over
+    the MinHash-LSH near-dup pairs (a~b, b~c collapse into one cluster
+    keyed by the minimum doc id). The oracle is a recursive CTE computing
+    the same min-reachable-id fixpoint."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _dd.minhash_lsh_pairs(docs, threshold=0.5).selectExpr(
+        "doc_a AS id_a", "doc_b AS id_b"
+    )
+    ids = docs.selectExpr("doc_id AS id")
+    out = _dd.connected_components(pairs, ids)
+    return out.select(F.col("id"), F.col("cluster_id").cast("long").alias("cluster_id"))
 
 
 @register("dedup_simhash", _dd.duck_simhash_sql())
