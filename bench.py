@@ -60,10 +60,19 @@ HEADLINE = [
     "realistic_mask_profile",
     "streaming_events_tumbling",
     # temporal / privacy / profiling
+    # (streaming_stateful_user_totals / streaming_anonymise_events are
+    # correctness-gated in the oracle suite but excluded here: their
+    # wall time is micro-batch machinery + file splitting, not operator
+    # throughput — streaming_events_tumbling represents streaming)
     "asof_join_events_orders",
-    "streaming_stateful_user_totals",
     "privacy_k_anonymity_stats",
     "privacy_suppress_below_k",
+    "privacy_shift_dates",
+    "scrub_text_pii",
+    "consistency_fk_integrity",
+    "privacy_risk_metrics",
+    "dedup_clusters",
+    "percentiles_orders_by_status",
     "events_multires_rollup",
     "profile_customer",
     "sample_hash_10pct",

@@ -23,7 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-c", "--config", help="config file (YAML or JSON)")
     p.add_argument("-o", "--output", default="dump.sql", help="output dump path")
-    p.add_argument("--dialect", default="mysql", choices=["mysql", "postgres", "sqlite"])
+    p.add_argument(
+        "--dialect", default=None, choices=["mysql", "postgres", "sqlite"],
+        help="dump dialect (default: the connection type, mysql for parquet)",
+    )
     p.add_argument("--dry-run", action="store_true", help="print plan, export nothing")
     p.add_argument(
         "--parallel", action="store_true",
@@ -58,7 +61,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.dry_run:
         engine.dry_run()
         return 0
-    engine.export(args.output, db_type=args.dialect, parallel=args.parallel)
+    dialect = args.dialect or (
+        cfg.connection.type
+        if cfg.connection.type in ("mysql", "postgres", "sqlite")
+        else "mysql"
+    )
+    engine.export(args.output, db_type=dialect, parallel=args.parallel)
     return 0
 
 

@@ -992,6 +992,31 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentiles_orders_by_status",
+    " UNION ALL ".join(
+        f"SELECT o_orderstatus, CAST({p} AS DOUBLE) AS p, "
+        f"quantile_cont(o_totalprice, {p}) AS val FROM orders GROUP BY o_orderstatus"
+        for p in (0.25, 0.5, 0.75, 0.9)
+    ),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, same linear interpolation — verified
+    bit-identical). At 100 TB swap in percentile_approx (KLL-sketch-like,
+    one pass, bounded memory) — exact percentile sorts each group."""
+    o = load(spark, sf_dir, "orders")
+    parts = [
+        o.groupBy("o_orderstatus").agg(
+            F.expr(f"percentile(o_totalprice, {p})").alias("val")
+        ).select(
+            "o_orderstatus", F.lit(p).cast("double").alias("p"), "val"
+        )
+        for p in (0.25, 0.5, 0.75, 0.9)
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
+@register(
     "q6_forecast_revenue",
     """
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -1647,6 +1672,96 @@ def q_topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = sort_tables_by_dependency(src.get_tables(), src.get_foreign_keys())
     return spark.createDataFrame(
         [(t, i) for i, t in enumerate(order)], "table_name string, position int"
+    )
+
+
+# ===========================================================================
+# Free-text PII scrubbing + masked referential integrity
+# ===========================================================================
+
+# Seed deterministic PII into every document so the scrub is exercised on
+# every row (the synthetic corpus has no real PII). Built identically in
+# both engines, then redacted with the shared Java-regex/RE2 patterns.
+_SALT_DUCK = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.0.'"
+    " || CAST(doc_id % 250 AS VARCHAR) || ' tel +4420'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _salted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").withColumn(
+        "salted",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" tel +4420"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+
+
+def _scrub_oracle() -> str:
+    from .operators.scrub import duck_scrub_sql
+
+    return duck_scrub_sql(f"({_SALT_DUCK})") + " FROM documents"
+
+
+@register("scrub_text_pii", _scrub_oracle())
+def q_scrub_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers inside document text.
+
+    Extends the reference's whole-column masking (anonymiser.go:34-101) to
+    substring granularity — pure regexp_replace/regexp_count, whole-stage
+    codegen, no shuffle: at 100 TB throughput is scan-bound."""
+    from .operators.scrub import scrub_pii
+
+    return scrub_pii(_salted_docs(spark, sf_dir), "salted", "doc_id")
+
+
+_FK_NUM = FAKER_FUNCTIONS["number"]
+
+
+@register(
+    "consistency_fk_integrity",
+    f"""
+    WITH mc AS (SELECT {_FK_NUM.duckdb_sql('c_custkey')} AS mk FROM customer),
+         mo AS (SELECT {_FK_NUM.duckdb_sql('o_custkey')} AS mk FROM orders)
+    SELECT
+      (SELECT COUNT(*) FROM orders) AS n_orders,
+      (SELECT COUNT(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        AS n_joined_orig,
+      (SELECT COUNT(*) FROM mo JOIN mc ON mo.mk = mc.mk) AS n_joined_masked,
+      (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_cust,
+      (SELECT COUNT(DISTINCT mk) FROM mc) AS n_cust_masked
+    """,
+)
+def q_consistency_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proof that deterministic masking preserves referential integrity:
+    masking c_custkey and o_custkey with the same pure function keeps the
+    FK join cardinality identical (the reference guarantees this via its
+    consistency map, anonymiser.go:74-91 / README.md:305-307; here it
+    holds by construction — no shared state, no shuffle of the mapping).
+    The masked join broadcasts the masked dimension exactly like the
+    original would."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    mc = c.select(_FK_NUM.spark_column("c_custkey").alias("mk"))
+    mo = o.select(_FK_NUM.spark_column("o_custkey").alias("mk"))
+    return (
+        o.agg(F.count("*").alias("n_orders"))
+        .crossJoin(
+            o.join(c, o.o_custkey == c.c_custkey)
+            .agg(F.count("*").alias("n_joined_orig"))
+        )
+        .crossJoin(
+            mo.join(F.broadcast(mc), "mk").agg(F.count("*").alias("n_joined_masked"))
+        )
+        .crossJoin(c.agg(F.countDistinct("c_custkey").alias("n_cust")))
+        .crossJoin(mc.agg(F.countDistinct("mk").alias("n_cust_masked")))
     )
 
 

@@ -1,0 +1,64 @@
+"""Free-text PII scrubbing (operators/scrub.py) and masked referential
+integrity (queries.consistency_fk_integrity)."""
+
+from pyspark.sql import functions as F
+
+from database_anonymiser_minimiser_spark.operators.scrub import (
+    PII_PATTERNS,
+    scrub_pii,
+)
+from database_anonymiser_minimiser_spark.queries import (
+    QUERIES,
+    _salted_docs,
+)
+
+
+def test_scrub_redacts_seeded_pii(spark, sf_dir):
+    out = scrub_pii(_salted_docs(spark, sf_dir), "salted", "doc_id")
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ipv4").alias("ips"),
+        F.sum("n_phone").alias("phones"),
+        F.sum(F.when(F.col("scrubbed").contains("@"), 1).otherwise(0)).alias(
+            "at_left"
+        ),
+        F.sum(
+            F.when(F.col("scrubbed").rlike(r"\+[0-9]{7,}"), 1).otherwise(0)
+        ).alias("phone_left"),
+    ).first()
+    assert agg["n"] > 0
+    # every doc got one seeded email, ip, phone — all redacted
+    assert agg["emails"] >= agg["n"]
+    assert agg["ips"] >= agg["n"]
+    assert agg["phones"] >= agg["n"]
+    assert agg["at_left"] == 0
+    assert agg["phone_left"] == 0
+    sample = out.filter(F.col("doc_id") == 0).first()
+    assert "<EMAIL>" in sample["scrubbed"]
+    assert "<IP>" in sample["scrubbed"]
+    assert "<PHONE>" in sample["scrubbed"]
+
+
+def test_scrub_plain_text_untouched(spark):
+    df = spark.createDataFrame(
+        [(1, "no pii here at all"), (2, None)], "id long, text string"
+    )
+    rows = {r["id"]: r for r in scrub_pii(df, "text", "id").collect()}
+    assert rows[1]["scrubbed"] == "no pii here at all"
+    assert rows[1]["n_email"] == 0
+    assert rows[2]["scrubbed"] is None
+
+
+def test_patterns_are_re2_safe():
+    # RE2-incompatible constructs would silently diverge from the oracle
+    for _, pat, _ in PII_PATTERNS:
+        assert "(?=" not in pat and "(?<" not in pat and "\\1" not in pat
+
+
+def test_masked_fk_join_preserves_cardinality(spark, sf_dir):
+    row = QUERIES["consistency_fk_integrity"](spark, sf_dir).first()
+    # deterministic masking: join cardinality and key cardinality survive
+    # (collision-free at test scale; masked function is pure, stateless)
+    assert row["n_joined_masked"] == row["n_joined_orig"] == row["n_orders"]
+    assert row["n_cust_masked"] == row["n_cust"]
