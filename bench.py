@@ -70,6 +70,9 @@ HEADLINE = [
     "privacy_shift_dates",
     "scrub_text_pii",
     "consistency_fk_integrity",
+    "snapshot_diff_cdc",
+    "text_token_count_bpe",
+    "text_winnow_fingerprint",
     "privacy_risk_metrics",
     "dedup_clusters",
     "percentiles_orders_by_status",

@@ -545,6 +545,76 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer classes (simplified GPT-2 pattern, RE2-safe:
+# letter runs | single digits | punctuation runs). Whitespace is not a token.
+_BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "text_token_count_bpe",
+    f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)"
+    " AS n_bpe_tokens FROM documents",
+)
+def q_text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: counts pre-tokenizer matches (letter runs,
+    single digits, punctuation runs — the GPT-2 regex family, simplified to
+    the Java-regex/RE2 common subset). One regexp_count per row, whole-stage
+    codegen; at 100 TB this is scan-bound like all the text operators."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+@register(
+    "text_winnow_fingerprint",
+    """
+    SELECT doc_id,
+           array_to_string(list_sort(list_transform(
+               range(1, len(toks) - 2 + 1),
+               i -> CAST(substr(translate(md5(
+                        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                        'abcdef', '012345'), 1, 12) AS BIGINT)
+           ))[1:4], '-') AS fingerprint
+    FROM (
+        SELECT doc_id,
+               regexp_split_to_array(regexp_replace(lower(trim(text)),
+                                                    '\\s+', ' ', 'g'), ' ')
+               AS toks
+        FROM documents
+    )
+    WHERE len(toks) >= 3
+    """,
+)
+def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): hash every
+    word 3-shingle, keep the 4 smallest hashes — robust to local edits,
+    unlike the whole-document md5. All array expressions (transform /
+    array_sort / slice), no UDF, no shuffle; the hash is the md5-digit
+    trick shared with the faker registry so DuckDB mirrors it exactly."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    shingle_hashes = F.expr(
+        "transform(sequence(1, size(toks) - 2), i -> "
+        "CAST(substr(translate(md5(concat_ws(' ', toks[i-1], toks[i], toks[i+1])), "
+        "'abcdef', '012345'), 1, 12) AS BIGINT))"
+    )
+    return d.select(
+        "doc_id",
+        F.concat_ws("-", F.slice(F.array_sort(shingle_hashes), 1, 4)).alias(
+            "fingerprint"
+        ),
+    )
+
+
 # ===========================================================================
 # Set operations, subquery joins, grouping sets (SURVEY §2.7 extensions)
 # ===========================================================================
@@ -1672,6 +1742,85 @@ def q_topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = sort_tables_by_dependency(src.get_tables(), src.get_foreign_keys())
     return spark.createDataFrame(
         [(t, i) for i, t in enumerate(order)], "table_name string, position int"
+    )
+
+
+# ===========================================================================
+# CDC / incremental export: snapshot diff
+# ===========================================================================
+
+
+@register(
+    "snapshot_diff_cdc",
+    """
+    WITH old AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 50 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 41 = 0
+    ),
+    new AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
+    SELECT
+        COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+        CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+             WHEN new.o_orderkey IS NULL THEN 'delete'
+             ELSE 'update' END AS change_type
+    FROM new FULL OUTER JOIN old USING (o_orderkey)
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+    """,
+)
+def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full outer join on
+    the key, per-column IS DISTINCT FROM compare, emit insert/delete/update
+    rows only. This is the incremental-export path the reference lacks
+    (it re-dumps everything each run, exporter.go:65-88): at 100 TB you
+    dump the diff, not the table. One shuffle on the key (or zero with
+    bucketed/partitioned snapshots); unchanged rows are filtered before
+    any further processing. The 'old' snapshot here is derived
+    deterministically from orders so the oracle is self-contained:
+    key%50==0 missing (→insert), key%7 price-shifted (→update), key%41
+    shifted out of keyspace (→delete)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = (
+        o.filter(F.col("o_orderkey") % 50 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 41 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    new = o
+    joined = new.alias("n").join(
+        old.alias("o"), on=F.col("n.o_orderkey") == F.col("o.o_orderkey"), how="full"
+    )
+    changed = joined.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | ~F.col("o.o_totalprice").eqNullSafe(F.col("n.o_totalprice"))
+        | ~F.col("o.o_orderstatus").eqNullSafe(F.col("n.o_orderstatus"))
+    )
+    return changed.select(
+        F.coalesce(F.col("n.o_orderkey"), F.col("o.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
     )
 
 
