@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--dialect", default=None, choices=["mysql", "postgres", "sqlite"],
         help="dump dialect (default: the connection type, mysql for parquet)",
     )
+    p.add_argument(
+        "--format", default="sql", choices=["sql", "parquet"],
+        help="sql = text dump (reference-compatible); parquet = native "
+        "columnar datasets under the output directory (the scale path)",
+    )
     p.add_argument("--dry-run", action="store_true", help="print plan, export nothing")
     p.add_argument(
         "--parallel", action="store_true",
@@ -60,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.dry_run:
         engine.dry_run()
+        return 0
+    if args.format == "parquet":
+        engine.export_parquet(args.output)
         return 0
     dialect = args.dialect or (
         cfg.connection.type

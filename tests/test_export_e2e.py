@@ -122,3 +122,43 @@ def test_dry_run_renders_decisions(spark, sf_dir, capsys):
     assert "Action: RETAIN rows where ts > 2024-01-25 00:00:00" in joined
     assert "Action: FULL EXPORT" in joined
     assert "Anonymised columns: c_acctbal, c_mktsegment, c_name" in joined
+
+
+def test_export_parquet_native_sink(spark, sf_dir, tmp_path):
+    """Native parquet export: per-table datasets, minimise/anonymise
+    applied, truncated tables empty-with-schema, partitioning honoured."""
+    from database_anonymiser_minimiser_spark.config import Config
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+    cfg = Config.from_dict(
+        {
+            "connection": {"type": "parquet", "path": sf_dir},
+            "configuration": {
+                "part": {"truncate": True},
+                "orders": {"retain": 50, "primary_key": "o_orderkey"},
+                "customer": {"columns": {"c_name": "{{faker.name}}"}},
+            },
+        }
+    )
+    out = str(tmp_path / "lake")
+    stats = Engine(spark, cfg).export_parquet(
+        out, partition_by={"orders": ["o_orderstatus"]}
+    )
+    assert stats.per_table_rows["orders"] == 50
+    assert stats.tables_truncated == 1
+
+    part = spark.read.parquet(f"{out}/part")
+    assert part.count() == 0 and "p_name" in part.columns
+
+    cust = spark.read.parquet(f"{out}/customer")
+    orig = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert cust.count() == orig.count()
+    masked = {r["c_name"] for r in cust.select("c_name").collect()}
+    assert masked.isdisjoint({r["c_name"] for r in orig.select("c_name").collect()})
+
+    # hive partition dirs exist for the configured table
+    import os
+
+    assert any(
+        d.startswith("o_orderstatus=") for d in os.listdir(f"{out}/orders")
+    )

@@ -115,3 +115,24 @@ def test_whole_stage_codegen_active(spark, sf):
     plan = plan_of(df)
     assert "isFinalPlan=true" in plan
     assert re.search(r"codegen id : \d+", plan), plan[:2000]
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf, tmp_path):
+    """Hive-partitioned parquet sink: a filter on the partition column
+    must prune directories at plan time (PartitionFilters), not scan
+    everything and filter — the difference between reading one day and
+    reading 100 TB."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.dump import write_parquet
+
+    ev = Q.load(spark, str(sf), "events").withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    write_parquet(ev, out, partition_by=["day"])
+
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = plan_of(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan[:2000]
+    # pruning is real: the filtered read returns a strict subset
+    assert 0 < back.count() < spark.read.parquet(out).count()
