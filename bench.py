@@ -37,6 +37,7 @@ HEADLINE = [
     "q12_priority_shipping",
     "q14_promo_share",
     "q18_large_volume_customers",
+    "q19_discounted_revenue",
     "zscore_events_exact",
     "ann_ivf_topk",
     "window_top_orders_per_customer",

@@ -1072,18 +1072,26 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`, same linear interpolation — verified
-    bit-identical). At 100 TB swap in percentile_approx (KLL-sketch-like,
-    one pass, bounded memory) — exact percentile sorts each group."""
-    o = load(spark, sf_dir, "orders")
-    parts = [
-        o.groupBy("o_orderstatus").agg(
-            F.expr(f"percentile(o_totalprice, {p})").alias("val")
-        ).select(
-            "o_orderstatus", F.lit(p).cast("double").alias("p"), "val"
+    bit-identical). All four percentiles come from ONE aggregation over
+    ONE scan (percentile takes an array argument), then posexplode to
+    rows — vs the naive 4-scan/4-shuffle UNION ALL form. At 100 TB swap
+    in percentile_approx (KLL-sketch-like, one pass, bounded memory) —
+    exact percentile sorts each group."""
+    ps = (0.25, 0.5, 0.75, 0.9)
+    arr = ", ".join(f"{p}D" for p in ps)
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.expr(f"percentile(o_totalprice, array({arr}))").alias("vals"))
+        .select("o_orderstatus", F.posexplode("vals").alias("i", "val"))
+        .select(
+            "o_orderstatus",
+            F.element_at(
+                F.array(*[F.lit(p).cast("double") for p in ps]), F.col("i") + 1
+            ).alias("p"),
+            "val",
         )
-        for p in (0.25, 0.5, 0.75, 0.9)
-    ]
-    return reduce(DataFrame.unionAll, parts)
+    )
 
 
 @register(
@@ -1117,6 +1125,55 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,4)")
         .alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: join under a disjunctive mixed predicate.
+
+    Catalyst extracts the common conjuncts per side (p_brand IN (...),
+    l_quantity BETWEEN 1 AND 30) and pushes them below the join as scan
+    filters — only the residual OR is evaluated post-join. part is
+    broadcast (dimension); lineitem never shuffles. DECIMAL money math as
+    in Q1/Q6 keeps the sum order-independent and oracle-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            arm("Brand#12", 15, 1, 11)
+            | arm("Brand#23", 25, 10, 20)
+            | arm("Brand#34", 35, 20, 30)
+        )
+        .groupBy()
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("decimal(38,4)")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
     )
 
 
