@@ -136,3 +136,15 @@ def test_partitioned_sink_prunes_partitions(spark, sf, tmp_path):
     assert m and "day" in m.group(1), plan[:2000]
     # pruning is real: the filtered read returns a strict subset
     assert 0 < back.count() < spark.read.parquet(out).count()
+
+
+def test_q19_or_predicate_extraction_and_broadcast(spark, sf):
+    """Q19-shape disjunctive join: Catalyst must extract the per-side
+    common conjuncts out of the OR and push them into BOTH scans, and the
+    dimension (part) must broadcast — at 100 TB the lineitem scan must
+    never shuffle for this query."""
+    plan = plan_of(Q.QUERIES["q19_discounted_revenue"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert any("p_brand" in p for p in pushed), pushed
