@@ -1094,6 +1094,35 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("percentiles_approx_orders_by_status")  # rows-only: sketch != oracle
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: percentile_approx (t-digest-style
+    sketch) — one pass, bounded memory per group, mergeable map-side
+    partials; exact `percentile` sorts every group. Accuracy vs the exact
+    result is unit-tested (tests/test_scrub.py asserts <5% relative
+    error); no DuckDB oracle because sketch internals differ across
+    engines."""
+    ps = (0.25, 0.5, 0.75, 0.9)
+    arr = ", ".join(f"{p}D" for p in ps)
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                f"percentile_approx(o_totalprice, array({arr}), 1000)"
+            ).alias("vals")
+        )
+        .select("o_orderstatus", F.posexplode("vals").alias("i", "val"))
+        .select(
+            "o_orderstatus",
+            F.element_at(
+                F.array(*[F.lit(p).cast("double") for p in ps]), F.col("i") + 1
+            ).alias("p"),
+            "val",
+        )
+    )
+
+
 @register(
     "q6_forecast_revenue",
     """

@@ -62,3 +62,23 @@ def test_masked_fk_join_preserves_cardinality(spark, sf_dir):
     # (collision-free at test scale; masked function is pure, stateless)
     assert row["n_joined_masked"] == row["n_joined_orig"] == row["n_orders"]
     assert row["n_cust_masked"] == row["n_cust"]
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    """percentile_approx (the 100 TB path) must track the exact
+    interpolated percentiles within a few percent at accuracy=1000."""
+    from database_anonymiser_minimiser_spark.queries import QUERIES
+
+    exact = {
+        (r["o_orderstatus"], r["p"]): r["val"]
+        for r in QUERIES["percentiles_orders_by_status"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["o_orderstatus"], r["p"]): r["val"]
+        for r in QUERIES["percentiles_approx_orders_by_status"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / abs(v) < 0.05, (k, v, approx[k])
