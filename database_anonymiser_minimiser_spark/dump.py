@@ -394,3 +394,30 @@ def write_parquet(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(str(path))
+
+
+def compact_parquet(
+    spark,
+    path: str | Path,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet dataset into ~target-sized files; returns the new
+    file count.
+
+    Small-file buildup is the classic failure mode of incremental writes
+    at scale (every micro-batch/table-export leaves part files; 100 TB of
+    1 MB files = 10^8 scan tasks). Sizing from the dataset's actual bytes
+    on disk — not a row-count guess — keeps output files near the parquet
+    sweet spot. The rewrite is one shuffle-free coalesce when shrinking
+    the file count, which is the common case."""
+    p = Path(path)
+    total = sum(f.stat().st_size for f in p.rglob("*.parquet"))
+    n = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(str(p))
+    tmp = str(p) + ".compact.tmp"
+    df.coalesce(int(n)).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(p)
+    Path(tmp).rename(p)
+    return len(list(p.rglob("*.parquet")))

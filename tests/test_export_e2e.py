@@ -162,3 +162,22 @@ def test_export_parquet_native_sink(spark, sf_dir, tmp_path):
     assert any(
         d.startswith("o_orderstatus=") for d in os.listdir(f"{out}/orders")
     )
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    """Small-file compaction: many part files -> ~target-sized few, same
+    rows, shuffle-free (coalesce)."""
+    from database_anonymiser_minimiser_spark.dump import compact_parquet
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_small_files")
+    src.repartition(16).write.parquet(out)
+    import glob
+
+    before = len(glob.glob(f"{out}/*.parquet"))
+    assert before >= 16
+    n_rows = src.count()
+
+    after = compact_parquet(spark, out, target_file_bytes=512 * 1024 * 1024)
+    assert after < before
+    assert spark.read.parquet(out).count() == n_rows
