@@ -38,6 +38,8 @@ HEADLINE = [
     "q14_promo_share",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
+    "q10_returned_item_revenue",
+    "q17_small_quantity_revenue",
     "zscore_events_exact",
     "ann_ivf_topk",
     "window_top_orders_per_customer",

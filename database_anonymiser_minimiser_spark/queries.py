@@ -1207,6 +1207,85 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q10_returned_item_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue. 3-way join +
+    grouped agg + top-k. customer and nation broadcast; the returnflag
+    filter pushes to the lineitem scan; the final LIMIT rides
+    TakeOrderedAndProject (per-partition top-20, 20-row merge — never a
+    global sort). Ties broken by c_custkey for a deterministic oracle."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (rows below 20% of
+    their part's average quantity). Written AS the subquery in Spark SQL —
+    Catalyst decorrelates it into an aggregate + join automatically, the
+    rewrite the reference could never express. One shuffle on l_partkey
+    for the per-part average; the probe side re-reads the scan (no
+    cache dependency). The decimal sum divides by 7.0 in ONE double
+    division, oracle-exact."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_small
+        FROM q17_lineitem l
+        WHERE l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM q17_lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        """
+    )
+
+
+@register(
     "q12_priority_shipping",
     """
     SELECT l_returnflag,

@@ -148,3 +148,12 @@ def test_q19_or_predicate_extraction_and_broadcast(spark, sf):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("l_quantity" in p for p in pushed), pushed
     assert any("p_brand" in p for p in pushed), pushed
+
+
+def test_q10_topk_and_dimension_broadcasts(spark, sf):
+    """Q10 shape: the final LIMIT 20 must be a distributed top-k
+    (TakeOrderedAndProject), and the dimension joins must broadcast."""
+    plan = plan_of(Q.QUERIES["q10_returned_item_revenue"](spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "EqualTo(l_returnflag,R)" in plan
