@@ -68,6 +68,7 @@ HEADLINE = [
     # wall time is micro-batch machinery + file splitting, not operator
     # throughput — streaming_events_tumbling represents streaming)
     "asof_join_events_orders",
+    "range_join_events_windows",
     "privacy_k_anonymity_stats",
     "privacy_suppress_below_k",
     "privacy_shift_dates",

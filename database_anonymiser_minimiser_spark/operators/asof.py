@@ -121,3 +121,46 @@ def duck_asof_sql(
       PARTITION BY l.{left_cols[0]}
       ORDER BY r.{right_time} DESC NULLS LAST, r.{tiebreak_col} DESC NULLS LAST) = 1
     """
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval (range) join: left rows whose ``ts_col`` falls in
+    ``[start_col, end_col)`` of a right-side interval — with NO equi key.
+
+    Spark's only native plan for a pure range predicate is
+    BroadcastNestedLoopJoin (fine for a handful of intervals, O(n*m) and
+    broadcast-bound in general). This operator makes the join scalable by
+    *manufacturing* an equi key: time is cut into fixed buckets; each
+    interval explodes into the buckets it covers, each left row maps to
+    exactly ONE bucket, and the join becomes a hash equi-join on bucket
+    with a residual range filter. A left row meets an interval in at most
+    one bucket, so no dedup is needed. Cost: shuffle on bucket (or
+    broadcast of the exploded intervals when small) — the BNLJ cross
+    product never materialises. Interval skew = long intervals → more
+    bucket replicas of the right row, never of the (big) left side.
+    """
+    b = int(bucket_seconds)
+    r = (
+        right.withColumn(
+            "__bucket",
+            F.explode(
+                F.expr(
+                    f"sequence(unix_timestamp({start_col}) div {b}, "
+                    f"unix_timestamp({end_col}) div {b})"
+                )
+            ),
+        )
+    )
+    l = left.withColumn("__bucket", F.expr(f"unix_timestamp({ts_col}) div {b}"))
+    return (
+        l.join(r, "__bucket")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("__bucket")
+    )

@@ -1911,6 +1911,61 @@ def q_topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Range (interval) join
+# ===========================================================================
+
+
+def _range_windows(spark: SparkSession) -> DataFrame:
+    """10 synthetic 90-minute maintenance windows every 3 days across the
+    events month — deterministic, mirrored literally in the oracle."""
+    return spark.range(10).select(
+        F.col("id").cast("int").alias("window_id"),
+        F.expr(
+            "timestamp'2024-01-01 06:00:00' + make_interval(0, 0, 0, id * 3)"
+        ).alias("ws"),
+        F.expr(
+            "timestamp'2024-01-01 07:30:00' + make_interval(0, 0, 0, id * 3)"
+        ).alias("we"),
+    )
+
+
+@register(
+    "range_join_events_windows",
+    """
+    WITH w AS (
+        SELECT CAST(range AS INT) AS window_id,
+               TIMESTAMP '2024-01-01 06:00:00' + INTERVAL 3 DAY * range AS ws,
+               TIMESTAMP '2024-01-01 07:30:00' + INTERVAL 3 DAY * range AS we
+        FROM range(10)
+    )
+    SELECT window_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+    FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+    GROUP BY window_id
+    """,
+)
+def q_range_join_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with no equi key: events inside each maintenance
+    window. Spark's native plan for a pure range predicate is a
+    BroadcastNestedLoopJoin (O(n*m)); operators/asof.bucketed_range_join
+    manufactures an hour-bucket equi key instead — intervals explode into
+    covered buckets, events map to one bucket, hash join + residual
+    filter. At 100 TB with millions of intervals this is the only shape
+    that survives. DECIMAL value sums keep the agg order-independent."""
+    from .operators.asof import bucketed_range_join
+
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    joined = bucketed_range_join(ev, _range_windows(spark), "ts", "ws", "we")
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("sum_value"),
+    )
+
+
+# ===========================================================================
 # CDC / incremental export: snapshot diff
 # ===========================================================================
 

@@ -129,3 +129,34 @@ def test_matches_naive_formulation(spark, sf_dir):
         .collect()
     }
     assert merged == naive
+
+
+def test_bucketed_range_join_equals_naive_theta_join(spark, sf_dir):
+    """The bucketed equi-join form must return exactly the rows of the
+    naive range-predicate join, for bucket sizes smaller AND larger than
+    the interval length (boundary replicas are filtered, not dropped)."""
+    from database_anonymiser_minimiser_spark.operators.asof import (
+        bucketed_range_join,
+    )
+    from database_anonymiser_minimiser_spark.queries import (
+        _range_windows,
+        load,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    w = _range_windows(spark)
+    naive = (
+        ev.crossJoin(w)
+        .filter((ev.ts >= w.ws) & (ev.ts < w.we))
+        .select("event_id", "window_id")
+    )
+    expected = {(r["event_id"], r["window_id"]) for r in naive.collect()}
+    assert expected  # the windows do cover events
+    for bucket in (600, 3600, 7 * 24 * 3600):
+        got = {
+            (r["event_id"], r["window_id"])
+            for r in bucketed_range_join(ev, w, "ts", "ws", "we", bucket)
+            .select("event_id", "window_id")
+            .collect()
+        }
+        assert got == expected, f"bucket={bucket}"
