@@ -83,6 +83,7 @@ HEADLINE = [
     "events_multires_rollup",
     "profile_customer",
     "sample_hash_10pct",
+    "sample_stratified_by_lang",
     "string_suite_part",
     "json_schema_agg",
     "window_running_totals",

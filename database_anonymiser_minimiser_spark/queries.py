@@ -991,6 +991,39 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(bucket < 10).select("c_custkey", "c_name")
 
 
+# per-language keep-rates (percent) for corpus rebalancing: downsample the
+# dominant language, keep the rest whole. Mirrored literally in the oracle.
+_STRATA_RATES = {"en": 40, "de": 100, "es": 100, "fr": 100, "zh": 100}
+
+
+@register(
+    "sample_stratified_by_lang",
+    "SELECT doc_id, lang FROM documents WHERE "
+    "CAST(substr(translate(md5(CAST(doc_id AS VARCHAR)), 'abcdef', '012345'), 1, 6) "
+    "AS BIGINT) % 100 < CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())
+    + " ELSE 0 END",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates applied
+    via the consistent key hash — the corpus-rebalancing op of a training
+    pipeline (downweight the dominant language without a shuffle or a
+    rand() seed dependency). Same row set every run, every engine; unlike
+    df.sampleBy it is reproducible under retries and co-samples joined
+    tables on the same key. Pure scan+filter: scales with splits."""
+    df = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(substr(translate(md5(CAST(doc_id AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 100"
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v)) for k, v in _STRATA_RATES.items()
+        ],
+        F.lit(0),
+    )
+    return df.filter(bucket < rate).select("doc_id", "lang")
+
+
 @register(
     "string_suite_part",
     """
