@@ -1,6 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The printed "queries" map holds only the FLAGSHIP subset (the driver's
+tail capture is bounded — round 1's 62-entry JSON overflowed it and
+parsed as null); the full per-query table for all measured queries is
+written to bench_full.json next to this script.
 
 Each query executes via a noop-format write so we measure distributed
 compute + full result materialisation without driver-side collect
@@ -91,6 +96,25 @@ HEADLINE = [
     "semi_join_orders_with_big_items",
 ]
 
+# printed in the driver-facing JSON line (bounded tail capture); one
+# representative per operator family
+FLAGSHIP = [
+    "full_export_customer",
+    "anonymise_customer_full",
+    "sqldump_tuple_customer",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customers",
+    "events_tumbling_hourly",
+    "window_running_totals",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "ann_topk_cosine",
+    "asof_join_events_orders",
+    "scrub_text_pii",
+    "streaming_events_tumbling",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,18 +136,35 @@ def main() -> None:
         spark.catalog.clearCache()  # drop operator-internal persists
         start = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        timings[name] = round(time.perf_counter() - start, 3)
         spark.catalog.clearCache()
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline-queries wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    # compact single line for the driver: flagship subset only
     print(
         json.dumps(
             {
                 "metric": "headline-queries wall time",
-                "value": round(sum(timings.values()), 4),
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": {k: timings[k] for k in FLAGSHIP if k in timings},
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "full": "bench_full.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -205,13 +205,49 @@ def insert_statements(
         row_tuple_column(df).alias("t"),
         (F.col(f"`{order_by}`") if order_by else F.monotonically_increasing_id()).alias("_ord"),
     )
-    w = Window.orderBy(F.col("_ord"))
-    batched = tuples.withColumn(
-        "_batch", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size))
+
+    # Global contiguous row index WITHOUT a single-partition window (a
+    # Window.orderBy with no partitionBy funnels every tuple through one
+    # task — spills/OOMs on large tables). Instead, the distributed
+    # zipWithIndex shape, all in DataFrame ops:
+    #   1. range-partition on _ord (distributed sort into ordered ranges;
+    #      RangePartitioner's sampling is deterministically seeded, so the
+    #      count job and the final job see identical boundaries),
+    #   2. per-partition counts -> cumulative offsets (a metadata-sized
+    #      collect: one row per partition, like AQE stats),
+    #   3. index = partition offset + intra-partition row_number, where
+    #      the window now parallelises across partitions.
+    n_part = max(1, tuples.rdd.getNumPartitions())
+    ranged = tuples.repartitionByRange(n_part, F.col("_ord")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["_n"]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("_ord")
+    idx = F.col("_off") + F.row_number().over(w) - F.lit(1)
+    batched = ranged.join(F.broadcast(off_df), "_pid").select(
+        "t",
+        idx.alias("_idx"),
+        F.floor(idx / F.lit(batch_size)).alias("_batch"),
+    )
+    # collect_list order is not guaranteed after the groupBy shuffle;
+    # sort each batch's <=batch_size tuples by their global index
+    batch_body = F.concat_ws(
+        ",\n",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_idx", "t"))),
+            lambda s: s["t"],
+        ),
     )
     return (
         batched.groupBy("_batch")
-        .agg(F.concat_ws(",\n", F.collect_list("t")).alias("body"))
+        .agg(batch_body.alias("body"))
         .orderBy("_batch")
         .select(F.concat(F.lit(head), F.col("body"), F.lit(";")).alias("stmt"))
     )
@@ -396,6 +432,19 @@ def write_parquet(
     w.parquet(str(path))
 
 
+def _hive_partition_columns(p: Path) -> list[str]:
+    """Partition columns from the ``key=value`` directory layout (one key
+    per nesting level, hive convention)."""
+    cols: list[str] = []
+    cur = p
+    while True:
+        subdirs = [d for d in cur.iterdir() if d.is_dir() and "=" in d.name]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].name.split("=", 1)[0])
+        cur = subdirs[0]
+
+
 def compact_parquet(
     spark,
     path: str | Path,
@@ -408,16 +457,40 @@ def compact_parquet(
     at scale (every micro-batch/table-export leaves part files; 100 TB of
     1 MB files = 10^8 scan tasks). Sizing from the dataset's actual bytes
     on disk — not a row-count guess — keeps output files near the parquet
-    sweet spot. The rewrite is one shuffle-free coalesce when shrinking
-    the file count, which is the common case."""
+    sweet spot.
+
+    A hive-partitioned dataset is re-written WITH the same partitionBy —
+    flattening it would silently fold the partition columns into the data
+    files and lose partition pruning for every downstream reader. The
+    promotion is crash-safe: the new data is written to ``.compact.tmp``,
+    the old dataset is renamed aside (never deleted before the new one is
+    in place), then the tmp dir takes its name; a crash at any point
+    leaves at least one complete copy on disk."""
+    import shutil
+
     p = Path(path)
     total = sum(f.stat().st_size for f in p.rglob("*.parquet"))
     n = max(1, -(-total // target_file_bytes))  # ceil
+    part_cols = _hive_partition_columns(p)
     df = spark.read.parquet(str(p))
     tmp = str(p) + ".compact.tmp"
-    df.coalesce(int(n)).write.mode("overwrite").parquet(tmp)
-    import shutil
+    if part_cols:
+        # one shuffle on the partition keys: each task holds whole
+        # partitions, so each partition dir gets ~1 compacted file
+        (
+            df.repartition(int(n), *part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+    else:
+        # shrinking the file count needs no shuffle at all
+        df.coalesce(int(n)).write.mode("overwrite").parquet(tmp)
 
-    shutil.rmtree(p)
+    old = Path(str(p) + ".compact.old")
+    if old.exists():
+        shutil.rmtree(old)
+    p.rename(old)  # keep the original until the new copy is promoted
     Path(tmp).rename(p)
+    shutil.rmtree(old)
     return len(list(p.rglob("*.parquet")))

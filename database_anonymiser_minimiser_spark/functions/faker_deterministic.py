@@ -23,19 +23,33 @@ both), which is what lets the driver hash-compare Spark results against
 DuckDB.
 
 Derivation scheme, for original value v (string-cast):
-  H(v)  = md5(v)                      -- 32 lowercase hex chars
+  H(v)  = md5(salt || v)              -- 32 lowercase hex chars
   D(v)  = translate(H(v), 'abcdef', '012345')  -- 32 decimal digits
   pick(off, lst) = lst[ (int(D[off:off+6]) % len(lst)) + 1 ]
 NULL originals propagate to NULL outputs in both engines.
+
+The salt (env ``DBMASK_FAKER_SALT``, default ``"dbmask.v1"``) keys the
+whole derivation: an UNSALTED md5(original) is recoverable by offline
+dictionary attack for low-entropy originals (emails, phones, names,
+DOBs), and identical inputs would link across every dump from every
+deployment. A per-deployment secret salt blocks both while preserving
+determinism and cross-table consistency within the deployment. The salt
+is read once at import (it is baked into the generated SQL for both
+engines, so oracle comparisons stay bit-identical).
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Per-deployment secret keying the derivation (see module docstring).
+# Single quotes are doubled so the literal embeds safely in both dialects.
+_SALT = os.environ.get("DBMASK_FAKER_SALT", "dbmask.v1").replace("'", "''")
 
 # --- seed lists (no quote characters; shared by both engines) ---------------
 
@@ -105,11 +119,15 @@ def _cast_str(engine: str, expr: str) -> str:
 
 
 def _H(s: str) -> str:
-    return f"md5({s})"
+    # NULL-safety note: the concat body is only reached under the outer
+    # "CASE WHEN s IS NULL THEN NULL" guard in FakerSpec.sql, so Spark's
+    # NULL-propagating concat vs DuckDB's NULL-skipping concat never
+    # diverge here.
+    return f"md5(concat('{_SALT}', {s}))"
 
 
 def _D(s: str) -> str:
-    return f"translate(md5({s}), 'abcdef', '012345')"
+    return f"translate({_H(s)}, 'abcdef', '012345')"
 
 
 def _pick(engine: str, s: str, off: int, items: list[str], width: int = 6) -> str:

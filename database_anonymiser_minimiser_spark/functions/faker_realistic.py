@@ -41,11 +41,17 @@ DOMAINS = np.array(["example.com", "example.org", "example.net", "mail.test", "p
 
 
 def _seeds(values: pd.Series) -> np.ndarray:
-    """One uint64 seed per value, md5-derived (stable across runs/hosts)."""
+    """One uint64 seed per value, salted-md5-derived (stable across runs/
+    hosts within a deployment; DBMASK_FAKER_SALT blocks cross-deployment
+    linkage and dictionary recovery, same scheme as faker_deterministic).
+    """
+    import os
+
+    salt = os.environ.get("DBMASK_FAKER_SALT", "dbmask.v1").encode()
     return np.array(
         [
             int.from_bytes(
-                hashlib.md5(str(v).encode()).digest()[:8], "big"
+                hashlib.md5(salt + str(v).encode()).digest()[:8], "big"
             )
             if v is not None
             else 0

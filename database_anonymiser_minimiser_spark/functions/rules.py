@@ -3,7 +3,8 @@
 Reproduces the reference's per-column rule semantics
 (``internal/anonymiser/anonymiser.go:34-101``):
 
-- ``null`` (YAML null) or ``""`` -> SQL NULL (anonymiser.go:50-54),
+- ``null`` (YAML null), the literal string ``"null"``, or ``""`` -> SQL
+  NULL (anonymiser.go:50-54: ``rule == "null" || rule == ""``),
 - ``{{faker.<name>}}`` -> generated fake value; template grammar is the
   exact regex ``\\{\\{faker\\.(\\w+)\\}\\}`` (anonymiser.go:10-13) — partial
   or malformed templates fall through to static literals
@@ -14,10 +15,12 @@ Rules compile at plan time (driver-side) into pure Column expressions; the
 faker path is deterministic-keyed so cross-table consistency needs no
 shared state (see functions/faker_deterministic.py).
 
-Unknown faker names warn at validation time but do not fail — the
-reference warns and exports the value unchanged (anonymiser.go:167-189
-surfaces warnings; GenerateFakeValue returns "" for unknown names, which
-we mirror as "leave column unchanged" + warning).
+Unknown faker names warn at validation time but do not fail — and the
+masked value becomes the EMPTY STRING, exactly as the reference:
+GenerateFakeValue returns "" for unknown names (faker.go:45-52) and
+anonymiser.go:84-92 writes that "" into the row. A config typo must
+never fall through to the original value — that would silently export
+the PII the rule was meant to mask.
 """
 
 from __future__ import annotations
@@ -37,7 +40,7 @@ class RuleKind(Enum):
     NULL = "null"
     STATIC = "static"
     FAKER = "faker"
-    UNKNOWN_FAKER = "unknown_faker"  # warn-only; column left unchanged
+    UNKNOWN_FAKER = "unknown_faker"  # warn-only; masks to "" (faker.go:45-52)
 
 
 @dataclass(frozen=True)
@@ -57,7 +60,9 @@ class CompiledRule:
         if self.kind is RuleKind.FAKER:
             assert self.faker is not None
             return self.faker.spark_column(self.column)
-        return F.col(f"`{self.column}`")  # unknown faker: unchanged
+        # unknown faker: empty string, NEVER the original (faker.go:45-52 +
+        # anonymiser.go:84-92 — a typo'd template must not leak the PII)
+        return F.lit("")
 
     def duckdb_sql(self) -> str:
         """Oracle-side SQL for the same replacement (DuckDB dialect)."""
@@ -70,12 +75,15 @@ class CompiledRule:
         if self.kind is RuleKind.FAKER:
             assert self.faker is not None
             return self.faker.sql("duckdb", q)
-        return q
+        return "''"  # unknown faker: empty string (see spark_column)
 
 
 def parse_rule(column: str, raw: Any) -> CompiledRule:
-    """Classify one rule value (anonymiser.go:44-97)."""
-    if raw is None or raw == "":
+    """Classify one rule value (anonymiser.go:44-97). The literal string
+    "null" is a NULL rule too (anonymiser.go:51: ``rule == "null"``) — a
+    JSON config or quoted YAML value "null" must not emit the static
+    string 'null'."""
+    if raw is None or raw == "" or raw == "null":
         return CompiledRule(column, RuleKind.NULL)
     value = str(raw)
     m = FAKER_TEMPLATE_RE.match(value)

@@ -28,13 +28,16 @@ from ..sources.parquet import _nanos_timestamp_columns, convert_ns_columns
 
 def tumbling_counts(ev: DataFrame, width: str = "1 hour") -> DataFrame:
     """Shared batch/streaming transform: per-window, per-type counts and
-    exact decimal totals."""
+    exact decimal totals (surfaced as double via the cross-engine-safe
+    decimal->string->double route, matching the batch oracle)."""
     return (
         ev.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("decimal(38,6)")
+            .cast("string")
+            .cast("double")
             .alias("total_value"),
         )
         .select(

@@ -181,3 +181,34 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     after = compact_parquet(spark, out, target_file_bytes=512 * 1024 * 1024)
     assert after < before
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, sf_dir, tmp_path):
+    """Compacting a hive-partitioned dataset must keep the key=value
+    directory layout (partition pruning for downstream readers) and not
+    fold partition columns into the data files."""
+    import os
+
+    from database_anonymiser_minimiser_spark.dump import compact_parquet
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_parts")
+    src.repartition(8).write.partitionBy("o_orderstatus").parquet(out)
+    n_rows = src.count()
+    statuses = sorted(
+        d for d in os.listdir(out) if d.startswith("o_orderstatus=")
+    )
+    assert statuses
+
+    compact_parquet(spark, out, target_file_bytes=512 * 1024 * 1024)
+
+    after_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("o_orderstatus=")
+    )
+    assert after_dirs == statuses  # layout preserved
+    back = spark.read.parquet(out)
+    assert back.count() == n_rows
+    assert "o_orderstatus" in back.columns
+    # no stale promotion leftovers
+    assert not os.path.exists(out + ".compact.tmp")
+    assert not os.path.exists(out + ".compact.old")

@@ -74,3 +74,24 @@ def test_duckdb_sql_rendering():
     assert "md5" in sql and '"c_name"' in sql
     assert parse_rule("c", None).duckdb_sql() == "NULL"
     assert parse_rule("c", "O'Brien").duckdb_sql() == "'O''Brien'"
+
+
+def test_null_string_rule_is_null():
+    """anonymiser.go:51: rule == "null" (the literal string, e.g. from a
+    JSON config or quoted YAML) is a NULL rule, not the static 'null'."""
+    assert parse_rule("c", "null").kind is RuleKind.NULL
+    assert parse_rule("c", "NULL").kind is RuleKind.STATIC  # case-sensitive
+    assert parse_rule("c", "null").duckdb_sql() == "NULL"
+
+
+def test_unknown_faker_masks_to_empty_string(spark):
+    """faker.go:45-52 + anonymiser.go:84-92: unknown faker names mask to
+    "" — the original value must NEVER leak through a typo'd template."""
+    from pyspark.sql import Row
+
+    r = parse_rule("c", "{{faker.emial}}")  # typo'd 'email'
+    assert r.kind is RuleKind.UNKNOWN_FAKER
+    assert r.duckdb_sql() == "''"
+    df = spark.createDataFrame([Row(c="SECRET-PII")])
+    out = df.select(r.spark_column(df).alias("c")).collect()
+    assert out[0]["c"] == ""
