@@ -22,7 +22,15 @@ def build_parser() -> argparse.ArgumentParser:
         description="Anonymise and minimise a database export, Spark-powered.",
     )
     p.add_argument("-c", "--config", help="config file (YAML or JSON)")
-    p.add_argument("-o", "--output", default="dump.sql", help="output dump path")
+    p.add_argument(
+        "-o", "--output", default=None,
+        help="output dump path (omitted = stdout, like the reference "
+        "cmd/dbmask/main.go:146-156; required for --format parquet)",
+    )
+    p.add_argument(
+        "-v", "--verbose", action="store_true",
+        help="verbose progress to stderr (main.go:43)",
+    )
     p.add_argument(
         "--dialect", default=None, choices=["mysql", "postgres", "sqlite"],
         help="dump dialect (default: the connection type, mysql for parquet)",
@@ -55,7 +63,11 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     cfg = config_mod.load(args.config)
     spark = get_spark()
+    spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
     engine = Engine(spark, cfg)
+    if args.verbose:
+        print(f"config: {args.config}", file=sys.stderr)
+        print(f"connection: {cfg.connection.type}", file=sys.stderr)
     if args.command == "sync":
         missing = engine.sync(truncate=args.truncate, dry_run=args.dry_run)
         for t in missing:
@@ -67,6 +79,9 @@ def main(argv: list[str] | None = None) -> int:
         engine.dry_run()
         return 0
     if args.format == "parquet":
+        if not args.output:
+            print("error: --format parquet requires -o <dir>", file=sys.stderr)
+            return 2
         engine.export_parquet(args.output)
         return 0
     dialect = args.dialect or (

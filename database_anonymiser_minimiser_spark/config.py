@@ -37,7 +37,9 @@ _DATE_FORMATS = (
     "%Y-%m-%dT%H:%M:%S%z",  # RFC3339
 )
 
-VALID_CONNECTION_TYPES = ("mysql", "postgres", "sqlite", "parquet")
+# derby: embedded JDBC database (driver ships in Spark's jars) — the
+# integration stand-in proving the MySQL/Postgres JDBC execution path
+VALID_CONNECTION_TYPES = ("mysql", "postgres", "sqlite", "parquet", "derby")
 
 
 class ConfigError(ValueError):
@@ -76,9 +78,9 @@ class Connection:
                 f"invalid connection type {self.type!r}, must be one of "
                 f"{', '.join(VALID_CONNECTION_TYPES)}"
             )
-        if self.type == "sqlite":
+        if self.type in ("sqlite", "derby"):
             if not self.file:
-                raise ConfigError("sqlite connection requires 'file'")
+                raise ConfigError(f"{self.type} connection requires 'file'")
         elif self.type == "parquet":
             if not self.path:
                 raise ConfigError("parquet connection requires 'path'")

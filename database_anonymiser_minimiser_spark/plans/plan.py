@@ -76,11 +76,14 @@ class Engine:
 
             self.source = SqliteSource(self.spark, conn.file)
         else:
-            raise NotImplementedError(
-                f"{conn.type} executes over JDBC (sources/jdbc.py); this "
-                "environment has no JDBC driver jars — parquet and sqlite "
-                "run end-to-end"
-            )
+            # mysql / postgres / derby: the live JDBC catalog+scan source.
+            # Derby's driver ships inside Spark and runs embedded — the
+            # integration-tested path (tests/test_jdbc.py); mysql/postgres
+            # need their driver jar on spark.jars and fail at connect time
+            # with Spark's ClassNotFound error otherwise.
+            from ..sources.jdbc import JdbcCatalogSource
+
+            self.source = JdbcCatalogSource(self.spark, conn)
 
     def plan_tables(self) -> list[TablePlan]:
         """Bind catalog + topo order (main.go:125-139)."""
@@ -110,13 +113,11 @@ class Engine:
         print("\n".join(lines), file=out)
         return lines
 
-    def export(
-        self, out_path: str, db_type: str = "mysql", parallel: bool = False
+    def export_to(
+        self, out, db_type: str = "mysql", parallel: bool = False
     ) -> dump_mod.ExportStats:
-        """Full dump export (main.go:167-174). ``parallel=True`` formats
-        tables as concurrent Spark jobs (sink commit order still follows
-        the FK topo sort) — the reference cannot do this
-        (exporter.go:72-80 is strictly sequential)."""
+        """Dump into any writable text stream (the reference writes to
+        stdout when no -o is given, cmd/dbmask/main.go:146-156)."""
         started = time.time()
         plans = self.plan_tables()
         sections = [
@@ -128,14 +129,25 @@ class Engine:
             )
             for p in plans
         ]
-        with open(out_path, "w") as f:
-            if parallel:
-                stats = dump_mod.write_dump_parallel(f, db_type, sections)
-            else:
-                stats = dump_mod.write_dump(f, db_type, iter(sections))
-        elapsed = time.time() - started
-        self._print_stats(stats, elapsed)
+        if parallel:
+            stats = dump_mod.write_dump_parallel(out, db_type, sections)
+        else:
+            stats = dump_mod.write_dump(out, db_type, iter(sections))
+        self._print_stats(stats, time.time() - started)
         return stats
+
+    def export(
+        self, out_path: str | None, db_type: str = "mysql", parallel: bool = False
+    ) -> dump_mod.ExportStats:
+        """Full dump export (main.go:167-174). ``out_path=None`` streams
+        to stdout like the reference with -o omitted (main.go:146-156).
+        ``parallel=True`` formats tables as concurrent Spark jobs (sink
+        commit order still follows the FK topo sort) — the reference
+        cannot do this (exporter.go:72-80 is strictly sequential)."""
+        if out_path is None:
+            return self.export_to(sys.stdout, db_type=db_type, parallel=parallel)
+        with open(out_path, "w") as f:
+            return self.export_to(f, db_type=db_type, parallel=parallel)
 
     def export_parquet(
         self,

@@ -212,3 +212,47 @@ def test_compact_parquet_preserves_hive_partitions(spark, sf_dir, tmp_path):
     # no stale promotion leftovers
     assert not os.path.exists(out + ".compact.tmp")
     assert not os.path.exists(out + ".compact.old")
+
+
+def test_cli_defaults_to_stdout(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """Reference parity: -o omitted writes the dump to STDOUT
+    (cmd/dbmask/main.go:42,146-156)."""
+    from database_anonymiser_minimiser_spark import cli
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: %s}\n"
+        "configuration:\n"
+        "  region: {primary_key: r_regionkey}\n" % sf_dir
+    )
+    # keep the run tiny: restrict the corpus to one table via a symlink dir
+    only = tmp_path / "corpus"
+    only.mkdir()
+    import os
+
+    os.symlink(f"{sf_dir}/region.parquet", only / "region.parquet")
+    cfg.write_text(
+        "connection: {type: parquet, path: %s}\n"
+        "configuration:\n"
+        "  region: {primary_key: r_regionkey}\n" % only
+    )
+    rc = cli.main(["-c", str(cfg)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "INSERT INTO `region`" in out
+    assert out.startswith("-- Database Dump")
+
+
+def test_cli_verbose_flag(spark, sf_dir, tmp_path, capsys):
+    """-v/--verbose parity (main.go:43): progress lines on stderr."""
+    from database_anonymiser_minimiser_spark import cli
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: %s}\n"
+        "configuration: {}\n" % sf_dir
+    )
+    rc = cli.main(["-c", str(cfg), "-v", "--dry-run"])
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "connection: parquet" in err

@@ -1,6 +1,8 @@
-"""JDBC source plumbing at the SQL-string level (no database in this
-environment — SURVEY §5: MySQL/Postgres have no integration tests in the
-reference either; SQLite/parquet is the integration proxy)."""
+"""JDBC source: SQL-string unit tests for MySQL/Postgres (no server in
+this environment — the reference has no MySQL/Postgres integration tests
+either, SURVEY §5) PLUS live end-to-end integration against embedded
+Apache Derby, whose JDBC driver ships inside Spark's own jars: write
+over JDBC -> catalog -> pushdown scan -> full masked export."""
 
 from database_anonymiser_minimiser_spark.config import Connection
 from database_anonymiser_minimiser_spark.sources import jdbc as J
@@ -44,3 +46,101 @@ def test_foreign_keys_sql_shapes():
     assert "referenced_table_name IS NOT NULL" in my
     pg = J.foreign_keys_sql("postgres")
     assert "FOREIGN KEY" in pg and "constraint_column_usage" in pg
+
+
+# ---------------------------------------------------------------------------
+# Live JDBC integration (embedded Derby; driver ships in pyspark's jars)
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def derby(spark, tmp_path_factory):
+    """A live Derby database seeded over JDBC with a users table."""
+    import os
+
+    # derby.log goes wherever user.dir points; keep the repo clean
+    os.environ.setdefault("DERBY_OPTS", "-Dderby.stream.error.field=java.lang.System.err")
+    conn = Connection(type="derby", file=str(tmp_path_factory.mktemp("derby") / "db"))
+    src = J.JdbcSource(spark, conn)
+    df = spark.createDataFrame(
+        [(i, f"Person{i}", f"person{i}@real.example") for i in range(20)],
+        "id int, name string, email string",
+    )
+    src.write(df, "users")
+    return conn
+
+
+def test_derby_jdbc_roundtrip_catalog_and_scan(spark, derby):
+    """S1/S2 execution proof: the same JdbcSource code path MySQL/Postgres
+    use (URL + driver string swapped) runs end-to-end against a live JDBC
+    database — catalog listing, COUNT(*), full scan with value fidelity."""
+    cat = J.JdbcCatalogSource(spark, derby)
+    assert cat.get_tables() == ["users"]
+    assert cat.get_row_count("users") == 20
+    rows = {r["id"]: r["name"] for r in cat.read("users").collect()}
+    assert rows[7] == "Person7"
+    ddl = cat.get_table_schema("users")
+    assert ddl.startswith('CREATE TABLE "users"') and '"email"' in ddl
+
+
+def test_derby_jdbc_filter_pushdown(spark, derby):
+    """The retain-date/theta predicate reaches the DATABASE (reference
+    pushes WHERE into the source SQL, mysql.go:157-161): Spark's JDBC
+    relation must show the filter as pushed (starred = evaluated source-
+    side), not post-scan."""
+    cat = J.JdbcCatalogSource(spark, derby)
+    df = cat.read("users").filter("id >= 15")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan
+    assert "GreaterThanOrEqual(id,15)" in plan  # pushed filter list
+    assert sorted(r["id"] for r in df.collect()) == [15, 16, 17, 18, 19]
+
+
+def test_derby_scan_sql_where_limit(spark, derby):
+    """scan_sql generates the reference's exact per-table physical plan
+    (mysql.go:138-166) and it EXECUTES on a live JDBC database: explicit
+    quoted column list, WHERE pushdown, row limit (Derby's ANSI FETCH
+    FIRST spelling)."""
+    src = J.JdbcSource(spark, derby)
+    sql = J.scan_sql("derby", "users", ["id", "name"], limit=5)
+    got = src.query(sql)
+    assert got.columns == ["id", "name"]
+    assert got.count() == 5
+
+    sql_mysql = J.scan_sql(
+        "mysql", "users", ["id", "name"],
+        date_column="created", after_date="2024-01-15 00:00:00", limit=100,
+    )
+    assert sql_mysql == (
+        "SELECT `id`, `name` FROM `users` "
+        "WHERE `created` > '2024-01-15 00:00:00' LIMIT 100"
+    )
+
+
+def test_derby_engine_masked_export(spark, derby, tmp_path):
+    """The WHOLE pipeline (config -> catalog -> mask -> SQL dump) over a
+    live JDBC source: emails masked, originals absent from the dump."""
+    import io
+
+    from database_anonymiser_minimiser_spark.config import Config, TableConfig
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+    cfg = Config(
+        connection=derby,
+        configuration={
+            "users": TableConfig(
+                columns={"email": "{{faker.email}}", "name": "REDACTED"},
+                primary_key="id",
+            )
+        },
+    )
+    engine = Engine(spark, cfg)
+    out = io.StringIO()
+    stats = engine.export_to(out, db_type="mysql")
+    dump = out.getvalue()
+    assert stats.rows_exported == 20
+    assert "person7@real.example" not in dump  # original PII gone
+    assert "@example.com" in dump  # deterministic masked email
+    assert "'REDACTED'" in dump
