@@ -206,6 +206,63 @@ def _bucket_expr_duck(vec: str, planes: list[list[int]]) -> str:
     return " + ".join(bits)
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    num_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, pure DataFrame ops —
+    returns a (cid int, cv array<double>) centroid DataFrame for
+    ``ann_ivf_topk``.
+
+    Per iteration: broadcast the k centroids, assign every vector to its
+    argmax-cosine centroid (one map-side pass over the corpus — the
+    corpus never shuffles for assignment), then recompute each centroid
+    as the element-wise mean of its members via posexplode ->
+    groupBy(cid, pos) avg -> re-assemble (the mean of k*dim cells is one
+    partial-aggregated shuffle of k*dim rows, not vectors). The k x dim
+    centroid matrix is collected to the driver between iterations (bytes,
+    not data — the same driver-sync every distributed k-means does) so
+    each round broadcasts fresh literals and the lineage stays flat.
+    Empty clusters keep their previous centroid. Deterministic: first-k
+    init by id, cosine ties break on lowest cid."""
+    spark = emb.sparkSession
+    centroids = emb.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).cast("int").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    for _ in range(iters):
+        cos_c = F.expr(_spark_dot(vec_col, "cv")) / (
+            F.expr(_spark_norm(vec_col)) * F.expr(_spark_norm("cv"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
+        assigned = (
+            emb.crossJoin(F.broadcast(centroids))
+            .select(F.col(id_col), F.col(vec_col), F.col("cid"), cos_c.alias("ccos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            assigned.select(
+                "cid", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg("col").alias("v"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+            .select("cid", F.transform("s", lambda x: x["v"]).alias("cv"))
+        )
+        updated = {r["cid"]: list(r["cv"]) for r in means.collect()}
+        merged = [
+            (r["cid"], updated.get(r["cid"], list(r["cv"])))
+            for r in centroids.collect()
+        ]
+        centroids = spark.createDataFrame(merged, "cid int, cv array<double>")
+    return centroids
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -213,21 +270,26 @@ def ann_ivf_topk(
     num_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted lists by nearest
-    centroid; a query scans only its own centroid's list (nprobe=1).
+    centroid; a query scans only its ``nprobe`` nearest centroids' lists.
 
-    Centroids here are the first ``num_centroids`` vectors by id — a
-    deterministic stand-in for k-means (production would train centroids;
-    the *search* plan is identical either way): centroids broadcast, one
-    pass assigns every vector to its nearest centroid (argmax cosine,
-    tie-break lowest centroid id), the probe joins the query's cell only.
-    Work per query: |corpus| / num_centroids on average, vs |corpus| for
-    brute force. Recall loss at cell boundaries is the IVF trade-off
-    (raise nprobe to recover)."""
-    centroids = emb.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-    )
+    ``centroids`` defaults to the first ``num_centroids`` vectors by id —
+    the deterministic stand-in that the cross-engine oracle mirrors; pass
+    ``train_ivf_centroids(emb)`` for k-means-trained cells (better recall
+    on clustered data — asserted in tests/test_similarity.py). The search
+    plan is identical either way: centroids broadcast, one pass assigns
+    every vector to its nearest centroid (argmax cosine, tie-break lowest
+    centroid id), the probe joins the query's cell(s) only. Work per
+    query: nprobe * |corpus| / num_centroids on average, vs |corpus| for
+    brute force. Recall loss at cell boundaries is the IVF trade-off —
+    raise ``nprobe`` to recover it."""
+    if centroids is None:
+        centroids = emb.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
     cos_c = F.expr(_spark_dot(vec_col, "cv")) / (
         F.expr(_spark_norm(vec_col)) * F.expr(_spark_norm("cv"))
     )
@@ -236,12 +298,14 @@ def ann_ivf_topk(
         F.col("cid"), cos_c.alias("ccos"),
     )
     w_assign = Window.partitionBy("nid").orderBy(F.col("ccos").desc(), F.col("cid"))
-    assigned = (
-        scored.select("nid", "nv", "cid", F.row_number().over(w_assign).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    ranked_cells = scored.select(
+        "nid", "nv", "cid", F.row_number().over(w_assign).alias("rn")
     )
-    queries = assigned.filter(F.col("nid").isin(query_ids)).select(
+    assigned = ranked_cells.filter(F.col("rn") == 1).drop("rn")
+    # queries probe their top-nprobe cells (nprobe=1 == their own cell)
+    queries = ranked_cells.filter(
+        F.col("nid").isin(query_ids) & (F.col("rn") <= nprobe)
+    ).select(
         F.col("nid").alias("query_id"), F.col("nv").alias("qv"),
         F.col("cid").alias("qcid"),
     )

@@ -55,3 +55,38 @@ def test_realistic_generator_in_mapping(spark):
              C.build_mapping([(t, "name")],
                              generator=realistic_column("email", "original")).collect()}
     assert rows == again
+
+
+def test_shuffle_join_fallback_no_broadcast_no_collect(spark, sf_dir):
+    """Cardinality guard (SURVEY §7.3): when the mapping is too big to
+    broadcast, broadcast=False must produce a plan with NO broadcast of
+    the mapping side and NO driver collect — a shuffle join (SMJ or AQE's
+    shuffled-hash) that scales to any distinct count — and identical
+    results to the broadcast plan."""
+    from database_anonymiser_minimiser_spark.operators.consistency import (
+        apply_mapping,
+        build_mapping,
+    )
+    from database_anonymiser_minimiser_spark.queries import load
+
+    # push the auto-broadcast threshold to zero so even a small mapping
+    # exercises the genuine shuffle path the flag is for
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cust = load(spark, sf_dir, "customer")
+        mapping = build_mapping([(cust, "c_name")])
+        out = apply_mapping(cust, "c_name", mapping, broadcast=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+        got = {r["c_custkey"]: r["c_name"] for r in out.collect()}
+        want = {
+            r["c_custkey"]: r["c_name"]
+            for r in apply_mapping(cust, "c_name", mapping, broadcast=True).collect()
+        }
+        assert got == want
+        assert all(v is None or v.endswith("@example.com") for v in got.values())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

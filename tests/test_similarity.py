@@ -98,3 +98,59 @@ def test_ann_lsh_agrees_with_brute_force_in_bucket(spark, emb_df):
 def test_hyperplanes_deterministic():
     assert S._hyperplanes(4, 8) == S._hyperplanes(4, 8)
     assert all(x in (-1, 1) for row in S._hyperplanes(4, 8) for x in row)
+
+
+def test_ivf_trained_centroids_recall(spark, sf_dir):
+    """k-means-trained IVF must reach a recall@k floor against exact
+    brute force, and nprobe=2 must not lose recall vs nprobe=1 (probing
+    more cells only adds candidates)."""
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        ann_ivf_topk,
+        topk_cosine,
+        train_ivf_centroids,
+    )
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [3, 57, 111, 230, 389]
+    k = 5
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_cosine(emb, qids, k=k).collect()
+    }
+    cents = train_ivf_centroids(emb, num_centroids=8, iters=3)
+    assert cents.count() == 8
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_ivf_topk(
+                emb, qids, k=k, centroids=cents, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1  # more probes never hurt
+    assert r2 >= 0.5, f"trained IVF recall@{k} too low: {r2}"
+
+
+def test_ivf_kmeans_moves_centroids(spark, sf_dir):
+    """Training must actually iterate: trained centroids differ from the
+    first-k init (the corpus is not centered on its first 8 vectors)."""
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    init = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter("vec_id < 8").collect()
+    }
+    trained = {r["cid"]: list(r["cv"]) for r in train_ivf_centroids(emb, 8, 2).collect()}
+    moved = sum(
+        1 for cid in trained if [float(x) for x in init[cid]] != trained[cid]
+    )
+    assert moved >= 6  # nearly all centroids move off their init vector
