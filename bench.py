@@ -94,6 +94,7 @@ HEADLINE = [
     "window_running_totals",
     "setop_union_intersect_except",
     "semi_join_orders_with_big_items",
+    "corpus_curation_pipeline",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -41,6 +41,24 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def quality_score_column(text: Column) -> Column:
+    """The combined quality score as a single Column (exact integer
+    intermediates, final double arithmetic — bit-identical cross-engine).
+    Shared by ``quality_score`` and the composed curation pipeline."""
+    toks = tokens_column(text)
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS]))
+    ).cast("long")
+    return (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + (alpha_chars.cast("double") / n_chars) * F.lit(0.4)
+        + (stop_hits.cast("double") / F.lit(len(STOPWORDS))) * F.lit(0.2)
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic document quality: length, mean token length, alpha ratio,
     stopword hit ratio — combined into one double score.

@@ -1460,14 +1460,26 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: agg-then-filter (HAVING) feeding a dim join —
-    the aggregation prunes before the join touches customer."""
+    """TPC-H Q18 shape: agg-then-filter (HAVING) feeding joins.
+
+    The HAVING predicate only involves the lineitem sum, and o_orderkey
+    is unique in orders — so aggregate lineitem ALONE first (one shuffle
+    of the big fact, partial-aggregated map-side), filter to the few
+    qualifying orders, and only then join orders/customer, both against a
+    result thousands of times smaller than the raw join. The naive
+    orders|x|lineitem-then-aggregate plan shuffles BOTH facts; this one
+    shuffles only lineitem for the agg, whose output is ALREADY
+    hash-partitioned on the join key, so the orders join reuses that
+    partitioning (and AQE broadcasts it instead when the HAVING
+    survivors turn out tiny at runtime — no hint, since at 100 TB they
+    may not be).
+    Same rows, provably: grouping the join by (o_custkey, o_orderkey)
+    equals grouping lineitem by l_orderkey then attaching o_custkey."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     cust = load(spark, sf_dir, "customer")
     big = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_custkey", "o_orderkey")
+        li.groupBy("l_orderkey")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
@@ -1475,9 +1487,13 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_qty") > 150)
     )
-    return big.join(F.broadcast(cust), big.o_custkey == cust.c_custkey).select(
-        "c_custkey", "c_name", "o_orderkey",
-        F.col("total_qty").cast("string").cast("double").alias("total_qty"),
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("total_qty").cast("string").cast("double").alias("total_qty"),
+        )
     )
 
 
@@ -2246,6 +2262,83 @@ def q_consistency_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry_df(spark: SparkSession) -> DataFrame:
     """Flagship: the full anonymise pipeline over sf0.001 customer."""
     return q_anonymise_customer_full(spark, "/root/testdata/sf0.001")
+
+
+# ===========================================================================
+# Composed curation pipeline: the end-to-end training-data-prep shape
+# ===========================================================================
+
+
+@register(
+    "corpus_curation_pipeline",
+    """
+    WITH enriched AS (
+      SELECT doc_id, lang,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.4
+          + (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+             / length(text)) * 0.4
+          + (CAST(len(list_intersect(list_distinct(regexp_split_to_array(
+                lower(trim(text)), '\\s+')),
+                ['the','and','of','to','in','is','that','for'])) AS DOUBLE) / 8) * 0.2
+          AS q,
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS fp
+      FROM documents),
+    filtered AS (SELECT * FROM enriched WHERE q >= 0.5),
+    kept AS (
+      SELECT fp, min(doc_id) AS keep_id,
+        arg_min(lang, doc_id) AS lang,
+        arg_min(n_tokens, doc_id) AS n_tokens,
+        arg_min(q, doc_id) AS q
+      FROM filtered GROUP BY fp)
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      min(q) AS min_quality,
+      max(q) AS max_quality
+    FROM kept GROUP BY lang
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data-prep pipeline as ONE optimized plan:
+    quality-score -> filter -> exact near-dup collapse (normalised-text
+    key, keep lowest doc_id) -> per-language corpus budget (doc + token
+    counts, quality range).
+
+    This is what a 100 TB curation job actually runs — and why engine
+    composition matters: one scan computes score+fingerprint+tokens in a
+    single whole-stage-codegen projection, the quality filter prunes
+    BEFORE the dedup shuffle, and the per-language rollup aggregates the
+    already-collapsed survivors (second shuffle is over unique docs
+    only). All aggregates are exact ints or order-independent min/max —
+    no float summation, so the oracle matches bitwise. Every stage is an
+    operator this engine already exposes (textstats.quality_score_column,
+    dedup-by-key, groupBy rollup); the pipeline is their composition, not
+    new code paths."""
+    from .operators.textstats import quality_score_column
+
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(text), r"\s+")).cast("long").alias("n_tokens"),
+        quality_score_column(text).alias("q"),
+        F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ").alias("fp"),
+    )
+    filtered = enriched.filter(F.col("q") >= 0.5)
+    kept = filtered.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("q", "doc_id").alias("q"),
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+    )
 
 
 # ===========================================================================
