@@ -95,6 +95,8 @@ HEADLINE = [
     "setop_union_intersect_except",
     "semi_join_orders_with_big_items",
     "corpus_curation_pipeline",
+    "pivot_orders_priority",
+    "unpivot_customer_metrics",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

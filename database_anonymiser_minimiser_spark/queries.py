@@ -2265,6 +2265,75 @@ def entry_df(spark: SparkSession) -> DataFrame:
 
 
 # ===========================================================================
+# Pivot / unpivot (wide <-> long reshaping)
+# ===========================================================================
+
+
+@register(
+    "pivot_orders_priority",
+    """
+    SELECT o_orderstatus,
+      CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+      CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+      CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium,
+      CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_notspec,
+      CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts by status x priority via
+    ``.pivot()`` with an EXPLICIT value list — the at-scale form. Without
+    the list Spark runs an extra distinct-collect job over 100 TB just to
+    learn the column set (and the output schema becomes data-dependent —
+    a moving target for every downstream consumer). With it, the pivot
+    compiles to one pass of conditional aggregates: same plan as the
+    FILTER form in the oracle, one shuffle on the group key."""
+    o = load(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "n_urgent", "2-HIGH": "n_high", "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_notspec", "5-LOW": "n_low",
+    }
+    return pivoted.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{old}`"), F.lit(0)).cast("long").alias(new)
+            for old, new in renames.items()
+        ],
+    )
+
+
+@register(
+    "unpivot_customer_metrics",
+    """
+    SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    """,
+)
+def q_unpivot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, melt): numeric columns to (key, metric,
+    value) rows via the native ``unpivot`` — a zero-shuffle narrow op
+    (each row expands in place; no exchange, unlike the UNION ALL oracle
+    form which re-scans the table per metric)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+# ===========================================================================
 # Composed curation pipeline: the end-to-end training-data-prep shape
 # ===========================================================================
 

@@ -157,3 +157,26 @@ def test_q10_topk_and_dimension_broadcasts(spark, sf):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters" in plan and "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """q18 must aggregate lineitem BELOW the orders join (one fact
+    shuffle); the naive join-then-aggregate shape shuffles both facts."""
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    df = Q.QUERIES["q18_large_volume_customers"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos, join_pos = plan.find("Aggregate"), plan.find("Join")
+    assert join_pos != -1 and agg_pos != -1
+    assert agg_pos > join_pos, "lineitem aggregate must sit under the join"
+
+
+def test_corpus_curation_two_shuffles(spark, sf_dir):
+    """The composed curation pipeline has exactly its two semantic
+    shuffles (dedup groupBy + per-lang rollup) — score/fingerprint/filter
+    all fuse into the scan stage."""
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    df = Q.QUERIES["corpus_curation_pipeline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
