@@ -97,6 +97,11 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "pivot_orders_priority",
     "unpivot_customer_metrics",
+    "q4_order_priority_check",
+    "q13_customer_order_distribution",
+    "q22_global_sales_opportunity",
+    "streaming_dedup_events",
+    "contamination_check",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -2264,6 +2264,134 @@ def entry_df(spark: SparkSession) -> DataFrame:
     return q_anonymise_customer_full(spark, "/root/testdata/sf0.001")
 
 
+@register(
+    "q4_order_priority_check",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery -> LEFT SEMI join
+    (Catalyst's decorrelation target, written directly): orders in a date
+    window having at least one line shipped after the order date. The
+    semi join never materialises lineitem columns and short-circuits per
+    key; the date filter pushes into the orders scan. One shuffle on the
+    join key, tiny grouped count after."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def q13_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join histogram — customers by how many
+    orders they have, INCLUDING zero (the left outer join keeps
+    order-less customers; count(o_orderkey) ignores the null row). Two
+    shuffles by nature: per-customer count, then the tiny distribution.
+    At scale the first groupBy rides the join's partitioning on
+    c_custkey (no extra exchange — Catalyst reuses it)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                  AS VARCHAR) AS DOUBLE) / count(*) AS v
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey,
+      CAST(count(*) AS BIGINT) AS numcust,
+      CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS VARCHAR) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT v FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global threshold) +
+    NOT EXISTS -> LEFT ANTI join. The threshold is ONE number — computed
+    once and broadcast into the filter (cross join of a 1-row aggregate,
+    not a per-row subquery); order-less rich customers survive the anti
+    join; decimal-exact sums surface as double. Anti join shuffles on
+    the key; at 100 TB the orders side can pre-project to the bare key
+    column (done here) so the shuffle moves 8 bytes/row."""
+    c = load(spark, sf_dir, "customer")
+    o_keys = load(spark, sf_dir, "orders").select("o_custkey")
+    dec_sum = (
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .cast("double")
+    )
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((dec_sum / F.count(F.lit(1))).alias("v"))
+    )
+    rich = (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .drop("v")
+    )
+    no_orders = rich.join(o_keys, rich.c_custkey == o_keys.o_custkey, "left_anti")
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        dec_sum.alias("totacctbal"),
+    )
+
+
+@register(
+    "streaming_dedup_events",
+    "SELECT event_id, user_id, event_type FROM events",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) over the
+    corpus fed TWICE: one survivor per event_id, watermark-bounded state.
+    The oracle is the plain single-copy projection — streaming dedup of a
+    doubled bounded input must reproduce it exactly."""
+    from .streaming.events import run_streaming_dedup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_streaming_dedup(spark, sf_dir)
+
+
 # ===========================================================================
 # Pivot / unpivot (wide <-> long reshaping)
 # ===========================================================================
@@ -2407,6 +2535,60 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.min("q").alias("min_quality"),
         F.max("q").alias("max_quality"),
+    )
+
+
+@register(
+    "contamination_check",
+    """
+    WITH fp AS (
+      SELECT doc_id, lang,
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS fp,
+        CAST(substr(translate(md5(text), 'abcdef', '012345'), 1, 6) AS BIGINT)
+          % 20 = 0 AS is_benchmark
+      FROM documents),
+    bench AS (SELECT DISTINCT fp FROM fp WHERE is_benchmark),
+    corpus AS (SELECT * FROM fp WHERE NOT is_benchmark)
+    SELECT c.lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(*) FILTER (b.fp IS NOT NULL) AS BIGINT) AS n_contaminated
+    FROM corpus c LEFT JOIN bench b ON c.fp = b.fp
+    GROUP BY c.lang
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: how many training documents
+    textually collide with a held-out benchmark set (normalised-text
+    fingerprint match) — the train/test-overlap audit every large corpus
+    needs before training. The benchmark side here is a deterministic
+    hash-sampled subset of the same corpus so the oracle is
+    self-contained; in production it is the eval suites.
+
+    Scale shape: benchmarks are tiny (thousands of prompts) -> distinct
+    fingerprints BROADCAST; the 100 TB corpus side streams map-side with
+    zero shuffle before the per-language rollup. The sample key uses the
+    engine-stable md5-digit scheme (sample_hash_10pct) — engine-native
+    hash() would diverge between Spark and DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    samp = F.expr(
+        "CAST(substr(translate(md5(CAST(text AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 20"
+    )
+    fp_df = docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("fp"),
+        (samp == 0).alias("is_benchmark"),
+    )
+    bench = fp_df.filter("is_benchmark").select("fp").distinct()
+    corpus = fp_df.filter(~F.col("is_benchmark"))
+    joined = corpus.join(
+        F.broadcast(bench.withColumnRenamed("fp", "bfp")),
+        corpus.fp == F.col("bfp"),
+        "left",
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("bfp").cast("long").alias("n_contaminated"),
     )
 
 

@@ -149,6 +149,51 @@ def run_streaming_anonymise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str = "event_id",
+    lateness: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keeps one
+    row per key while the watermark bounds the dedup state — keys older
+    than (max event time - lateness) are evicted, so state stays finite
+    on an unbounded stream. This is the in-flight training-data dedup
+    shape: duplicates arriving within the lateness window are dropped at
+    ingestion, instead of a post-hoc batch dedup over the landed 100 TB.
+    The input here is the corpus stream fed TWICE (two files in the
+    source dir), so every key genuinely arrives duplicated."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    ns_cols = _nanos_timestamp_columns(Path(path))
+    stream_dir = tempfile.mkdtemp(prefix="dbmask_stream_dup_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "a.parquet"))
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "b.parquet"))
+    ev = convert_ns_columns(
+        spark.readStream.schema(schema).parquet(stream_dir), ns_cols
+    )
+    deduped = (
+        ev.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark([key])
+        .select(key, "user_id", "event_type")
+    )
+    name = f"dedupstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_streaming_sessions(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:

@@ -43,3 +43,18 @@ def test_streaming_sessions_run(spark, sf_dir):
     assert rows
     assert {"user_id", "session_start", "n_events"} == set(res.columns)
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a doubled stream: every event
+    arrives twice, exactly one copy survives — streaming dedup equals the
+    batch distinct count, with watermark-bounded state."""
+    from database_anonymiser_minimiser_spark.queries import load
+    from database_anonymiser_minimiser_spark.streaming.events import (
+        run_streaming_dedup,
+    )
+
+    got = run_streaming_dedup(spark, sf_dir)
+    batch_distinct = load(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got.count() == batch_distinct
+    assert got.select("event_id").distinct().count() == batch_distinct
