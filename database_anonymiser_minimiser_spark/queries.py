@@ -2593,6 +2593,419 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Remaining TPC-H shapes (q2/q7/q8/q9/q11/q15/q16). The corpus has no
+# partsupp table and lineitem lacks commit/receipt dates (TESTDATA.md), so
+# q2/q9/q11/q16 are adapted: the supplier-of-a-part relation is recovered
+# as SELECT DISTINCT (l_partkey, l_suppkey) FROM lineitem, and supply-cost
+# terms use s_acctbal / revenue stand-ins. The SHAPES — correlated min
+# subquery, two-sided nation pairing, market share, scalar-threshold
+# having, top-supplier scalar max — are preserved; q21 (commit/receipt
+# date self-joins) is not expressible over this corpus and is omitted.
+# ===========================================================================
+
+_DEC_REV_SQL = (
+    "CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))"
+    " AS VARCHAR) AS DOUBLE)"
+)
+
+
+def _dec_revenue() -> F.Column:
+    """sum(extendedprice*(1-discount)) — decimal-exact (order-independent),
+    surfaced as double via the string-cast trick (queries.py header)."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("decimal(38,4)")
+        .cast("string")
+        .cast("double")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {_DEC_REV_SQL} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship year. Both dimension sides are pre-filtered to the two nations
+    BEFORE any join touches the fact tables — the supplier side shrinks
+    lineitem by ~2/25 map-side via a broadcast join, so the only big
+    shuffle left is lineitem |x| orders on orderkey. customer is likewise
+    nation-filtered then broadcast; at extreme scale (customer ~ SF*150k)
+    AQE demotes that to a shuffled join on o_custkey — the plan stays
+    valid, just with one more exchange. The (n1,n2)|(n2,n1) disjunction
+    is applied after both nation names are attached, exactly as the
+    reference formulation."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    nations = ("NATION_1", "NATION_2")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
+            | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_dec_revenue().alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+      CAST(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                 THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END)
+           AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+      / CAST(CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+        AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of EUROPE's PROMO-part market by
+    order year. Numerator and denominator are each decimal-exact sums
+    surfaced as doubles; the share is ONE double division (bit-identical
+    across engines — never divide decimals, their rounding rules differ).
+    Selective dimensions (part filtered to 1/6 of types, EUROPE
+    customers) broadcast and prune the fact scan before the single
+    lineitem |x| orders shuffle; the conditional numerator is a map-side
+    CASE, not a second aggregation pass."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    vol = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("volume")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"), vol, "supp_nation"
+        )
+    )
+    to_dbl = lambda col: col.cast("decimal(38,4)").cast("string").cast("double")
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (to_dbl(num) / to_dbl(F.sum("volume"))).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    f"""
+    SELECT nation, o_year, {_DEC_REV_SQL} AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'widget' parts by supplier nation and
+    order year. Adapted: the corpus has no partsupp, so profit omits the
+    ps_supplycost*quantity term (revenue stand-in) — the plan shape
+    (LIKE-filtered part dimension driving a two-fact join, nation/year
+    rollup) is the Q9 shape. The LIKE filter broadcasts a shrunken part
+    dim; lineitem |x| orders is the one big shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load(spark, sf_dir, "nation")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(_dec_revenue().alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4))
+               AS vdec
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 3
+      GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(CAST(CAST(sum(vdec) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+        AS total FROM pv
+    )
+    SELECT p_partkey, CAST(CAST(vdec AS VARCHAR) AS DOUBLE) AS value
+    FROM pv, tot
+    WHERE CAST(CAST(vdec AS VARCHAR) AS DOUBLE) > total * 0.001
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose EUROPE-supplied inventory value
+    exceeds a fraction of the global total (scalar-subquery HAVING).
+    Adapted: value = extendedprice*quantity over lineitem (no partsupp).
+
+    Scale shape: ONE scan + ONE shuffle builds the per-part values,
+    which are persisted (MEMORY_AND_DISK) because the plan is a diamond
+    — the global total re-aggregates FROM THE PERSISTED PARTIALS (a
+    few-million-row pass, not a second 100 TB scan) and broadcasts back
+    as a 1-row cross join. Both sums stay decimal-exact end-to-end; the
+    threshold comparison happens in double on both engines after the
+    identical decimal→string→double surface."""
+    from pyspark import StorageLevel
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_quantity"))
+            .cast("decimal(38,4)")
+            .alias("vdec")
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tot = pv.agg(
+        F.sum("vdec").cast("decimal(38,6)").cast("string").cast("double").alias("total")
+    )
+    vdbl = F.col("vdec").cast("string").cast("double")
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(vdbl > F.col("total") * 0.001)
+        .select("p_partkey", vdbl.alias("value"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_DEC_REV_SQL} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter (scalar-max subquery against a derived view). The revenue
+    aggregation runs once; the max re-aggregates the per-supplier
+    partials (tiny exchange) and broadcasts back as a 1-row filter —
+    never a global sort, and ties all surface (reference semantics).
+    The max/equality comparison runs on the identical decimal→string→
+    double surface on both engines, so equality is bit-exact."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(_dec_revenue().alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can serve each qualifying
+    (brand, type, size) — with an excluded-supplier NOT IN. Adapted: the
+    part-supplier relation is DISTINCT (l_partkey, l_suppkey) from
+    lineitem (no partsupp), and the complaint-supplier stand-in is
+    negative account balance. The NOT IN compiles to a broadcast
+    LEFT ANTI join (the excluded set is small by construction); the
+    distinct-pairs shuffle is keyed on the pair so the later per-group
+    COUNT(DISTINCT) expands no further than the pair set."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 2, 3, 4, 5, 10, 15, 20)
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name,
+             CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY s_acctbal, s_suppkey) AS rn
+      FROM ps
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type = 'SMALL' AND p_size <= 10 AND n_regionkey = 3
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+    FROM cand WHERE rn = 1
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying SMALL part, the single best
+    EUROPE supplier serving it — the correlated-min-subquery shape,
+    realised as a row_number window per part (min s_acctbal stands in
+    for min ps_supplycost; deterministic s_suppkey tie-break). The
+    window partitions on p_partkey — high cardinality, so the rank is
+    one well-spread shuffle, never a global sort. Dimension sides
+    (filtered part, region-filtered supplier) broadcast into the
+    distinct part-supplier pair set."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Definition order above is thematic; this block
 # re-inserts the highest-value, oracle-keyed coverage set into the window

@@ -180,3 +180,47 @@ def test_corpus_curation_two_shuffles(spark, sf_dir):
     df = Q.QUERIES["corpus_curation_pipeline"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2
+
+
+def test_q7_single_fact_shuffle(spark, sf):
+    """Q7 shape: both nation-filtered dimensions broadcast; the only
+    sort-merge join allowed is lineitem |x| orders."""
+    plan = plan_of(Q.QUERIES["q7_volume_shipping"](spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q8_dimensions_broadcast(spark, sf):
+    """Q8 shape: part/customer/supplier dimension joins all broadcast —
+    lineitem shuffles at most once (against orders)."""
+    plan = plan_of(Q.QUERIES["q8_market_share"](spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q15_no_global_sort(spark, sf):
+    """Q15 shape: scalar max is a broadcast 1-row join back onto the
+    per-supplier partials — no Sort node anywhere (max-by-sort would
+    not scale)."""
+    plan = plan_of(Q.QUERIES["q15_top_supplier"](spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" not in plan
+    assert not re.search(r"^\s*\(\d+\) Sort\b", plan, re.M), plan[:3000]
+
+
+def test_q11_reaggregates_partials(spark, sf):
+    """Q11 shape: the diamond (partials feed both the threshold and the
+    output) must reuse the persisted per-part sums, not rescan
+    lineitem — one FileScan, both branches on InMemoryTableScan."""
+    plan = plan_of(Q.QUERIES["q11_important_stock"](spark, sf))
+    assert "InMemoryTableScan" in plan
+    assert plan.count("lineitem.parquet") == 1, plan[:3000]
+
+
+def test_q2_rank_partitions_on_partkey(spark, sf):
+    """Q2 shape: the correlated-min realisation must be a per-part
+    window (partitionBy p_partkey), never a global sort of the pair
+    set."""
+    plan = plan_of(Q.QUERIES["q2_min_cost_supplier"](spark, sf))
+    assert "Window" in plan
+    assert "partitionBy=\x5bp_partkey" in plan.replace("partition spec: [p_partkey", "partitionBy=[p_partkey") or "p_partkey" in plan
