@@ -45,6 +45,13 @@ HEADLINE = [
     "q19_discounted_revenue",
     "q10_returned_item_revenue",
     "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
     "zscore_events_exact",
     "ann_ivf_topk",
     "window_top_orders_per_customer",
@@ -63,6 +70,10 @@ HEADLINE = [
     "text_fingerprint",
     "text_quality_score",
     "text_language_id",
+    "text_repetition_quality",
+    "doc_chunks_128_64",
+    "corpus_vocab_top100",
+    "tfdf_top_terms",
     "multimodal_features",
     "multimodal_frame_sample",
     "realistic_mask_profile",

@@ -164,3 +164,58 @@ def duck_language_id_sql(table: str = "documents") -> str:
         f"SELECT doc_id, {', '.join('score_' + l for l in langs)}, {case} AS predicted_lang "
         f"FROM (SELECT doc_id, {', '.join(score_exprs)} FROM {table}) s"
     )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality gates: duplicate-word fraction and
+    top-word fraction per document, plus the keep/drop verdict
+    (dup < 0.3 AND top < 0.2 — the published Gopher rule thresholds for
+    word-level repetition).
+
+    Shape: explode words -> (doc, word) count -> per-doc rollup. Both
+    aggregations partial-aggregate map-side; the (doc, word) key is high-
+    cardinality and naturally well-spread, so at 100 TB this is two
+    balanced shuffles with no skew hotspot (a repeated word only
+    concentrates within its document's partition share). All metrics are
+    integer counts surfaced through SINGLE double divisions — exact
+    cross-engine."""
+    words = df.select(
+        F.col(id_col), F.explode(tokens_column(F.col(text_col))).alias("word")
+    )
+    wc = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c"))
+    m = wc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    dup = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")
+    top = F.col("max_c").cast("double") / F.col("n_words")
+    return m.select(
+        id_col,
+        "n_words",
+        dup.alias("dup_word_frac"),
+        top.alias("top_word_frac"),
+        ((dup < 0.3) & (top < 0.2)).alias("keep"),
+    )
+
+
+def duck_repetition_sql(table: str = "documents") -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM {table}),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+    m AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+                 max(c) AS max_c
+          FROM wc GROUP BY doc_id)
+    SELECT doc_id,
+      CAST(n_words AS BIGINT) AS n_words,
+      1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+      CAST(max_c AS DOUBLE) / n_words AS top_word_frac,
+      (1.0 - CAST(n_distinct AS DOUBLE) / n_words) < 0.3
+        AND CAST(max_c AS DOUBLE) / n_words < 0.2 AS keep
+    FROM m
+    """

@@ -1769,6 +1769,111 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts_ops.quality_score(load(spark, sf_dir, "documents"))
 
 
+@register("text_repetition_quality", _ts_ops.duck_repetition_sql())
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition gates (operators/textstats.py:
+    repetition_metrics) — dup-word / top-word fractions + keep verdict."""
+    return _ts_ops.repetition_metrics(load(spark, sf_dir, "documents"))
+
+
+def _register_chunking() -> None:
+    from .operators.chunking import chunk_tokens, duck_chunk_sql
+
+    @register("doc_chunks_128_64", duck_chunk_sql(size=128, stride=64))
+    def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Token-window chunking (operators/chunking.py): 128-token
+        windows every 64 tokens — narrow per-row expansion, zero
+        shuffle, rides the scan stage."""
+        return chunk_tokens(load(spark, sf_dir, "documents"), size=128, stride=64)
+
+
+_register_chunking()
+
+
+@register(
+    "corpus_vocab_top100",
+    """
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+          FROM documents)
+    GROUP BY word ORDER BY freq DESC, word LIMIT 100
+    """,
+)
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (tokenizer-vocab seeding / frequency
+    audit): explode words -> count -> top-100. The count partial-
+    aggregates map-side (the shuffle carries one row per distinct word
+    per partition, not one per token) and the LIMIT rides
+    TakeOrderedAndProject — per-partition top-100 then a 100-row merge,
+    never a global sort of the vocabulary. Tie-broken by word for a
+    deterministic oracle."""
+    docs = load(spark, sf_dir, "documents")
+    from .operators.textstats import tokens_column
+
+    return (
+        docs.select(F.explode(tokens_column(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(100)
+    )
+
+
+@register(
+    "tfdf_top_terms",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    scored AS (
+      SELECT doc_id, tf.word AS word, tf, df,
+             CAST(tf AS DOUBLE) / df AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY CAST(tf AS DOUBLE) / df DESC, tf.word)
+               AS rn
+      FROM tf JOIN dfreq USING (word))
+    SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score
+    FROM scored WHERE rn <= 3
+    """,
+)
+def q_tfdf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per document: tf/df scoring (the idf-proxy
+    tf * N/df, monotone in the rational part — a SINGLE double division,
+    so exact cross-engine; ln-based idf would diverge by 1 ulp between
+    libm and the JVM). Shape: per-doc term counts (one shuffle on
+    (doc, word)), document frequencies re-aggregated FROM those counts
+    (vocabulary-sized, not corpus-sized), joined back on word, then a
+    per-doc row_number window keeps the top 3. The word join is AQE-
+    planned (vocab side broadcast when it fits); the window partitions
+    on doc_id — high cardinality, no hotspot."""
+    from .operators.textstats import tokens_column
+
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(tokens_column(F.col("text"))).alias("word")
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    win = Window.partitionBy("doc_id").orderBy(F.desc(score), "word")
+    return (
+        tf.join(dfreq, "word")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            score.alias("score"),
+        )
+    )
+
+
 @register("text_language_id", _ts_ops.duck_language_id_sql())
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts_ops.language_id(load(spark, sf_dir, "documents"))
