@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "ann_topk_cosine",
     "ann_lsh_topk",
+    "ann_int8_topk",
     "embedding_neardup",
     "text_token_count",
     "text_fingerprint",

@@ -1949,6 +1949,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_lsh_topk(load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5)
 
 
+@register("ann_int8_topk", _sim.duck_ann_int8_sql(_QUERY_VEC_IDS, k=5))
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized ANN + exact rerank (operators/similarity.py:
+    ann_int8_topk): 4x-smaller scan domain, BIGINT-exact candidate
+    scoring, float rerank of k*refine survivors only."""
+    return _sim.ann_int8_topk(load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5)
+
+
 @register("ann_ivf_topk", _sim.duck_ann_ivf_sql(_QUERY_VEC_IDS, k=5))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN (nprobe=1): assignment + probe both

@@ -154,3 +154,27 @@ def test_ivf_kmeans_moves_centroids(spark, sf_dir):
         1 for cid in trained if [float(x) for x in init[cid]] != trained[cid]
     )
     assert moved >= 6  # nearly all centroids move off their init vector
+
+
+def test_ann_int8_recall_vs_brute_force(spark, sf_dir):
+    """int8 quantize + rerank must recover nearly all true neighbors:
+    with refine=4 the candidate pool is wide enough that quantization
+    error (<1% per component) rarely evicts a true top-5 neighbor."""
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        ann_int8_topk,
+        topk_cosine,
+    )
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [3, 57, 111, 230, 389]
+    k = 5
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_cosine(emb, qids, k=k).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_int8_topk(emb, qids, k=k, refine=4).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
