@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 
 from .parquet import read_parquet_table
 
-_FORMATS = (".parquet", ".csv", ".json", ".jsonl", ".ndjson")
+_FORMATS = (".parquet", ".orc", ".csv", ".json", ".jsonl", ".ndjson")
 
 
 def read_table(
@@ -36,6 +36,13 @@ def read_table(
     suffix = p.suffix.lower()
     if suffix == ".parquet" or (p.is_dir() and any(p.glob("*.parquet"))):
         return read_parquet_table(spark, p)
+    if suffix == ".orc":
+        # ORC scans share parquet's pushdown/pruning machinery (columnar,
+        # predicate pushdown, vectorised reader) — same scale profile
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.orc(str(p))
     if suffix == ".csv":
         r = spark.read.option("header", "true")
         r = r.schema(schema) if schema is not None else r.option("inferSchema", "true")
@@ -55,6 +62,8 @@ def write_table(df: DataFrame, path: str | Path, mode: str = "overwrite") -> Non
     w = df.write.mode(mode)
     if suffix == ".parquet":
         w.parquet(str(p))
+    elif suffix == ".orc":
+        w.orc(str(p))
     elif suffix == ".csv":
         w.option("header", "true").csv(str(p))
     elif suffix in (".json", ".jsonl", ".ndjson"):

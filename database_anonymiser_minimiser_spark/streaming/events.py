@@ -220,3 +220,61 @@ def run_streaming_sessions(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_export(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    db_type: str = "sqlite",
+) -> int:
+    """Incremental anonymised SQL-dump export — the reference's flagship
+    batch pipeline (config -> mask -> INSERT dump) run CONTINUOUSLY over
+    a stream: each micro-batch is masked in flight and appended to the
+    dump as multi-row INSERTs via foreachBatch. At scale this is the
+    ingestion-time export: new files landing in the source directory
+    become dump increments without re-scanning landed data, and the
+    per-batch INSERT formatting is the same distributed JVM path as the
+    batch sink (dump.insert_statements). foreachBatch runs sequentially
+    per trigger, so appends never interleave. Returns rows exported."""
+    from ..dump import footer_text, header_text, insert_statements, quote_ident
+    from ..functions.faker_deterministic import FAKER_FUNCTIONS
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir)
+    masked = ev.select(
+        "event_id",
+        F.expr(FAKER_FUNCTIONS["number"].sql("spark", "user_id")).alias(
+            "pseudo_user"
+        ),
+        "event_type",
+    )
+    cols = ", ".join(
+        f"{quote_ident(db_type, c)} TEXT" if c != "event_id"
+        else f"{quote_ident(db_type, c)} INTEGER"
+        for c in masked.columns
+    )
+    with open(out_path, "w") as fh:
+        fh.write(header_text(db_type))
+        fh.write(f"CREATE TABLE {quote_ident(db_type, 'events')} ({cols});\n")
+
+    total = {"rows": 0}
+
+    def sink(batch_df, epoch_id: int) -> None:
+        total["rows"] += batch_df.count()
+        stmts = insert_statements(
+            batch_df, "events", order_by="event_id", db_type=db_type
+        )
+        with open(out_path, "a") as fh:
+            for row in stmts.toLocalIterator():
+                fh.write(row["stmt"] + "\n")
+
+    q = (
+        masked.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(out_path, "a") as fh:
+        fh.write(footer_text(db_type))
+    return total["rows"]

@@ -16,11 +16,11 @@ def source_df(spark, sf_dir):
     return load(spark, sf_dir, "customer").limit(50)
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_round_trip(spark, source_df, tmp_path_factory, fmt):
     out = tmp_path_factory.mktemp("fmt") / f"customer.{fmt}"
     FS.write_table(source_df, out)
-    back = FS.read_table(spark, out, schema=source_df.schema if fmt != "parquet" else None)
+    back = FS.read_table(spark, out, schema=source_df.schema if fmt not in ("parquet", "orc") else None)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, source_df.collect()))
 
 
@@ -45,3 +45,15 @@ def test_operators_compose_over_csv(spark, source_df, tmp_path):
 def test_unknown_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported table format"):
         FS.read_table(spark, tmp_path / "t.avro")
+
+
+def test_orc_predicate_pushdown(spark, source_df, tmp_path):
+    """ORC scans must push filters like parquet does — same PushedFilters
+    contract the engine relies on for scale."""
+    out = tmp_path / "c.orc"
+    FS.write_table(source_df, out)
+    df = FS.read_table(spark, out).filter(F.col("c_custkey") > 25)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "GreaterThan(c_custkey,25)" in plan, plan[:1500]
