@@ -107,6 +107,9 @@ HEADLINE = [
     "setop_union_intersect_except",
     "semi_join_orders_with_big_items",
     "corpus_curation_pipeline",
+    "dedup_incremental_ingest",
+    "corpus_mix_budget",
+    "q20_excess_supply",
     "pivot_orders_priority",
     "unpivot_customer_metrics",
     "q4_order_priority_check",

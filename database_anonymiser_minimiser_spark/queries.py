@@ -3118,6 +3118,156 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_ingest",
+    """
+    WITH fp AS (
+      SELECT doc_id, lang,
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS fp,
+        CAST(substr(translate(md5(text), 'abcdef', '012345'), 1, 6) AS BIGINT)
+          % 10 = 0 AS is_new
+      FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new),
+    batch AS (SELECT * FROM fp WHERE is_new)
+    SELECT doc_id, lang FROM batch
+    WHERE fp NOT IN (SELECT fp FROM corpus)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: admit only the arriving batch documents
+    whose normalised-text fingerprint is NOT already in the landed
+    corpus — the daily-ingest shape (dedup the delta against 100 TB
+    without re-deduping the 100 TB). The batch side is a deterministic
+    hash-sampled tenth of the corpus so the oracle is self-contained.
+
+    Scale shape: an anti join shuffled on the fingerprint — the batch
+    side is small, so AQE plans it as the stream side; with
+    spark.sql.optimizer.runtime.bloomFilter.enabled a bloom built from
+    the batch prunes the corpus scan before the shuffle. Either way the
+    landed corpus is scanned once and never re-deduped against itself
+    (which is the quadratic trap this query exists to avoid)."""
+    docs = load(spark, sf_dir, "documents")
+    samp = F.expr(
+        "CAST(substr(translate(md5(CAST(text AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 10"
+    )
+    fp_df = docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("fp"),
+        (samp == 0).alias("is_new"),
+    )
+    corpus = fp_df.filter(~F.col("is_new")).select("fp").distinct()
+    batch = fp_df.filter(F.col("is_new"))
+    return batch.join(corpus, "fp", "left_anti").select("doc_id", "lang")
+
+
+@register(
+    "corpus_mix_budget",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+        least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.4
+          + (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+             / length(text)) * 0.4
+          + (CAST(len(list_intersect(list_distinct(regexp_split_to_array(
+                lower(trim(text)), '\\s+')),
+                ['the','and','of','to','in','is','that','for'])) AS DOUBLE) / 8) * 0.2
+          AS q
+      FROM documents)
+    SELECT doc_id, source, q FROM (
+      SELECT doc_id, source, q,
+        row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 20
+    """,
+)
+def q_corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing budget: cap each source at its N best documents
+    by quality — the data-mixture step that stops one crawl domain from
+    dominating the training set. A per-source row_number window: source
+    cardinality is modest but documents per source are many, so the
+    window shuffle keys on source; if a single source is hot, the same
+    cap can run as a two-phase top-N (per-partition prune to N first) —
+    the existing TakeOrdered pattern."""
+    from .operators.textstats import quality_score_column
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score_column(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("q"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", "q")
+    )
+
+
+@register(
+    "q20_excess_supply",
+    """
+    WITH supplied AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY l_suppkey, l_partkey),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(CAST(CAST(sum(qty) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+               / count(*) AS avg_qty
+      FROM supplied GROUP BY l_partkey),
+    excess AS (
+      SELECT DISTINCT l_suppkey
+      FROM supplied JOIN per_part USING (l_partkey)
+      WHERE CAST(CAST(qty AS VARCHAR) AS DOUBLE) > 1.5 * avg_qty)
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+    """,
+)
+def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess supply of a part class
+    — a semi join driven by a nested aggregate-vs-aggregate comparison
+    (adapted: supplied quantity vs 1.5x the per-part supplier average;
+    the corpus has no partsupp/availqty). Both aggregate levels reuse
+    ONE (supp, part) aggregation: the per-part average re-aggregates the
+    persisted partials (same diamond pattern as q11), then the excess
+    pairs semi-join into supplier. Quantities stay decimal-exact; the
+    1.5x threshold compares doubles built identically on both engines."""
+    from pyspark import StorageLevel
+
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    supplied = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("qty")
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_part = supplied.groupBy("l_partkey").agg(
+        (
+            F.sum("qty").cast("decimal(38,2)").cast("string").cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    excess = (
+        supplied.join(per_part, "l_partkey")
+        .filter(
+            F.col("qty").cast("string").cast("double") > 1.5 * F.col("avg_qty")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+
+
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Definition order above is thematic; this block
