@@ -110,6 +110,8 @@ HEADLINE = [
     "dedup_incremental_ingest",
     "corpus_mix_budget",
     "q20_excess_supply",
+    "q21_waiting_suppliers",
+    "semantic_dedup_embeddings",
     "pivot_orders_priority",
     "unpivot_customer_metrics",
     "q4_order_priority_check",

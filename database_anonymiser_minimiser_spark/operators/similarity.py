@@ -574,3 +574,82 @@ def duck_ann_int8_sql(
              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
       FROM rer) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (sign-bit blocking + within-block cosine)
+# ---------------------------------------------------------------------------
+
+
+def sign_block_expr(vec_col: str, bits: int) -> str:
+    """Spark SQL: the sign pattern of the first ``bits`` dims as a string
+    block key ('1'/'0' per dim). A pure sign test — no FP arithmetic — so
+    the key is bit-identical across engines and stable under re-runs."""
+    return (
+        f"concat_ws('', transform(slice({vec_col}, 1, {bits}), "
+        f"x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+    )
+
+
+def duck_sign_block_expr(vec_col: str, bits: int) -> str:
+    return (
+        f"list_aggregate(list_transform({vec_col}[1:{bits}], "
+        f"x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    sign_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Survivors of SemDeDup-style semantic deduplication: drop every
+    vector that has a LOWER-id same-block neighbour with cosine >=
+    threshold (keep-min rule — deterministic, order-free).
+
+    Scale shape (the SemDeDup recipe, Abbas et al. 2023, done with
+    relational ops): a cheap deterministic pre-clustering (sign bits of
+    the first k dims ~ fixed axis-aligned hyperplane LSH, 2^k buckets)
+    bounds the pair join to sum(block^2) instead of n^2; the dup set is
+    then a left-anti join back onto the corpus. Both joins shuffle on
+    the block key / id only; norms are computed once pre-join. At 100 TB
+    raise sign_bits (buckets grow 2^k while per-bucket work shrinks) or
+    swap the block key for trained k-means cells (train_ivf_centroids)
+    without touching the pair/anti-join structure."""
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(_spark_norm(vec_col)).alias("nrm"),
+        F.expr(sign_block_expr(vec_col, sign_bits)).alias("blk"),
+    )
+    a = base.selectExpr("id AS id_a", "v AS va", "nrm AS na", "blk")
+    b = base.selectExpr("id AS id_b", "v AS vb", "nrm AS nb", "blk")
+    cos = F.expr(_spark_dot("va", "vb")) / (F.col("na") * F.col("nb"))
+    dups = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        emb.join(dups, emb[id_col] == dups.dup_id, "left_anti")
+        .select(F.col(id_col).alias("vec_id"), "label")
+    )
+
+
+def duck_semantic_dedup_sql(
+    threshold: float = 0.3, sign_bits: int = 8, table: str = "embeddings"
+) -> str:
+    cos = f"{_duck_dot('a.nv', 'b.nv')} / (a.nrm * b.nrm)"
+    return f"""
+    WITH n AS (SELECT vec_id, embedding AS nv, {_duck_norm('embedding')} AS nrm,
+        {duck_sign_block_expr('embedding', sign_bits)} AS blk FROM {table}),
+    dups AS (SELECT DISTINCT b.vec_id AS dup_id
+             FROM n a JOIN n b ON a.blk = b.blk AND a.vec_id < b.vec_id
+             WHERE {cos} >= {threshold})
+    SELECT vec_id, label FROM {table}
+    WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+    """

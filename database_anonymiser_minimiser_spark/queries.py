@@ -3268,6 +3268,87 @@ def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
 
 
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders o
+    WHERE s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 20 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 20 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept finished orders waiting —
+    EXISTS + NOT EXISTS over the same fact table, the double
+    decorrelation target, written directly as LEFT SEMI then LEFT ANTI
+    self-joins on the order key. Adapted: the corpus has no
+    commit/receipt dates (TESTDATA.md), so "late" is l_shipdate more
+    than 20 days after o_orderdate — semantics otherwise exact
+    (multi-supplier orders where ONLY this supplier was late).
+
+    Scale shape: lineitem is scanned once per leg but every leg shuffles
+    on the same key (l_orderkey), so AQE/exchange-reuse co-locates the
+    semi and anti probes with the late-line build; the supplier join at
+    the end is broadcast. No window, no distinct — the heavy table never
+    aggregates until the final tiny groupBy(s_name)."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 20 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    multi = late.join(
+        l2,
+        (late.l_orderkey == l2.k2) & (late.l_suppkey != l2.s2),
+        "left_semi",
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    only = multi.join(
+        l3,
+        (multi.l_orderkey == l3.k3) & (multi.l_suppkey != l3.s3),
+        "left_anti",
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        only.join(F.broadcast(s), only.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@register("semantic_dedup_embeddings", _sim.duck_semantic_dedup_sql(threshold=0.3))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup survivors (operators/similarity.py:
+    semantic_dedup): sign-bit pre-clustering bounds the cosine pair join,
+    keep-min anti join drops near-duplicates."""
+    return _sim.semantic_dedup(load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Definition order above is thematic; this block
