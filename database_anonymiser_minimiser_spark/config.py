@@ -39,7 +39,7 @@ _DATE_FORMATS = (
 
 # derby: embedded JDBC database (driver ships in Spark's jars) — the
 # integration stand-in proving the MySQL/Postgres JDBC execution path
-VALID_CONNECTION_TYPES = ("mysql", "postgres", "sqlite", "parquet", "derby")
+VALID_CONNECTION_TYPES = ("mysql", "postgres", "sqlite", "parquet", "derby", "files")
 
 
 class ConfigError(ValueError):
@@ -81,9 +81,9 @@ class Connection:
         if self.type in ("sqlite", "derby"):
             if not self.file:
                 raise ConfigError(f"{self.type} connection requires 'file'")
-        elif self.type == "parquet":
+        elif self.type in ("parquet", "files"):
             if not self.path:
-                raise ConfigError("parquet connection requires 'path'")
+                raise ConfigError(f"{self.type} connection requires 'path'")
         else:
             missing = [
                 k

@@ -71,6 +71,10 @@ class Engine:
         conn = self.config.connection
         if conn.type == "parquet":
             self.source = ParquetSource(self.spark, conn.path)
+        elif conn.type == "files":
+            from ..sources.files import FilesSource
+
+            self.source = FilesSource(self.spark, conn.path)
         elif conn.type == "sqlite":
             from ..sources.sqlite import SqliteSource
 

@@ -70,3 +70,73 @@ def write_table(df: DataFrame, path: str | Path, mode: str = "overwrite") -> Non
         w.json(str(p))
     else:
         raise ValueError(f"unsupported table format {suffix!r}")
+
+
+class FilesSource:
+    """Catalog + scan over a directory of mixed-format table files
+    (``<table>.{parquet,orc,csv,json,jsonl,ndjson}``) — connection
+    ``type: files``. The data-lake landing-zone shape: raw csv/jsonl
+    drops next to columnar tables, one engine over all of them.
+
+    Same protocol as ParquetSource, so every downstream plan (anonymise,
+    minimise, topo-ordered dump) composes unchanged. Scale note: csv and
+    json catalogs use schema inference here (a second read of the file);
+    at 100 TB register explicit schemas per table via ``read_table``'s
+    schema argument instead — the scan itself is still Catalyst-native
+    with pushdown where the format supports it."""
+
+    def __init__(self, spark: SparkSession, path: str | Path):
+        self.spark = spark
+        self.path = Path(path)
+        if not self.path.is_dir():
+            raise FileNotFoundError(f"files source dir not found: {self.path}")
+
+    def _table_files(self) -> dict[str, Path]:
+        out: dict[str, Path] = {}
+        for p in sorted(self.path.iterdir()):
+            if p.suffix.lower() in _FORMATS and p.stem not in out:
+                out[p.stem] = p
+        return out
+
+    def get_tables(self) -> list[str]:
+        return sorted(self._table_files())
+
+    def read(self, table: str) -> DataFrame:
+        files = self._table_files()
+        if table not in files:
+            raise FileNotFoundError(f"table not found: {table} (in {self.path})")
+        return read_table(self.spark, files[table])
+
+    def get_columns(self, table: str):
+        from .parquet import ColumnInfo, spark_type_to_sql
+
+        return [
+            ColumnInfo(f.name, spark_type_to_sql(f.dataType), f.nullable)
+            for f in self.read(table).schema.fields
+        ]
+
+    def get_table_schema(self, table: str) -> str:
+        cols = ",\n".join(
+            f"  `{c.name}` {c.data_type}{'' if c.is_nullable else ' NOT NULL'}"
+            for c in self.get_columns(table)
+        )
+        return f"CREATE TABLE `{table}` (\n{cols}\n);"
+
+    def get_row_count(self, table: str) -> int:
+        return self.read(table).count()
+
+    def get_foreign_keys(self):
+        from .parquet import TESTDATA_FOREIGN_KEYS, ForeignKey
+        import json as _json
+
+        sidecar = self.path / "foreign_keys.json"
+        if sidecar.exists():
+            rows = _json.loads(sidecar.read_text())
+            return [
+                ForeignKey(
+                    r["table"], r["column"], r["referenced_table"], r["referenced_column"]
+                )
+                for r in rows
+            ]
+        tables = set(self.get_tables())
+        return [fk for fk in TESTDATA_FOREIGN_KEYS if fk.table in tables]

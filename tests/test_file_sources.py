@@ -57,3 +57,48 @@ def test_orc_predicate_pushdown(spark, source_df, tmp_path):
         df._jdf.queryExecution(), "formatted"
     )
     assert "GreaterThan(c_custkey,25)" in plan, plan[:1500]
+
+
+def test_files_source_mixed_format_export(spark, sf_dir, tmp_path):
+    """connection type 'files': a landing-zone directory mixing CSV and
+    JSONL tables drives the full config->topo->mask->dump pipeline."""
+    from database_anonymiser_minimiser_spark import config as C
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+    from database_anonymiser_minimiser_spark.queries import load
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer").limit(20)
+    FS.write_table(nation, lake / "nation.csv")
+    FS.write_table(customer, lake / "customer.json")
+
+    cfg = C.Config.from_dict(
+        {
+            "connection": {"type": "files", "path": str(lake)},
+            "configuration": {
+                "customer": {
+                    "primary_key": "c_custkey",
+                    "columns": {"c_name": "{{faker.name}}"},
+                }
+            },
+        }
+    )
+    eng = Engine(spark, cfg)
+    assert eng.source.get_tables() == ["customer", "nation"]
+    # FK sidecar absent -> built-in corpus edges put nation before customer
+    out = tmp_path / "dump.sql"
+    eng.export(str(out))
+    text = out.read_text()
+    assert text.index("CREATE TABLE `nation`") < text.index(
+        "CREATE TABLE `customer`"
+    )
+    assert "Customer#" not in text.split("INSERT INTO `customer`", 1)[1]
+    assert "INSERT INTO `nation`" in text
+
+
+def test_files_connection_requires_path():
+    from database_anonymiser_minimiser_spark import config as C
+
+    with pytest.raises(C.ConfigError, match="files connection requires 'path'"):
+        C.Connection(type="files").validate()
