@@ -2505,6 +2505,28 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_dedup(spark, sf_dir)
 
 
+@register(
+    "streaming_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/events.py:
+    run_streaming_stream_join): clicks joined to same-user purchases
+    within 1h, dual watermarks bounding join state. availableNow drains
+    the bounded corpus, so the emission equals the batch interval join
+    the oracle runs."""
+    from .streaming.events import run_streaming_stream_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_streaming_stream_join(spark, sf_dir)
+
+
 # ===========================================================================
 # Pivot / unpivot (wide <-> long reshaping)
 # ===========================================================================

@@ -278,3 +278,56 @@ def run_streaming_export(
     with open(out_path, "a") as fh:
         fh.write(footer_text(db_type))
     return total["rows"]
+
+
+def run_streaming_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    lateness: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases landing within ``within`` after it — the attribution /
+    conversion-funnel shape, and the one streaming operator family the
+    rest of this module doesn't cover.
+
+    Scale shape: BOTH sides carry a watermark and the join predicate is
+    an event-time interval, which is exactly what lets Spark bound the
+    join state — click rows older than (watermark - within) and purchase
+    rows older than the watermark are evicted instead of accumulating
+    forever (an unbounded stream-stream join without the time bound is a
+    state leak, not an operator). The join itself shuffles both streams
+    on user_id once; availableNow here drains the bounded corpus so the
+    result equals the batch interval join the oracle runs."""
+    left = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == left_type)
+        .selectExpr("event_id AS click_id", "user_id", "ts AS click_ts")
+        .withWatermark("click_ts", lateness)
+    )
+    right = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == right_type)
+        .selectExpr(
+            "event_id AS purchase_id", "user_id AS p_user_id", "ts AS purchase_ts"
+        )
+        .withWatermark("purchase_ts", lateness)
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("click_id", "purchase_id", "user_id")
+    name = f"sjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
