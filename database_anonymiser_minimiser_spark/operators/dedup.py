@@ -505,3 +505,72 @@ def duck_simhash_near_pairs_sql(table: str = "documents", max_hamming: int = 2) 
         ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (blocked levenshtein)
+# ---------------------------------------------------------------------------
+
+
+def levenshtein_near_pairs(
+    docs: DataFrame,
+    max_dist: int = 10,
+    prefix_chars: int = 120,
+    block_prefix: int = 12,
+    len_bucket: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, dist): pairs whose normalised-text prefixes are
+    within ``max_dist`` edits — the short-text / title / boilerplate
+    dedup shape where token-set measures (Jaccard) miss character-level
+    edits (typos, version strings, near-identical templates).
+
+    Scale shape: edit distance is O(len^2) per pair, so the candidate
+    set must be tiny before any distance runs. Two cheap blocking keys —
+    length bucket (edit distance >= length difference, so pairs more
+    than one bucket apart can't match) and a shared first-k-chars prefix
+    — turn the n^2 pair space into sum(block^2), and the distance is
+    computed on a capped prefix (``prefix_chars``) so per-pair cost is
+    bounded regardless of document length. All JVM-side built-ins
+    (levenshtein is codegen'd), one shuffle on the block key."""
+    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, prefix_chars).alias("t"),
+        F.floor(F.length(norm) / len_bucket).alias("lb"),
+        F.substring(norm, 1, block_prefix).alias("pfx"),
+    )
+    a = base.selectExpr("id AS doc_a", "t AS ta", "lb", "pfx")
+    b = base.selectExpr("id AS doc_b", "t AS tb", "lb", "pfx")
+    return (
+        a.join(b, ["lb", "pfx"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def duck_levenshtein_sql(
+    max_dist: int = 10,
+    prefix_chars: int = 120,
+    block_prefix: int = 12,
+    len_bucket: int = 20,
+    table: str = "documents",
+) -> str:
+    return f"""
+    WITH n AS (SELECT doc_id,
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM {table}),
+    b AS (SELECT doc_id, substr(nt, 1, {prefix_chars}) AS t,
+        length(nt) // {len_bucket} AS lb, substr(nt, 1, {block_prefix}) AS pfx
+        FROM n)
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           CAST(levenshtein(a.t, b2.t) AS INT) AS dist
+    FROM b a JOIN b b2
+      ON a.lb = b2.lb AND a.pfx = b2.pfx AND a.doc_id < b2.doc_id
+    WHERE levenshtein(a.t, b2.t) <= {max_dist}
+    """

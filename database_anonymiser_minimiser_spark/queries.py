@@ -1923,6 +1923,14 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=2)
 
 
+@register("dedup_levenshtein_pairs", _dd.duck_levenshtein_sql(max_dist=10))
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup (operators/dedup.py:
+    levenshtein_near_pairs): length-bucket + prefix blocking, capped-
+    prefix levenshtein, all JVM built-ins."""
+    return _dd.levenshtein_near_pairs(load(spark, sf_dir, "documents"), max_dist=10)
+
+
 # ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
