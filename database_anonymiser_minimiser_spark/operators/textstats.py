@@ -219,3 +219,17 @@ def duck_repetition_sql(table: str = "documents") -> str:
         AND CAST(max_c AS DOUBLE) / n_words < 0.2 AS keep
     FROM m
     """
+
+
+def duck_quality_expr(text: str = "text") -> str:
+    """The quality_score_column expression in DuckDB dialect (same op
+    order, so the doubles come out bit-identical cross-engine)."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"least(len(regexp_split_to_array(trim({text}), '\\s+')) / 100.0, 1.0) * 0.4"
+        f" + (CAST(length(regexp_replace(lower({text}), '[^a-z]', '', 'g')) AS DOUBLE)"
+        f" / length({text})) * 0.4"
+        f" + (CAST(len(list_intersect(list_distinct(regexp_split_to_array("
+        f"lower(trim({text})), '\\s+')), [{stop_list}])) AS DOUBLE)"
+        f" / {len(STOPWORDS)}) * 0.2"
+    )

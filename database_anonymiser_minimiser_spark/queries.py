@@ -3371,6 +3371,42 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_quantile_filter",
+    """
+    WITH scored AS (SELECT doc_id, lang, {q} AS q FROM documents),
+    med AS (SELECT lang, quantile_cont(q, 0.5) AS med
+            FROM scored GROUP BY lang)
+    SELECT doc_id, lang, q FROM scored JOIN med USING (lang)
+    WHERE q >= med
+    """.format(q=_ts_ops.duck_quality_expr()),
+)
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile gate: keep documents at or above
+    their language's median quality — the relative (per-stratum) variant
+    of an absolute quality threshold, so low-resource languages are not
+    wiped out by an English-calibrated cutoff.
+
+    Scale shape: the per-lang medians are a tiny aggregate (one row per
+    language) computed with exact `percentile` here and broadcast back
+    onto the corpus — the big table is scanned once and never shuffles
+    (the score is columnar, the join side is broadcast). At 100 TB swap
+    percentile -> percentile_approx (mergeable sketch, bounded memory);
+    the filter-join structure is unchanged."""
+    from .operators.textstats import quality_score_column
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", quality_score_column(F.col("text")).alias("q")
+    )
+    med = scored.groupBy("lang").agg(F.expr("percentile(q, 0.5D)").alias("med"))
+    return (
+        scored.join(F.broadcast(med), "lang")
+        .filter(F.col("q") >= F.col("med"))
+        .select("doc_id", "lang", "q")
+    )
+
+
 @register("semantic_dedup_embeddings", _sim.duck_semantic_dedup_sql(threshold=0.3))
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup survivors (operators/similarity.py:

@@ -224,3 +224,36 @@ def test_q2_rank_partitions_on_partkey(spark, sf):
     plan = plan_of(Q.QUERIES["q2_min_cost_supplier"](spark, sf))
     assert "Window" in plan
     assert "partitionBy=\x5bp_partkey" in plan.replace("partition spec: [p_partkey", "partitionBy=[p_partkey") or "p_partkey" in plan
+
+
+def test_q21_broadcasts_supplier_no_cartesian(spark, sf):
+    """q21's three lineitem legs join on l_orderkey (shuffles allowed);
+    the supplier join must broadcast and nothing may go cartesian."""
+    plan = plan_of(Q.QUERIES["q21_waiting_suppliers"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_joins_on_block_key(spark, sf):
+    """The pair join must key on the sign-bit block (hash/SMJ on blk),
+    never a cartesian; the dup-drop is a real anti join."""
+    plan = plan_of(Q.QUERIES["semantic_dedup_embeddings"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan, plan[:3000]
+
+
+def test_levenshtein_dedup_blocked_join(spark, sf):
+    """Edit-distance pairs must join on the (length-bucket, prefix)
+    blocking key — a cartesian pair space would be n^2 distances."""
+    plan = plan_of(Q.QUERIES["dedup_levenshtein_pairs"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_quantile_medians_broadcast(spark, sf):
+    """The per-lang median side is tiny and must broadcast back onto the
+    corpus — the big side is scanned once, no corpus shuffle."""
+    plan = plan_of(Q.QUERIES["quality_quantile_filter"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
