@@ -3372,6 +3372,58 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_lineitem_flag_status",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           CAST(grouping(l_returnflag) AS INT) * 2
+             + CAST(grouping(l_linestatus) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+             AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 2^k grouping sets in one pass) with
+    grouping-id disambiguation — completes the multi-level aggregate
+    family next to ROLLUP (`rollup_orders_by_status_priority`). The
+    grouping() bits distinguish a real NULL key from a rolled-up level;
+    labels are coalesced to 'ALL' for the dump-friendly shape.
+
+    Scale shape: Spark expands CUBE map-side (each input row feeds every
+    grouping set's partial aggregate) then shuffles ONE combined
+    aggregation keyed by (keys, spark_grouping_id) — one pass over
+    lineitem, one exchange, not 2^k scans. Decimal-exact sum, final cast
+    to double via the canonical string trick."""
+    li = load(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag").cast("int") * 2
+        + F.grouping("l_linestatus").cast("int")
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
     "quality_quantile_filter",
     """
     WITH scored AS (SELECT doc_id, lang, {q} AS q FROM documents),
