@@ -149,20 +149,36 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so per-query numbers measure the
     # plan, not first-touch JIT/IO
-    Q.load(spark, sf_dir, "lineitem").count()
+    try:
+        Q.load(spark, sf_dir, "lineitem").count()
+    except Exception:
+        pass  # per-query isolation below still produces a bench line
 
+    # Per-query failure isolation: one broken query must NEVER zero the
+    # whole bench round (round 2's single streaming failure aborted the
+    # process before any timing was printed). Errors are recorded as
+    # short strings in `errors`; timings holds only successful runs.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
-        # one unmeasured warm run per query: whole-stage-codegen JIT
-        # compiles on first execution (~10s for heavy array expressions);
-        # steady-state throughput is what 100 TB jobs amortise to
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        spark.catalog.clearCache()  # drop operator-internal persists
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
-        spark.catalog.clearCache()
+        try:
+            # one unmeasured warm run per query: whole-stage-codegen JIT
+            # compiles on first execution (~10s for heavy array
+            # expressions); steady-state throughput is what 100 TB jobs
+            # amortise to
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            spark.catalog.clearCache()  # drop operator-internal persists
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001 - isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
+        finally:
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
@@ -170,6 +186,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": sf_val,
         "n_queries": len(timings),
     }
@@ -187,6 +204,7 @@ def main() -> None:
                 "queries": {k: timings[k] for k in FLAGSHIP if k in timings},
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "full": "bench_full.json",
             },
             separators=(",", ":"),

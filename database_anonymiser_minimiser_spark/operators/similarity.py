@@ -206,6 +206,83 @@ def _bucket_expr_duck(vec: str, planes: list[list[int]]) -> str:
     return " + ".join(bits)
 
 
+def _centroid_literal(cv: list[float]) -> str:
+    """Literal array<double> SQL text for one centroid vector. Collected
+    floats round-trip exactly (float32 -> Python float -> DOUBLE literal),
+    so folds over the literal equal folds over the stored column."""
+    return "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in cv) + ")"
+
+
+def _py_norm(cv: list[float]) -> float:
+    """Driver-side centroid norm with the SAME strict left-to-right
+    IEEE-double fold as ``_spark_norm`` / ``_duck_norm`` (Python floats
+    ARE IEEE doubles), so the embedded literal is bit-identical to what
+    either engine would compute over the stored values. Precomputing it
+    matters because higher-order-function folds are not constant-folded
+    by Catalyst — an in-expression centroid norm would be re-folded for
+    every corpus row."""
+    import math
+
+    acc = 0.0
+    for v in cv:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
+
+
+def _centroid_scored_array(cent_rows, vec_col: str, norm_col: str) -> str:
+    """SQL text: array of struct(ccos, negcid, cid) — the cosine of
+    ``vec_col`` against every centroid literal. ``array_max`` over it is
+    argmax by (ccos DESC, cid ASC): max ccos first, then max negcid ==
+    lowest cid — the same tie-break as row_number ORDER BY ccos DESC,
+    cid. Centroid norms are precomputed driver-side literals
+    (``_py_norm``); the row norm is referenced as ``norm_col``, computed
+    once in a separate projection (HOF folds neither constant-fold nor
+    benefit from codegen subexpression elimination, so every repeated
+    fold here would be paid per row x per centroid)."""
+    elems = []
+    for r in sorted(cent_rows, key=lambda r: r["cid"]):
+        cv = list(r["cv"])
+        arr = _centroid_literal(cv)
+        ccos = (
+            f"({_spark_dot(vec_col, arr)} / "
+            f"({norm_col} * CAST({_py_norm(cv)!r} AS DOUBLE)))"
+        )
+        cid = int(r["cid"])
+        elems.append(
+            f"struct({ccos} AS ccos, {-cid} AS negcid, {cid} AS cid)"
+        )
+    return "array(" + ", ".join(elems) + ")"
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    cent_rows,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(nid, nv, cid): every corpus vector labelled with its nearest
+    centroid — ONE narrow projection, no join, no row multiplication,
+    no shuffle.
+
+    This replaces the round-2 crossJoin(broadcast(centroids)) +
+    Window.partitionBy(nid) argmax, which materialised corpus x k rows
+    and shuffled the whole corpus per assignment — a k-fold blow-up
+    that is fatal at 100 TB with realistic k (1024+). Here the k
+    centroids ride into the executors as literals inside one projected
+    expression; cost is k dot-folds + 1 norm-fold per row, map-side
+    only (two stacked Projects, which CollapseProject keeps separate
+    because the norm fold is non-cheap and referenced k times)."""
+    scored = _centroid_scored_array(cent_rows, "nv", "_nrm")
+    return (
+        emb.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            F.expr(_spark_norm(vec_col)).alias("_nrm"),
+        )
+        .select("nid", "nv", F.expr(f"array_max({scored}).cid").alias("cid"))
+    )
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     num_centroids: int = 8,
@@ -217,36 +294,30 @@ def train_ivf_centroids(
     returns a (cid int, cv array<double>) centroid DataFrame for
     ``ann_ivf_topk``.
 
-    Per iteration: broadcast the k centroids, assign every vector to its
-    argmax-cosine centroid (one map-side pass over the corpus — the
-    corpus never shuffles for assignment), then recompute each centroid
-    as the element-wise mean of its members via posexplode ->
-    groupBy(cid, pos) avg -> re-assemble (the mean of k*dim cells is one
-    partial-aggregated shuffle of k*dim rows, not vectors). The k x dim
-    centroid matrix is collected to the driver between iterations (bytes,
-    not data — the same driver-sync every distributed k-means does) so
-    each round broadcasts fresh literals and the lineage stays flat.
-    Empty clusters keep their previous centroid. Deterministic: first-k
-    init by id, cosine ties break on lowest cid."""
+    Per iteration: assign every vector to its argmax-cosine centroid via
+    ``assign_to_centroids`` — a single map-side projection over centroid
+    literals (no crossJoin, no row multiplication, no shuffle for
+    assignment), then recompute each centroid as the element-wise mean
+    of its members via posexplode -> groupBy(cid, pos) avg ->
+    re-assemble (the mean of k*dim cells is one partial-aggregated
+    shuffle of k*dim rows, not vectors). The k x dim centroid matrix is
+    collected to the driver between iterations (bytes, not data — the
+    same driver-sync every distributed k-means does) so each round
+    embeds fresh literals and the lineage stays flat. Empty clusters
+    keep their previous centroid. Deterministic: first-k init by id,
+    cosine ties break on lowest cid."""
     spark = emb.sparkSession
-    centroids = emb.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).cast("int").alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    cent_rows = [
+        {"cid": int(r[id_col]), "cv": list(r[vec_col])}
+        for r in emb.filter(F.col(id_col) < num_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
     for _ in range(iters):
-        cos_c = F.expr(_spark_dot(vec_col, "cv")) / (
-            F.expr(_spark_norm(vec_col)) * F.expr(_spark_norm("cv"))
-        )
-        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
-        assigned = (
-            emb.crossJoin(F.broadcast(centroids))
-            .select(F.col(id_col), F.col(vec_col), F.col("cid"), cos_c.alias("ccos"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-        )
+        assigned = assign_to_centroids(emb, cent_rows, id_col, vec_col)
         means = (
             assigned.select(
-                "cid", F.posexplode(F.col(vec_col).cast("array<double>"))
+                "cid", F.posexplode(F.col("nv").cast("array<double>"))
             )
             .groupBy("cid", "pos")
             .agg(F.avg("col").alias("v"))
@@ -255,12 +326,13 @@ def train_ivf_centroids(
             .select("cid", F.transform("s", lambda x: x["v"]).alias("cv"))
         )
         updated = {r["cid"]: list(r["cv"]) for r in means.collect()}
-        merged = [
-            (r["cid"], updated.get(r["cid"], list(r["cv"])))
-            for r in centroids.collect()
+        cent_rows = [
+            {"cid": r["cid"], "cv": updated.get(r["cid"], r["cv"])}
+            for r in cent_rows
         ]
-        centroids = spark.createDataFrame(merged, "cid int, cv array<double>")
-    return centroids
+    return spark.createDataFrame(
+        [(r["cid"], r["cv"]) for r in cent_rows], "cid int, cv array<double>"
+    )
 
 
 def ann_ivf_topk(
@@ -279,35 +351,55 @@ def ann_ivf_topk(
     ``centroids`` defaults to the first ``num_centroids`` vectors by id —
     the deterministic stand-in that the cross-engine oracle mirrors; pass
     ``train_ivf_centroids(emb)`` for k-means-trained cells (better recall
-    on clustered data — asserted in tests/test_similarity.py). The search
-    plan is identical either way: centroids broadcast, one pass assigns
-    every vector to its nearest centroid (argmax cosine, tie-break lowest
-    centroid id), the probe joins the query's cell(s) only. Work per
-    query: nprobe * |corpus| / num_centroids on average, vs |corpus| for
-    brute force. Recall loss at cell boundaries is the IVF trade-off —
-    raise ``nprobe`` to recover it."""
+    on clustered data — asserted in tests/test_similarity.py). Train ONCE
+    per corpus offline and reuse — training never sits in the query path.
+
+    Scale shape: the k centroids are collected driver-side (k x dim
+    floats — bytes) and embedded as literal structs in ONE projection
+    that labels each corpus vector with its argmax-cosine cell
+    (``assign_to_centroids``) — no crossJoin row blow-up, no
+    Window.partitionBy shuffle of the corpus (round 2's plan did both;
+    at 100 TB and k=1024 that multiplied the corpus x k and shuffled
+    it per run). Queries rank ALL k cells in the same projection
+    (array_sort of the scored literal array) and probe their top
+    ``nprobe``; the candidate join broadcasts the tiny query side, so
+    the corpus never shuffles at all. The only exchange left is the
+    final per-query top-k over candidates (nprobe/k of the corpus).
+    Work per query: nprobe * |corpus| / num_centroids on average, vs
+    |corpus| for brute force. Recall loss at cell boundaries is the IVF
+    trade-off — raise ``nprobe`` to recover it."""
     if centroids is None:
-        centroids = emb.filter(F.col(id_col) < num_centroids).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        cent_rows = [
+            {"cid": int(r[id_col]), "cv": list(r[vec_col])}
+            for r in emb.filter(F.col(id_col) < num_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        ]
+    else:
+        cent_rows = [
+            {"cid": int(r["cid"]), "cv": list(r["cv"])}
+            for r in centroids.collect()
+        ]
+    assigned = assign_to_centroids(emb, cent_rows, id_col, vec_col)
+    # queries probe their top-nprobe cells (nprobe=1 == their own cell):
+    # array_sort ascending by (ccos, negcid) then reverse == ccos DESC,
+    # cid ASC — the same ranking the round-2 window produced. The query
+    # side is a handful of rows, so the full scored array is cheap here.
+    scored_arr = _centroid_scored_array(cent_rows, "qv", "_qnrm")
+    probe = f"slice(reverse(array_sort({scored_arr})), 1, {int(nprobe)})"
+    queries = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.expr(_spark_norm(vec_col)).alias("_qnrm"),
         )
-    cos_c = F.expr(_spark_dot(vec_col, "cv")) / (
-        F.expr(_spark_norm(vec_col)) * F.expr(_spark_norm("cv"))
-    )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-        F.col("cid"), cos_c.alias("ccos"),
-    )
-    w_assign = Window.partitionBy("nid").orderBy(F.col("ccos").desc(), F.col("cid"))
-    ranked_cells = scored.select(
-        "nid", "nv", "cid", F.row_number().over(w_assign).alias("rn")
-    )
-    assigned = ranked_cells.filter(F.col("rn") == 1).drop("rn")
-    # queries probe their top-nprobe cells (nprobe=1 == their own cell)
-    queries = ranked_cells.filter(
-        F.col("nid").isin(query_ids) & (F.col("rn") <= nprobe)
-    ).select(
-        F.col("nid").alias("query_id"), F.col("nv").alias("qv"),
-        F.col("cid").alias("qcid"),
+        .select(
+            "query_id",
+            "qv",
+            F.expr(f"transform({probe}, s -> s.cid)").alias("qcids"),
+        )
+        .select("query_id", "qv", F.explode("qcids").alias("qcid"))
     )
     cos_q = F.expr(_spark_dot("qv", "nv")) / (
         F.expr(_spark_norm("qv")) * F.expr(_spark_norm("nv"))

@@ -23,7 +23,26 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import TimestampNTZType
+
 from ..sources.parquet import _nanos_timestamp_columns, convert_ns_columns
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (LTZ).
+
+    Spark 4 reads tz-less parquet ``timestamp[us]`` columns as
+    TIMESTAMP_NTZ (``spark.sql.parquet.inferTimestampNTZ.enabled``
+    defaults true), and ``withWatermark`` hard-fails on NTZ event-time
+    columns ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). The session
+    timezone is pinned to UTC (session.py), so the cast re-interprets
+    the same wall-clock instant — window/date_format output is
+    byte-identical to the NTZ reading, only the watermark machinery's
+    type requirement changes."""
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
 
 
 def tumbling_counts(ev: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -66,7 +85,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="dbmask_stream_")
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(stream_dir)
-    return convert_ns_columns(stream, ns_cols)
+    return _ntz_to_ltz(convert_ns_columns(stream, ns_cols))
 
 
 def run_streaming_tumbling(
@@ -174,8 +193,10 @@ def run_streaming_dedup(
     stream_dir = tempfile.mkdtemp(prefix="dbmask_stream_dup_")
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "a.parquet"))
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "b.parquet"))
-    ev = convert_ns_columns(
-        spark.readStream.schema(schema).parquet(stream_dir), ns_cols
+    ev = _ntz_to_ltz(
+        convert_ns_columns(
+            spark.readStream.schema(schema).parquet(stream_dir), ns_cols
+        )
     )
     deduped = (
         ev.withWatermark("ts", lateness)

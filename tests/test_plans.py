@@ -257,3 +257,34 @@ def test_quality_quantile_medians_broadcast(spark, sf):
     plan = plan_of(Q.QUERIES["quality_quantile_filter"](spark, sf))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_assignment_no_exchange(spark, sf):
+    """IVF cell assignment must be ONE map-side projection over centroid
+    literals — no Exchange, no join, no Window shuffle of the corpus.
+    (Round 2's crossJoin(broadcast)+Window argmax multiplied the corpus
+    x k and shuffled it; at 100 TB with k=1024 that is fatal.)"""
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    emb = Q.load(spark, sf, "embeddings")
+    cent_rows = [
+        {"cid": int(r["vec_id"]), "cv": list(r["embedding"])}
+        for r in emb.filter("vec_id < 8").collect()
+    ]
+    plan = plan_of(assign_to_centroids(emb, cent_rows))
+    assert "Exchange" not in plan, plan[:3000]
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_ann_ivf_corpus_never_shuffles(spark, sf):
+    """End-to-end IVF top-k: the only exchanges allowed are the broadcast
+    of the tiny query side and the final per-query candidate rank — the
+    corpus itself must reach the candidate join map-side."""
+    plan = plan_of(Q.QUERIES["ann_ivf_topk"](spark, sf))
+    assert "CartesianProduct" not in plan
+    # corpus x centroid row blow-up is gone: no more than the candidate
+    # rank's single shuffle exchange besides broadcasts
+    non_broadcast = plan.replace("BroadcastExchange", "")
+    assert non_broadcast.count("Exchange") <= 2, plan[:3000]

@@ -60,6 +60,27 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     assert got.select("event_id").distinct().count() == batch_distinct
 
 
+def _streaming_registry_names():
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    return sorted(n for n in Q.QUERIES if n.startswith("streaming_"))
+
+
+@pytest.mark.parametrize("name", _streaming_registry_names())
+def test_streaming_registry_runs_on_corpus_schema(spark, sf_dir, name):
+    """CI-style guard: EVERY streaming_* registry entry must start and
+    drain against the REAL corpus parquet schema — not a synthesized
+    test frame. This is exactly the gap that shipped the round-2
+    TIMESTAMP_NTZ watermark bug: Spark 4 reads the corpus's tz-less
+    timestamp[us] as TIMESTAMP_NTZ, which withWatermark rejects, and no
+    test exercised the registry entries against the real files."""
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    df = Q.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0  # ran to completion against real schema
+    assert df.columns  # stable, non-empty schema
+
+
 def test_streaming_export_importable_dump(spark, sf_dir, tmp_path):
     """The streaming incremental dump must be a valid, importable SQL
     file: sqlite3 re-imports it and sees every source row, masked."""
