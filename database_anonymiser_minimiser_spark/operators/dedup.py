@@ -528,12 +528,18 @@ def levenshtein_near_pairs(
 
     Scale shape: edit distance is O(len^2) per pair, so the candidate
     set must be tiny before any distance runs. Two cheap blocking keys —
-    length bucket (edit distance >= length difference, so pairs more
-    than one bucket apart can't match) and a shared first-k-chars prefix
-    — turn the n^2 pair space into sum(block^2), and the distance is
-    computed on a capped prefix (``prefix_chars``) so per-pair cost is
-    bounded regardless of document length. All JVM-side built-ins
-    (levenshtein is codegen'd), one shuffle on the block key."""
+    length bucket and a shared first-k-chars prefix — turn the n^2 pair
+    space into sum(block^2), and the distance is computed on a capped
+    prefix (``prefix_chars``) so per-pair cost is bounded regardless of
+    document length. Edit distance >= length difference bounds
+    qualifying pairs to ADJACENT buckets (``max_dist`` <= ``len_bucket``),
+    but adjacency includes pairs *straddling* a bucket boundary (lengths
+    19 vs 21 with bucket 20), so side ``a`` probes buckets
+    {lb-1, lb, lb+1} (a 3x multiplication of one side's blocking rows,
+    not of the corpus) while side ``b`` keeps its own bucket — each
+    qualifying pair matches on exactly one probe key, so no DISTINCT
+    pass is needed. All JVM-side built-ins (levenshtein is codegen'd),
+    one shuffle on the block key."""
     norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
     base = docs.select(
         F.col(id_col).alias("id"),
@@ -541,7 +547,12 @@ def levenshtein_near_pairs(
         F.floor(F.length(norm) / len_bucket).alias("lb"),
         F.substring(norm, 1, block_prefix).alias("pfx"),
     )
-    a = base.selectExpr("id AS doc_a", "t AS ta", "lb", "pfx")
+    a = base.selectExpr(
+        "id AS doc_a",
+        "t AS ta",
+        "explode(array(lb - 1, lb, lb + 1)) AS lb",
+        "pfx",
+    )
     b = base.selectExpr("id AS doc_b", "t AS tb", "lb", "pfx")
     return (
         a.join(b, ["lb", "pfx"])
@@ -571,6 +582,6 @@ def duck_levenshtein_sql(
     SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
            CAST(levenshtein(a.t, b2.t) AS INT) AS dist
     FROM b a JOIN b b2
-      ON a.lb = b2.lb AND a.pfx = b2.pfx AND a.doc_id < b2.doc_id
+      ON abs(a.lb - b2.lb) <= 1 AND a.pfx = b2.pfx AND a.doc_id < b2.doc_id
     WHERE levenshtein(a.t, b2.t) <= {max_dist}
     """

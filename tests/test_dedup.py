@@ -109,3 +109,31 @@ def test_stop_shingle_guard(spark):
     assert D.ngram_jaccard_pairs(df, threshold=0.01, max_df=3).count() == 0
     # with the guard relaxed the same pairs appear
     assert D.ngram_jaccard_pairs(df, threshold=0.01, max_df=100).count() > 0
+
+
+def test_levenshtein_catches_bucket_straddling_pair(spark):
+    """Two near-identical texts whose lengths straddle a length-bucket
+    boundary (19 vs 21 chars with bucket 20 -> buckets 0 and 1) MUST
+    still pair: the probe side explodes to {lb-1, lb, lb+1}. Round 2's
+    exact-bucket join silently missed these."""
+    rows = [
+        (0, "aaaaaaaaaaaaaaaaaaa"),    # 19 chars -> bucket 0
+        (1, "aaaaaaaaaaaaaaaaaaaak"),  # 21 chars -> bucket 1, dist 2
+        (2, "zzzz completely different text zzzz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in D.levenshtein_near_pairs(df, max_dist=10).collect()
+    }
+    assert (0, 1, 2) in got
+    assert all(p[:2] != (0, 2) and p[:2] != (1, 2) for p in got)
+
+
+def test_levenshtein_same_bucket_pair_not_duplicated(spark):
+    """A same-bucket pair must appear exactly once despite the 3-key
+    probe explosion (distinct probe keys can match b's bucket once)."""
+    rows = [(0, "hello world one"), (1, "hello world two")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.levenshtein_near_pairs(df, max_dist=10).collect()
+    assert len(pairs) == 1 and (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (0, 1)
