@@ -3469,78 +3469,95 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
-# (CORRECTNESS window). Definition order above is thematic; this block
-# re-inserts the highest-value, oracle-keyed coverage set into the window
-# and pushes redundant/rows-only entries behind it. Keys not listed keep
-# their relative definition order after the priority block.
+# (CORRECTNESS window). Window ROTATION policy (documented in
+# COVERAGE.md): round 2 graded the round-1/2 priority set — all 50
+# passed (CORRECTNESS_r02.json, kept in-repo as the auditable record).
+# Round 3 rotates the previously-ungraded half of the registry into the
+# window: every oracle-keyed query that has never carried a driver row
+# (TPC-H q2/q4/q7-q9/q11/q13/q15/q16/q20-q22, cube/pivot/unpivot,
+# levenshtein/semantic/int8/incremental dedup, corpus-curation set, the
+# full streaming family incl. the two fixed watermark operators, text
+# metrics, multimodal, privacy remainder) plus four rows-only entries.
+# After this round every registered query except zscore_events_pandas
+# (the grouped-map twin of the already-graded zscore_events_exact) has
+# a driver CORRECTNESS row in some round's artifact. Keys not listed
+# keep their relative definition order after the priority block.
 # ===========================================================================
 
 _PRIORITY_50 = [
-    # core reference parity (scan/retain/truncate/catalog/mask/dump)
-    "full_export_customer",
-    "retain_count_orders",
-    "retain_date_events",
-    "truncate_part",
-    "row_counts",
-    "mask_static_null",
-    "mask_all_fakers",
-    "consistency_mapping",
-    "anonymise_customer_full",
-    "sqldump_tuple_customer",
-    "topo_order",
-    # TPC-H analytic shapes
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_item_revenue",
-    "q12_priority_shipping",
-    "q14_promo_share",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    # windows / event-time
-    "window_top_orders_per_customer",
-    "window_running_totals",
-    "events_tumbling_hourly",
-    "events_sliding_2h_1h",
-    "events_sessionize",
-    "events_multires_rollup",
-    # aggregation / join / semi-structured shapes
-    "rollup_orders_by_status_priority",
-    "distinct_agg_events",
-    "json_extract_props",
-    "json_schema_agg",
-    "setop_union_intersect_except",
-    "semi_join_orders_with_big_items",
-    "anti_join_customers_without_big_orders",
-    # dedup suite
-    "dedup_exact_documents",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_simhash_pairs",
-    # similarity / ANN suite
-    "ann_topk_cosine",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_neardup",
-    # temporal joins
-    "asof_join_events_orders",
-    "range_join_events_windows",
-    # privacy / scrubbing
-    "scrub_text_pii",
-    "privacy_k_anonymity_stats",
-    "privacy_l_diversity",
-    "privacy_generalize_customer",
-    # grouped-map normalisation
-    "zscore_events_exact",
+    # TPC-H: the eleven not yet driver-graded
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_excess_supply",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    # multi-dimensional / reshaping aggregation
+    "cube_lineitem_flag_status",
+    "pivot_orders_priority",
+    "unpivot_customer_metrics",
+    "percentiles_orders_by_status",
+    "string_suite_part",
+    # dedup: the blocked/semantic/incremental variants
+    "dedup_levenshtein_pairs",
+    "dedup_simhash",
+    "semantic_dedup_embeddings",
+    "dedup_incremental_ingest",
+    # similarity: quantized ANN
+    "ann_int8_topk",
+    # streaming family (incl. the two round-2 NTZ-fixed operators)
+    "streaming_events_tumbling",
+    "streaming_stateful_user_totals",
+    "streaming_anonymise_events",
+    "streaming_dedup_events",
+    "streaming_stream_join",
+    "streaming_events_watermark",  # rows-only: append-emission set
+    # text / corpus metrics
+    "text_quality_score",
+    "text_repetition_quality",
+    "text_language_id",
+    "doc_chunks_128_64",
+    "corpus_vocab_top100",
+    "tfdf_top_terms",
+    "quality_quantile_filter",
+    # corpus curation / governance
+    "corpus_curation_pipeline",
+    "contamination_check",
+    "corpus_mix_budget",
+    "snapshot_diff_cdc",
+    "consistency_fk_integrity",
+    "consistency_broadcast_apply",
+    # privacy remainder
+    "privacy_suppress_below_k",
+    "privacy_shift_dates",
+    "privacy_perturb_numeric",
+    "privacy_risk_metrics",
+    "realistic_mask_profile",  # rows-only: salted realistic fakers
+    # multimodal plumbing
+    "multimodal_meta",
+    "multimodal_features",  # rows-only: stubbed decode, real plumbing
+    "multimodal_frame_sample",
+    # approximate percentiles (rows-only: approx sketch has no exact oracle)
+    "percentiles_approx_orders_by_status",
 ]
 
 _missing = [n for n in _PRIORITY_50 if n not in QUERIES]
 if _missing:  # fail at import, not silently at grade time
     raise RuntimeError(f"_PRIORITY_50 names not registered: {_missing}")
-_no_oracle = [n for n in _PRIORITY_50 if n not in ORACLE]
+# entries deliberately graded rows-only (no exact SQL oracle exists):
+_ROWS_ONLY_OK = {
+    "streaming_events_watermark",  # append-mode emission subset
+    "realistic_mask_profile",  # salted realistic fakers (non-SQL)
+    "multimodal_features",  # stubbed decode behind real Arrow plumbing
+    "percentiles_approx_orders_by_status",  # approx sketch, no exact SQL
+}
+_no_oracle = [n for n in _PRIORITY_50 if n not in ORACLE and n not in _ROWS_ONLY_OK]
 if _no_oracle:
     raise RuntimeError(f"_PRIORITY_50 entries lack an oracle: {_no_oracle}")
 

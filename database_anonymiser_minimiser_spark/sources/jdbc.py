@@ -188,17 +188,28 @@ class JdbcSource:
     def query(self, sql: str) -> DataFrame:
         return self._reader().option("query", sql).load()
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        column_types: str | None = None,
+    ) -> None:
         """JDBC sink (test/seed harness; Spark's JDBC writer creates the
-        table and batch-inserts through the same driver)."""
-        (
+        table and batch-inserts through the same driver).
+
+        ``column_types`` maps to Spark's ``createTableColumnTypes`` —
+        needed e.g. on Derby, where the default StringType mapping is
+        CLOB, which Derby refuses to compare against string literals."""
+        w = (
             df.write.format("jdbc")
             .option("url", jdbc_url(self.conn))
             .option("driver", _JDBC_DRIVERS[self.conn.type])
             .option("dbtable", quote_identifier(self.conn.type, table))
-            .mode(mode)
-            .save()
         )
+        if column_types:
+            w = w.option("createTableColumnTypes", column_types)
+        w.mode(mode).save()
 
 
 class JdbcCatalogSource:

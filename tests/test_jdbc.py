@@ -144,3 +144,112 @@ def test_derby_engine_masked_export(spark, derby, tmp_path):
     assert "person7@real.example" not in dump  # original PII gone
     assert "@example.com" in dump  # deterministic masked email
     assert "'REDACTED'" in dump
+
+
+# ---------------------------------------------------------------------------
+# Dialect variants: recorded expectations for the reference's exact scan
+# SQL (mysql.go:150-166 `?` placeholder inlined, postgres.go:208-212 `$1`
+# inlined) + live execution of the postgres-dialect string on Derby
+# (identical ANSI double-quote identifier rules), the closest executable
+# proxy available without a MySQL/Pg server in the sandbox.
+# ---------------------------------------------------------------------------
+
+SCAN_SQL_GOLDENS = {
+    # (dialect, date_filter?, limit?) -> recorded expectation
+    ("mysql", False, False): 'SELECT `id`, `name` FROM `users`',
+    ("mysql", True, False): (
+        "SELECT `id`, `name` FROM `users` "
+        "WHERE `created` > '2024-01-15 00:00:00'"
+    ),
+    ("mysql", True, True): (
+        "SELECT `id`, `name` FROM `users` "
+        "WHERE `created` > '2024-01-15 00:00:00' LIMIT 100"
+    ),
+    ("postgres", False, False): 'SELECT "id", "name" FROM "users"',
+    ("postgres", True, False): (
+        'SELECT "id", "name" FROM "users" '
+        "WHERE \"created\" > '2024-01-15 00:00:00'"
+    ),
+    ("postgres", True, True): (
+        'SELECT "id", "name" FROM "users" '
+        "WHERE \"created\" > '2024-01-15 00:00:00' LIMIT 100"
+    ),
+    ("sqlite", True, True): (
+        'SELECT "id", "name" FROM "users" '
+        "WHERE \"created\" > '2024-01-15 00:00:00' LIMIT 100"
+    ),
+    ("derby", True, True): (
+        'SELECT "id", "name" FROM "users" '
+        "WHERE \"created\" > '2024-01-15 00:00:00' "
+        "FETCH FIRST 100 ROWS ONLY"
+    ),
+}
+
+
+@pytest.mark.parametrize("key", sorted(SCAN_SQL_GOLDENS))
+def test_scan_sql_dialect_goldens(key):
+    dialect, with_date, with_limit = key
+    sql = J.scan_sql(
+        dialect,
+        "users",
+        ["id", "name"],
+        date_column="created" if with_date else None,
+        after_date="2024-01-15 00:00:00" if with_date else None,
+        limit=100 if with_limit else None,
+    )
+    assert sql == SCAN_SQL_GOLDENS[key]
+
+
+@pytest.fixture(scope="module")
+def derby_dated(spark, tmp_path_factory):
+    """A second live Derby db whose users table carries a created column
+    in the reference's date format (the reference binds the date as a
+    'YYYY-MM-DD HH:MM:SS' string; lexicographic == chronological)."""
+    conn = Connection(
+        type="derby", file=str(tmp_path_factory.mktemp("derby2") / "db")
+    )
+    src = J.JdbcSource(spark, conn)
+    df = spark.createDataFrame(
+        [
+            (i, f"Person{i}", f"2024-01-{i + 1:02d} 12:00:00")
+            for i in range(20)
+        ],
+        "id int, name string, created string",
+    )
+    # VARCHAR, not Derby's default CLOB mapping: CLOB cannot be compared
+    # to a string literal, and the reference's WHERE compares directly
+    src.write(df, "users", column_types="name VARCHAR(64), created VARCHAR(19)")
+    return conn
+
+
+def test_postgres_scan_sql_executes_on_live_jdbc(spark, derby_dated):
+    """The EXACT postgres-dialect scan string (reference shape, quoting
+    and all — minus LIMIT, which Derby spells differently) executes on a
+    live JDBC database and filters source-side."""
+    sql = J.scan_sql(
+        "postgres",
+        "users",
+        ["id", "name"],
+        date_column="created",
+        after_date="2024-01-15 00:00:00",
+    )
+    got = J.JdbcSource(spark, derby_dated).query(sql)
+    assert got.columns == ["id", "name"]
+    # created > 2024-01-15 12:00:00 is strict: days 16..20 -> ids 15..19
+    assert sorted(r["id"] for r in got.collect()) == [14, 15, 16, 17, 18, 19]
+
+
+def test_derby_scan_sql_where_and_limit_combined(spark, derby_dated):
+    """WHERE + row-limit in one generated statement, executed live (the
+    reference combines both when retain count AND date are configured)."""
+    sql = J.scan_sql(
+        "derby",
+        "users",
+        ["id", "name"],
+        date_column="created",
+        after_date="2024-01-10 00:00:00",
+        limit=3,
+    )
+    got = J.JdbcSource(spark, derby_dated).query(sql)
+    assert got.count() == 3
+    assert all(r["id"] >= 9 for r in got.collect())
