@@ -71,14 +71,23 @@ def topk_cosine(
     The query side is broadcast (it is a handful of vectors); the corpus
     side streams through map-side only — no shuffle until the final
     per-query top-k, which TakeOrdered handles per partition then merges.
-    """
+
+    Each side's norm is folded ONCE in its pre-join projection (the join
+    is a projection-collapse barrier), so each of the |queries| x
+    |corpus| pairs costs one dot fold + scalar ops instead of three
+    folds — identical doubles to the all-inline form (same ops, same
+    order), so the DuckDB oracle compares bit-exact either way."""
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.expr(_spark_norm(vec_col)).alias("qnrm"),
     )
-    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-    cos = F.expr(_spark_dot("qv", "nv")) / (
-        F.expr(_spark_norm("qv")) * F.expr(_spark_norm("nv"))
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.expr(_spark_norm(vec_col)).alias("nnrm"),
     )
+    cos = F.expr(_spark_dot("qv", "nv")) / (F.col("qnrm") * F.col("nnrm"))
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -272,14 +281,17 @@ def assign_to_centroids(
     expression; cost is k dot-folds + 1 norm-fold per row, map-side
     only (two stacked Projects, which CollapseProject keeps separate
     because the norm fold is non-cheap and referenced k times)."""
-    scored = _centroid_scored_array(cent_rows, "nv", "_nrm")
+    scored = _centroid_scored_array(cent_rows, "nv", "nrm")
     return (
         emb.select(
             F.col(id_col).alias("nid"),
             F.col(vec_col).alias("nv"),
-            F.expr(_spark_norm(vec_col)).alias("_nrm"),
+            F.expr(_spark_norm(vec_col)).alias("nrm"),
         )
-        .select("nid", "nv", F.expr(f"array_max({scored}).cid").alias("cid"))
+        .select(
+            "nid", "nv", "nrm",
+            F.expr(f"array_max({scored}).cid").alias("cid"),
+        )
     )
 
 
@@ -397,13 +409,14 @@ def ann_ivf_topk(
         .select(
             "query_id",
             "qv",
+            "_qnrm",
             F.expr(f"transform({probe}, s -> s.cid)").alias("qcids"),
         )
-        .select("query_id", "qv", F.explode("qcids").alias("qcid"))
+        .select("query_id", "qv", "_qnrm", F.explode("qcids").alias("qcid"))
     )
-    cos_q = F.expr(_spark_dot("qv", "nv")) / (
-        F.expr(_spark_norm("qv")) * F.expr(_spark_norm("nv"))
-    )
+    # both norms ride in from the pre-join projections — one dot fold
+    # per candidate pair; same op order as the oracle, bit-identical
+    cos_q = F.expr(_spark_dot("qv", "nv")) / (F.col("_qnrm") * F.col("nrm"))
     cand = (
         assigned.join(F.broadcast(queries), F.col("cid") == F.col("qcid"))
         .filter(F.col("nid") != F.col("query_id"))
@@ -468,16 +481,19 @@ def ann_lsh_topk(
     bucketed = emb.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nv"),
+        F.expr(_spark_norm(vec_col)).alias("nnrm"),
         F.expr(_bucket_expr_spark(vec_col, planes)).cast("int").alias("bucket"),
     )
     queries = bucketed.filter(F.col("nid").isin(query_ids)).select(
         F.col("nid").alias("query_id"),
         F.col("nv").alias("qv"),
+        F.col("nnrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
-    cos = F.expr(_spark_dot("qv", "nv")) / (
-        F.expr(_spark_norm("qv")) * F.expr(_spark_norm("nv"))
-    )
+    # norms folded once per row before the join (projection barrier);
+    # per-pair cost is one dot fold — identical doubles to the inline
+    # form, so the oracle's all-inline cosine compares bit-exact
+    cos = F.expr(_spark_dot("qv", "nv")) / (F.col("qnrm") * F.col("nnrm"))
     scored = (
         bucketed.join(
             F.broadcast(queries), F.col("bucket") == F.col("qbucket")
@@ -589,16 +605,20 @@ def ann_int8_topk(
     cosine. Recall floor vs brute force is unit-tested
     (test_similarity.py)."""
     q8 = F.expr(quantize_int8_expr(vec_col))
+    # each side's exact-BIGINT self-dot is folded once before the join
+    # (projection barrier), not once per pair; sqrt/division order is
+    # unchanged so the doubles equal the oracle's all-inline form
     quant = emb.select(
         F.col(id_col).alias("neighbor_id"), q8.alias("nq8")
-    )
+    ).withColumn("nself", F.expr(_spark_int_dot("nq8", "nq8")))
     queries = (
         emb.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), q8.alias("qq8"))
+        .withColumn("qself", F.expr(_spark_int_dot("qq8", "qq8")))
     )
     icos = F.expr(_spark_int_dot("qq8", "nq8")).cast("double") / (
-        F.sqrt(F.expr(_spark_int_dot("qq8", "qq8")).cast("double"))
-        * F.sqrt(F.expr(_spark_int_dot("nq8", "nq8")).cast("double"))
+        F.sqrt(F.col("qself").cast("double"))
+        * F.sqrt(F.col("nself").cast("double"))
     )
     w8 = Window.partitionBy("query_id").orderBy(
         F.col("icos").desc(), F.col("neighbor_id")
