@@ -119,6 +119,8 @@ HEADLINE = [
     "q22_global_sales_opportunity",
     "streaming_dedup_events",
     "contamination_check",
+    "contamination_ngram_overlap",
+    "pack_sequences_2048",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -2735,6 +2735,154 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "contamination_ngram_overlap",
+    """
+    WITH base AS (
+      SELECT doc_id, lang,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t,
+        CAST(substr(translate(md5(text), 'abcdef', '012345'), 1, 6) AS BIGINT)
+          % 20 = 0 AS is_benchmark
+      FROM documents),
+    eligible AS (SELECT * FROM base WHERE len(t) >= 5),
+    sh AS (SELECT DISTINCT doc_id, lang, is_benchmark,
+             array_to_string(t[i:i+4], ' ') AS shingle
+           FROM eligible, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE is_benchmark),
+    corpus AS (SELECT doc_id, lang, shingle FROM sh WHERE NOT is_benchmark),
+    per_doc AS (
+      SELECT c.doc_id, c.lang,
+        count(*) AS n_sh,
+        count(b.shingle) AS n_hit
+      FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id, c.lang)
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(*) FILTER (n_hit * 1.0 / n_sh >= 0.3) AS BIGINT) AS n_flagged,
+      max(n_hit * 1.0 / n_sh) AS max_overlap
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3/PaLM-style audit):
+    instead of whole-document fingerprint equality (contamination_check),
+    flag training documents whose word-5-gram shingle set overlaps a
+    held-out benchmark sample's shingle set — this catches PARTIAL
+    containment (a benchmark prompt quoted inside a larger page), which
+    doc-level fingerprints miss entirely. Production uses 13-grams; the
+    synthetic corpus' short docs use 5-grams so the semantics are
+    exercised, the shape is identical.
+
+    Scale shape: the benchmark side is tiny (eval suites) -> its
+    distinct shingles BROADCAST; the corpus side explodes to shingles
+    map-side (~n_tokens rows per doc, no shuffle), per-doc dedup +
+    rollup are ordinary partial-aggregated shuffles. At 100 TB, hash
+    each shingle to a 64-bit token (xxhash64) before the join to cut
+    shuffle/broadcast bytes ~10x — kept as strings here only because
+    the cross-engine oracle needs an engine-neutral key. Guard:
+    Spark's sequence(1, n) REVERSES when n < 1, so docs under 5 tokens
+    are filtered out before shingling on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    samp = F.expr(
+        "CAST(substr(translate(md5(CAST(text AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 20"
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("t"),
+        (samp == 0).alias("is_benchmark"),
+    ).filter(F.size("t") >= 5)
+    sh = base.select(
+        "doc_id",
+        "lang",
+        "is_benchmark",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    bench = (
+        sh.filter("is_benchmark").select("shingle").distinct()
+        .withColumnRenamed("shingle", "bshingle")
+    )
+    per_doc = (
+        sh.filter(~F.col("is_benchmark"))
+        .join(F.broadcast(bench), F.col("shingle") == F.col("bshingle"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("bshingle").alias("n_hit"),
+        )
+    )
+    frac = F.col("n_hit") * 1.0 / F.col("n_sh")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(frac >= 0.3, 1)).cast("long").alias("n_flagged"),
+        F.max(frac).alias("max_overlap"),
+    )
+
+
+@register(
+    "pack_sequences_2048",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+        doc_id % 8 AS bucket,
+        len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+          AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+      FROM toks)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+      CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(start_off // 2048 AS BIGINT) AS pack_id
+    FROM packed
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-batch prep: assign each document to
+    a fixed-capacity (2048-token) pack by its cumulative start offset
+    within a deterministic bucket — the streaming-concat shape every
+    pretraining dataloader uses (docs are concatenated in order and
+    split every seq_len tokens; pack_id = which training sequence this
+    doc starts in).
+
+    Scale shape: one shuffle on the bucket key, one window pass within
+    each bucket — NO global sort (a single global cumulative sum would
+    serialise at 100 TB; B buckets pack independently, exactly like
+    per-worker dataloader shards). True first-fit bin packing is
+    inherently sequential and is deliberately NOT what production
+    pipelines do; offset packing is order-deterministic, reproducible
+    and embarrassingly parallel across buckets."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("long").alias("bucket"),
+        F.size(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
 # ===========================================================================
 # Remaining TPC-H shapes (q2/q7/q8/q9/q11/q15/q16). The corpus has no
 # partsupp table and lineitem lacks commit/receipt dates (TESTDATA.md), so

@@ -288,3 +288,26 @@ def test_ann_ivf_corpus_never_shuffles(spark, sf):
     # rank's single shuffle exchange besides broadcasts
     non_broadcast = plan.replace("BroadcastExchange", "")
     assert non_broadcast.count("Exchange") <= 2, plan[:3000]
+
+
+def test_contamination_ngram_bench_broadcast(spark, sf):
+    """The benchmark shingle set must broadcast; the corpus shingle side
+    must never sort-merge against it (at 100 TB the bench side is eval
+    suites — thousands of prompts — and the corpus never shuffles for
+    the probe join)."""
+    plan = plan_of(Q.QUERIES["contamination_ngram_overlap"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_bucket_shuffle(spark, sf):
+    """Offset packing must shuffle ONCE on the bucket key and sort only
+    within buckets — a global cumulative sum would serialise at scale."""
+    plan = plan_of(Q.QUERIES["pack_sequences_2048"](spark, sf))
+    # formatted output names each node twice (tree + detail section);
+    # count tree nodes only
+    assert plan.count("+- Exchange") == 1, plan[:3000]
+    assert "hashpartitioning(bucket" in plan, plan[:3000]
+    # the sort must be a local (per-partition) sort under the window,
+    # not a global range sort
+    assert "rangepartitioning" not in plan.lower(), plan[:3000]
