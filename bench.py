@@ -121,6 +121,8 @@ HEADLINE = [
     "contamination_check",
     "contamination_ngram_overlap",
     "pack_sequences_2048",
+    "ann_lsh_multiprobe",
+    "sample_fixed_per_lang",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -550,6 +550,96 @@ def duck_ann_lsh_sql(
     """
 
 
+def ann_lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query scans its own bucket PLUS every
+    bucket at Hamming distance 1 in signature space (flip each plane
+    bit once) — the standard recall-recovery technique: a true neighbor
+    that lands across one hyperplane boundary is found without doubling
+    the table count. Candidate volume grows (num_planes+1)x, still
+    ~n * (p+1) / 2^p of brute force.
+
+    Scale shape: identical to single-probe — the corpus is bucketed
+    once map-side; only the tiny query side explodes to its probe list
+    and broadcasts; each corpus vector lives in exactly ONE bucket, so
+    probe buckets are disjoint and no candidate dedup pass is needed."""
+    planes = _hyperplanes(num_planes, dim)
+    bucketed = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.expr(_spark_norm(vec_col)).alias("nnrm"),
+        F.expr(_bucket_expr_spark(vec_col, planes)).cast("int").alias("bucket"),
+    )
+    probes = ", ".join(
+        ["qbucket"] + [f"qbucket ^ {1 << p}" for p in range(num_planes)]
+    )
+    queries = (
+        bucketed.filter(F.col("nid").isin(query_ids))
+        .select(
+            F.col("nid").alias("query_id"),
+            F.col("nv").alias("qv"),
+            F.col("nnrm").alias("qnrm"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qnrm",
+            F.explode(F.expr(f"array({probes})")).alias("pbucket"),
+        )
+    )
+    cos = F.expr(_spark_dot("qv", "nv")) / (F.col("qnrm") * F.col("nnrm"))
+    scored = (
+        bucketed.join(F.broadcast(queries), F.col("bucket") == F.col("pbucket"))
+        .filter(F.col("nid") != F.col("query_id"))
+        .select("query_id", F.col("nid").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+
+
+def duck_ann_lsh_multiprobe_sql(
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    planes = _hyperplanes(num_planes, dim)
+    ids = ", ".join(str(i) for i in query_ids)
+    bucket = _bucket_expr_duck("embedding", planes)
+    probes = ", ".join(
+        ["qbucket"] + [f"xor(qbucket, {1 << p})" for p in range(num_planes)]
+    )
+    cos = f"{_duck_dot('q.qv', 'c.nv')} / ({_duck_norm('q.qv')} * {_duck_norm('c.nv')})"
+    return f"""
+    WITH bucketed AS (SELECT vec_id AS nid, embedding AS nv,
+        CAST({bucket} AS INT) AS bucket FROM {table}),
+    q0 AS (SELECT nid AS query_id, nv AS qv, bucket AS qbucket
+           FROM bucketed WHERE nid IN ({ids})),
+    q AS (SELECT query_id, qv, CAST(u.pbucket AS INT) AS pbucket
+          FROM q0, LATERAL unnest([{probes}]) AS u(pbucket)),
+    c AS (SELECT * FROM bucketed),
+    scored AS (SELECT query_id, c.nid AS neighbor_id, {cos} AS cosine
+        FROM c JOIN q ON c.bucket = q.pbucket WHERE c.nid <> q.query_id),
+    ranked AS (SELECT query_id, neighbor_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # int8-quantized ANN (scalar quantization + exact rerank)
 # ---------------------------------------------------------------------------

@@ -2008,6 +2008,19 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_int8_topk(load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5)
 
 
+@register(
+    "ann_lsh_multiprobe", _sim.duck_ann_lsh_multiprobe_sql(_QUERY_VEC_IDS, k=5)
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (operators/similarity.py:ann_lsh_multiprobe_topk):
+    probes the query's bucket plus all Hamming-1 signature buckets —
+    recall recovery without more hash tables; recall >= single-probe is
+    asserted in tests/test_similarity.py."""
+    return _sim.ann_lsh_multiprobe_topk(
+        load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5
+    )
+
+
 @register("ann_ivf_topk", _sim.duck_ann_ivf_sql(_QUERY_VEC_IDS, k=5))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN (nprobe=1): assignment + probe both

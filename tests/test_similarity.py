@@ -203,3 +203,32 @@ def test_ivf_centroid_persistence_roundtrip(spark, sf_dir, tmp_path):
     direct = sorted(map(tuple, ann_ivf_topk(emb, qids, centroids=cents).collect()))
     via_disk = sorted(map(tuple, ann_ivf_topk(emb, qids, centroids=loaded).collect()))
     assert direct == via_disk and len(direct) > 0
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Probing Hamming-1 buckets must never lose a candidate the single
+    bucket had (own bucket is always probed) and must recover >= the
+    single-probe recall against exact brute-force top-k."""
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+        ann_lsh_topk,
+        topk_cosine,
+    )
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [1, 2, 3]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_cosine(emb, qids, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(emb, qids, k=5).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_multiprobe_topk(emb, qids, k=5).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
