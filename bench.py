@@ -123,6 +123,7 @@ HEADLINE = [
     "pack_sequences_2048",
     "ann_lsh_multiprobe",
     "sample_fixed_per_lang",
+    "dedup_exact_keep_best",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

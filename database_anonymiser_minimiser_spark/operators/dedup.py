@@ -104,6 +104,31 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> D
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor-selection policy variant: per duplicate group keep the
+    highest-``score_col`` copy (ties -> lowest id) instead of min-id —
+    what production pipelines actually want when duplicates differ in
+    extraction quality (same text, different crawls/cleanups).
+
+    Same one-shuffle hash-aggregate shape as ``exact_dedup``:
+    max_by with an engine-deterministic (score, -id) struct key, count
+    alongside — no window, no second pass over the group."""
+    return df.groupBy(*key_cols).agg(
+        F.max_by(
+            id_col, F.struct(F.col(score_col) if isinstance(score_col, str)
+                             else score_col, (-F.col(id_col)).alias("negid"))
+        )
+        .cast("long")
+        .alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

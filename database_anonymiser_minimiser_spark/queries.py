@@ -556,6 +556,46 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_keep_best",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS fp,
+        CAST(n_chars AS BIGINT) AS score
+      FROM documents),
+    ranked AS (
+      SELECT fp, doc_id, score,
+        row_number() OVER (PARTITION BY fp ORDER BY score DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY fp) AS n
+      FROM scored)
+    SELECT md5(fp) AS fp_hash, CAST(doc_id AS BIGINT) AS keep_id,
+           CAST(n AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-policy dedup (operators/dedup.py:exact_dedup_keep_best):
+    per normalised-text group keep the LONGEST copy (n_chars as the
+    quality stand-in; ties -> lowest id) — the keep-best policy real
+    pipelines use when duplicate crawls differ in extraction quality.
+    Same single hash-aggregate shuffle as keep-min dedup: max_by over a
+    deterministic (score, -id) struct, no window pass (the oracle's
+    row_number form is the semantic spec, not the plan)."""
+    from .operators.dedup import exact_dedup_keep_best
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("fp"),
+        F.col("n_chars").cast("long").alias("score"),
+    )
+    return exact_dedup_keep_best(docs, ["fp"], "score").select(
+        F.md5(F.col("fp").cast("binary")).alias("fp_hash"),
+        "keep_id",
+        "n_copies",
+    )
+
+
+@register(
     "text_token_count",
     "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
     " AS n_tokens FROM documents",

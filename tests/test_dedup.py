@@ -137,3 +137,19 @@ def test_levenshtein_same_bucket_pair_not_duplicated(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     pairs = D.levenshtein_near_pairs(df, max_dist=10).collect()
     assert len(pairs) == 1 and (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (0, 1)
+
+
+def test_keep_best_prefers_high_score_then_low_id(spark):
+    """keep-best survivor policy: highest score wins; ties -> lowest id."""
+    rows = [
+        (10, "same text", 5),
+        (11, "same text", 9),   # highest score -> survivor
+        (12, "same text", 9),   # tie loses to lower id 11
+        (20, "other", 1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "fp", "score"])
+    got = {
+        r["fp"]: (r["keep_id"], r["n_copies"])
+        for r in D.exact_dedup_keep_best(df, ["fp"], "score").collect()
+    }
+    assert got == {"same text": (11, 3), "other": (20, 1)}
