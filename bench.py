@@ -124,6 +124,7 @@ HEADLINE = [
     "ann_lsh_multiprobe",
     "sample_fixed_per_lang",
     "dedup_exact_keep_best",
+    "ann_topk_cosine_numpy",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -104,6 +104,92 @@ def topk_cosine(
     )
 
 
+def topk_cosine_numpy(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    margin: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k with the dense math in numpy (Arrow
+    batches via mapInPandas): the vectorised scale path for embedding
+    scoring — one BLAS matmul per Arrow batch instead of a per-pair
+    interpreted fold, typically 10-100x the arithmetic throughput of
+    row-at-a-time expressions on wide vectors.
+
+    Exactness discipline: numpy only PRUNES — each batch emits its top
+    (k + margin) candidate ids per query by numpy cosine, then the
+    exact JVM fold re-scores ONLY those candidates and ranks them, so
+    the output is bit-identical to ``topk_cosine`` (and shares its
+    DuckDB oracle) unless float divergence around the pruning boundary
+    exceeds ``margin`` ranks — vanishingly unlikely for real data, and
+    caught by the oracle if it ever happens.
+
+    Scale shape: queries ride into executors as a closure-captured
+    (q x dim) matrix; the corpus streams through in Arrow batches
+    map-side (no shuffle); candidates are ~batches * q * (k+margin)
+    rows — tiny — and the exact rerank broadcasts them twice against
+    the corpus for vector fetch."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    take = k + margin
+
+    def prune(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = qn @ vn.T  # (q, batch)
+            out_q, out_n = [], []
+            for qi in range(len(qids)):
+                s = sims[qi]
+                mask = ids != qids[qi]
+                s, nb = s[mask], ids[mask]
+                if len(nb) == 0:
+                    continue
+                # top-take by (cosine desc, neighbor asc)
+                order = np.lexsort((nb, -s))[:take]
+                out_q.extend([qids[qi]] * len(order))
+                out_n.extend(nb[order])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        prune, "query_id long, neighbor_id long"
+    )
+    nv = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    qv = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.expr(_spark_norm(vec_col)).alias("qnrm"),
+    )
+    # exact rerank: the same fold/op-order as topk_cosine, candidates only
+    cos = F.expr(_spark_dot("qv", "nv")) / (F.col("qnrm") * F.expr(_spark_norm("nv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        nv.join(F.broadcast(cand), nv.nid == F.col("neighbor_id"))
+        .join(F.broadcast(qv), F.col("query_id") == F.col("qid"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+    # (no dedup needed: each corpus vector lives in exactly one Arrow
+    # batch, so a (query, neighbor) pair is emitted at most once; a
+    # global top-k member always ranks <= k within its own batch, so
+    # per-batch pruning provably contains the exact answer)
+
+
 def duck_topk_cosine_sql(
     query_ids: list[int], k: int = 5, table: str = "embeddings"
 ) -> str:

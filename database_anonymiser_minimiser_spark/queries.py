@@ -2048,6 +2048,17 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_int8_topk(load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5)
 
 
+@register("ann_topk_cosine_numpy", _sim.duck_topk_cosine_sql(_QUERY_VEC_IDS, k=5))
+def q_ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force top-k (similarity.py:topk_cosine_numpy):
+    BLAS matmul per Arrow batch prunes candidates, exact JVM folds
+    rerank — same oracle as ann_topk_cosine because the output is
+    provably the exact top-k (per-batch top-k contains the global)."""
+    return _sim.topk_cosine_numpy(
+        load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5
+    )
+
+
 @register(
     "ann_lsh_multiprobe", _sim.duck_ann_lsh_multiprobe_sql(_QUERY_VEC_IDS, k=5)
 )

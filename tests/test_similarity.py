@@ -232,3 +232,19 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     }
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+def test_numpy_topk_equals_exact_topk(spark, sf_dir):
+    """The Arrow/numpy-pruned variant must return the IDENTICAL top-k as
+    the pure-fold exact operator (numpy only prunes; JVM folds rank)."""
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        topk_cosine,
+        topk_cosine_numpy,
+    )
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [1, 2, 3]
+    exact = sorted(map(tuple, topk_cosine(emb, qids, k=5).collect()))
+    vec = sorted(map(tuple, topk_cosine_numpy(emb, qids, k=5).collect()))
+    assert exact == vec and len(exact) == 15
