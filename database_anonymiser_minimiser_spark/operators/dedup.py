@@ -317,7 +317,16 @@ def ngram_jaccard_pairs(
     from pyspark.storagelevel import StorageLevel
 
     shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-    inv = shingled.select("id", F.explode("s").alias("sh"))
+    # shingle-set size rides the inverted index (one extra int through
+    # the existing shuffle, no extra join): Jaccard >= t implies
+    # min(|A|,|B|) >= t * max(|A|,|B|), so size-incompatible pairs are
+    # rejected INSIDE the self-join predicate — before they ever reach
+    # the distinct shuffle or the full-array verify joins. Result-
+    # preserving (the bound is a necessary condition; 1e-9 slack covers
+    # float rounding at exact-boundary sizes).
+    inv = shingled.select(
+        "id", F.size("s").alias("n"), F.explode("s").alias("sh")
+    )
     rare = (
         inv.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df_count"))
@@ -326,8 +335,17 @@ def ngram_jaccard_pairs(
     )
     inv_rare = inv.join(rare, "sh")
     a, b = inv_rare.alias("a"), inv_rare.alias("b")
+    size_ok = (
+        F.least(F.col("a.n"), F.col("b.n")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(1e-9)
+    )
     cands = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & size_ok,
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
