@@ -144,6 +144,10 @@ FLAGSHIP = [
     "asof_join_events_orders",
     "scrub_text_pii",
     "streaming_events_tumbling",
+    # round-2 verdict watch items: the restructured IVF and the slowest
+    # headline query, surfaced in the driver-visible line for trend
+    "ann_ivf_topk",
+    "dedup_ngram_jaccard",
 ]
 
 
