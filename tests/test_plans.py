@@ -311,3 +311,22 @@ def test_pack_sequences_single_bucket_shuffle(spark, sf):
     # the sort must be a local (per-partition) sort under the window,
     # not a global range sort
     assert "rangepartitioning" not in plan.lower(), plan[:3000]
+
+
+def test_multiprobe_lsh_broadcasts_probe_list(spark, sf):
+    """Multi-probe LSH: only the exploded query/probe side may broadcast;
+    the corpus must never cartesian or sort-merge against it."""
+    plan = plan_of(Q.QUERIES["ann_lsh_multiprobe"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_numpy_topk_prune_is_mapside(spark, sf):
+    """The Arrow/numpy pruning stage must be a map-side python evaluator
+    (no shuffle before it) with the candidate set broadcast back for the
+    exact rerank."""
+    plan = plan_of(Q.QUERIES["ann_topk_cosine_numpy"](spark, sf))
+    assert "MapInPandas" in plan or "PythonMapInArrow" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
