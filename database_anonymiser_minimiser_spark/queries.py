@@ -2128,12 +2128,26 @@ def q_streaming_anonymise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream.run_streaming_anonymise(spark, sf_dir)
 
 
-@register("streaming_events_watermark")  # rows-only: append-mode emission set
+@register(
+    "streaming_events_watermark",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events, mx
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+)
 def q_streaming_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode counts: only windows sealed by the
-    watermark emit (bounded state). Rows-only check: the emitted subset
-    depends on micro-batch watermark advancement, which SQL cannot
-    express."""
+    watermark emit (bounded state). Under availableNow over a bounded
+    corpus the emitted set IS deterministic — after the final batch the
+    watermark settles at max(ts) - lateness and exactly the windows
+    whose end precedes it have been emitted — so the oracle expresses
+    it directly: hourly windows with window_end <= max(ts) - 2 hours
+    (upgraded from a rows-only check; verified identical at sf0.001
+    and sf0.01 under both <= and < boundary readings)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _stream.run_streaming_with_watermark(spark, sf_dir)
 
@@ -3807,7 +3821,6 @@ if _missing:  # fail at import, not silently at grade time
     raise RuntimeError(f"_PRIORITY_50 names not registered: {_missing}")
 # entries deliberately graded rows-only (no exact SQL oracle exists):
 _ROWS_ONLY_OK = {
-    "streaming_events_watermark",  # append-mode emission subset
     "realistic_mask_profile",  # salted realistic fakers (non-SQL)
     "multimodal_features",  # stubbed decode behind real Arrow plumbing
     "percentiles_approx_orders_by_status",  # approx sketch, no exact SQL

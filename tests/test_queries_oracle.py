@@ -105,17 +105,16 @@ def test_priority_window_has_no_decimal_outputs(spark, sf_dir, name):
 @pytest.mark.parametrize(
     "name",
     [
-        "streaming_events_watermark",
         "realistic_mask_profile",
         "multimodal_features",
         "percentiles_approx_orders_by_status",
     ],
 )
 def test_rows_only_window_entries_execute(spark, sf_dir, name):
-    """The four deliberately rows-only entries in the round-3 driver
-    window (no exact SQL oracle exists) must still EXECUTE against the
-    corpus and yield rows — the driver's weaker gate checks exactly
-    that, so this keeps it green under CI."""
+    """The deliberately rows-only entries in the round-3 driver window
+    (no exact SQL oracle exists) must still EXECUTE against the corpus
+    and yield rows — the driver's weaker gate checks exactly that, so
+    this keeps it green under CI."""
     df = QUERIES[name](spark, sf_dir)
     assert df.count() > 0
     assert df.columns
