@@ -2172,11 +2172,32 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_metadata(df)
 
 
-@register("multimodal_features")  # rows-only: mapInPandas featurizer
+@register(
+    "multimodal_features",
+    # the stand-in featurizer is byte statistics over the UTF-8 payload;
+    # the corpus text is pure ASCII (asserted in tests), so ord(char) ==
+    # byte value and the whole feature vector is SQL-expressible. A real
+    # neural featurizer would revert this entry to rows-only.
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+        list_reduce(list_transform(generate_series(1, len(text)),
+          i -> ord(substr(text, i, 1))), (x, y) -> x + y) AS s,
+        ord(substr(text, 1, 1)) AS first_b,
+        ord(substr(text, len(text), 1)) AS last_b
+      FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+      [CAST(n AS DOUBLE), (CAST(s AS DOUBLE) / n) / 255.0,
+       first_b / 255.0, last_b / 255.0] AS features
+    FROM b
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction (decode stubbed with
     deterministic byte statistics — the real decoder slots into the same
-    plumbing)."""
+    plumbing). Oracle-keyed: the byte-stat features are reproduced in
+    SQL over the same payload bytes (Python's int/int true division is
+    correctly rounded, i.e. identical to the engines' double division)."""
     return _mm.extract_features(_mm.attach_media(load(spark, sf_dir, "documents")))
 
 
@@ -3810,7 +3831,7 @@ _PRIORITY_50 = [
     "realistic_mask_profile",  # rows-only: salted realistic fakers
     # multimodal plumbing
     "multimodal_meta",
-    "multimodal_features",  # rows-only: stubbed decode, real plumbing
+    "multimodal_features",
     "multimodal_frame_sample",
     # approximate percentiles (rows-only: approx sketch has no exact oracle)
     "percentiles_approx_orders_by_status",
@@ -3822,7 +3843,6 @@ if _missing:  # fail at import, not silently at grade time
 # entries deliberately graded rows-only (no exact SQL oracle exists):
 _ROWS_ONLY_OK = {
     "realistic_mask_profile",  # salted realistic fakers (non-SQL)
-    "multimodal_features",  # stubbed decode behind real Arrow plumbing
     "percentiles_approx_orders_by_status",  # approx sketch, no exact SQL
 }
 _no_oracle = [n for n in _PRIORITY_50 if n not in ORACLE and n not in _ROWS_ONLY_OK]

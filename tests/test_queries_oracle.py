@@ -106,7 +106,6 @@ def test_priority_window_has_no_decimal_outputs(spark, sf_dir, name):
     "name",
     [
         "realistic_mask_profile",
-        "multimodal_features",
         "percentiles_approx_orders_by_status",
     ],
 )
