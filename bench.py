@@ -125,6 +125,11 @@ HEADLINE = [
     "sample_fixed_per_lang",
     "dedup_exact_keep_best",
     "ann_topk_cosine_numpy",
+    # round-4: grouped-map path + the sketch accuracy-band gates
+    "zscore_events_pandas",
+    "zscore_pandas_band_events",
+    "percentiles_band_orders_by_status",
+    "approx_distinct_band_events",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one
@@ -168,22 +173,42 @@ def main() -> None:
     # whole bench round (round 2's single streaming failure aborted the
     # process before any timing was printed). Errors are recorded as
     # short strings in `errors`; timings holds only successful runs.
+    #
+    # Each query: one unmeasured warm run (whole-stage-codegen JIT
+    # compiles on first execution, ~10s for heavy array expressions;
+    # steady-state throughput is what 100 TB jobs amortise to), then
+    # N_RUNS measured runs. The reported figure is the MEDIAN; per-query
+    # stddev lands in bench_full.json so 0.2 s-class JIT/GC noise is
+    # distinguishable from real plan regressions round-over-round.
+    N_RUNS = 3
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    runs_map: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
         try:
-            # one unmeasured warm run per query: whole-stage-codegen JIT
-            # compiles on first execution (~10s for heavy array
-            # expressions); steady-state throughput is what 100 TB jobs
-            # amortise to
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            spark.catalog.clearCache()  # drop operator-internal persists
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - start, 3)
+            runs: list[float] = []
+            for _ in range(N_RUNS):
+                spark.catalog.clearCache()  # drop operator-internal persists
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - start)
+            runs.sort()
+            med = runs[len(runs) // 2]
+            mean = sum(runs) / len(runs)
+            timings[name] = round(med, 3)
+            spreads[name] = round(
+                (sum((r - mean) ** 2 for r in runs) / (len(runs) - 1)) ** 0.5, 3
+            )
+            runs_map[name] = [round(r, 3) for r in runs]
         except Exception as exc:  # noqa: BLE001 - isolate, record, continue
-            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
+            # `or [""]`: an empty exception message yields no lines, and the
+            # handler itself must never raise (that re-creates the round-2
+            # all-timings-lost failure this isolation exists to prevent)
+            first = (str(exc).splitlines() or [""])[0][:160]
+            errors[name] = f"{type(exc).__name__}: {first}"
         finally:
             try:
                 spark.catalog.clearCache()
@@ -196,6 +221,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "stddev": spreads,
+        "runs": runs_map,
+        "n_runs": N_RUNS,
         "errors": errors,
         "sf": sf_val,
         "n_queries": len(timings),
