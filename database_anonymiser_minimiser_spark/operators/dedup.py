@@ -321,9 +321,9 @@ def ngram_jaccard_pairs(
     # the existing shuffle, no extra join): Jaccard >= t implies
     # min(|A|,|B|) >= t * max(|A|,|B|), so size-incompatible pairs are
     # rejected INSIDE the self-join predicate — before they ever reach
-    # the distinct shuffle or the full-array verify joins. Result-
-    # preserving (the bound is a necessary condition; 1e-9 slack covers
-    # float rounding at exact-boundary sizes).
+    # the pair-aggregation shuffle or the full-array verify joins.
+    # Result-preserving (the bound is a necessary condition; 1e-9 slack
+    # covers float rounding at exact-boundary sizes).
     inv = shingled.select(
         "id", F.size("s").alias("n"), F.explode("s").alias("sh")
     )
@@ -333,21 +333,52 @@ def ngram_jaccard_pairs(
         .filter(F.col("df_count") <= max_df)
         .select("sh")
     )
+    # per-doc rare-shingle count: tiny (one row per doc) -> broadcast
+    # back onto the index so both pair sides carry (n, r)
     inv_rare = inv.join(rare, "sh")
+    rcount = inv_rare.groupBy("id").agg(F.count(F.lit(1)).alias("r"))
+    inv_rare = inv_rare.join(F.broadcast(rcount), "id")
     a, b = inv_rare.alias("a"), inv_rare.alias("b")
     size_ok = (
         F.least(F.col("a.n"), F.col("b.n")).cast("double")
         >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(1e-9)
     )
-    cands = (
+    # Count-then-verify: the old `.distinct()` shuffled every co-occurring
+    # pair straight into the expensive array-verify joins (at sf0.1 that
+    # was ~850k pairs for a ~1k-pair result — verify was 90% of the
+    # query). The SAME shuffle, run as groupBy().count(), yields c =
+    # |rare(A) ∩ rare(B)| for free, and c bounds the full intersection
+    # from above: |A ∩ B| <= c + min(|A|-r_A, |B|-r_B) (the non-rare
+    # remainders are the only other shingles the two docs could share).
+    # J >= t  <=>  |A ∩ B| >= t/(1+t) * (|A|+|B|), so pairs whose upper
+    # bound misses that mark are rejected BEFORE touching the shingle
+    # arrays — a necessary condition, so the verified result is
+    # byte-identical. On corpora where most shingles are rare the bound
+    # is nearly exact and verify degenerates to confirming true pairs.
+    pair_counts = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.id") < F.col("b.id"))
             & size_ok,
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            F.col("a.r").alias("ra"),
+            F.col("b.r").alias("rb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    inter_ub = F.col("c") + F.least(
+        F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+    )
+    need = F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+    cands = (
+        pair_counts.filter(inter_ub.cast("double") >= need - F.lit(1e-9))
+        .select("id_a", "id_b")
     )
     return verify_jaccard(cands, shingled, threshold)
 

@@ -290,6 +290,25 @@ def test_ann_ivf_corpus_never_shuffles(spark, sf):
     assert non_broadcast.count("Exchange") <= 2, plan[:3000]
 
 
+def test_ngram_jaccard_bounds_pairs_before_verify(spark, sf):
+    """Count-then-verify shape: the candidate pair stream must be
+    aggregated (shared-rare-shingle count) and bound-filtered BEFORE the
+    array-verify joins — the round-3 shape shipped ~850k distinct pairs
+    into verify for a ~256-pair result. The aggregate reuses the shuffle
+    the old distinct() paid anyway, so there must be no separate
+    pair-level distinct, and the bound filter (least over the non-rare
+    remainders) must sit on the aggregate's count output."""
+    plan = plan_of(Q.QUERIES["dedup_ngram_jaccard"](spark, sf))
+    # the pair aggregate exists and carries the count
+    assert "count(1)" in plan, plan[:3000]
+    # the upper-bound prune is in-plan (least(na - ra, nb - rb) form)
+    assert "least(" in plan, plan[:3000]
+    # no pair-level distinct aggregate remains anywhere in the plan: a
+    # keys-only dedup (the old distinct()) would show as a HashAggregate
+    # with an empty function list
+    assert "Functions: []" not in plan, plan[:3000]
+
+
 def test_contamination_ngram_bench_broadcast(spark, sf):
     """The benchmark shingle set must broadcast; the corpus shingle side
     must never sort-merge against it (at 100 TB the bench side is eval
