@@ -127,7 +127,7 @@ class Engine:
         sections = [
             (
                 p.name,
-                self.source.get_table_schema(p.name),
+                self.source.get_table_schema(p.name, db_type=db_type),
                 None if p.config.truncate else p.build(self.source.read(p.name)),
                 p.config.primary_key or None,
             )

@@ -115,12 +115,18 @@ class FilesSource:
             for f in self.read(table).schema.fields
         ]
 
-    def get_table_schema(self, table: str) -> str:
+    def get_table_schema(self, table: str, db_type: str | None = None) -> str:
+        # reconstructed DDL: quote for the export dialect (see
+        # ParquetSource.get_table_schema)
+        from ..dump import quote_ident
+
+        dt = db_type or "mysql"
         cols = ",\n".join(
-            f"  `{c.name}` {c.data_type}{'' if c.is_nullable else ' NOT NULL'}"
+            f"  {quote_ident(dt, c.name)} {c.data_type}"
+            f"{'' if c.is_nullable else ' NOT NULL'}"
             for c in self.get_columns(table)
         )
-        return f"CREATE TABLE `{table}` (\n{cols}\n);"
+        return f"CREATE TABLE {quote_ident(dt, table)} (\n{cols}\n);"
 
     def get_row_count(self, table: str) -> int:
         return self.read(table).count()

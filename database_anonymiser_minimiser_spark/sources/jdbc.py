@@ -248,9 +248,11 @@ class JdbcCatalogSource:
             for f in self.read(table).schema.fields
         ]
 
-    def get_table_schema(self, table: str) -> str:
+    def get_table_schema(self, table: str, db_type: str | None = None) -> str:
         """CREATE TABLE DDL reconstructed from the JDBC-reported schema
-        (postgres.go:68-114 pattern)."""
+        (postgres.go:68-114 pattern), quoted for the SOURCE dialect —
+        the reference exports a database back into its own dialect;
+        ``db_type`` is accepted for interface parity and ignored."""
         q = lambda ident: quote_identifier(self.conn.type, ident)
         cols = ",\n".join(
             f"  {q(c.name)} {c.data_type}{'' if c.is_nullable else ' NOT NULL'}"

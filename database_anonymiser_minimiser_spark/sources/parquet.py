@@ -168,14 +168,21 @@ class ParquetSource:
             for f in self.read(table).schema.fields
         ]
 
-    def get_table_schema(self, table: str) -> str:
+    def get_table_schema(self, table: str, db_type: str | None = None) -> str:
         """S5: CREATE TABLE DDL reconstructed from the schema
-        (postgres.go:68-114 pattern)."""
+        (postgres.go:68-114 pattern). The reference reads stored DDL so
+        its dialect always matches the source; a reconstructing source
+        must instead quote identifiers for the EXPORT dialect (backticks
+        are invalid DDL in postgres/sqlite)."""
+        from ..dump import quote_ident
+
+        dt = db_type or "mysql"
         cols = ",\n".join(
-            f"  `{c.name}` {c.data_type}{'' if c.is_nullable else ' NOT NULL'}"
+            f"  {quote_ident(dt, c.name)} {c.data_type}"
+            f"{'' if c.is_nullable else ' NOT NULL'}"
             for c in self.get_columns(table)
         )
-        return f"CREATE TABLE `{table}` (\n{cols}\n);"
+        return f"CREATE TABLE {quote_ident(dt, table)} (\n{cols}\n);"
 
     def get_row_count(self, table: str) -> int:
         """S8: COUNT(*) (mysql.go:227-235). Parquet footer metadata makes

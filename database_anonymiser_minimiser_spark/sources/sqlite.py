@@ -84,8 +84,10 @@ class SqliteSource:
             ).fetchall()
         return [r[0] for r in rows]
 
-    def get_table_schema(self, table: str) -> str:
-        """Verbatim original DDL (sqlite.go:66-76)."""
+    def get_table_schema(self, table: str, db_type: str | None = None) -> str:
+        """Verbatim original DDL (sqlite.go:66-76) — stored DDL keeps its
+        source dialect, like the reference; ``db_type`` is accepted for
+        interface parity and ignored."""
         with self._connect() as con:
             row = con.execute(
                 "SELECT sql FROM sqlite_master WHERE type = 'table' AND name = ?",

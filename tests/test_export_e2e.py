@@ -98,6 +98,74 @@ def test_topo_order_of_sections(dump_text):
     assert pos["supplier"] < pos["lineitem"]
 
 
+@pytest.mark.parametrize("db_type", ["mysql", "postgres", "sqlite"])
+def test_full_export_surface_per_dialect(spark, sf_dir, tmp_path, db_type):
+    """The COMPLETE emitted export surface per dialect, end-to-end
+    through Engine.export — reference behavior spec
+    ``internal/exporter/exporter_test.go:306-347`` (headers) plus the
+    DROP/INSERT identifier-quoting rules (``exporter.go:91-166,
+    259-271``). The earlier goldens covered header/footer/DROP as unit
+    calls on the default path; this drives every dialect through the
+    same orchestration the CLI uses and checks the assembled file."""
+    cfg = C.Config.from_dict(
+        {
+            "connection": {"type": "parquet", "path": sf_dir},
+            "configuration": {
+                "part": {"truncate": True},
+                "customer": {
+                    "primary_key": "c_custkey",
+                    "columns": {"c_name": "{{faker.name}}", "c_acctbal": None},
+                },
+            },
+        }
+    )
+    out = tmp_path / f"dump_{db_type}.sql"
+    Engine(spark, cfg).export(str(out), db_type=db_type)
+    text = out.read_text()
+
+    header_spec = {
+        "mysql": ["SET NAMES utf8mb4;", "SET FOREIGN_KEY_CHECKS = 0;",
+                  "START TRANSACTION;"],
+        "postgres": ["SET client_encoding = 'UTF8';",
+                     "SET standard_conforming_strings = on;"],
+        "sqlite": ["PRAGMA foreign_keys = OFF;"],
+    }
+    footer_spec = {
+        "mysql": ["COMMIT;", "SET FOREIGN_KEY_CHECKS = 1;"],
+        "postgres": ["-- End of dump"],
+        "sqlite": ["PRAGMA foreign_keys = ON;"],
+    }
+    q = (lambda t: f"`{t}`") if db_type == "mysql" else (lambda t: f'"{t}"')
+
+    # header block precedes everything; dialect lines all present
+    assert text.startswith("-- Database Dump")
+    assert f"-- Database Type: {db_type}" in text
+    for line in header_spec[db_type]:
+        assert line in text, f"{db_type} header missing {line!r}"
+        assert text.index(line) < text.index("-- Table: ")
+    for line in footer_spec[db_type]:
+        assert line in text, f"{db_type} footer missing {line!r}"
+        assert text.index(line) > text.rindex("INSERT INTO")
+
+    # DROP: quoting + postgres CASCADE, before the CREATE of each table
+    cascade = " CASCADE" if db_type == "postgres" else ""
+    for t in ["customer", "part"]:
+        drop = f"DROP TABLE IF EXISTS {q(t)}{cascade};"
+        assert drop in text, f"{db_type} missing {drop!r}"
+        assert text.index(drop) < text.index(f"CREATE TABLE {q(t)}")
+
+    # INSERT: dialect identifier quoting on table AND column list;
+    # truncated table emits DDL but no INSERT
+    ins = f"INSERT INTO {q('customer')} ({q('c_custkey')}, {q('c_name')}"
+    assert ins in text, f"{db_type} INSERT head malformed"
+    part_sec = text.split(f"-- Table: part")[1]
+    assert "INSERT INTO" not in part_sec.split("-- Table: ")[0]
+
+    # masked values present, original absent, NULL rule surfaces as NULL
+    assert "Customer#" not in text
+    assert re.search(r"\(\d+, '[a-z]+ [a-z]+', \d+, NULL, '", text)
+
+
 def test_sync_adds_missing_tables(spark, sf_dir):
     cfg = C.Config.from_dict(
         {"connection": {"type": "parquet", "path": sf_dir},
