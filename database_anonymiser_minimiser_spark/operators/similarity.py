@@ -140,15 +140,32 @@ def topk_cosine_numpy(
         .collect()
     )
     qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    # empty query set: norm over a (0,)-shaped array would raise; the
+    # correct answer is simply no neighbors
+    if len(q_rows) == 0:
+        return (
+            emb.select(
+                F.col(id_col).cast("long").alias("query_id"),
+                F.col(id_col).cast("long").alias("neighbor_id"),
+                F.lit(1).alias("rank"),
+            ).limit(0)
+        )
     qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # zero-norm vectors would divide to NaN and silently distort the
+    # pruning order; map them to zero similarity instead (the exact JVM
+    # rerank applies the true cosine to whatever survives)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn = np.divide(qmat, qnorm, out=np.zeros_like(qmat), where=qnorm != 0)
     take = k + margin
 
     def prune(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if len(ids) == 0:  # empty Arrow batch: nothing to prune
+                continue
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            vnorm = np.linalg.norm(v, axis=1, keepdims=True)
+            vn = np.divide(v, vnorm, out=np.zeros_like(v), where=vnorm != 0)
             sims = qn @ vn.T  # (q, batch)
             out_q, out_n = [], []
             for qi in range(len(qids)):
@@ -172,8 +189,18 @@ def topk_cosine_numpy(
         F.col(vec_col).alias("qv"),
         F.expr(_spark_norm(vec_col)).alias("qnrm"),
     )
-    # exact rerank: the same fold/op-order as topk_cosine, candidates only
-    cos = F.expr(_spark_dot("qv", "nv")) / (F.col("qnrm") * F.expr(_spark_norm("nv")))
+    # exact rerank: the same fold/op-order as topk_cosine, candidates only.
+    # No dedup needed: each corpus vector lives in exactly one Arrow
+    # batch, so a (query, neighbor) pair is emitted at most once; a
+    # global top-k member always ranks <= k within its own batch, so
+    # per-batch pruning provably contains the exact answer.
+    # Zero-norm guard mirrors the numpy pruning side (similarity 0, not a
+    # DIVIDE_BY_ZERO under ANSI); for nonzero norms the branch is the
+    # bit-identical division topk_cosine computes.
+    denom = F.col("qnrm") * F.expr(_spark_norm("nv"))
+    cos = F.when(denom != 0, F.expr(_spark_dot("qv", "nv")) / denom).otherwise(
+        F.lit(0.0)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -184,10 +211,6 @@ def topk_cosine_numpy(
         .select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
-    # (no dedup needed: each corpus vector lives in exactly one Arrow
-    # batch, so a (query, neighbor) pair is emitted at most once; a
-    # global top-k member always ranks <= k within its own batch, so
-    # per-batch pruning provably contains the exact answer)
 
 
 def duck_topk_cosine_sql(
@@ -366,7 +389,20 @@ def assign_to_centroids(
     centroids ride into the executors as literals inside one projected
     expression; cost is k dot-folds + 1 norm-fold per row, map-side
     only (two stacked Projects, which CollapseProject keeps separate
-    because the norm fold is non-cheap and referenced k times)."""
+    because the norm fold is non-cheap and referenced k times).
+
+    Practical ceiling of the literal embedding: the generated SQL text
+    grows as O(k * dim) numeric literals (~20 bytes each), and Catalyst
+    analysis + Janino codegen degrade long before the text itself is a
+    memory problem — k * dim beyond roughly 10^5 cells (e.g. 1024 x 128)
+    risks 64KB-method codegen fallback and minutes-long planning. Past
+    that, keep the assignment map-side by chunking: score ``array_max``
+    over C centroid chunks in stacked projections (each under the
+    ceiling) and fold the per-chunk argmaxes with one final
+    ``greatest``-style struct max — same plan shape, C+1 narrow
+    projections. Only if even chunking is impractical (k * dim in the
+    10^7 range) fall back to a broadcast-join assignment and accept the
+    row multiplication it brings."""
     scored = _centroid_scored_array(cent_rows, "nv", "nrm")
     return (
         emb.select(

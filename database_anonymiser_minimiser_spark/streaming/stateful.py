@@ -62,13 +62,20 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def run_stateful_totals(
-    spark: SparkSession, sf_dir: str, n_splits: int = 4
+    spark: SparkSession, sf_dir: str, n_splits: int = 4, trigger: str = "availableNow"
 ) -> DataFrame:
     """Run the stateful operator as a real multi-micro-batch stream: the
     events table is split into ``n_splits`` files, streamed one file per
     trigger (so state genuinely carries across batches), and the LAST
     emission per user is returned — which must equal the batch
-    ``groupBy(user).count/max`` exactly."""
+    ``groupBy(user).count/max`` exactly.
+
+    ``trigger``: ``"availableNow"`` (bounded drain, the oracle path) or
+    ``"processingTime"`` — a live periodic trigger, stopped once every
+    input file has been consumed. availableNow plans its batches from a
+    snapshot of the source up front; processingTime discovers files per
+    tick, so state handling across genuinely asynchronous batches (and
+    empty ticks) is exercised only by the latter."""
     import pyarrow.parquet as pq
     import pyarrow as pa
     import tempfile, os
@@ -94,15 +101,30 @@ def run_stateful_totals(
     stream = convert_ns_columns(stream, ns_cols)
 
     name = f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
+    writer = (
         running_user_totals(stream)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    if trigger == "processingTime":
+        import time
+
+        q = writer.trigger(processingTime="250 milliseconds").start()
+        expected = tbl.num_rows
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            seen = sum(
+                int(p["numInputRows"]) for p in (q.recentProgress or [])
+            )
+            if seen >= expected and not q.status.get("isDataAvailable", True):
+                break
+            time.sleep(0.25)
+        q.stop()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
     # the memory sink accumulates every update; the final state per user is
     # the row with the highest n_events (monotone counter)
     from pyspark.sql import functions as F

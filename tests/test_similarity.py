@@ -248,3 +248,36 @@ def test_numpy_topk_equals_exact_topk(spark, sf_dir):
     exact = sorted(map(tuple, topk_cosine(emb, qids, k=5).collect()))
     vec = sorted(map(tuple, topk_cosine_numpy(emb, qids, k=5).collect()))
     assert exact == vec and len(exact) == 15
+
+
+def test_numpy_topk_edge_inputs(spark, emb_df):
+    """Edge guards: an empty query set returns an empty frame (not a
+    numpy shape error), and zero-norm vectors score 0 similarity rather
+    than NaN-poisoning the pruning order."""
+    from pyspark.sql import types as T
+
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        topk_cosine_numpy,
+    )
+
+    empty = topk_cosine_numpy(emb_df, [], k=3)
+    assert empty.columns == ["query_id", "neighbor_id", "rank"]
+    assert empty.count() == 0
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("block", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (0, vec(1, 0, 0, 0), 0),
+        (1, vec(0.9, 0.1, 0, 0), 0),
+        (2, vec(0, 0, 0, 0), 0),  # zero-norm corpus vector
+        (3, vec(0, 1, 0, 0), 0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = topk_cosine_numpy(df, [0], k=2).collect()
+    # the zero vector must not displace real neighbors via NaN ordering
+    assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])][0] == 1

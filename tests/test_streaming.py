@@ -81,6 +81,33 @@ def test_streaming_registry_runs_on_corpus_schema(spark, sf_dir, name):
     assert df.columns  # stable, non-empty schema
 
 
+@pytest.mark.parametrize("trigger", ["availableNow", "processingTime"])
+def test_stateful_totals_under_both_trigger_shapes(spark, sf_dir, trigger):
+    """availableNow plans all micro-batches from a startup snapshot, so
+    it cannot catch state bugs that only appear when batches arrive
+    asynchronously (file discovery per tick, empty ticks between data).
+    Run the applyInPandasWithState operator under BOTH trigger shapes
+    and require the identical final state: the batch groupBy answer."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.queries import load
+    from database_anonymiser_minimiser_spark.streaming.stateful import (
+        run_stateful_totals,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = run_stateful_totals(spark, sf_dir, trigger=trigger)
+    expect = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("last_event_us"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
 def test_streaming_export_importable_dump(spark, sf_dir, tmp_path):
     """The streaming incremental dump must be a valid, importable SQL
     file: sqlite3 re-imports it and sees every source row, masked."""
