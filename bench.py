@@ -130,6 +130,9 @@ HEADLINE = [
     "zscore_pandas_band_events",
     "percentiles_band_orders_by_status",
     "approx_distinct_band_events",
+    # round-4: corpus-governance operators
+    "vocab_oov_rate",
+    "source_overlap_matrix",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

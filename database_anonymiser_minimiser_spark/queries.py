@@ -2001,6 +2001,115 @@ def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_oov_rate",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents),
+    vocab AS (SELECT word FROM tok GROUP BY word
+              ORDER BY count(*) DESC, word LIMIT 100),
+    flag AS (SELECT t.doc_id,
+               CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+             FROM tok t LEFT JOIN vocab v USING (word))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(oov) AS BIGINT) AS n_oov,
+      CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+    FROM flag GROUP BY doc_id
+    """,
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary rate
+    against the corpus top-100 vocabulary (the coverage gate run before
+    committing to a tokenizer — high-OOV docs are either noise or a
+    domain the vocab underserves).
+
+    Scale shape: the vocabulary is a TakeOrdered top-k collected to the
+    driver (100 rows — bytes) and embedded as an array literal, so the
+    per-document pass is ONE projection over the corpus — no explode, no
+    token-level join, no shuffle (same literal-embedding discipline as
+    the IVF centroid assignment; a 100k-word vocab would switch to the
+    broadcast-join form per the ceiling documented there). Tie-broken
+    (freq DESC, word ASC) for a deterministic oracle."""
+    from .operators.textstats import tokens_column
+
+    docs = load(spark, sf_dir, "documents")
+    vocab_rows = (
+        docs.select(F.explode(tokens_column(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(100)
+        .collect()
+    )
+    vocab = F.array(*[F.lit(r["word"]) for r in vocab_rows])
+    toks = tokens_column(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_oov = F.size(
+        F.filter(toks, lambda t: ~F.array_contains(vocab, t))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov.cast("double") / n_tokens).alias("oov_rate"),
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    """
+    WITH fp AS (SELECT DISTINCT source,
+        array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[1:8],
+                        ' ') AS fp
+      FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+      CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage report: for every pair of ingest sources, how
+    many head fingerprints (first-8-token prefix — the cheap near-dup
+    bucketing key) appear in BOTH. The governance matrix a corpus owner
+    reads before mixing sources: high overlap means double-counted
+    content or one source mirroring another.
+
+    Scale shape: fingerprints dedup per (source, fp) first (one
+    partial-aggregated shuffle), and the self-join keys on the
+    fingerprint, so join fan-out is bounded by duplicate-bucket
+    occupancy, never corpus x corpus; the output is at most
+    |sources|^2 rows. Counting rows of the deduped relation equals
+    count(DISTINCT fp) per pair with no second distinct shuffle."""
+    from .operators.textstats import tokens_column
+
+    docs = load(spark, sf_dir, "documents")
+    fp = (
+        docs.select(
+            "source",
+            F.concat_ws(
+                " ", F.slice(tokens_column(F.col("text")), 1, 8)
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+@register(
     "tfdf_top_terms",
     """
     WITH w AS (
@@ -3937,12 +4046,14 @@ _PRIORITY_50 = [
     "mask_all_fakers",
     "sqldump_escape_golden",
     "topo_order",
+    # round-4-new corpus-governance operators (graded in their own round
+    # — the r3 lesson: never land an oracle query outside the window)
+    "vocab_oov_rate",
+    "source_overlap_matrix",
     # twice-graded structural anchors (regression canaries)
     "consistency_mapping",
     "anonymise_customer_full",
     "json_schema_agg",
-    "window_top_orders_per_customer",
-    "setop_union_intersect_except",
 ]
 
 _missing = [n for n in _PRIORITY_50 if n not in QUERIES]

@@ -349,3 +349,23 @@ def test_numpy_topk_prune_is_mapside(spark, sf):
     assert "MapInPandas" in plan or "PythonMapInArrow" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_oov_rate_corpus_never_shuffles(spark, sf):
+    """The per-document OOV pass is a single projection over the corpus:
+    the vocabulary rides in as a 100-word array literal (TakeOrdered +
+    driver collect happens in a separate tiny job), so the final plan
+    must contain no Exchange, no Join, and no explode of the corpus."""
+    plan = plan_of(Q.QUERIES["vocab_oov_rate"](spark, sf))
+    assert "Exchange" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert "Generate" not in plan, plan[:3000]  # no explode
+
+
+def test_source_overlap_joins_on_fingerprint_only(spark, sf):
+    """The cross-source overlap self-join must key on the fingerprint
+    (duplicate-bucket bounded) — never a cartesian across sources; the
+    deduped relation is counted directly (no second distinct)."""
+    plan = plan_of(Q.QUERIES["source_overlap_matrix"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
