@@ -3982,8 +3982,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       grouped-map queries that previously could only be rows-only;
 #   (c) the re-graded fixed multimodal_features (r3's only red) and
 #       dedup_ngram_jaccard (implementation optimised this round);
-#   (d) backfill: once-graded r1/r2 entries (complex operators first) +
-#       a handful of twice-graded structural anchors. The sixteen
+#   (d) the two round-4-new governance operators (vocab_oov_rate,
+#       source_overlap_matrix) — registered AND windowed in the same
+#       round, the r3 lesson;
+#   (e) backfill: once-graded r1/r2 entries (complex operators first) +
+#       three twice-graded structural anchors. The sixteen
 #       single-faker mask_* entries stay out (each is subsumed by
 #       mask_all_fakers, graded r1/r2 green).
 # After this round EVERY registered query carries a driver CORRECTNESS
