@@ -396,13 +396,12 @@ def assign_to_centroids(
     analysis + Janino codegen degrade long before the text itself is a
     memory problem — k * dim beyond roughly 10^5 cells (e.g. 1024 x 128)
     risks 64KB-method codegen fallback and minutes-long planning. Past
-    that, keep the assignment map-side by chunking: score ``array_max``
-    over C centroid chunks in stacked projections (each under the
-    ceiling) and fold the per-chunk argmaxes with one final
-    ``greatest``-style struct max — same plan shape, C+1 narrow
-    projections. Only if even chunking is impractical (k * dim in the
-    10^7 range) fall back to a broadcast-join assignment and accept the
-    row multiplication it brings."""
+    that, use ``assign_to_centroids_chunked`` below: the same argmax
+    scored over bounded centroid chunks and folded with one
+    ``greatest`` — bit-identical output (equality-tested per chunk
+    size), still map-side. Only if even chunking is impractical
+    (k * dim in the 10^7 range) fall back to a broadcast-join
+    assignment and accept the row multiplication it brings."""
     scored = _centroid_scored_array(cent_rows, "nv", "nrm")
     return (
         emb.select(
@@ -414,6 +413,44 @@ def assign_to_centroids(
             "nid", "nv", "nrm",
             F.expr(f"array_max({scored}).cid").alias("cid"),
         )
+    )
+
+
+def assign_to_centroids_chunked(
+    emb: DataFrame,
+    cent_rows,
+    chunk_size: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The large-k form of ``assign_to_centroids``: identical output
+    (same argmax, same tie-break), but the k centroids are scored in
+    ⌈k/chunk_size⌉ bounded ``array_max`` expressions whose per-chunk
+    winners fold with one ``greatest`` — struct ordering (ccos DESC via
+    max, then negcid for lowest-cid ties) is the same comparison
+    array_max uses, so chunking is associativity, not approximation.
+    Keeps every generated expression under the Janino/analysis ceiling
+    documented above while staying map-side: still no join, no row
+    multiplication, no shuffle."""
+    rows = sorted(cent_rows, key=lambda r: r["cid"])
+    chunks = [rows[i : i + chunk_size] for i in range(0, len(rows), chunk_size)]
+    df = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.expr(_spark_norm(vec_col)).alias("nrm"),
+    )
+    best_cols = []
+    for j, ch in enumerate(chunks):
+        scored = _centroid_scored_array(ch, "nv", "nrm")
+        df = df.withColumn(f"_best{j}", F.expr(f"array_max({scored})"))
+        best_cols.append(f"_best{j}")
+    combined = (
+        best_cols[0]
+        if len(best_cols) == 1
+        else "greatest(" + ", ".join(best_cols) + ")"
+    )
+    return df.select(
+        "nid", "nv", "nrm", F.expr(f"{combined}.cid").alias("cid")
     )
 
 

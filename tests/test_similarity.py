@@ -281,3 +281,33 @@ def test_numpy_topk_edge_inputs(spark, emb_df):
     got = topk_cosine_numpy(df, [0], k=2).collect()
     # the zero vector must not displace real neighbors via NaN ordering
     assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])][0] == 1
+
+
+def test_chunked_centroid_assignment_equals_plain(spark, sf_dir):
+    """assign_to_centroids_chunked must be bit-identical to the single
+    array_max form for every chunk size (chunking is associativity of
+    the same struct max, not an approximation), and must stay a pure
+    projection — no Exchange, no Join."""
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        assign_to_centroids,
+        assign_to_centroids_chunked,
+        train_ivf_centroids,
+    )
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [
+        {"cid": r["cid"], "cv": list(r["cv"])}
+        for r in train_ivf_centroids(emb, num_centroids=6, iters=1).collect()
+    ]
+    plain = sorted(
+        (r["nid"], r["cid"]) for r in assign_to_centroids(emb, cents).collect()
+    )
+    for chunk in (1, 2, 4, 100):
+        chunked_df = assign_to_centroids_chunked(emb, cents, chunk_size=chunk)
+        got = sorted((r["nid"], r["cid"]) for r in chunked_df.collect())
+        assert got == plain, f"chunk_size={chunk} diverges"
+    plan = chunked_df._sc._jvm.PythonSQLUtils.explainString(
+        chunked_df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan and "Join" not in plan
