@@ -131,3 +131,45 @@ def test_streaming_export_importable_dump(spark, sf_dir, tmp_path):
     # original user ids must not appear
     raw = out.read_text()
     assert "user_" not in raw
+
+
+def test_stateful_totals_on_rocksdb_state_store(spark, sf_dir):
+    """The 100 TB state story: the default HDFS-backed state store keeps
+    every key in executor memory — at billions of keys the RocksDB
+    provider (bundled with Spark) is the production answer. The stateful
+    operator must produce the identical final state on it."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.queries import load
+    from database_anonymiser_minimiser_spark.streaming.stateful import (
+        run_stateful_totals,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        got = run_stateful_totals(spark, sf_dir)
+        expect = (
+            load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.unix_micros(F.max("ts").cast("timestamp")).alias(
+                    "last_event_us"
+                ),
+            )
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
