@@ -61,8 +61,67 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running totals on Spark 4's ``transformWithStateInPandas``
+    — the successor API to applyInPandasWithState: state is declared as
+    named, schema-typed handles (value/list/map states, optional TTL,
+    timers) instead of one opaque tuple, which is what production
+    pipelines want for state evolution. Semantics here are identical to
+    ``running_user_totals``, and the equality test pins that."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    try:  # the TWS state protocol is protobuf-based; fail clearly, not
+        # with a crashed streaming worker, when the wheel is absent
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark[connect] dependency), not present in this "
+            "environment — use running_user_totals "
+            "(applyInPandasWithState) which computes identical totals"
+        ) from e
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, last_us = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = int(pd.DatetimeIndex(pdf["ts"]).asi8.max()) // 1000
+                last_us = max(last_us, batch_max)
+            self._totals.update((n, last_us))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "last_event_us": [last_us]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_stateful_totals(
-    spark: SparkSession, sf_dir: str, n_splits: int = 4, trigger: str = "availableNow"
+    spark: SparkSession,
+    sf_dir: str,
+    n_splits: int = 4,
+    trigger: str = "availableNow",
+    impl: str = "applyInPandasWithState",
 ) -> DataFrame:
     """Run the stateful operator as a real multi-micro-batch stream: the
     events table is split into ``n_splits`` files, streamed one file per
@@ -75,7 +134,11 @@ def run_stateful_totals(
     input file has been consumed. availableNow plans its batches from a
     snapshot of the source up front; processingTime discovers files per
     tick, so state handling across genuinely asynchronous batches (and
-    empty ticks) is exercised only by the latter."""
+    empty ticks) is exercised only by the latter.
+
+    ``impl``: ``"applyInPandasWithState"`` (the long-stable API) or
+    ``"transformWithState"`` (Spark 4's typed-state successor) — both
+    compute the identical totals."""
     import pyarrow.parquet as pq
     import pyarrow as pa
     import tempfile, os
@@ -100,9 +163,20 @@ def run_stateful_totals(
     )
     stream = convert_ns_columns(stream, ns_cols)
 
+    totals_fn = running_user_totals
+    if impl == "transformWithState":
+        totals_fn = running_user_totals_tws
+        # transformWithState only runs on the RocksDB state store
+        # (SPARK-46815 operator family); the default HDFS-backed provider
+        # crashes the stateful worker
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     name = f"stateful_{uuid.uuid4().hex[:8]}"
     writer = (
-        running_user_totals(stream)
+        totals_fn(stream)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")

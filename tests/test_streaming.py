@@ -173,3 +173,48 @@ def test_stateful_totals_on_rocksdb_state_store(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_transform_with_state_equals_apply_in_pandas_with_state(spark, sf_dir):
+    """Spark 4's transformWithStateInPandas (typed state handles, the
+    successor API) must produce the identical final state as the
+    applyInPandasWithState implementation and the batch aggregate.
+    Skipped where the protobuf wheel (its state protocol) is absent —
+    the implementation guards the same dependency with a clear error."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.queries import load
+    from database_anonymiser_minimiser_spark.streaming.stateful import (
+        run_stateful_totals,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = run_stateful_totals(spark, sf_dir, impl="transformWithState")
+    expect = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("last_event_us"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_transform_with_state_raises_clear_error_without_protobuf(spark, sf_dir):
+    """When the protobuf wheel is absent the TWS path must fail with an
+    actionable ImportError at build time — not a crashed streaming
+    worker mid-query (the failure mode the guard replaces)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present — guard not reachable")
+    except ImportError:
+        pass
+    from database_anonymiser_minimiser_spark.streaming.stateful import (
+        run_stateful_totals,
+    )
+
+    with pytest.raises(ImportError, match="protobuf"):
+        run_stateful_totals(spark, sf_dir, impl="transformWithState")
