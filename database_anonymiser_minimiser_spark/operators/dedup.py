@@ -333,11 +333,17 @@ def ngram_jaccard_pairs(
         .filter(F.col("df_count") <= max_df)
         .select("sh")
     )
-    # per-doc rare-shingle count: tiny (one row per doc) -> broadcast
-    # back onto the index so both pair sides carry (n, r)
-    inv_rare = inv.join(rare, "sh")
-    rcount = inv_rare.groupBy("id").agg(F.count(F.lit(1)).alias("r"))
-    inv_rare = inv_rare.join(F.broadcast(rcount), "id")
+    # per-doc rare-shingle count r rides a window over the index itself:
+    # one row per doc would have been broadcast-able at test scale, but
+    # its cardinality is O(#docs with a rare shingle) — at billions of
+    # docs that exceeds any broadcast/driver budget. A partitionBy(id)
+    # window is one bounded shuffle (id keys, count fits the partial
+    # agg) and scales with the cluster instead of the driver.
+    from pyspark.sql import Window
+
+    inv_rare = inv.join(rare, "sh").withColumn(
+        "r", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
     a, b = inv_rare.alias("a"), inv_rare.alias("b")
     size_ok = (
         F.least(F.col("a.n"), F.col("b.n")).cast("double")

@@ -1744,11 +1744,16 @@ def q_zscore_pandas_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q_zscore_exact(spark, sf_dir).withColumnRenamed("zscore", "z_exact")
     pand = q_zscore_pandas(spark, sf_dir).withColumnRenamed("zscore", "z_pandas")
     j = exact.join(pand, "event_id")
+    # "undefined" differs by engine: a single-event group gives the exact
+    # path a divide-by-zero null while pandas emits NaN — and isnan(null)
+    # is false, so a plain NaN==NaN check would leave z_ok null on such
+    # rows. Treat null and NaN alike: both-undefined counts as agreement.
+    undef = lambda c: F.isnull(c) | F.isnan(c)  # noqa: E731
     agree = (
-        (F.isnan("z_exact") & F.isnan("z_pandas"))
+        (undef(F.col("z_exact")) & undef(F.col("z_pandas")))
         | (F.abs(F.col("z_exact") - F.col("z_pandas")) <= F.lit(1e-6))
     )
-    return j.select("event_id", agree.alias("z_ok"))
+    return j.select("event_id", F.coalesce(agree, F.lit(False)).alias("z_ok"))
 
 
 # ===========================================================================

@@ -164,13 +164,16 @@ def run_stateful_totals(
     stream = convert_ns_columns(stream, ns_cols)
 
     totals_fn = running_user_totals
+    _provider_key = "spark.sql.streaming.stateStore.providerClass"
+    _prev_provider = spark.conf.get(_provider_key, None)
     if impl == "transformWithState":
         totals_fn = running_user_totals_tws
         # transformWithState only runs on the RocksDB state store
         # (SPARK-46815 operator family); the default HDFS-backed provider
-        # crashes the stateful worker
+        # crashes the stateful worker. Restored in the finally below so
+        # later streams in the same session keep their provider.
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            _provider_key,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
@@ -181,24 +184,43 @@ def run_stateful_totals(
         .queryName(name)
         .outputMode("update")
     )
-    if trigger == "processingTime":
-        import time
+    try:
+        if trigger == "processingTime":
+            import time
 
-        q = writer.trigger(processingTime="250 milliseconds").start()
-        expected = tbl.num_rows
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline:
-            seen = sum(
-                int(p["numInputRows"]) for p in (q.recentProgress or [])
-            )
-            if seen >= expected and not q.status.get("isDataAvailable", True):
-                break
-            time.sleep(0.25)
-        q.stop()
-        q.awaitTermination()
-    else:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+            q = writer.trigger(processingTime="250 milliseconds").start()
+            expected = tbl.num_rows
+            deadline = time.monotonic() + 120
+            consumed = False
+            while time.monotonic() < deadline:
+                seen = sum(
+                    int(p["numInputRows"]) for p in (q.recentProgress or [])
+                )
+                if seen >= expected and not q.status.get("isDataAvailable", True):
+                    consumed = True
+                    break
+                time.sleep(0.25)
+            q.stop()
+            q.awaitTermination()
+            if not consumed:
+                # Partial state would fail downstream equality checks with
+                # a confusing value diff; fail loudly at the actual cause.
+                # (recentProgress is a bounded buffer, so `seen` can
+                # undercount on very long runs — the deadline is the
+                # backstop either way.)
+                raise TimeoutError(
+                    f"stateful stream did not consume all {expected} rows "
+                    "within 120s (source stalled or progress evicted)"
+                )
+        else:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+    finally:
+        if impl == "transformWithState":
+            if _prev_provider is None:
+                spark.conf.unset(_provider_key)
+            else:
+                spark.conf.set(_provider_key, _prev_provider)
     # the memory sink accumulates every update; the final state per user is
     # the row with the highest n_events (monotone counter)
     from pyspark.sql import functions as F
