@@ -512,26 +512,42 @@ def connected_components(
     ``pairs``: (id_a, id_b) undirected; ``ids``: (id) node universe
     (isolated nodes become singleton clusters).
     """
-    edges = (
-        pairs.selectExpr("id_a AS a", "id_b AS b")
-        .union(pairs.selectExpr("id_b AS a", "id_a AS b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Materialise the pair pipeline ONCE: union'ing two selects over the
+    # un-materialised `pairs` would execute its (expensive) candidate
+    # pipeline twice. Both orientations are then narrow maps over the
+    # checkpointed set, and the old `.distinct()` shuffle is dropped —
+    # duplicate edges are harmless under min-aggregation.
+    p = pairs.selectExpr("id_a AS a", "id_b AS b").localCheckpoint(eager=True)
+    edges = p.union(p.selectExpr("b AS a", "a AS b"))
     # every round references the previous labels in BOTH the propagation
     # join and the convergence check — without truncation the lineage
     # doubles per iteration and the analyzer blows up around round ~8.
     # localCheckpoint materialises the (small) label table and cuts the
     # plan back to a leaf each round: the required pattern for ANY
     # iterative DataFrame algorithm.
-    labels = ids.selectExpr("id", "id AS cluster_id").localCheckpoint(eager=True)
+    # Only nodes incident to an edge can ever change label — isolated
+    # nodes are singleton clusters by definition and need zero rounds.
+    # Near-dup graphs are sparse (|touched| << |V| at corpus scale), so
+    # iterating over the touched subgraph keeps every per-round join
+    # proportional to the PAIR universe, not the document universe; the
+    # untouched ids rejoin as singletons in one anti-join at the end.
+    touched = edges.select(F.col("a").alias("id")).distinct()
+    labels = touched.selectExpr("id", "id AS cluster_id").localCheckpoint(
+        eager=True
+    )
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels, edges.b == labels.id)
             .groupBy("a")
             .agg(F.min("cluster_id").alias("n_min"))
         )
-        new_labels = (
+        # convergence rides the propagation pass: a label only ever
+        # changes when a neighbour's min undercuts it, so `chg` is
+        # computable in the SAME projection that computes the new label —
+        # no separate old-vs-new join+count job per round. The checkpoint
+        # is the round's one materialising action; the isEmpty probe
+        # below is a take(1) over the already-materialised blocks.
+        stepped = (
             labels.join(neigh, labels.id == neigh.a, "left")
             .select(
                 "id",
@@ -539,19 +555,17 @@ def connected_components(
                     F.col("cluster_id"),
                     F.coalesce(F.col("n_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                (F.col("n_min") < F.col("cluster_id")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("cluster_id", "new_cid")
-            .join(labels, "id")
-            .filter(F.col("new_cid") != F.col("cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("id", "cluster_id")
+        if stepped.filter("chg").isEmpty():
             break
-    return labels
+    singletons = ids.join(labels.select("id"), "id", "left_anti").selectExpr(
+        "id", "id AS cluster_id"
+    )
+    return labels.union(singletons)
 
 
 def duck_dedup_clusters_sql(table: str = "documents", threshold: float = 0.5) -> str:
