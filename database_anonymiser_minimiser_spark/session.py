@@ -27,9 +27,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Local mode runs driver+executor in ONE JVM whose default heap (1g)
+    # is absurd for 32 concurrent tasks — sf1 measurement showed AQE
+    # broadcast builds failing against it. A real cluster node serving
+    # this many cores has tens of GB; size the local JVM accordingly
+    # (env-overridable; ignored if a JVM already exists).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
