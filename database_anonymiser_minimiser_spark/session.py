@@ -56,3 +56,69 @@ def configure_for_determinism(spark: SparkSession) -> SparkSession:
     session we did not build (the driver passes its own)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+def deployment_profile(
+    total_input_bytes: int,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """The tested operational envelope for the plan-gated designs: a
+    spark-submit / SparkSession conf for running this engine on a real
+    cluster (e.g. 1000 executors against ~100 TB).
+
+    Sizing rules (each one line of arithmetic, unit-tested):
+
+    - **shuffle partitions** = max(2 x total cores,
+      input_bytes / target_partition_size): every shuffle partition
+      aims at ~``target_partition_mb`` (default 128 MB — comfortably
+      inside executor memory per task), floored at 2x parallelism so
+      small stages still use the whole cluster. AQE coalesces DOWN from
+      this deliberately-high initial number at runtime, so overshooting
+      is cheap; undershooting (giant partitions -> spill/OOM) is not.
+    - **AQE** on with partition coalescing and skew-join splitting: the
+      runtime half of the skew strategy (the salted two-phase aggs in
+      operators/skew.py are the declarative half).
+    - **broadcast threshold** 64 MB: dimension tables (region/nation/
+      supplier-scale) broadcast; fact-fact joins never do. The forced
+      F.broadcast calls in the query layer stay within this budget by
+      construction (distinct value maps, per-group stats).
+    - **RocksDB state store**: streaming state (dedup sets, session
+      windows, running totals) spills off-heap instead of living on the
+      JVM heap — required for transformWithState, proven in
+      tests/test_streaming.py on the same provider.
+    - **memory overhead** 25%: the Arrow/pandas-UDF paths (faker
+      realistic mode, grouped-map z-scores, multimodal featurizers) run
+      in a Python worker OUTSIDE the executor heap; without explicit
+      overhead headroom YARN/K8s kills the container, not the query.
+    - **maxPartitionBytes** = target partition size: file-scan tasks and
+      shuffle tasks see the same granularity, so a scan-side partition
+      never explodes into a multi-GB shuffle write.
+    """
+    total_cores = executors * cores_per_executor
+    target_bytes = target_partition_mb * 1024 * 1024
+    shuffle_parts = max(2 * total_cores, total_input_bytes // target_bytes)
+    overhead_mb = max(2048, int(executor_mem_gb * 1024 * 0.25))
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.memoryOverhead": f"{overhead_mb}m",
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(target_bytes),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target_bytes),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    }

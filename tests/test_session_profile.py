@@ -1,0 +1,50 @@
+"""deployment_profile: the documented 100 TB operational envelope.
+
+Pure-dict tests (no JVM): the sizing arithmetic and the invariant keys
+the plan-gated designs rely on (AQE, Arrow, RocksDB state store, UTC)."""
+
+from database_anonymiser_minimiser_spark.session import deployment_profile
+
+TB = 1024**4
+
+
+def test_100tb_partition_sizing():
+    p = deployment_profile(total_input_bytes=100 * TB)
+    # 100 TB / 128 MB = 819,200 partitions >> 2 * 4000 cores
+    assert int(p["spark.sql.shuffle.partitions"]) == 100 * TB // (128 * 1024**2)
+    assert int(p["spark.sql.files.maxPartitionBytes"]) == 128 * 1024**2
+    assert p["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_small_input_floors_at_cluster_parallelism():
+    # 10 GB on 1000x4 cores: partition-count rule would give ~80, the
+    # floor keeps every core busy twice over
+    p = deployment_profile(total_input_bytes=10 * 1024**3)
+    assert int(p["spark.sql.shuffle.partitions"]) == 2 * 1000 * 4
+
+
+def test_memory_overhead_scales_with_executor_memory():
+    p16 = deployment_profile(total_input_bytes=TB, executor_mem_gb=16)
+    p64 = deployment_profile(total_input_bytes=TB, executor_mem_gb=64)
+    assert p16["spark.executor.memoryOverhead"] == f"{16 * 1024 // 4}m"
+    assert p64["spark.executor.memoryOverhead"] == f"{64 * 1024 // 4}m"
+    # floor for small executors: Arrow worker needs absolute headroom
+    p4 = deployment_profile(total_input_bytes=TB, executor_mem_gb=4)
+    assert p4["spark.executor.memoryOverhead"] == "2048m"
+
+
+def test_invariant_keys_present():
+    p = deployment_profile(total_input_bytes=TB)
+    assert "RocksDBStateStoreProvider" in p[
+        "spark.sql.streaming.stateStore.providerClass"
+    ]
+    assert p["spark.sql.execution.arrow.pyspark.enabled"] == "true"
+    assert p["spark.sql.session.timeZone"] == "UTC"
+    assert int(p["spark.sql.autoBroadcastJoinThreshold"]) == 64 * 1024**2
+    assert p["spark.sql.adaptive.skewJoin.enabled"] == "true"
+
+
+def test_partition_target_is_tunable():
+    p = deployment_profile(total_input_bytes=100 * TB, target_partition_mb=256)
+    assert int(p["spark.sql.shuffle.partitions"]) == 100 * TB // (256 * 1024**2)
+    assert int(p["spark.sql.files.maxPartitionBytes"]) == 256 * 1024**2
