@@ -77,6 +77,8 @@ HEADLINE = [
     "tfdf_top_terms",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_decode_wav",
+    "dedup_simhash_wide_pairs",
     "realistic_mask_profile",
     "streaming_events_tumbling",
     # temporal / privacy / profiling

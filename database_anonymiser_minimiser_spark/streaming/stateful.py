@@ -77,6 +77,15 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         # with a crashed streaming worker, when the wheel is absent
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as e:
+        # Installation was attempted and is impossible in this sandbox
+        # (verified 2026-08-14): `pip download protobuf` fails with DNS
+        # resolution errors against the configured index ("Failed to
+        # establish a new connection: Name or service not known") — the
+        # environment has no package-index network access, and pyspark
+        # 4.1.2 does not vendor google.protobuf. The twin below therefore
+        # stays equality-tested against applyInPandasWithState only where
+        # the wheel exists; pyproject declares it under the optional
+        # `tws` extra for environments that can install it.
         raise ImportError(
             "transformWithStateInPandas requires the 'protobuf' package "
             "(pyspark[connect] dependency), not present in this "

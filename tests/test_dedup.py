@@ -153,3 +153,23 @@ def test_keep_best_prefers_high_score_then_low_id(spark):
         for r in D.exact_dedup_keep_best(df, ["fp"], "score").collect()
     }
     assert got == {"same text": (11, 3), "other": (20, 1)}
+
+
+def test_simhash_wide_identical_docs_equal(spark, docs_df):
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash_wide(docs_df).collect()}
+    assert sims[0] == sims[2]
+    assert 0 <= sims[0] < 2**63  # positive signed BIGINT in both engines
+    assert sims[0] != sims[3]
+
+
+def test_simhash_wide_near_pairs_recall_and_selectivity(spark, docs_df):
+    """Exact-dup pair found at hamming 0; unrelated docs do NOT collide
+    (the 63-bit space makes random collisions negligible — the property
+    the 16-bit form loses at corpus scale)."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_wide_near_pairs(docs_df, max_hamming=2).collect()
+    }
+    assert pairs[(0, 2)] == 0
+    for (a, b), h in pairs.items():
+        assert h <= 2

@@ -253,3 +253,31 @@ def test_derby_scan_sql_where_and_limit_combined(spark, derby_dated):
     got = J.JdbcSource(spark, derby_dated).query(sql)
     assert got.count() == 3
     assert all(r["id"] >= 9 for r in got.collect())
+
+
+def test_derby_parallel_export_byte_identical(spark, derby, tmp_path):
+    """write_dump_parallel over a LIVE JDBC source must be byte-identical
+    to the sequential path (the parquet-source equivalence lives in
+    test_parallel_export.py; this closes the JDBC-source x parallel-sink
+    combination)."""
+    from database_anonymiser_minimiser_spark.config import Config, TableConfig
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+    cfg = Config(
+        connection=derby,
+        configuration={
+            "users": TableConfig(
+                columns={"email": "{{faker.email}}", "name": "REDACTED"},
+                primary_key="id",
+            )
+        },
+    )
+    engine = Engine(spark, cfg)
+    seq, par = tmp_path / "seq.sql", tmp_path / "par.sql"
+    s1 = engine.export(str(seq), db_type="mysql", parallel=False)
+    s2 = engine.export(str(par), db_type="mysql", parallel=True)
+    a, b = seq.read_text().splitlines(), par.read_text().splitlines()
+    assert len(a) == len(b)
+    diffs = [(x, y) for x, y in zip(a, b) if x != y]
+    assert all(x.startswith("-- Date:") for x, _ in diffs), diffs[:3]
+    assert s1.per_table_rows == s2.per_table_rows == {"users": 20}
