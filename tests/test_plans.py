@@ -369,3 +369,23 @@ def test_source_overlap_joins_on_fingerprint_only(spark, sf):
     plan = plan_of(Q.QUERIES["source_overlap_matrix"](spark, sf))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_wide_pairs_bucketed_not_cross(spark, sf):
+    """The 63-bit simhash pair join must be a banded equi-join (shuffle
+    on (band_id, band_val)), never a cross product — band width, not
+    N^2, bounds the work. Also: the signature aggregation shuffles on
+    the doc id only (one exchange feeding the groupBy)."""
+    plan = plan_of(Q.QUERIES["dedup_simhash_wide_pairs"](spark, sf))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # equi-join keys include the band value
+    assert "band_val" in plan, plan[:3000]
+
+
+def test_multimodal_decode_wav_no_shuffle(spark, sf):
+    """Synthesis and decode are both mapInPandas over the id projection:
+    the whole pipeline must be exchange-free (scan -> Python -> Python),
+    the shape that lets decode ride executors at any scale."""
+    plan = plan_of(Q.QUERIES["multimodal_decode_wav"](spark, sf))
+    assert "Exchange" not in plan, plan[:3000]
