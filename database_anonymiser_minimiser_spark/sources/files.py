@@ -11,7 +11,12 @@ Format notes (all Catalyst-native):
 - csv: schema inference on request (samples the file — at 100 TB pass an
   explicit schema: inference reads data twice), header on by default,
 - json (lines): schema inference likewise; prefer explicit schemas at
-  scale for the same reason.
+  scale for the same reason,
+- xml: Spark 4's native XML source (rowTag-delimited records; schema
+  inference like json — pass an explicit schema at scale),
+- txt: one string row per line (``value`` column) — the raw-text corpus
+  ingestion shape; pair with the text operators (language-id, quality,
+  token counts) for document pipelines.
 """
 
 from __future__ import annotations
@@ -23,7 +28,12 @@ from pyspark.sql import types as T
 
 from .parquet import read_parquet_table
 
-_FORMATS = (".parquet", ".orc", ".csv", ".json", ".jsonl", ".ndjson")
+_FORMATS = (
+    ".parquet", ".orc", ".csv", ".json", ".jsonl", ".ndjson", ".xml", ".txt"
+)
+
+#: XML records are delimited by this element unless the caller overrides
+XML_ROW_TAG = "row"
 
 
 def read_table(
@@ -52,6 +62,15 @@ def read_table(
         if schema is not None:
             r = r.schema(schema)
         return r.json(str(p))
+    if suffix == ".xml":
+        r = spark.read.option("rowTag", XML_ROW_TAG)
+        if schema is not None:
+            r = r.schema(schema)
+        return r.format("xml").load(str(p))
+    if suffix == ".txt":
+        # one line -> one row, single `value` string column; no parsing
+        # cost, scan parallelism from file splits like any text source
+        return spark.read.text(str(p))
     raise ValueError(f"unsupported table format {suffix!r} (supported: {_FORMATS})")
 
 
@@ -68,6 +87,10 @@ def write_table(df: DataFrame, path: str | Path, mode: str = "overwrite") -> Non
         w.option("header", "true").csv(str(p))
     elif suffix in (".json", ".jsonl", ".ndjson"):
         w.json(str(p))
+    elif suffix == ".xml":
+        w.option("rowTag", XML_ROW_TAG).format("xml").save(str(p))
+    elif suffix == ".txt":
+        w.text(str(p))  # requires a single string column, like Spark
     else:
         raise ValueError(f"unsupported table format {suffix!r}")
 

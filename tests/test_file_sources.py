@@ -16,7 +16,7 @@ def source_df(spark, sf_dir):
     return load(spark, sf_dir, "customer").limit(50)
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json", "xml"])
 def test_round_trip(spark, source_df, tmp_path_factory, fmt):
     out = tmp_path_factory.mktemp("fmt") / f"customer.{fmt}"
     FS.write_table(source_df, out)
@@ -102,3 +102,18 @@ def test_files_connection_requires_path():
 
     with pytest.raises(C.ConfigError, match="files connection requires 'path'"):
         C.Connection(type="files").validate()
+
+
+def test_txt_lines_round_trip(spark, sf_dir, tmp_path):
+    """Raw-text corpus ingestion: one line per document, read back as the
+    single `value` column the text operators consume."""
+    from database_anonymiser_minimiser_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").limit(30).select(F.col("text"))
+    out = tmp_path / "corpus.txt"
+    FS.write_table(docs, out)
+    back = FS.read_table(spark, out)
+    assert back.columns == ["value"]
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        r["text"] for r in docs.collect()
+    )
