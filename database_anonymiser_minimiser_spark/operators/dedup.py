@@ -302,6 +302,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_df: int = 100,
+    max_df_quantile: float | None = None,
 ) -> DataFrame:
     """Exact-verified near-dup pairs from an inverted shingle index.
 
@@ -312,6 +313,16 @@ def ngram_jaccard_pairs(
     uses FULL shingle sets, so reported Jaccard values are exact; only
     recall of pairs sharing *no* rare shingle is sacrificed (such pairs
     are overwhelmingly below any useful threshold).
+
+    ``max_df_quantile`` (e.g. 0.95) replaces the absolute cap with that
+    quantile of the shingle document-frequency distribution — the
+    corpus-relative form. The measured scaling curve (PERFORMANCE.md)
+    showed why: on corpora whose vocabulary does not grow with size,
+    document frequencies rise linearly and a fixed cap stops pruning
+    anything (sf1: mean df 87 vs cap 100 -> near-dense index). A
+    quantile cap always trims the same head fraction regardless of
+    corpus size, keeping candidate fan-out Θ(corpus) instead of
+    Θ(corpus x mean-df). Computed exactly and broadcast (one scalar).
     """
     shingled = shingles(df, text_col, id_col)
     from pyspark.storagelevel import StorageLevel
@@ -327,12 +338,20 @@ def ngram_jaccard_pairs(
     inv = shingled.select(
         "id", F.size("s").alias("n"), F.explode("s").alias("sh")
     )
-    rare = (
-        inv.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df_count"))
-        .filter(F.col("df_count") <= max_df)
-        .select("sh")
-    )
+    dfs = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
+    if max_df_quantile is not None:
+        # one-row exact quantile of the df distribution, broadcast into
+        # the filter — scale-relative stop-shingle cap
+        cap = dfs.agg(
+            F.expr(f"percentile(df_count, {max_df_quantile}D)").alias("cap")
+        )
+        rare = (
+            dfs.join(F.broadcast(cap))
+            .filter(F.col("df_count") <= F.col("cap"))
+            .select("sh")
+        )
+    else:
+        rare = dfs.filter(F.col("df_count") <= max_df).select("sh")
     # per-doc rare-shingle count r rides a window over the index itself:
     # one row per doc would have been broadcast-able at test scale, but
     # its cardinality is O(#docs with a rare shingle) — at billions of

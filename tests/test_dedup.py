@@ -173,3 +173,34 @@ def test_simhash_wide_near_pairs_recall_and_selectivity(spark, docs_df):
     assert pairs[(0, 2)] == 0
     for (a, b), h in pairs.items():
         assert h <= 2
+
+
+def test_ngram_quantile_cap_matches_equivalent_absolute_cap(spark):
+    """The corpus-relative stop-shingle cap must produce exactly the
+    pairs an absolute cap at that quantile value would: same rare set,
+    same verified results."""
+    rows = [
+        (0, "a b c d e f g h i j k l"),
+        (1, "a b c d e f g h i j k m"),   # near-dup of 0
+        (2, "z y x w v u t s r q p o"),
+        (3, "z y x w v u t s r q p n"),   # near-dup of 2
+        (4, "a b c z y x m n o p q r"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = D.ngram_jaccard_pairs(df, threshold=0.5, max_df_quantile=0.9)
+    # the 0.9-quantile of this tiny df distribution is computable: take
+    # it from the same aggregation and rerun with the absolute cap
+    shingled = D.shingles(df)
+    from pyspark.sql import functions as F
+    cap = (
+        shingled.select("id", F.explode("s").alias("sh"))
+        .groupBy("sh").count()
+        .agg(F.expr("percentile(count, 0.9D)")).first()[0]
+    )
+    a = D.ngram_jaccard_pairs(df, threshold=0.5, max_df=int(cap))
+    key = lambda d: sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in d.collect())  # noqa: E731
+    got = key(q)
+    assert got == key(a)
+    assert (0, 1, 1.0) not in got  # sanity: near-dups below 1.0
+    assert any(x[:2] == (0, 1) for x in got)
+    assert any(x[:2] == (2, 3) for x in got)
