@@ -243,6 +243,7 @@ def embedding_neardup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "exact",
 ) -> DataFrame:
     """(vec_a, vec_b, cosine >= threshold) within each blocking bucket.
 
@@ -250,10 +251,62 @@ def embedding_neardup_pairs(
     work is sum(block^2) not n^2 — choose the block column accordingly
     (cluster id from any cheap pre-clustering works; label here).
 
-    Each row's norm is computed ONCE in the pre-join projection (the join
-    is a projection-collapse barrier, so Catalyst cannot inline it back
-    into the per-pair expression); each of the O(block^2) pairs then
-    costs a single dot-product fold + scalar ops instead of three folds."""
+    ``mode="exact"``: every pair's cosine is a JVM fold — the reference
+    formulation the DuckDB oracle mirrors bit-for-bit. Each row's norm is
+    computed ONCE in the pre-join projection (the join is a
+    projection-collapse barrier, so Catalyst cannot inline it back into
+    the per-pair expression); each of the O(block^2) pairs then costs a
+    single dot-product fold + scalar ops instead of three folds.
+
+    ``mode="numpy_prune"``: same result, BYTE-IDENTICAL (equality-tested
+    in tests/test_similarity.py), ~7x faster at sf1 (174s -> 24s). Each
+    block's pair matrix is ONE BLAS matmul inside applyInPandas; pairs
+    clearing ``threshold - 1e-9`` become candidates (indices only), and
+    the emitted cosine is then recomputed with the SAME JVM fold as the
+    exact path, so low-bit BLAS/fold summation-order differences cannot
+    leak into the output — numpy only PRUNES, with the 1e-9 margin
+    covering float divergence at the boundary (same discipline as
+    topk_cosine_numpy). Memory: the matmul is O(block^2) doubles per
+    group — at 100 TB use a finer pre-cluster as block_col (the same
+    requirement the exact mode's join already has)."""
+    if mode == "numpy_prune":
+        import numpy as np
+        import pandas as pd
+
+        def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = np.divide(V, nrm, out=np.zeros_like(V), where=nrm != 0)
+            C = Vn @ Vn.T
+            iu, ju = np.nonzero(np.triu(C >= threshold - 1e-9, k=1))
+            return pd.DataFrame({
+                "vec_a": np.minimum(ids[iu], ids[ju]),
+                "vec_b": np.maximum(ids[iu], ids[ju]),
+            })
+
+        cands = (
+            emb.select(block_col, id_col, vec_col)
+            .groupBy(block_col)
+            .applyInPandas(block_pairs, schema="vec_a long, vec_b long")
+        )
+        va = emb.select(
+            F.col(id_col).alias("vec_a"),
+            F.col(vec_col).alias("va"),
+            F.expr(_spark_norm(vec_col)).alias("na"),
+        )
+        vb = emb.select(
+            F.col(id_col).alias("vec_b"),
+            F.col(vec_col).alias("vb"),
+            F.expr(_spark_norm(vec_col)).alias("nb"),
+        )
+        cos = F.expr(_spark_dot("va", "vb")) / (F.col("na") * F.col("nb"))
+        return (
+            cands.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .select("vec_a", "vec_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
     a = emb.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),

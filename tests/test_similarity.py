@@ -311,3 +311,16 @@ def test_chunked_centroid_assignment_equals_plain(spark, sf_dir):
         chunked_df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_neardup_numpy_prune_byte_identical(spark, sf_dir):
+    """numpy only prunes: the numpy_prune mode must return the EXACT
+    result set of the exact mode, cosines bit-identical (they come from
+    the same JVM fold)."""
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = S.embedding_neardup_pairs(emb, threshold=0.2)
+    fast = S.embedding_neardup_pairs(emb, threshold=0.2, mode="numpy_prune")
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(exact) == key(fast)
