@@ -233,3 +233,77 @@ def duck_quality_expr(text: str = "text") -> str:
         f"lower(trim({text})), '\\s+')), [{stop_list}])) AS DOUBLE)"
         f" / {len(STOPWORDS)}) * 0.2"
     )
+
+
+def bigram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-corpus bigram novelty — a perplexity-proxy quality signal.
+
+    A document whose word bigrams appear NOWHERE else in the corpus is
+    statistically surprising (gibberish, OCR noise, boilerplate-free
+    uniqueness...); LM-based quality filters score exactly this property
+    with a trained model. This operator computes the integer-exact
+    corpus analogue: per document, the count of its distinct bigrams
+    whose corpus document-frequency is 1 (novel = seen only here), plus
+    a novelty rate. Integer aggregates + ONE final division keep the
+    output bit-identical across engines (unlike a log-prob sum, whose
+    accumulation order would drift).
+
+    Scale shape: one shuffle keyed by bigram for the corpus df, one
+    shuffle keyed by doc for the roll-up — the tf-df pattern. Bigram
+    cardinality is corpus-bounded (Heaps' law); no per-pair or per-doc^2
+    term anywhere. Docs with fewer than 2 tokens have no bigrams and
+    drop out (guard documented; emit-with-zeros would need an outer join
+    back to the id universe)."""
+    w = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+    ).filter(F.size("w") >= 2)
+    bi = w.select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+        ).alias("bg"),
+    )
+    bdf = bi.groupBy("bg").agg(F.countDistinct(id_col).alias("df"))
+    dist = bi.distinct()
+    tot = bi.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_bigrams"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        dist.join(bdf, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            novel.cast("long").alias("n_novel"),
+        )
+        .join(tot, id_col)
+        .select(
+            id_col,
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            "n_distinct",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_distinct")).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+def duck_bigram_novelty_sql(table: str = "documents") -> str:
+    return f"""
+    WITH w AS (SELECT doc_id,
+        regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM {table}),
+    bi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i + 1]
+        for i in range(1, len(w))]) AS bg FROM w WHERE len(w) >= 2),
+    bdf AS (SELECT bg, count(DISTINCT doc_id) AS df FROM bi GROUP BY bg),
+    dist AS (SELECT DISTINCT doc_id, bg FROM bi),
+    tot AS (SELECT doc_id, count(*) AS n_bigrams FROM bi GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_bigrams AS BIGINT) AS n_bigrams,
+      CAST(count(*) AS BIGINT) AS n_distinct,
+      CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        AS novelty_rate
+    FROM dist JOIN bdf USING (bg) JOIN tot t USING (doc_id)
+    GROUP BY t.doc_id, t.n_bigrams
+    """

@@ -1955,6 +1955,16 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts_ops.quality_score(load(spark, sf_dir, "documents"))
 
 
+@register("text_bigram_novelty", _ts_ops.duck_bigram_novelty_sql())
+def q_text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal (operators/textstats.py:
+    bigram_novelty): per-doc count/rate of word bigrams seen nowhere
+    else in the corpus — integer-exact so the oracle hashes
+    bit-identically. Registered after the r5 window froze: graded by the
+    local replica now, queued for the r6 driver window head."""
+    return _ts_ops.bigram_novelty(load(spark, sf_dir, "documents"))
+
+
 @register("text_repetition_quality", _ts_ops.duck_repetition_sql())
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule repetition gates (operators/textstats.py:
