@@ -432,6 +432,35 @@ def write_parquet(
     w.parquet(str(path))
 
 
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str | Path,
+    sort_by: list[str],
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-ordered parquet: range-partition on the sort key, sort
+    within each partition. File k's keys all precede file k+1's, and each
+    file is internally sorted — a reader can binary-search the dataset
+    (or a downstream merge-join can consume it without re-sorting), the
+    layout a key-ordered 100 TB export wants.
+
+    This is exactly what a naive ``orderBy().write`` produces, but
+    spelled explicitly: ``repartitionByRange`` (sampled range exchange,
+    parallelism preserved; skewed keys get split by sampling) +
+    ``sortWithinPartitions`` (local sort, no single-point merge). The
+    plan must show RangePartitioning — never a global single-partition
+    Sort (gated in tests/test_plans.py). Parquet min/max column stats on
+    the sort key then give readers file-level pruning for key ranges.
+    """
+    cols = [F.col(c) for c in sort_by]
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    ranged.sortWithinPartitions(*cols).write.mode(mode).parquet(str(path))
+
+
 def _hive_partition_columns(p: Path) -> list[str]:
     """Partition columns from the ``key=value`` directory layout (one key
     per nesting level, hive convention)."""

@@ -2707,6 +2707,75 @@ def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators import cdc as _cdc  # noqa: E402
+
+
+@register(
+    "cdc_apply_orders",
+    # base = orders; deterministic feed: %13 deleted, %7 price+5 updated,
+    # +2e9 keys inserted for %29 — merged snapshot, full row set
+    """
+    WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    changes AS (
+      SELECT o_orderkey, 'delete' AS change_type,
+             CAST(NULL AS DOUBLE) AS o_totalprice,
+             CAST(NULL AS VARCHAR) AS o_orderstatus
+      FROM base WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, 'update', o_totalprice + 5.0, o_orderstatus
+      FROM base WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 2000000000, 'insert', o_totalprice, o_orderstatus
+      FROM base WHERE o_orderkey % 29 = 0
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM changes
+    WHERE change_type <> 'delete'
+    """,
+)
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics as Spark primitives (operators/cdc.py:
+    apply_changes — one anti join on the key + union of upsert payloads;
+    the apply half of snapshot_diff_cdc). The change feed is derived
+    deterministically from orders so the oracle is self-contained.
+    Registered after the r5 window froze: local replica now, r6 driver
+    window head."""
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    changes = (
+        base.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("delete").alias("change_type"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+        )
+        .unionByName(
+            base.filter(
+                (F.col("o_orderkey") % 13 != 0) & (F.col("o_orderkey") % 7 == 0)
+            ).select(
+                "o_orderkey",
+                F.lit("update").alias("change_type"),
+                (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+                "o_orderstatus",
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 29 == 0).select(
+                (F.col("o_orderkey") + 2000000000).alias("o_orderkey"),
+                F.lit("insert").alias("change_type"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    merged = _cdc.apply_changes(base, changes, "o_orderkey")
+    return merged.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
 # ===========================================================================
 # Free-text PII scrubbing + masked referential integrity
 # ===========================================================================
