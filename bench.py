@@ -79,6 +79,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_decode_wav",
     "dedup_simhash_wide_pairs",
+    "dedup_ngram_jaccard_prefix",
     "realistic_mask_profile",
     "streaming_events_tumbling",
     # temporal / privacy / profiling

@@ -9,10 +9,11 @@ whole-stage codegen; shuffles only where semantically required):
   computation is embarrassingly parallel; the only shuffle is the
   band-bucket self-join, whose fan-out is bounded by bucket sizes (the
   standard LSH trade-off),
-- n-gram Jaccard via inverted index: explode shingles, drop "stop
-  shingles" (document frequency > max_df — the classic guard that keeps
-  the candidate join from exploding on common n-grams at scale), pair
-  docs sharing a rare shingle, verify with exact Jaccard on full sets,
+- n-gram Jaccard via prefix-filtered inverted index (PPJoin family):
+  docs index only their rarest n - ceil(t*n) + 1 shingles under a global
+  (df, shingle) order; prefix-sharing size-compatible pairs are verified
+  with exact Jaccard on full sets — complete (no recall knob) and the
+  index stays sparse as the corpus grows,
 - SimHash: 16-bit frequency-weighted bit-majority fingerprint; candidate
   pairs from 4-bit band buckets, ranked by Hamming distance.
 
@@ -303,27 +304,32 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = 100,
     max_df_quantile: float | None = None,
+    mode: str = "stop_shingle",
 ) -> DataFrame:
     """Exact-verified near-dup pairs from an inverted shingle index.
 
-    Candidates = pairs sharing >=1 *rare* shingle (document frequency <=
-    max_df). Shingles more common than max_df are "stop shingles": they
-    connect too many docs to be discriminative and their pair fan-out is
-    O(df^2) — dropping them is what keeps this scalable. Verification then
-    uses FULL shingle sets, so reported Jaccard values are exact; only
-    recall of pairs sharing *no* rare shingle is sacrificed (such pairs
-    are overwhelmingly below any useful threshold).
+    Two candidate-generation modes, both ending in the same exact
+    full-set Jaccard verification (reported values are always exact):
 
-    ``max_df_quantile`` (e.g. 0.95) replaces the absolute cap with that
-    quantile of the shingle document-frequency distribution — the
-    corpus-relative form. The measured scaling curve (PERFORMANCE.md)
-    showed why: on corpora whose vocabulary does not grow with size,
-    document frequencies rise linearly and a fixed cap stops pruning
-    anything (sf1: mean df 87 vs cap 100 -> near-dense index). A
-    quantile cap always trims the same head fraction regardless of
-    corpus size, keeping candidate fan-out Θ(corpus) instead of
-    Θ(corpus x mean-df). Computed exactly and broadcast (one scalar).
+    - ``mode="stop_shingle"`` (default): candidates = pairs sharing >=1
+      *rare* shingle (document frequency <= max_df, or <= the
+      ``max_df_quantile`` quantile of the df distribution — the
+      corpus-relative form). Recall of pairs sharing NO rare shingle is
+      sacrificed (overwhelmingly sub-threshold pairs); in exchange the
+      count-then-verify intersection bound prunes candidates before the
+      array-verify joins. The measured worst case (uniform-df synthetic
+      corpus, sf1) runs ~2x faster than prefix mode here.
+    - ``mode="prefix"``: the classic prefix filter
+      (``ngram_jaccard_pairs_prefix``) — COMPLETE, no recall knob; the
+      index stays sparse on realistic Zipf-vocabulary corpora where df
+      concentrates in a small head. Prefer it when recall guarantees
+      matter or vocabulary grows with the corpus (Heaps' law).
+
+    See PERFORMANCE.md "Measured scaling" for the head-to-head numbers
+    that motivated keeping both.
     """
+    if mode == "prefix":
+        return ngram_jaccard_pairs_prefix(df, text_col, id_col, threshold)
     shingled = shingles(df, text_col, id_col)
     from pyspark.storagelevel import StorageLevel
 
@@ -408,6 +414,72 @@ def ngram_jaccard_pairs(
     return verify_jaccard(cands, shingled, threshold)
 
 
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT near-dup pairs via prefix filtering over the shingle index.
+
+    The classic prefix filter (Bayardo/Chaudhuri; PPJoin family) —
+    COMPLETE, unlike the default stop-shingle rule:
+
+    order all shingles globally by (df ASC, shingle ASC); a doc with n
+    distinct shingles indexes only its first ``n - ceil(t*n) + 1`` under
+    that order. Two docs with Jaccard >= t MUST share a prefix shingle
+    (pigeonhole on the required overlap ceil(t*n) against the suffix),
+    so verifying exactly the prefix-sharing, size-compatible pairs loses
+    nothing — no recall knob, no tuning. And because the global order
+    puts each doc's RAREST shingles in its prefix, high-df shingles
+    drop out of the index by construction: the prefix index stays
+    sparse even when the corpus's overall df distribution saturates —
+    Theta(sum over shingles of prefix-df^2) with prefix-df concentrated
+    near 1, versus the old rule's min(df, max_df)^2 everywhere.
+
+    Plan shape: df-count shuffle (by shingle), rank shuffle (by id),
+    candidate self-join shuffle (by shingle), exact verify joins (by
+    id) — all key-partitioned, nothing quadratic in the corpus.
+    """
+    shingled = shingles(df, text_col, id_col)
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    inv = shingled.select(
+        "id", F.size("s").alias("n"), F.explode("s").alias("sh")
+    )
+    dfs = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
+    ranked = inv.join(dfs, "sh").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("id").orderBy("df_count", "sh")),
+    )
+    pfx = ranked.filter(
+        F.col("rk")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
+    ).select("id", "n", "sh")
+    a, b = pfx.alias("a"), pfx.alias("b")
+    # J >= t forces min(|A|,|B|) >= t * max(|A|,|B|): size-incompatible
+    # pairs are rejected inside the join predicate (1e-9 covers float
+    # rounding at exact-boundary sizes)
+    size_ok = (
+        F.least(F.col("a.n"), F.col("b.n")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(1e-9)
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & size_ok,
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return verify_jaccard(cands, shingled, threshold)
+
+
 def duck_ngram_jaccard_sql(
     table: str = "documents", threshold: float = 0.5, max_df: int = 100
 ) -> str:
@@ -418,6 +490,26 @@ def duck_ngram_jaccard_sql(
     invr AS (SELECT inv.id, inv.sh FROM inv JOIN rare USING (sh)),
     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM invr a JOIN invr b ON a.sh = b.sh AND a.id < b.id),
+    ver AS (SELECT id_a AS doc_a, id_b AS doc_b,
+        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+        FROM cand JOIN shf sa ON cand.id_a = sa.id JOIN shf sb ON cand.id_b = sb.id)
+    SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {threshold}
+    """
+
+
+def duck_ngram_jaccard_prefix_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_duck_shingles_cte(table)},
+    inv AS (SELECT id, len(s) AS n, unnest(s) AS sh FROM shf),
+    dfs AS (SELECT sh, count(*) AS df_count FROM inv GROUP BY sh),
+    rkd AS (SELECT id, n, sh,
+        row_number() OVER (PARTITION BY id ORDER BY df_count, sh) AS rk
+        FROM inv JOIN dfs USING (sh)),
+    pfx AS (SELECT id, n, sh FROM rkd WHERE rk <= n - ceil({threshold} * n) + 1),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM pfx a JOIN pfx b ON a.sh = b.sh AND a.id < b.id
+        AND least(a.n, b.n) >= {threshold} * greatest(a.n, b.n) - 1e-9),
     ver AS (SELECT id_a AS doc_a, id_b AS doc_b,
         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard

@@ -2198,8 +2198,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_jaccard", _dd.duck_ngram_jaccard_sql(threshold=0.5, max_df=100))
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default stop-shingle mode: rare-shingle candidates + count-then-
+    verify bound (recall trade documented in operators/dedup.py); the
+    complete prefix-filter form is dedup_ngram_jaccard_prefix."""
     return _dd.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=0.5, max_df=100
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_prefix", _dd.duck_ngram_jaccard_prefix_sql(threshold=0.5)
+)
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE near-dup pairs via the classic prefix filter (operators/
+    dedup.py:ngram_jaccard_pairs_prefix): docs index only their rarest
+    n - ceil(t*n) + 1 shingles under a global (df, shingle) order, and
+    any pair with J >= t must collide there (pigeonhole) — no recall
+    knob. Verified brute-force-equal in tests/test_dedup.py. Registered
+    after the r5 window froze: local replica now, r6 driver window."""
+    return _dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, mode="prefix"
     )
 
 

@@ -99,17 +99,33 @@ def test_simhash_near_pairs(spark, docs_df):
         assert h <= 3
 
 
-def test_stop_shingle_guard(spark):
-    """A shingle appearing in more docs than max_df must not generate
-    candidate pairs on its own."""
-    docs = [(i, f"common shared prefix unique{i} tail{i} words{i}") for i in range(8)]
-    df = spark.createDataFrame(docs, ["doc_id", "text"])
-    # 'common shared prefix' appears in all 8 docs; with max_df=3 it is a
-    # stop shingle -> no candidates -> no pairs
-    assert D.ngram_jaccard_pairs(df, threshold=0.01, max_df=3).count() == 0
-    # with the guard relaxed the same pairs appear
-    assert D.ngram_jaccard_pairs(df, threshold=0.01, max_df=100).count() > 0
+def test_ngram_prefix_filter_complete_vs_brute_force(spark, sf_dir):
+    """The prefix filter must be COMPLETE: against an all-pairs exact
+    Jaccard brute force on the real corpus, prefix mode returns exactly
+    the pairs with J >= t — no candidate pruning loss (the property the
+    default stop-shingle rule trades away)."""
+    from database_anonymiser_minimiser_spark.queries import load
+    from pyspark.sql import functions as F
 
+    docs = load(spark, sf_dir, "documents").limit(200)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5, mode="prefix").collect()
+    }
+    sh = D.shingles(docs)
+    a = sh.selectExpr("id AS ia", "s AS sa")
+    b = sh.selectExpr("id AS ib", "s AS sb")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    brute = {
+        (r["ia"], r["ib"]): r["j"]
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", jac.alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert got == brute
 
 def test_levenshtein_catches_bucket_straddling_pair(spark):
     """Two near-identical texts whose lengths straddle a length-bucket
@@ -175,21 +191,27 @@ def test_simhash_wide_near_pairs_recall_and_selectivity(spark, docs_df):
         assert h <= 2
 
 
+def test_stop_shingle_guard(spark):
+    """Default mode: a shingle appearing in more docs than max_df must
+    not generate candidate pairs on its own."""
+    docs = [(i, f"common shared prefix unique{i} tail{i} words{i}") for i in range(8)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    assert D.ngram_jaccard_pairs(df, threshold=0.01, max_df=3).count() == 0
+    assert D.ngram_jaccard_pairs(df, threshold=0.01, max_df=100).count() > 0
+
+
 def test_ngram_quantile_cap_matches_equivalent_absolute_cap(spark):
     """The corpus-relative stop-shingle cap must produce exactly the
-    pairs an absolute cap at that quantile value would: same rare set,
-    same verified results."""
+    pairs an absolute cap at that quantile value would."""
     rows = [
         (0, "a b c d e f g h i j k l"),
-        (1, "a b c d e f g h i j k m"),   # near-dup of 0
+        (1, "a b c d e f g h i j k m"),
         (2, "z y x w v u t s r q p o"),
-        (3, "z y x w v u t s r q p n"),   # near-dup of 2
+        (3, "z y x w v u t s r q p n"),
         (4, "a b c z y x m n o p q r"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     q = D.ngram_jaccard_pairs(df, threshold=0.5, max_df_quantile=0.9)
-    # the 0.9-quantile of this tiny df distribution is computable: take
-    # it from the same aggregation and rerun with the absolute cap
     shingled = D.shingles(df)
     from pyspark.sql import functions as F
     cap = (
@@ -199,8 +221,4 @@ def test_ngram_quantile_cap_matches_equivalent_absolute_cap(spark):
     )
     a = D.ngram_jaccard_pairs(df, threshold=0.5, max_df=int(cap))
     key = lambda d: sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in d.collect())  # noqa: E731
-    got = key(q)
-    assert got == key(a)
-    assert (0, 1, 1.0) not in got  # sanity: near-dups below 1.0
-    assert any(x[:2] == (0, 1) for x in got)
-    assert any(x[:2] == (2, 3) for x in got)
+    assert key(q) == key(a)

@@ -291,23 +291,26 @@ def test_ann_ivf_corpus_never_shuffles(spark, sf):
 
 
 def test_ngram_jaccard_bounds_pairs_before_verify(spark, sf):
-    """Count-then-verify shape: the candidate pair stream must be
+    """Default stop-shingle shape: the candidate pair stream must be
     aggregated (shared-rare-shingle count) and bound-filtered BEFORE the
-    array-verify joins — the round-3 shape shipped ~850k distinct pairs
-    into verify for a ~256-pair result. The aggregate reuses the shuffle
-    the old distinct() paid anyway, so there must be no separate
-    pair-level distinct, and the bound filter (least over the non-rare
-    remainders) must sit on the aggregate's count output."""
+    array-verify joins; the aggregate reuses the shuffle a pair-level
+    distinct would pay anyway, so no keys-only dedup may remain."""
     plan = plan_of(Q.QUERIES["dedup_ngram_jaccard"](spark, sf))
-    # the pair aggregate exists and carries the count
     assert "count(1)" in plan, plan[:3000]
-    # the upper-bound prune is in-plan (least(na - ra, nb - rb) form)
     assert "least(" in plan, plan[:3000]
-    # no pair-level distinct aggregate remains anywhere in the plan: a
-    # keys-only dedup (the old distinct()) would show as a HashAggregate
-    # with an empty function list
     assert "Functions: []" not in plan, plan[:3000]
 
+
+def test_ngram_jaccard_prefix_rank_prunes_the_index(spark, sf):
+    """Prefix-filter shape: the inverted index must be rank-pruned BEFORE
+    the candidate self-join — a per-doc row_number over the global
+    (df, shingle) order and the n - ceil(t*n) + 1 prefix cut appear
+    in-plan, and the join stays an equi-join on the shingle."""
+    plan = plan_of(Q.QUERIES["dedup_ngram_jaccard_prefix"](spark, sf))
+    assert "row_number" in plan, plan[:3000]
+    assert "CEIL" in plan.upper(), plan[:3000]
+    assert "least(" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
 
 def test_contamination_ngram_bench_broadcast(spark, sf):
     """The benchmark shingle set must broadcast; the corpus shingle side
