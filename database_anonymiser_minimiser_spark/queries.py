@@ -1138,6 +1138,62 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_by_length",
+    # inclusion probability min(1, k*w/W): u < k*w/W with u = h20/2^20,
+    # cross-multiplied into exact DECIMAL integer arithmetic (no float
+    # ever touches the decision, so both engines keep the identical row
+    # set). h20 = (15 md5 hex chars as a 60-bit integer) mod 2^20 — an
+    # EXACTLY uniform key, because 2^20 divides 2^60 (the translate-
+    # digits trick used for bucketing elsewhere is biased low: hex a-f
+    # fold onto 0-5 — fine for consistent bucketing, wrong for a rate).
+    """
+    WITH tot AS (SELECT CAST(sum(n_chars) AS DECIMAL(18,0)) AS w_total
+                 FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents, tot
+    WHERE CAST(list_reduce(list_transform(generate_series(1, 15),
+            i -> strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+            (a, b) -> a * 16 + b) % 1048576 AS DECIMAL(7,0))
+          * w_total
+        < CAST(200 AS DECIMAL(4,0)) * CAST(n_chars AS DECIMAL(10,0))
+          * CAST(1048576 AS DECIMAL(7,0))
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic sampling: inclusion probability
+    proportional to document length (weight w = n_chars, expected sample
+    size k=200) — the training-data mixing primitive for byte-budgeted
+    corpora (sampling documents uniformly under-represents long ones
+    when the budget is tokens, not docs).
+
+    Keep row iff hash6/10^6 < k*w/W_total, cross-multiplied into EXACT
+    decimal-integer arithmetic — no float in the decision, so the row
+    set is bit-stable across runs, retries and engines (same consistent
+    md5-digit key as every sampling op here; an Efraimidis-Spirakis
+    exact-k variant would need float log scores whose low bits differ
+    per libm). Scale shape: one single-row aggregate (W_total)
+    broadcast into a scan+filter — no shuffle of the corpus.
+    Registered after the r5 window froze: local replica now, r6 driver
+    window."""
+    docs = load(spark, sf_dir, "documents")
+    tot = docs.agg(F.sum("n_chars").cast("decimal(18,0)").alias("w_total"))
+    h20 = F.expr(
+        "CAST(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1048576 AS DECIMAL(7,0))"
+    )
+    keep = h20 * F.col("w_total") < (
+        F.lit(200).cast("decimal(4,0)")
+        * F.col("n_chars").cast("decimal(10,0)")
+        * F.lit(1048576).cast("decimal(7,0)")
+    )
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .filter(keep)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+@register(
     "sample_fixed_per_lang",
     """
     WITH keyed AS (
