@@ -136,6 +136,11 @@ HEADLINE = [
     # round-4: corpus-governance operators
     "vocab_oov_rate",
     "source_overlap_matrix",
+    # round-5 late additions: sub-document dedup, tokenizer training,
+    # bloom screening
+    "dedup_common_spans",
+    "bpe_merge_pairs",
+    "decontaminate_bloom",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -4180,6 +4180,307 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.semantic_dedup(load(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+# ---------------------------------------------------------------------------
+# Round-5 late additions: span-level dedup, BPE merge-pair counting,
+# Bloom-filter decontamination — three training-pipeline primitives the
+# registry did not yet cover (line/paragraph-granular dedup, tokenizer
+# training, and sub-linear-memory membership screening).
+# ---------------------------------------------------------------------------
+
+# Shared sub-document granularity: the synthetic corpus has no newlines,
+# so "line" is proxied by non-overlapping 10-token spans — identical
+# engine shape (split -> explode -> frequency count -> join-back) to
+# splitting on '\n' in production; only the splitter expression changes.
+_SPAN_TOKENS = 10
+_SPAN_MIN_DOCS = 3  # a span present in >= this many docs is "common"
+
+
+@register(
+    "dedup_common_spans",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    elig AS (SELECT * FROM base WHERE len(t) >= {_SPAN_TOKENS}),
+    spans AS (
+      SELECT DISTINCT doc_id, lang,
+        array_to_string(
+          t[(i-1)*{_SPAN_TOKENS}+1:(i-1)*{_SPAN_TOKENS}+{_SPAN_TOKENS}], ' ') AS span
+      FROM elig, LATERAL unnest(
+        generate_series(1, CAST(floor(len(t) / {_SPAN_TOKENS}) AS INT))) AS u(i)),
+    cnt AS (SELECT span, count(*) AS n FROM spans GROUP BY span),
+    common AS (SELECT span FROM cnt WHERE n >= {_SPAN_MIN_DOCS}),
+    per_doc AS (
+      SELECT s.doc_id, s.lang,
+        count(*) AS n_spans, count(c.span) AS n_common
+      FROM spans s LEFT JOIN common c ON s.span = c.span
+      GROUP BY s.doc_id, s.lang)
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(*) FILTER (n_common > 0) AS BIGINT) AS n_affected_docs,
+      CAST(sum(n_spans) AS BIGINT) AS total_spans,
+      CAST(sum(n_common) AS BIGINT) AS total_common_spans
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level (sub-document) dedup audit, the RefinedWeb/Gopher
+    "remove lines repeated across documents" primitive at span
+    granularity: count, per language, how many documents contain a
+    10-token span that also appears in >= 3 other documents' span sets.
+    Doc-level fingerprints (dedup_exact_documents) and near-dup families
+    (minhash/simhash) miss this entirely — boilerplate headers/footers
+    duplicate at line scope inside otherwise-unique pages.
+
+    Scale shape: spans explode map-side (zero shuffle, ~n_tokens/10 rows
+    per doc); the span-frequency count is ONE partial-aggregated shuffle;
+    the join-back is a plain shuffle hash join keyed on span — the common
+    relation is corpus-sized in the worst case, so it is deliberately NOT
+    broadcast (unlike the tiny benchmark side in contamination_*). At
+    100 TB, hash spans to xxhash64 tokens before the join to cut shuffle
+    bytes ~10x (string keys kept here for the cross-engine oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("t"),
+    ).filter(F.size("t") >= _SPAN_TOKENS)
+    spans = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(floor(size(t) / {_SPAN_TOKENS}) AS INT) - 1), "
+                f"i -> array_join(slice(t, i*{_SPAN_TOKENS}+1, {_SPAN_TOKENS}), ' '))"
+            )
+        ).alias("span"),
+    ).distinct()
+    cnt = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n"))
+    common = cnt.filter(F.col("n") >= _SPAN_MIN_DOCS).select(
+        F.col("span").alias("cspan")
+    )
+    per_doc = (
+        spans.join(common, spans.span == F.col("cspan"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("cspan").alias("n_common"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("n_common") > 0, 1)).cast("long").alias(
+            "n_affected_docs"
+        ),
+        F.sum("n_spans").cast("long").alias("total_spans"),
+        F.sum("n_common").cast("long").alias("total_common_spans"),
+    )
+
+
+@register(
+    "bpe_merge_pairs",
+    """
+    WITH base AS (
+      SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    elig AS (SELECT t FROM base WHERE len(t) >= 2),
+    pairs AS (
+      SELECT t[i] || ' ' || t[i+1] AS pair
+      FROM elig, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i))
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 50
+    """,
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training support: the first BPE merge step is "count
+    every adjacent symbol pair across the corpus, take the most frequent"
+    — this computes the top-50 adjacent token-pair counts (word-level
+    symbols; byte-level only changes the splitter). Iterating this op
+    with a merge applied between rounds IS the BPE training loop, and
+    the corpus-wide pair histogram is exactly the distributed step that
+    cannot run on one machine at 100 TB.
+
+    Scale shape: adjacent pairs come from ONE map-side transform over
+    the token array (sequence + transform + explode — zero shuffle, no
+    self-join on position), the count is a partial-aggregated shuffle on
+    the pair key, and the top-50 is TakeOrderedAndProject (no global
+    sort). Deterministic (count DESC, pair ASC) tiebreak keeps the
+    50-row cut identical across engines."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> concat(t[i], ' ', t[i+1]))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(50)
+    )
+
+
+# Bloom parameters: m bits, k=3 hash functions. m is sized for the test
+# corpus (sf0.01 benchmark side ~ a few hundred 5-gram shingles -> <<1%
+# fill); production sizes m = -n*ln(p)/(ln 2)^2 for target FP rate p.
+_BLOOM_M = 16384
+_BLOOM_SALTS = ("1", "2", "3")
+
+
+def _bloom_pos_sql(col: str, salt: str) -> str:
+    """Engine-portable bloom bit position: md5-digit hash of the salted
+    value, mod m. Identical text in Spark SQL and DuckDB."""
+    return (
+        f"CAST(substr(translate(md5(concat({col}, '#', '{salt}')), "
+        f"'abcdef', '012345'), 1, 6) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "decontaminate_bloom",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t,
+        CAST(substr(translate(md5(text), 'abcdef', '012345'), 1, 6) AS BIGINT)
+          % 20 = 0 AS is_benchmark
+      FROM documents),
+    elig AS (SELECT * FROM base WHERE len(t) >= 5),
+    sh AS (SELECT DISTINCT doc_id, lang, is_benchmark,
+             array_to_string(t[i:i+4], ' ') AS shingle
+           FROM elig, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)),
+    bench_pos AS (
+      SELECT DISTINCT u.p FROM (SELECT shingle FROM sh WHERE is_benchmark) b,
+        LATERAL unnest([{_bloom_pos_sql('b.shingle', '1')},
+                        {_bloom_pos_sql('b.shingle', '2')},
+                        {_bloom_pos_sql('b.shingle', '3')}]) AS u(p)),
+    corpus AS (SELECT doc_id, lang, shingle FROM sh WHERE NOT is_benchmark),
+    cpos AS (
+      SELECT doc_id, lang, shingle, u.p
+      FROM corpus, LATERAL unnest([{_bloom_pos_sql('corpus.shingle', '1')},
+                                   {_bloom_pos_sql('corpus.shingle', '2')},
+                                   {_bloom_pos_sql('corpus.shingle', '3')}]) AS u(p)),
+    chit AS (
+      SELECT doc_id, lang, shingle, count(b.p) = 3 AS hit
+      FROM cpos LEFT JOIN bench_pos b USING (p)
+      GROUP BY doc_id, lang, shingle),
+    per_doc AS (
+      SELECT doc_id, lang, count(*) AS n_sh,
+        count(*) FILTER (hit) AS n_hit
+      FROM chit GROUP BY doc_id, lang)
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(*) FILTER (n_hit * 1.0 / n_sh >= 0.3) AS BIGINT) AS n_flagged,
+      max(n_hit * 1.0 / n_sh) AS max_overlap
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the same 5-gram-overlap audit as
+    contamination_ngram_overlap, but the benchmark shingle set is
+    compressed into an m-bit Bloom bitmap (k=3 portable md5 hashes)
+    instead of broadcast as strings. This is the constant-memory
+    screening shape for when even the benchmark side is too large to
+    broadcast verbatim (m bits cover any set size at a chosen FP rate —
+    2 GiB of bitmap screens billions of entries); false positives are
+    deterministic given the hash family, so the audit over-flags
+    conservatively and an exact join over the tiny flagged remainder
+    (contamination_ngram_overlap) finishes the job.
+
+    Spark shape: bench bit positions are aggregated (bounded: <= m
+    distinct values, here 16384) and folded into 256 int64 words on the
+    driver — the ONLY collect, bounded by m/64 words regardless of
+    corpus size — then embedded as an array literal; the corpus-side
+    membership test is pure map-side bit arithmetic with ZERO joins in
+    the whole plan (plan-gated), vs the broadcast-join shape of the
+    exact op. The oracle replicates membership relationally (position
+    IN bench positions), which is equivalent by construction.
+    """
+    docs = load(spark, sf_dir, "documents")
+    samp = F.expr(
+        "CAST(substr(translate(md5(CAST(text AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 20"
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("t"),
+        (samp == 0).alias("is_benchmark"),
+    ).filter(F.size("t") >= 5)
+    sh = base.select(
+        "doc_id",
+        "lang",
+        "is_benchmark",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    # Build the bitmap: distinct bench bit positions (<= m rows) -> m/64
+    # int64 words. Bounded driver materialisation, same class as the
+    # vocab-100 collect in vocab_oov_rate.
+    bench_pos_rows = (
+        sh.filter("is_benchmark")
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos_sql("shingle", s))
+                        for s in _BLOOM_SALTS
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_M // 64)
+    for r in bench_pos_rows:
+        p = r["p"]
+        words[p // 64] |= 1 << (p % 64)
+    # int64 two's-complement for the Spark literal
+    bm = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
+    )
+    corpus = sh.filter(~F.col("is_benchmark")).withColumn("bm", bm)
+    hit = reduce(
+        lambda a, b: a & b,
+        [
+            F.expr(
+                f"(shiftright(element_at(bm, CAST(({_bloom_pos_sql('shingle', s)}) / 64 AS INT) + 1), "
+                f"CAST(({_bloom_pos_sql('shingle', s)}) % 64 AS INT)) & 1) = 1"
+            )
+            for s in _BLOOM_SALTS
+        ],
+    )
+    per_doc = corpus.select("doc_id", "lang", hit.alias("hit")).groupBy(
+        "doc_id", "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.count(F.when(F.col("hit"), 1)).alias("n_hit"),
+    )
+    frac = F.col("n_hit") * 1.0 / F.col("n_sh")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(frac >= 0.3, 1)).cast("long").alias("n_flagged"),
+        F.max(frac).alias("max_overlap"),
+    )
+
+
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Window ROTATION policy (documented in
@@ -4214,12 +4515,20 @@ _PRIORITY_50 = [
     "dedup_clusters",  # CC fused convergence + touched-subgraph rewrite
     "dedup_ngram_jaccard",  # rare-count broadcast -> window rewrite
     "zscore_pandas_band_events",  # null-vs-NaN agreement fix
+    "dedup_common_spans",  # NEW: span(line)-level dedup audit
+    "bpe_merge_pairs",  # NEW: tokenizer-training pair histogram
+    "decontaminate_bloom",  # NEW: bitmap membership screening, zero-join
     # (b) the oldest grades in the registry: everything whose last
     # driver row is r1/r2 (3-4 rounds stale) — re-graded wholesale,
     # including the sixteen mask_* singles (cheap; retires the
     # "subsumed by mask_all_fakers" exemption argument entirely).
     # approx_distinct_events is NOT here: rows-only by design, its
     # exact gate is approx_distinct_band_events (green r4).
+    # mask_city/mask_company/mask_country yielded their slots to the
+    # three (a)-tier late additions: all sixteen templates are exercised
+    # by mask_all_fakers (green r4) and the 13 remaining singles re-grade
+    # the shared template machinery this round; the three dropped
+    # singles stay in the local oracle replica and head the r6 queue.
     "anti_join_customers_without_big_orders",
     "dedup_exact_documents",
     "distinct_agg_events",
@@ -4228,9 +4537,6 @@ _PRIORITY_50 = [
     "full_export_customer",
     "json_extract_props",
     "mask_address",
-    "mask_city",
-    "mask_company",
-    "mask_country",
     "mask_date",
     "mask_email",
     "mask_firstName",

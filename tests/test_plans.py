@@ -392,3 +392,38 @@ def test_multimodal_decode_wav_no_shuffle(spark, sf):
     the shape that lets decode ride executors at any scale."""
     plan = plan_of(Q.QUERIES["multimodal_decode_wav"](spark, sf))
     assert "Exchange" not in plan, plan[:3000]
+
+
+def test_bpe_merge_pairs_mapside_explode_topk(spark, sf):
+    """Adjacent-pair generation must be a map-side transform+explode
+    (no position self-join), the histogram one partial-aggregated
+    shuffle, and the top-50 a TakeOrderedAndProject — never a global
+    sort of the pair histogram."""
+    plan = plan_of(Q.QUERIES["bpe_merge_pairs"](spark, sf))
+    assert "Join" not in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
+
+
+def test_decontaminate_bloom_has_zero_joins(spark, sf):
+    """The whole point of the bloom bitmap: corpus membership is pure
+    map-side bit arithmetic against an array literal — the plan must
+    contain NO join of any kind (the exact op's broadcast join is the
+    shape being replaced)."""
+    plan = plan_of(Q.QUERIES["decontaminate_bloom"](spark, sf))
+    assert "Join" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_dedup_common_spans_equijoin_mapside_generate(spark, sf):
+    """Span generation must be map-side (Generate — no position
+    self-join), and the join-back keyed on the span (equi-join, never a
+    cartesian/BNLJ). The common-span relation is corpus-sized in the
+    worst case, so no broadcast is FORCED in the code: at test scale
+    Catalyst's statistics legitimately pick BroadcastHashJoin; past the
+    autoBroadcastJoinThreshold the same plan degrades gracefully to a
+    shuffle join — exactly the statistics-driven behavior wanted."""
+    plan = plan_of(Q.QUERIES["dedup_common_spans"](spark, sf))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "Generate" in plan, plan[:3000]
