@@ -137,10 +137,11 @@ HEADLINE = [
     "vocab_oov_rate",
     "source_overlap_matrix",
     # round-5 late additions: sub-document dedup, tokenizer training,
-    # bloom screening
+    # bloom screening, lexical retrieval
     "dedup_common_spans",
     "bpe_merge_pairs",
     "decontaminate_bloom",
+    "bm25_search_topk",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

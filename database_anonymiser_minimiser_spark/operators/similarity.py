@@ -875,14 +875,21 @@ def quantize_int8_expr(vec: str) -> str:
     """Symmetric per-vector int8 quantization as a SQL expression:
     q_i = floor(v_i * 127 / amax + 0.5) — floor(x+0.5) instead of
     round() because round()'s half-tie rule differs between engines
-    while floor is IEEE-exact in both."""
+    while floor is IEEE-exact in both.
+
+    The amax reduction is bound OUTSIDE the per-element lambda by
+    passing it through array_repeat + zip_with (Spark SQL has no let-
+    binding): writing ``transform(v, x -> ... / amax_expr)`` instead
+    re-evaluates the O(dim) amax fold per element — O(dim^2) per vector
+    in interpreted higher-order-function code, measured 6x slower on
+    dim-64 vectors. Values are bit-identical either way."""
     amax = (
         f"greatest(aggregate({vec}, CAST(0 AS DOUBLE), "
         f"(a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))), CAST(1e-30 AS DOUBLE))"
     )
     return (
-        f"transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / {amax}"
-        f" + 0.5) AS INT))"
+        f"zip_with({vec}, array_repeat({amax}, size({vec})), "
+        f"(x, m) -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS INT))"
     )
 
 

@@ -4481,6 +4481,105 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 keyword retrieval: fixed query terms (present in the synthetic
+# vocab), standard k1/b. The idf is the ln-free rational form
+# (N - df + 0.5)/(df + 0.5) — a monotone transform of Robertson idf, so
+# ranking is preserved while staying bit-identical across engines (ln
+# implementations are not guaranteed to agree in the last ulp; same
+# discipline as tfdf_top_terms).
+_BM25_TERMS = ("spark", "join", "fast")
+# e0-suffixed literals parse as DOUBLE in BOTH engines; bare 0.5 parses
+# as DECIMAL in both and decimal division rounds differently (1-ulp
+# drift observed).
+_BM25_K1 = "1.2e0"
+_BM25_B_COMPL = "0.25e0"  # 1 - b
+_BM25_B = "0.75e0"
+
+
+def _bm25_score_sql(dl: str) -> str:
+    """The per-document BM25 sum as engine-neutral SQL over columns
+    tf_<term>, df_<term>, n_docs, avgdl. Identical text on both engines
+    keeps every double operation in the same order."""
+    parts = []
+    for t in _BM25_TERMS:
+        parts.append(
+            f"((n_docs - df_{t} + 0.5e0) / (df_{t} + 0.5e0)) * "
+            f"(tf_{t} / (tf_{t} + {_BM25_K1} * "
+            f"({_BM25_B_COMPL} + {_BM25_B} * {dl} / avgdl)))"
+        )
+    return " + ".join(parts)
+
+
+@register(
+    "bm25_search_topk",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs,
+        sum(len(t)) * 1.0e0 / count(*) AS avgdl,
+        {", ".join(f"count(*) FILTER (list_contains(t, '{t}')) AS df_{t}" for t in _BM25_TERMS)}
+      FROM base),
+    tf AS (
+      SELECT doc_id, lang, len(t) AS dl,
+        {", ".join(f"len(list_filter(t, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS)}
+      FROM base)
+    SELECT doc_id, lang, {_bm25_score_sql('dl')} AS score
+    FROM tf CROSS JOIN stats
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval top-k — the lexical-search counterpart of
+    the ANN family (hybrid retrieval pipelines score both): rank
+    documents for a fixed bag of query terms with tf saturation (k1)
+    and length normalisation (b) against the corpus-wide df/avgdl.
+
+    Scale shape: the corpus-level statistics (N, avgdl, per-term df)
+    reduce to ONE aggregate row (partial-aggregated, the plan's only
+    Exchange) that rides back via a single-row broadcast nested-loop —
+    the per-document pass is pure map-side array arithmetic
+    (size(filter(t, ...)) per query term — no explode, no inverted
+    index, no shuffle of the corpus), and the top-20 is
+    TakeOrderedAndProject. For ad-hoc multi-query serving you build the
+    inverted index instead (tfdf_top_terms shape); for a fixed query
+    over 100 TB — the audit/eval case — this single-scan form is the
+    one that streams."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("t"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size("t")) * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.when(F.array_contains("t", t), 1)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    tf = base.select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("dl"),
+        *[
+            F.expr(f"size(filter(t, x -> x = '{t}'))").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .select("doc_id", "lang", F.expr(_bm25_score_sql("dl")).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Window ROTATION policy (documented in

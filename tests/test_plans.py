@@ -427,3 +427,16 @@ def test_dedup_common_spans_equijoin_mapside_generate(spark, sf):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "Generate" in plan, plan[:3000]
+
+
+def test_bm25_single_stats_exchange_topk(spark, sf):
+    """BM25's corpus statistics (N, avgdl, per-term df) reduce to ONE
+    aggregate row — the plan's only Exchange — and ride back on a
+    single-row broadcast; the per-document scoring pass is map-side
+    array arithmetic (no explode, no corpus shuffle) and the top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(Q.QUERIES["bm25_search_topk"](spark, sf))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
+    assert "Generate" not in plan, plan[:3000]  # no explode of the corpus
+    assert "SortMergeJoin" not in plan, plan[:3000]
