@@ -142,6 +142,8 @@ HEADLINE = [
     "bpe_merge_pairs",
     "decontaminate_bloom",
     "bm25_search_topk",
+    "shard_assignment_stats",
+    "heavy_hitters_sketch_pairs",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

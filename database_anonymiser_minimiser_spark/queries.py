@@ -4580,6 +4580,175 @@ def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shard_assignment_stats",
+    """
+    WITH assigned AS (
+      SELECT doc_id,
+        CAST(substr(translate(md5('epoch0#' || CAST(doc_id AS VARCHAR)),
+          'abcdef', '012345'), 1, 6) AS BIGINT) % 64 AS shard,
+        len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+          AS n_tokens
+      FROM documents)
+    SELECT shard,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+      CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned GROUP BY shard
+    """,
+)
+def q_shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global-shuffle sharding for training dataloaders:
+    every document is assigned to one of 64 shards by a salted
+    consistent hash of its key — the epoch salt ('epoch0' here) gives a
+    fresh pseudorandom permutation per epoch with zero coordination and
+    full reproducibility under retries (rand()/shuffle() are neither).
+    Output is the per-shard balance audit (doc count, token mass, key
+    range) a dataloader team reads before training.
+
+    Scale shape: assignment is a map-side expression over the scan; the
+    audit is one partial-aggregated shuffle on the shard key (64 groups).
+    To materialise the shards themselves, the same expression feeds
+    ``write.partitionBy('shard')`` — no sort, no skew (md5 is uniform)."""
+    docs = load(spark, sf_dir, "documents")
+    shard = F.expr(
+        "CAST(substr(translate(md5(concat('epoch0#', CAST(doc_id AS STRING))), "
+        "'abcdef', '012345'), 1, 6) AS BIGINT) % 64"
+    )
+    assigned = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("n_tokens"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+# Heavy-hitters sketch capacity: each partition tracks at most _HH_CAP
+# keys via the Misra-Gries decrement (subtract the (cap+1)-th largest
+# count from all, drop non-positive). Absence bound: each decrement of
+# d removes >= (cap+1)*d mass, so total per-key undercount in partition
+# p is <= n_p/(cap+1); a pair absent from EVERY summary therefore has
+# true count <= n_total/(cap+1) < n_total/_HH_CAP — any pair with
+# n * _HH_CAP > n_total is guaranteed present in the merged sketch.
+# 700 sits below the corpus' ~916 distinct pairs (eviction is actually
+# exercised) while the bound still covers the exact top-10.
+_HH_CAP = 700
+
+
+@register(
+    "heavy_hitters_sketch_pairs",
+    f"""
+    WITH base AS (
+      SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    elig AS (SELECT t FROM base WHERE len(t) >= 2),
+    pairs AS (
+      SELECT t[i] || ' ' || t[i+1] AS pair
+      FROM elig, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
+    exact AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair),
+    tot AS (SELECT sum(n) AS total FROM exact),
+    top10 AS (SELECT pair, n FROM exact ORDER BY n DESC, pair LIMIT 10)
+    SELECT pair, CAST(n AS BIGINT) AS n_occurrences,
+      n * {_HH_CAP} > total AS guaranteed,
+      TRUE AS sketch_ok
+    FROM top10 CROSS JOIN tot
+    """,
+)
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy hitters — the 100 TB path for top-k counting
+    when key cardinality outgrows the shuffle (exact bpe_merge_pairs
+    shuffles every distinct key; fine for word pairs, impossible for,
+    say, 13-gram keys). Each partition runs a Misra-Gries summary over
+    its pairs (mapInPandas; at most _HH_CAP tracked keys — the decrement
+    step bounds memory regardless of partition cardinality, with the
+    classic absence bound n_p/cap); summaries merge in one tiny shuffle
+    (<= partitions x cap rows, independent of corpus size).
+
+    The gate is oracle-keyed like the sketch band gates and asserts
+    exactly what the theory promises: for each exact top-10 pair the
+    query outputs (a) `guaranteed` — whether its exact count clears the
+    n_total/cap presence bound, computed in identical integer
+    arithmetic on both engines — and (b) `sketch_ok` = found-in-sketch
+    OR NOT guaranteed: a pair the bound covers MUST be in the merged
+    sketch (red otherwise); a pair below the bound may legitimately
+    evict on near-uniform distributions, where "no heavy hitters" is
+    the correct sketch answer."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> concat(t[i], ' ', t[i+1]))"
+            )
+        ).alias("pair")
+    )
+
+    def partition_summary(batches):
+        from collections import Counter
+
+        # Misra-Gries: after each Arrow batch, if more than cap keys
+        # are tracked, subtract the (cap+1)-th largest count from all
+        # and drop the non-positive — memory stays O(cap + batch
+        # cardinality) however many distinct keys the partition holds.
+        # Classic bound: a key absent at the end has true in-partition
+        # count <= n_p / cap.
+        cnt: Counter = Counter()
+        for pdf in batches:
+            cnt.update(pdf["pair"])
+            if len(cnt) > _HH_CAP:
+                vals = sorted(cnt.values(), reverse=True)
+                d = vals[_HH_CAP]
+                cnt = Counter(
+                    {k: v - d for k, v in cnt.items() if v - d > 0}
+                )
+        items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        yield pd.DataFrame(
+            {"pair": [k for k, _ in items], "est": [v for _, v in items]}
+        )
+
+    sketch = (
+        pairs.mapInPandas(partition_summary, "pair string, est long")
+        .groupBy("pair")
+        .agg(F.sum("est").alias("est"))
+        .select(F.col("pair").alias("spair"))
+    )
+    exact = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    tot = exact.agg(F.sum("n_occurrences").alias("total"))
+    top10 = exact.orderBy(F.desc("n_occurrences"), "pair").limit(10)
+    return (
+        top10.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(sketch), F.col("pair") == F.col("spair"), "left")
+        .select(
+            "pair",
+            "n_occurrences",
+            (F.col("n_occurrences") * _HH_CAP > F.col("total")).alias(
+                "guaranteed"
+            ),
+            (
+                F.col("spair").isNotNull()
+                | ~(F.col("n_occurrences") * _HH_CAP > F.col("total"))
+            ).alias("sketch_ok"),
+        )
+    )
+
+
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Window ROTATION policy (documented in

@@ -440,3 +440,23 @@ def test_bm25_single_stats_exchange_topk(spark, sf):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
     assert "Generate" not in plan, plan[:3000]  # no explode of the corpus
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_shard_assignment_single_agg_exchange(spark, sf):
+    """Shard assignment is a map-side hash expression; the audit is one
+    64-group partial-aggregated shuffle — no joins, exactly 1 Exchange."""
+    plan = plan_of(Q.QUERIES["shard_assignment_stats"](spark, sf))
+    assert "Join" not in plan, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
+
+
+def test_heavy_hitters_sketch_shape(spark, sf):
+    """The sketch path must be mapInPandas partition summaries (bounded
+    memory) merged by a shuffle of summary rows; the exact/top-10 side
+    joins back via broadcast only — no sort-merge join, no cartesian of
+    corpus-sized relations."""
+    plan = plan_of(Q.QUERIES["heavy_hitters_sketch_pairs"](spark, sf))
+    assert "MapInPandas" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
