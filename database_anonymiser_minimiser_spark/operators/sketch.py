@@ -1,0 +1,55 @@
+"""Mergeable frequency summaries (bounded-memory heavy hitters).
+
+The Misra-Gries summary used by the ``heavy_hitters_sketch_pairs``
+query: each executor partition tracks at most ``cap`` keys; whenever
+the tracked set overflows, the (cap+1)-th largest count is subtracted
+from every counter and non-positive counters are dropped.
+
+Guarantees (classic, and property-tested in tests/test_sketch.py):
+
+- every decrement event of size d removes >= (cap+1)*d total mass, so
+  the cumulative per-key undercount within a partition processing n_p
+  items is <= n_p/(cap+1);
+- a key ABSENT from the final summary has true in-partition count
+  <= n_p/(cap+1);
+- summaries are mergeable by summing per-key estimates (the merged
+  undercount bounds add), so a key absent from every partition summary
+  has true global count <= n_total/(cap+1) < n_total/cap — any key
+  with n * cap > n_total is guaranteed present after the merge.
+
+The reference engine has no sketch machinery (this is part of the
+training-data extension surface); the distributed shape follows the
+mergeable-summaries literature (Agarwal et al., "Mergeable Summaries",
+PODS'12).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterable, Iterator
+
+
+def mg_update(cnt: Counter, items: Iterable[str], cap: int) -> Counter:
+    """Fold one batch of items into a Misra-Gries summary of capacity
+    ``cap``; returns the (possibly rebuilt) counter."""
+    cnt.update(items)
+    if len(cnt) > cap:
+        vals = sorted(cnt.values(), reverse=True)
+        d = vals[cap]  # the (cap+1)-th largest count
+        cnt = Counter({k: v - d for k, v in cnt.items() if v - d > 0})
+    return cnt
+
+
+def mg_partition_summary(batches: Iterator, cap: int, col: str):
+    """mapInPandas-compatible generator: consume every Arrow batch of a
+    partition, maintain one bounded Misra-Gries counter, emit a single
+    (key, est) summary frame ordered deterministically."""
+    import pandas as pd
+
+    cnt: Counter = Counter()
+    for pdf in batches:
+        cnt = mg_update(cnt, pdf[col], cap)
+    items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    yield pd.DataFrame(
+        {col: [k for k, _ in items], "est": [v for _, v in items]}
+    )

@@ -4681,8 +4681,6 @@ def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch (red otherwise); a pair below the bound may legitimately
     evict on near-uniform distributions, where "no heavy hitters" is
     the correct sketch answer."""
-    import pandas as pd
-
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
         F.split(
@@ -4698,28 +4696,14 @@ def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair")
     )
 
-    def partition_summary(batches):
-        from collections import Counter
+    # bounded-memory Misra-Gries per partition (operators/sketch.py; the
+    # absence bound is property-tested in tests/test_sketch.py). Imported
+    # here on the driver; the closure ships the function reference to the
+    # executors by module path.
+    from .operators.sketch import mg_partition_summary
 
-        # Misra-Gries: after each Arrow batch, if more than cap keys
-        # are tracked, subtract the (cap+1)-th largest count from all
-        # and drop the non-positive — memory stays O(cap + batch
-        # cardinality) however many distinct keys the partition holds.
-        # Classic bound: a key absent at the end has true in-partition
-        # count <= n_p / cap.
-        cnt: Counter = Counter()
-        for pdf in batches:
-            cnt.update(pdf["pair"])
-            if len(cnt) > _HH_CAP:
-                vals = sorted(cnt.values(), reverse=True)
-                d = vals[_HH_CAP]
-                cnt = Counter(
-                    {k: v - d for k, v in cnt.items() if v - d > 0}
-                )
-        items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
-        yield pd.DataFrame(
-            {"pair": [k for k, _ in items], "est": [v for _, v in items]}
-        )
+    def partition_summary(batches):
+        yield from mg_partition_summary(batches, _HH_CAP, "pair")
 
     sketch = (
         pairs.mapInPandas(partition_summary, "pair string, est long")
