@@ -420,6 +420,7 @@ def ngram_jaccard_pairs_prefix(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    positional: bool = False,
 ) -> DataFrame:
     """EXACT near-dup pairs via prefix filtering over the shingle index.
 
@@ -458,7 +459,7 @@ def ngram_jaccard_pairs_prefix(
     pfx = ranked.filter(
         F.col("rk")
         <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
-    ).select("id", "n", "sh")
+    ).select("id", "n", "sh", "rk")
     a, b = pfx.alias("a"), pfx.alias("b")
     # J >= t forces min(|A|,|B|) >= t * max(|A|,|B|): size-incompatible
     # pairs are rejected inside the join predicate (1e-9 covers float
@@ -467,16 +468,56 @@ def ngram_jaccard_pairs_prefix(
         F.least(F.col("a.n"), F.col("b.n")).cast("double")
         >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(1e-9)
     )
-    cands = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.id") < F.col("b.id"))
-            & size_ok,
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    join_cond = (
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.id") < F.col("b.id"))
+        & size_ok
     )
+    if positional:
+        # PPJoin positional filter: for a shared shingle at positions
+        # (pa, pb) of the two docs' identically-ordered shingle lists,
+        # every shared element is either <= it in the global order (at
+        # most min(pa, pb) of those, itself included) or > it (at most
+        # min(n_a - pa, n_b - pb)), so |A o B| <= min(pa,pb) +
+        # min(n_a-pa, n_b-pb); J >= t needs overlap >= t(n_a+n_b)/(1+t).
+        # MIN of the bound over the shared prefix shingles prunes pairs
+        # that provably cannot reach the required overlap — EXACT
+        # (equality-tested vs the plain path). MEASURED SLOWER on the
+        # bench corpus (sf1 183.5s vs 71.9s plain, PERFORMANCE.md):
+        # uniform doc sizes and half-length prefixes keep the bound
+        # above the requirement for almost every candidate, so the
+        # 5-column agg rows cost more than the pruning saves. On Zipf
+        # corpora (early prefix positions, varied sizes) the bound
+        # bites; kept behind this flag for that regime, default off.
+        ub_s = F.least(F.col("a.rk"), F.col("b.rk")) + F.least(
+            F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
+        )
+        cands = (
+            a.join(b, join_cond)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n").alias("n_a"),
+                F.col("b.n").alias("n_b"),
+                ub_s.alias("ub_s"),
+            )
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.min("ub_s").alias("ub"))
+            .filter(
+                F.col("ub").cast("double")
+                >= F.lit(threshold)
+                * (F.col("n_a") + F.col("n_b"))
+                / F.lit(1.0 + threshold)
+                - F.lit(1e-9)
+            )
+            .select("id_a", "id_b")
+        )
+    else:
+        cands = (
+            a.join(b, join_cond)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
     return verify_jaccard(cands, shingled, threshold)
 
 
