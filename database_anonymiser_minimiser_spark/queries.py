@@ -4754,8 +4754,14 @@ def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # spent on them records a weaker check than the one that exists. This
 # makes the r5 window 100% oracle-keyed (zero no_oracle rows).
 # After r5 the oldest un-regraded grade is r3 = exactly 2 rounds stale,
-# the rotation ceiling with 137 registered queries over 50 slots; the
-# remaining r3-graded queries form the core of the r6 window.
+# the rotation ceiling with ~150 registered queries over 50 slots; the
+# remaining r3-graded queries form the core of the r6 window, headed by
+# the operators registered after this window filled: bm25_search_topk,
+# shard_assignment_stats, heavy_hitters_sketch_pairs, plus the three
+# mask_* singles that yielded slots (mask_city/company/country) and the
+# earlier post-freeze registrations (text_bigram_novelty,
+# cdc_apply_orders, dedup_ngram_jaccard_prefix,
+# sample_weighted_by_length) — all local-replica-green every session.
 # Keys not listed keep their relative definition order after the
 # priority block.
 # ===========================================================================
