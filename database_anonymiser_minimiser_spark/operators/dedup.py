@@ -366,8 +366,19 @@ def ngram_jaccard_pairs(
     # agg) and scales with the cluster instead of the driver.
     from pyspark.sql import Window
 
-    inv_rare = inv.join(rare, "sh").withColumn(
-        "r", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    # The candidate self-join keys on xxhash64(shingle), not the string:
+    # rarity/df/r are still computed on exact strings (the semantic rule
+    # is untouched), but the dominant Theta(sum df^2) shuffle+compare
+    # moves from ~50-byte string keys to 8-byte longs. A hash collision
+    # can only ADD candidate pairs (same hash, different shingle) and
+    # only INFLATE the shared-count c — both keep the pruned candidate
+    # set a superset of the string-keyed one — and the full-array verify
+    # is exact, so the RESULT is provably identical, collisions or not.
+    inv_rare = (
+        inv.join(rare, "sh")
+        .withColumn("r", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .withColumn("shh", F.xxhash64("sh"))
+        .drop("sh")
     )
     a, b = inv_rare.alias("a"), inv_rare.alias("b")
     size_ok = (
@@ -389,7 +400,7 @@ def ngram_jaccard_pairs(
     pair_counts = (
         a.join(
             b,
-            (F.col("a.sh") == F.col("b.sh"))
+            (F.col("a.shh") == F.col("b.shh"))
             & (F.col("a.id") < F.col("b.id"))
             & size_ok,
         )
