@@ -467,6 +467,12 @@ def ngram_jaccard_pairs_prefix(
         "rk",
         F.row_number().over(Window.partitionBy("id").orderBy("df_count", "sh")),
     )
+    # NOTE: the stop-shingle mode's xxhash64-join-key trick was A/B
+    # measured here too and LOST (sf1 median 63.9 s hashed vs 49.9 s
+    # string, same session, same action): prefix-mode candidates are
+    # join-dominated rather than shuffle-dominated — most prefix keys
+    # have tiny posting lists, so the per-row hash projection costs more
+    # than the narrower key saves. String keys kept; see PERFORMANCE.md.
     pfx = ranked.filter(
         F.col("rk")
         <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
