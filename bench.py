@@ -144,6 +144,7 @@ HEADLINE = [
     "bm25_search_topk",
     "shard_assignment_stats",
     "heavy_hitters_sketch_pairs",
+    "streaming_heavy_hitters_users",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -4733,6 +4733,67 @@ def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_heavy_hitters_users",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n, user_id % 4 AS shard
+               FROM events GROUP BY user_id),
+    st AS (SELECT shard, sum(n) AS n_shard FROM c GROUP BY shard),
+    top10 AS (SELECT user_id, n, shard FROM c ORDER BY n DESC, user_id LIMIT 10)
+    SELECT t.user_id, CAST(t.n AS BIGINT) AS n_events,
+      t.n * 37 > s.n_shard AS guaranteed,
+      TRUE AS sketch_ok
+    FROM top10 t JOIN st s ON t.shard = s.shard
+    """,
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters ON A STREAM: the Misra-Gries summary rides the
+    state store across 4 real micro-batches (applyInPandasWithState,
+    one bounded summary per user_id-shard — state is <= cap keys/shard
+    however long the stream runs, the profile-vs-firehose shape: top
+    talkers without keeping per-user counters for an unbounded key
+    domain).
+
+    Gate: same theory-exact discipline as the batch sketch
+    (heavy_hitters_sketch_pairs) — every exact top-10 user whose count
+    clears the per-shard n_shard/(cap+1) presence bound must appear in
+    the final streamed summary; `guaranteed` is computed in identical
+    integer arithmetic on both engines (shard = user_id % 4, cap 36),
+    and the bound survives incremental feeding because Misra-Gries is a
+    mergeable summary (property-tested for arbitrary batchings in
+    tests/test_sketch.py — micro-batches are exactly that)."""
+    from .streaming.stateful import (
+        HH_CAP,
+        HH_SHARDS,
+        run_streaming_heavy_hitters,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    final = run_streaming_heavy_hitters(spark, sf_dir)
+    survivors = final.select(F.explode("users").alias("s_user")).distinct()
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    ).withColumn("shard", F.col("user_id") % HH_SHARDS)
+    st = c.groupBy("shard").agg(F.sum("n_events").alias("n_shard"))
+    top10 = c.orderBy(F.desc("n_events"), "user_id").limit(10)
+    guaranteed = F.col("n_events") * (HH_CAP + 1) > F.col("n_shard")
+    return (
+        top10.join(F.broadcast(st), "shard")
+        .join(
+            F.broadcast(survivors),
+            F.col("user_id") == F.col("s_user"),
+            "left",
+        )
+        .select(
+            "user_id",
+            "n_events",
+            guaranteed.alias("guaranteed"),
+            (F.col("s_user").isNotNull() | ~guaranteed).alias("sketch_ok"),
+        )
+    )
+
+
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Window ROTATION policy (documented in
@@ -4757,7 +4818,8 @@ def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the rotation ceiling with ~150 registered queries over 50 slots; the
 # remaining r3-graded queries form the core of the r6 window, headed by
 # the operators registered after this window filled: bm25_search_topk,
-# shard_assignment_stats, heavy_hitters_sketch_pairs, plus the three
+# shard_assignment_stats, heavy_hitters_sketch_pairs,
+# streaming_heavy_hitters_users, plus the three
 # mask_* singles that yielded slots (mask_city/company/country) and the
 # earlier post-freeze registrations (text_bigram_novelty,
 # cdc_apply_orders, dedup_ngram_jaccard_prefix,

@@ -242,3 +242,132 @@ def run_stateful_totals(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: a bounded-memory Misra-Gries sketch carried in
+# the state store across micro-batches (the streaming twin of
+# operators/sketch.py, which tests its absence/undercount bounds for
+# arbitrary batchings — exactly what micro-batches are).
+# ---------------------------------------------------------------------------
+
+HH_SHARDS = 4
+HH_CAP = 36  # per-shard tracked keys; bound: absent => count <= n_shard/(cap+1)
+
+HH_OUTPUT_SCHEMA = (
+    "shard bigint, users array<bigint>, ests array<bigint>, n_seen bigint"
+)
+# JSON-string state keeps the state-store row schema primitive (arrays in
+# state tuples round-trip less portably across providers than in output)
+HH_STATE_SCHEMA = "summary string, n_seen bigint"
+
+
+def _update_shard_heavy_hitters(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+    from collections import Counter
+
+    from ..operators.sketch import mg_update
+
+    if state.exists:
+        summary_json, n_seen = state.get
+        cnt = Counter({int(k): v for k, v in json.loads(summary_json).items()})
+    else:
+        cnt, n_seen = Counter(), 0
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        cnt = mg_update(cnt, pdf["user_id"].astype(int), HH_CAP)
+    state.update((json.dumps({str(k): int(v) for k, v in cnt.items()}), n_seen))
+    items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    yield pd.DataFrame(
+        {
+            "shard": [key[0]],
+            "users": [[k for k, _ in items]],
+            "ests": [[int(v) for _, v in items]],
+            "n_seen": [n_seen],
+        }
+    )
+
+
+def running_shard_heavy_hitters(events: DataFrame) -> DataFrame:
+    """Per-shard streaming Misra-Gries over user_id: state is the bounded
+    summary (<= HH_CAP keys/shard regardless of stream length), emission
+    per micro-batch is the current summary (update mode)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            (F.col("user_id") % HH_SHARDS).alias("shard"), "user_id"
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _update_shard_heavy_hitters,
+            HH_OUTPUT_SCHEMA,
+            HH_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession, sf_dir: str, n_splits: int = 4
+) -> DataFrame:
+    """Stream the events table in ``n_splits`` micro-batches through the
+    per-shard Misra-Gries operator and return the FINAL summary per
+    shard (the row with the highest n_seen — a monotone counter).
+
+    State is bounded at HH_CAP keys per shard however long the stream
+    runs; the mergeable-summaries bound survives incremental feeding
+    (property-tested for arbitrary batchings in tests/test_sketch.py),
+    so the batch-side guarantee gate applies to the streamed result
+    unchanged."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from ..sources.parquet import _nanos_timestamp_columns, convert_ns_columns
+
+    src = f"{sf_dir}/events.parquet"
+    tbl = pq.read_table(src, columns=["user_id", "event_id"])
+    split_dir = tempfile.mkdtemp(prefix="dbmask_hh_")
+    step = (tbl.num_rows + n_splits - 1) // n_splits
+    for i in range(n_splits):
+        pq.write_table(
+            tbl.slice(i * step, step), os.path.join(split_dir, f"part{i}.parquet")
+        )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(split_dir).schema
+    ns_cols = _nanos_timestamp_columns(Path(os.path.join(split_dir, "part0.parquet")))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    stream = convert_ns_columns(stream, ns_cols)
+
+    name = f"hh_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_shard_heavy_hitters(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emissions = spark.table(name)
+    w = Window.partitionBy("shard").orderBy(F.col("n_seen").desc())
+    return (
+        emissions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

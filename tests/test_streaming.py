@@ -218,3 +218,49 @@ def test_transform_with_state_raises_clear_error_without_protobuf(spark, sf_dir)
 
     with pytest.raises(ImportError, match="protobuf"):
         run_stateful_totals(spark, sf_dir, impl="transformWithState")
+
+
+def test_streaming_heavy_hitters_state_bounded_and_guaranteed_found(
+    spark, sf_dir
+):
+    """The streamed Misra-Gries summary must stay bounded (<= HH_CAP
+    tracked users per shard in EVERY emission, not just the final one)
+    and the final summary must contain every user whose exact count
+    clears the per-shard presence bound."""
+    from database_anonymiser_minimiser_spark.streaming.stateful import (
+        HH_CAP,
+        HH_SHARDS,
+        run_streaming_heavy_hitters,
+    )
+    from database_anonymiser_minimiser_spark.queries import load
+    from pyspark.sql import functions as F
+
+    final = run_streaming_heavy_hitters(spark, sf_dir)
+    rows = final.collect()
+    assert {r["shard"] for r in rows} <= set(range(HH_SHARDS))
+    for r in rows:
+        assert len(r["users"]) <= HH_CAP
+        assert len(r["users"]) == len(r["ests"])
+        # deterministic (-est, user) order inside each summary
+        pairs = list(zip(r["ests"], r["users"]))
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    survivors = {u for r in rows for u in r["users"]}
+
+    ev = load(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("shard", F.col("user_id") % HH_SHARDS)
+        .collect()
+    )
+    shard_tot = {}
+    for r in exact:
+        shard_tot[r["shard"]] = shard_tot.get(r["shard"], 0) + r["n"]
+    guaranteed = [
+        r["user_id"]
+        for r in exact
+        if r["n"] * (HH_CAP + 1) > shard_tot[r["shard"]]
+    ]
+    assert guaranteed, "corpus must exercise the guarantee non-vacuously"
+    missing = [u for u in guaranteed if u not in survivors]
+    assert not missing, missing
