@@ -4335,16 +4335,24 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom parameters: m bits, k=3 hash functions. m is sized for the test
 # corpus (sf0.01 benchmark side ~ a few hundred 5-gram shingles -> <<1%
 # fill); production sizes m = -n*ln(p)/(ln 2)^2 for target FP rate p.
+# The k positions come from k disjoint 6-digit windows of ONE md5 digest
+# (the standard derive-k-hashes-from-one-digest construction): one md5
+# per shingle instead of k salted ones — md5 is the expensive part of
+# the membership test, and the engines agree on it bit-for-bit.
 _BLOOM_M = 16384
-_BLOOM_SALTS = ("1", "2", "3")
+_BLOOM_WINDOWS = (1, 7, 13)  # substr start per hash, 6 digits each
 
 
-def _bloom_pos_sql(col: str, salt: str) -> str:
-    """Engine-portable bloom bit position: md5-digit hash of the salted
-    value, mod m. Identical text in Spark SQL and DuckDB."""
+def _bloom_digest_sql(col: str) -> str:
+    """Engine-portable digit digest: md5 hex with a-f mapped to digits;
+    computed ONCE per value, k positions then slice it."""
+    return f"translate(md5(concat({col}, '#')), 'abcdef', '012345')"
+
+
+def _bloom_pos_from_digest_sql(digest_col: str, start: int) -> str:
+    """Bloom bit position j: 6-digit window of the digest, mod m."""
     return (
-        f"CAST(substr(translate(md5(concat({col}, '#', '{salt}')), "
-        f"'abcdef', '012345'), 1, 6) AS BIGINT) % {_BLOOM_M}"
+        f"CAST(substr({digest_col}, {start}, 6) AS BIGINT) % {_BLOOM_M}"
     )
 
 
@@ -4361,17 +4369,20 @@ def _bloom_pos_sql(col: str, salt: str) -> str:
     sh AS (SELECT DISTINCT doc_id, lang, is_benchmark,
              array_to_string(t[i:i+4], ' ') AS shingle
            FROM elig, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)),
+    shd AS (SELECT doc_id, lang, is_benchmark, shingle,
+              {_bloom_digest_sql('shingle')} AS dig FROM sh),
     bench_pos AS (
-      SELECT DISTINCT u.p FROM (SELECT shingle FROM sh WHERE is_benchmark) b,
-        LATERAL unnest([{_bloom_pos_sql('b.shingle', '1')},
-                        {_bloom_pos_sql('b.shingle', '2')},
-                        {_bloom_pos_sql('b.shingle', '3')}]) AS u(p)),
-    corpus AS (SELECT doc_id, lang, shingle FROM sh WHERE NOT is_benchmark),
+      SELECT DISTINCT u.p FROM (SELECT dig FROM shd WHERE is_benchmark) b,
+        LATERAL unnest([{_bloom_pos_from_digest_sql('b.dig', 1)},
+                        {_bloom_pos_from_digest_sql('b.dig', 7)},
+                        {_bloom_pos_from_digest_sql('b.dig', 13)}]) AS u(p)),
+    corpus AS (SELECT doc_id, lang, shingle, dig FROM shd
+               WHERE NOT is_benchmark),
     cpos AS (
       SELECT doc_id, lang, shingle, u.p
-      FROM corpus, LATERAL unnest([{_bloom_pos_sql('corpus.shingle', '1')},
-                                   {_bloom_pos_sql('corpus.shingle', '2')},
-                                   {_bloom_pos_sql('corpus.shingle', '3')}]) AS u(p)),
+      FROM corpus, LATERAL unnest([{_bloom_pos_from_digest_sql('corpus.dig', 1)},
+                                   {_bloom_pos_from_digest_sql('corpus.dig', 7)},
+                                   {_bloom_pos_from_digest_sql('corpus.dig', 13)}]) AS u(p)),
     chit AS (
       SELECT doc_id, lang, shingle, count(b.p) = 3 AS hit
       FROM cpos LEFT JOIN bench_pos b USING (p)
@@ -4430,17 +4441,23 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     ).distinct()
+    # one digest per shingle; k positions slice it (the int8 lesson
+    # applied ahead of time: never re-evaluate the expensive hash per
+    # reference — positions are projected ONCE as columns below, and
+    # each is referenced twice by the bit test, which stops Catalyst's
+    # CollapseProject from inlining the md5 back in)
+    shd = sh.withColumn("dig", F.expr(_bloom_digest_sql("shingle")))
     # Build the bitmap: distinct bench bit positions (<= m rows) -> m/64
     # int64 words. Bounded driver materialisation, same class as the
     # vocab-100 collect in vocab_oov_rate.
     bench_pos_rows = (
-        sh.filter("is_benchmark")
+        shd.filter("is_benchmark")
         .select(
             F.explode(
                 F.array(
                     *[
-                        F.expr(_bloom_pos_sql("shingle", s))
-                        for s in _BLOOM_SALTS
+                        F.expr(_bloom_pos_from_digest_sql("dig", w))
+                        for w in _BLOOM_WINDOWS
                     ]
                 )
             ).alias("p")
@@ -4456,15 +4473,23 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = F.array(
         *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
     )
-    corpus = sh.filter(~F.col("is_benchmark")).withColumn("bm", bm)
+    corpus = shd.filter(~F.col("is_benchmark")).select(
+        "doc_id",
+        "lang",
+        bm.alias("bm"),
+        *[
+            F.expr(_bloom_pos_from_digest_sql("dig", w)).alias(f"p{i}")
+            for i, w in enumerate(_BLOOM_WINDOWS)
+        ],
+    )
     hit = reduce(
         lambda a, b: a & b,
         [
             F.expr(
-                f"(shiftright(element_at(bm, CAST(({_bloom_pos_sql('shingle', s)}) / 64 AS INT) + 1), "
-                f"CAST(({_bloom_pos_sql('shingle', s)}) % 64 AS INT)) & 1) = 1"
+                f"(shiftright(element_at(bm, CAST(p{i} / 64 AS INT) + 1), "
+                f"CAST(p{i} % 64 AS INT)) & 1) = 1"
             )
-            for s in _BLOOM_SALTS
+            for i in range(len(_BLOOM_WINDOWS))
         ],
     )
     per_doc = corpus.select("doc_id", "lang", hit.alias("hit")).groupBy(
