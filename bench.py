@@ -145,6 +145,7 @@ HEADLINE = [
     "shard_assignment_stats",
     "heavy_hitters_sketch_pairs",
     "streaming_heavy_hitters_users",
+    "subset_fk_closed_counts",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

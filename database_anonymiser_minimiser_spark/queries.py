@@ -4819,6 +4819,69 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "subset_fk_closed_counts",
+    """
+    WITH sc AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST(substr(translate(md5(CAST(c_custkey AS VARCHAR)),
+        'abcdef', '012345'), 1, 6) AS BIGINT) % 100 < 10),
+    so AS (SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM sc)),
+    sl AS (SELECT l_orderkey FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM so))
+    SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM sc
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT) FROM so
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM sl
+    """,
+)
+def q_subset_fk_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-closed subsetting — the staging/test-database
+    feature of the anonymiser tool class that per-table retain rules
+    (minimise.go's truncate/retain) cannot give you: sample ~10% of the
+    ROOT table with the consistent md5 key hash, then cascade the
+    selection down the FK graph with semi-joins (orders of sampled
+    customers, lineitems of those orders), so the subset loads into a
+    fresh database with zero FK violations. Here the TPC-H
+    customer->orders->lineitem chain is written out explicitly; the FK
+    catalog (`ParquetSource.get_foreign_keys` + `plans/topo.py`) gives
+    the same walk for arbitrary schemas in topo order.
+
+    Scale shape: each cascade step is ONE key-partitioned left-semi
+    join (broadcast when the parent key set fits, shuffle otherwise —
+    statistics-driven), and the fact table is filtered before its
+    children join against it, so selectivity compounds down the chain.
+    Output is the per-table audit count (scalar, exact)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    bucket = F.expr(
+        "CAST(substr(translate(md5(CAST(c_custkey AS STRING)), "
+        "'abcdef', '012345'), 1, 6) AS BIGINT) % 100"
+    )
+    sc = cust.filter(bucket < 10).select("c_custkey")
+    so = orders.join(
+        sc, orders.o_custkey == sc.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    sl = lineitem.join(
+        so, lineitem.l_orderkey == so.o_orderkey, "left_semi"
+    ).select("l_orderkey")
+    parts = [
+        sc.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+            F.lit("customer").alias("table_name"), "n_rows"
+        ),
+        so.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+            F.lit("orders").alias("table_name"), "n_rows"
+        ),
+        sl.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+            F.lit("lineitem").alias("table_name"), "n_rows"
+        ),
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Window ROTATION policy (documented in
@@ -4844,7 +4907,7 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # remaining r3-graded queries form the core of the r6 window, headed by
 # the operators registered after this window filled: bm25_search_topk,
 # shard_assignment_stats, heavy_hitters_sketch_pairs,
-# streaming_heavy_hitters_users, plus the three
+# streaming_heavy_hitters_users, subset_fk_closed_counts, plus the three
 # mask_* singles that yielded slots (mask_city/company/country) and the
 # earlier post-freeze registrations (text_bigram_novelty,
 # cdc_apply_orders, dedup_ngram_jaccard_prefix,

@@ -460,3 +460,13 @@ def test_heavy_hitters_sketch_shape(spark, sf):
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_subset_fk_closed_semijoin_cascade(spark, sf):
+    """The FK-closed subset must cascade with semi-joins (no plain inner
+    join duplicating fact rows, no cartesian); each step keys on the FK
+    column."""
+    plan = plan_of(Q.QUERIES["subset_fk_closed_counts"](spark, sf))
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
