@@ -62,7 +62,6 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
     "ann_topk_cosine",
     "ann_lsh_topk",
     "ann_int8_topk",
@@ -79,7 +78,12 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_decode_wav",
     "dedup_simhash_wide_pairs",
-    "dedup_ngram_jaccard_prefix",
+    # dedup_ngram_jaccard_prefix and dedup_simhash_pairs are EXCLUDED
+    # (round-6): both are measured-and-rejected/legacy designs kept as
+    # documentation (PERFORMANCE.md) — the prefix variant is 3.6x the
+    # default at sf1 and the 16-bit simhash saturates super-linearly;
+    # sweeping them re-measures known-superseded plans (~25% of the r5
+    # sf1 wall) without informing any decision.
     "realistic_mask_profile",
     "streaming_events_tumbling",
     # temporal / privacy / profiling
@@ -146,6 +150,15 @@ HEADLINE = [
     "heavy_hitters_sketch_pairs",
     "streaming_heavy_hitters_users",
     "subset_fk_closed_counts",
+    "cdc_apply_orders",
+    "sample_weighted_by_length",
+    "text_bigram_novelty",
+    # round-6 additions: the flagship subset->anonymise->dump pipeline,
+    # and the sketch-ONLY heavy-hitters path (heavy_hitters_sketch_pairs
+    # measures the exact-side verification gate, not the operator — this
+    # label records the production path's own cost)
+    "subset_export_lines",
+    "heavy_hitters_sketch_only",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one
@@ -169,6 +182,8 @@ FLAGSHIP = [
     # headline query, surfaced in the driver-visible line for trend
     "ann_ivf_topk",
     "dedup_ngram_jaccard",
+    # round-6: the end-to-end subset->anonymise->topo-dump pipeline
+    "subset_export_lines",
 ]
 
 

@@ -435,6 +435,19 @@ def ngram_jaccard_pairs_prefix(
 ) -> DataFrame:
     """EXACT near-dup pairs via prefix filtering over the shingle index.
 
+    STATUS: documented research alternative, NOT the default and NOT in
+    the bench sweep. The completeness claim below is true (verified
+    brute-force-equal in tests/test_dedup.py), but the measured scaling
+    curve says the plain stop-shingle index wins at every tested scale
+    and the gap WIDENS with data: 1.18x slower at sf0.1, 3.6x slower at
+    sf1 (50.3 s vs 13.8 s — PERFORMANCE.md "measured-and-rejected").
+    The per-doc (df, shingle) global rank costs a full window shuffle
+    that the plain index never pays, and on this corpus's df
+    distribution the candidate-volume savings never repay it. Use
+    ``ngram_jaccard_pairs`` (stop-shingle + count-then-verify) unless
+    you need provable zero-recall-loss AND have measured the crossover
+    on your own df distribution.
+
     The classic prefix filter (Bayardo/Chaudhuri; PPJoin family) —
     COMPLETE, unlike the default stop-shingle rule:
 
@@ -443,16 +456,12 @@ def ngram_jaccard_pairs_prefix(
     that order. Two docs with Jaccard >= t MUST share a prefix shingle
     (pigeonhole on the required overlap ceil(t*n) against the suffix),
     so verifying exactly the prefix-sharing, size-compatible pairs loses
-    nothing — no recall knob, no tuning. And because the global order
-    puts each doc's RAREST shingles in its prefix, high-df shingles
-    drop out of the index by construction: the prefix index stays
-    sparse even when the corpus's overall df distribution saturates —
-    Theta(sum over shingles of prefix-df^2) with prefix-df concentrated
-    near 1, versus the old rule's min(df, max_df)^2 everywhere.
+    nothing — no recall knob, no tuning.
 
     Plan shape: df-count shuffle (by shingle), rank shuffle (by id),
     candidate self-join shuffle (by shingle), exact verify joins (by
-    id) — all key-partitioned, nothing quadratic in the corpus.
+    id) — all key-partitioned, nothing quadratic in the corpus; the
+    rank shuffle is the measured extra cost the default path avoids.
     """
     shingled = shingles(df, text_col, id_col)
     from pyspark.sql import Window

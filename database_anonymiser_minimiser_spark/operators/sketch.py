@@ -31,7 +31,19 @@ from collections.abc import Iterable, Iterator
 
 def mg_update(cnt: Counter, items: Iterable[str], cap: int) -> Counter:
     """Fold one batch of items into a Misra-Gries summary of capacity
-    ``cap``; returns the (possibly rebuilt) counter."""
+    ``cap``; returns the (possibly rebuilt) counter.
+
+    Memory note: the whole batch is folded into the Counter BEFORE the
+    trim, so transient memory is O(distinct keys in the batch), not
+    O(cap) — the strict cap bound holds only BETWEEN batches. Under
+    mapInPandas / applyInPandasWithState the batch is one Arrow batch
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k
+    rows), so the transient footprint is Arrow-batch-bounded and
+    independent of partition size — the property the 100 TB path needs.
+    A single decrement per batch also subtracts LESS total mass than
+    per-item decrements would, so the classic n_p/(cap+1) undercount
+    bound is preserved (it is property-tested for arbitrary batchings
+    in tests/test_sketch.py)."""
     cnt.update(items)
     if len(cnt) > cap:
         vals = sorted(cnt.values(), reverse=True)

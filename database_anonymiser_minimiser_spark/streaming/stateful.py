@@ -324,6 +324,7 @@ def run_streaming_heavy_hitters(
     so the batch-side guarantee gate applies to the streamed result
     unchanged."""
     import os
+    import shutil
     import tempfile
     from pathlib import Path
 
@@ -334,40 +335,53 @@ def run_streaming_heavy_hitters(
     src = f"{sf_dir}/events.parquet"
     tbl = pq.read_table(src, columns=["user_id", "event_id"])
     split_dir = tempfile.mkdtemp(prefix="dbmask_hh_")
-    step = (tbl.num_rows + n_splits - 1) // n_splits
-    for i in range(n_splits):
-        pq.write_table(
-            tbl.slice(i * step, step), os.path.join(split_dir, f"part{i}.parquet")
-        )
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(split_dir).schema
-    ns_cols = _nanos_timestamp_columns(Path(os.path.join(split_dir, "part0.parquet")))
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(split_dir)
-    )
-    stream = convert_ns_columns(stream, ns_cols)
-
     name = f"hh_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_shard_heavy_hitters(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        step = (tbl.num_rows + n_splits - 1) // n_splits
+        for i in range(n_splits):
+            pq.write_table(
+                tbl.slice(i * step, step),
+                os.path.join(split_dir, f"part{i}.parquet"),
+            )
 
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(split_dir).schema
+        ns_cols = _nanos_timestamp_columns(
+            Path(os.path.join(split_dir, "part0.parquet"))
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(split_dir)
+        )
+        stream = convert_ns_columns(stream, ns_cols)
 
-    emissions = spark.table(name)
-    w = Window.partitionBy("shard").orderBy(F.col("n_seen").desc())
-    return (
-        emissions.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+        q = (
+            running_shard_heavy_hitters(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        emissions = spark.table(name)
+        w = Window.partitionBy("shard").orderBy(F.col("n_seen").desc())
+        final = (
+            emissions.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # Materialise the bounded final summary (HH_SHARDS rows, each
+        # <= HH_CAP keys) so the memory-sink table and the split files
+        # can be released before returning — repeated runs no longer
+        # accumulate session tables or temp parquet on disk.
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(split_dir, ignore_errors=True)

@@ -324,3 +324,87 @@ def test_cli_verbose_flag(spark, sf_dir, tmp_path, capsys):
     err = capsys.readouterr().err
     assert rc == 0
     assert "connection: parquet" in err
+
+
+def test_subset_export_referentially_closed(spark, sf_dir, tmp_path):
+    """Flagship pipeline (subset_export_lines twin): FK-closed subset ->
+    anonymise -> topo-ordered dump, then PROVE the dump is importable —
+    every FK value in a child section resolves within the dump itself
+    (the property per-table retain rules cannot give, minimise.go), and
+    parent sections precede child sections (schema.go:62-166)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.config import TableConfig
+    from database_anonymiser_minimiser_spark.dump import write_dump
+    from database_anonymiser_minimiser_spark.operators.anonymise import anonymise
+    from database_anonymiser_minimiser_spark.plans.topo import (
+        sort_tables_by_dependency,
+    )
+    from database_anonymiser_minimiser_spark.sources.parquet import ParquetSource
+
+    src = ParquetSource(spark, sf_dir)
+    chain = ["customer", "orders", "lineitem"]
+    bucket = F.expr(
+        "CAST(substr(translate(md5(CAST(c_custkey AS STRING)), "
+        "'abcdef', '012345'), 1, 6) AS BIGINT) % 100"
+    )
+    sc = src.read("customer").filter(bucket < 10)
+    so = src.read("orders").join(
+        sc.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    sl = src.read("lineitem").join(
+        so.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    tc = TableConfig(
+        primary_key="c_custkey",
+        columns={"c_name": "{{faker.name}}", "c_acctbal": None},
+    )
+    dfs = {"customer": anonymise(sc, tc), "orders": so, "lineitem": sl}
+
+    fks = [fk for fk in src.get_foreign_keys() if fk.table in set(chain)]
+    order = sort_tables_by_dependency(chain, fks)
+    out = tmp_path / "subset.sql"
+    with open(out, "w") as fh:
+        stats = write_dump(
+            fh,
+            "mysql",
+            (
+                (t, src.get_table_schema(t), dfs[t], None)
+                for t in order
+            ),
+        )
+    text = out.read_text()
+
+    # parent sections precede child sections in the dump
+    assert (
+        text.index("-- Table: customer")
+        < text.index("-- Table: orders")
+        < text.index("-- Table: lineitem")
+    )
+
+    # parse the leading integer columns out of each section's tuples
+    def tuple_heads(table: str, n: int) -> list[tuple[int, ...]]:
+        sec = section(text, table)
+        heads = _re.findall(
+            r"^\(" + r",\s*".join([r"(\d+)"] * n), sec, _re.MULTILINE
+        )
+        return [tuple(int(x) for x in (h if n > 1 else (h,))) for h in heads]
+
+    cust_keys = {h[0] for h in tuple_heads("customer", 1)}
+    order_rows = tuple_heads("orders", 2)  # (o_orderkey, o_custkey)
+    order_keys = {r[0] for r in order_rows}
+    li_rows = tuple_heads("lineitem", 1)  # (l_orderkey,)
+
+    assert stats.rows_exported == len(cust_keys) + len(order_rows) + len(li_rows)
+    assert cust_keys and order_rows and li_rows
+    # referential closure: every dumped FK resolves inside the dump
+    assert {r[1] for r in order_rows} <= cust_keys
+    assert {r[0] for r in li_rows} <= order_keys
+    # and it IS a subset, not the full corpus
+    assert len(cust_keys) < src.get_row_count("customer")
