@@ -159,6 +159,7 @@ HEADLINE = [
     # label records the production path's own cost)
     "subset_export_lines",
     "heavy_hitters_sketch_only",
+    "hybrid_search_rrf",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one
@@ -259,8 +260,18 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json"), "w") as fh:
+    # Anchor hygiene (r5 verdict item 4): the committed bench_full.json
+    # must be the DRIVER's artifact of record, not a builder-local rerun
+    # (the two disagreed by ~10% in r4/r5 — inside the documented
+    # variance envelope, but the repo should carry one file of record).
+    # Builder-local iteration runs set SPARK_GRAFT_BENCH_FULL to a /tmp
+    # path; the driver's default invocation keeps writing bench_full.json.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full.json"),
+    )
+    with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1)
 
     # compact single line for the driver: flagship subset only

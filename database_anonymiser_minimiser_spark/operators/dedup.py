@@ -305,6 +305,7 @@ def ngram_jaccard_pairs(
     max_df: int = 100,
     max_df_quantile: float | None = None,
     mode: str = "stop_shingle",
+    fallback_quantile: float = 0.9,
 ) -> DataFrame:
     """Exact-verified near-dup pairs from an inverted shingle index.
 
@@ -344,7 +345,17 @@ def ngram_jaccard_pairs(
     inv = shingled.select(
         "id", F.size("s").alias("n"), F.explode("s").alias("sh")
     )
-    dfs = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
+    # the df dictionary feeds BOTH the cap decision (one-row aggregate)
+    # and the rare-set join; without a persist the shingle explode +
+    # groupBy would run twice (measured 2x wall at sf0.1 when the r6
+    # cliff guard added the second consumer). Cardinality is #distinct
+    # shingles — the corpus dictionary, orders of magnitude below the
+    # inverted index the operator already materialises.
+    dfs = (
+        inv.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if max_df_quantile is not None:
         # one-row exact quantile of the df distribution, broadcast into
         # the filter — scale-relative stop-shingle cap
@@ -357,7 +368,31 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
     else:
-        rare = dfs.filter(F.col("df_count") <= max_df).select("sh")
+        # Adaptive cliff guard (round 6; found by the sf2/sf4 scaling
+        # sweep): an ABSOLUTE cap on a corpus whose document frequencies
+        # grow with size eventually excludes EVERY shingle — at sf2 of
+        # the fixed-vocab synthetic corpus the rare set went empty and
+        # the operator silently returned 0 pairs (measured; ground truth
+        # 3,275). The guard is one extra one-row aggregate over the
+        # already-computed df relation, kept fully in-plan (broadcast
+        # scalar, no driver action): if even the rarest shingle exceeds
+        # max_df, the cap degrades to the fallback_quantile of the df
+        # distribution, so the candidate index is never empty. Wherever
+        # the absolute cap admits ANY shingle the result is byte-
+        # identical to the old rule (min(df) <= max_df => cap == max_df).
+        cap = dfs.agg(
+            F.when(
+                F.min("df_count") > max_df,
+                F.expr(f"percentile(df_count, {fallback_quantile}D)"),
+            )
+            .otherwise(F.lit(float(max_df)))
+            .alias("cap")
+        )
+        rare = (
+            dfs.join(F.broadcast(cap))
+            .filter(F.col("df_count") <= F.col("cap"))
+            .select("sh")
+        )
     # per-doc rare-shingle count r rides a window over the index itself:
     # one row per doc would have been broadcast-able at test scale, but
     # its cardinality is O(#docs with a rare shingle) — at billions of
@@ -548,12 +583,23 @@ def ngram_jaccard_pairs_prefix(
 
 
 def duck_ngram_jaccard_sql(
-    table: str = "documents", threshold: float = 0.5, max_df: int = 100
+    table: str = "documents",
+    threshold: float = 0.5,
+    max_df: int = 100,
+    fallback_quantile: float = 0.9,
 ) -> str:
+    # mirrors the Spark side's adaptive cliff guard: cap = max_df, unless
+    # min(df) > max_df (the rare set would be empty), then the
+    # fallback_quantile of the df distribution (quantile_cont matches
+    # Spark's interpolated percentile() on the same multiset)
     return f"""
     WITH {_duck_shingles_cte(table)},
     inv AS (SELECT id, unnest(s) AS sh FROM shf),
-    rare AS (SELECT sh FROM inv GROUP BY sh HAVING count(*) <= {max_df}),
+    dfs AS (SELECT sh, count(*) AS df_count FROM inv GROUP BY sh),
+    cap AS (SELECT CASE WHEN min(df_count) > {max_df}
+                   THEN quantile_cont(df_count, {fallback_quantile})
+                   ELSE CAST({max_df} AS DOUBLE) END AS cap FROM dfs),
+    rare AS (SELECT sh FROM dfs, cap WHERE df_count <= cap.cap),
     invr AS (SELECT inv.id, inv.sh FROM inv JOIN rare USING (sh)),
     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM invr a JOIN invr b ON a.sh = b.sh AND a.id < b.id),

@@ -2256,7 +2256,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default stop-shingle mode: rare-shingle candidates + count-then-
     verify bound (recall trade documented in operators/dedup.py); the
-    complete prefix-filter form is dedup_ngram_jaccard_prefix."""
+    complete prefix-filter form is dedup_ngram_jaccard_prefix.
+
+    Round 6: the absolute max_df cap now carries an in-plan cliff guard
+    — the sf2/sf4 scaling sweep caught the rare-shingle set going EMPTY
+    once every df exceeded the cap (0 pairs returned at sf2; ground
+    truth 3,275). The cap degrades to the 0.9 df-quantile only in that
+    regime; at every scale where the old rule produced candidates the
+    result is byte-identical, and the DuckDB oracle mirrors the same
+    CASE rule."""
     return _dd.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=0.5, max_df=100
     )
@@ -4586,6 +4594,17 @@ def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index instead (tfdf_top_terms shape); for a fixed query
     over 100 TB — the audit/eval case — this single-scan form is the
     one that streams."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", "lang", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, score): every document's BM25-variant score for the
+    fixed query terms — shared by bm25_search_topk and the RRF fusion."""
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -4611,12 +4630,123 @@ def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _BM25_TERMS
         ],
     )
-    return (
-        tf.crossJoin(F.broadcast(stats))
-        .select("doc_id", "lang", F.expr(_bm25_score_sql("dl")).alias("score"))
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(20)
+    return tf.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "lang", F.expr(_bm25_score_sql("dl")).alias("score")
     )
+
+
+# Hybrid retrieval: fuse the lexical (BM25) and vector (cosine) rankings
+# with reciprocal-rank fusion, the standard trick for combining
+# incommensurable scores (Cormack/Clarke/Buettcher, SIGIR'09): each
+# retriever contributes 1/(k + rank); k=60 per the paper.
+_RRF_K = 60
+_RRF_CAND = 100  # per-retriever candidate-list depth
+_RRF_QUERY_VEC = 0  # query embedding: vec_id 0 (same convention as ANN)
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs,
+        sum(len(t)) * 1.0e0 / count(*) AS avgdl,
+        {", ".join(f"count(*) FILTER (list_contains(t, '{t}')) AS df_{t}" for t in _BM25_TERMS)}
+      FROM base),
+    tf AS (
+      SELECT doc_id, len(t) AS dl,
+        {", ".join(f"len(list_filter(t, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS)}
+      FROM base),
+    lex AS (SELECT doc_id, {_bm25_score_sql('dl')} AS score
+            FROM tf CROSS JOIN stats),
+    lex_top AS (SELECT doc_id, score FROM lex
+                ORDER BY score DESC, doc_id LIMIT {_RRF_CAND}),
+    lexr AS (SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY score DESC, doc_id) AS INT) AS r_lex FROM lex_top),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}),
+    vec AS (SELECT vec_id,
+        {_sim._duck_dot('e.embedding', 'q.qv')}
+          / ({_sim._duck_norm('e.embedding')} * {_sim._duck_norm('q.qv')}) AS cosine
+        FROM embeddings e CROSS JOIN q),
+    vec_top AS (SELECT vec_id, cosine FROM vec
+                ORDER BY cosine DESC, vec_id LIMIT {_RRF_CAND}),
+    vecr AS (SELECT vec_id, CAST(row_number() OVER
+               (ORDER BY cosine DESC, vec_id) AS INT) AS r_vec FROM vec_top)
+    SELECT l.doc_id, r_lex, r_vec,
+      1.0e0 / ({_RRF_K} + r_lex) + 1.0e0 / ({_RRF_K} + r_vec) AS rrf
+    FROM lexr l JOIN vecr v ON l.doc_id = v.vec_id
+    ORDER BY rrf DESC, l.doc_id LIMIT 20
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion — the
+    production shape for search over a training corpus (BM25 catches
+    exact terms, embeddings catch paraphrases; RRF fuses the two rank
+    lists without comparing their incommensurable scores). Documents
+    join embeddings on the corpus convention doc_id == vec_id (docs
+    without an embedding participate only in the lexical list and
+    cannot appear in the fused inner join — the real-pipeline
+    behaviour: un-embedded docs are not vector-retrievable).
+
+    Scale shape: each retriever reduces to its top-100 candidate
+    list FIRST (TakeOrderedAndProject — the corpus never shuffles), so
+    the rank windows and the fusion join run on two bounded ~100-row
+    relations (single-partition window over a bounded list is free).
+    At 100 TB the candidate lists come from the ANN index / inverted
+    index instead of brute-force scoring, but the fusion stage is
+    byte-identical. Ranks are integers and both engines compute the
+    identical double formula, so the oracle compare is exact."""
+    lex_top = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_CAND)
+    )
+    w_lex = Window.orderBy(F.desc("score"), "doc_id")
+    lexr = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).cast("int").alias("r_lex")
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qv"),
+        F.expr(_sim._spark_norm("embedding")).alias("qnrm"),
+    )
+    vec_top = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("nv"),
+            F.expr(_sim._spark_norm("embedding")).alias("nnrm"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.expr(_sim._spark_dot("nv", "qv"))
+                / (F.col("nnrm") * F.col("qnrm"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(_RRF_CAND)
+    )
+    w_vec = Window.orderBy(F.desc("cosine"), "vec_id")
+    vecr = vec_top.select(
+        "vec_id", F.row_number().over(w_vec).cast("int").alias("r_vec")
+    )
+
+    fused = lexr.join(vecr, lexr.doc_id == vecr.vec_id).select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        (
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex"))
+            + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec"))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
 
 
 @register(
@@ -5129,12 +5259,15 @@ def q_subset_export_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       shard_assignment_stats, streaming_heavy_hitters_users,
 #       subset_fk_closed_counts, text_bigram_novelty);
 #   (b) changed or new THIS round: subset_export_lines (the flagship
-#       subset->anonymise->topo-dump pipeline), plus embedding_neardup
-#       (its default flipped to the numpy-prune path in r5 AFTER its r4
-#       grade — the byte-identity claim gets its driver row here);
+#       subset->anonymise->topo-dump pipeline), hybrid_search_rrf
+#       (BM25 + cosine reciprocal-rank fusion), dedup_ngram_jaccard
+#       (adaptive df-cap cliff guard, found by the sf2/sf4 sweep), plus
+#       embedding_neardup (its default flipped to the numpy-prune path
+#       in r5 AFTER its r4 grade — the byte-identity claim gets its
+#       driver row here);
 #   (c) the three mask_* singles whose last driver row is r1
 #       (mask_city/company/country — they yielded their r5 slots);
-#   (d) 36 of the 38 active queries whose last driver row is r3.
+#   (d) 34 of the 38 active queries whose last driver row is r3.
 # Deliberately NOT windowed, permanently (documented in COVERAGE.md):
 # the four rows-only-by-design entries (zscore_events_pandas,
 # approx_distinct_events, percentiles_approx_orders_by_status,
@@ -5147,16 +5280,19 @@ def q_subset_export_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only as documentation. Both stay in the local oracle replica every
 # session. heavy_hitters_sketch_only (new, bench-label twin) is
 # rows-only by design — its exact gate is heavy_hitters_sketch_pairs.
-# Slot arithmetic: 9 + 2 + 3 + 38 = 52 candidates for 50 slots; the two
-# deferred to the r7 head are q4_order_priority_check and
-# q13_customer_order_distribution — the TPC-H family shares its whole
-# scan/join/agg machinery with q1/q3/q5 (green r5) and nineteen other
-# q* shapes regraded in THIS window, so they are the two candidates
-# whose staleness is least informative. With 153 registered queries
-# over 50 driver slots the exact-≤2-rounds ceiling is now arithmetically
-# out of reach (153/50 > 3); the rotation keeps the overflow at the
-# minimum (two queries, one extra round) and names it here rather than
-# letting it happen silently.
+# Slot arithmetic: 9 + 4 + 3 + 38 = 54 candidates for 50 slots; the
+# four deferred to the r7 head are q4_order_priority_check,
+# q13_customer_order_distribution, q11_important_stock and
+# q16_supplier_part_count — the TPC-H family shares its whole
+# scan/join/agg machinery with q1/q3/q5 (green r5) and seventeen other
+# q* shapes regraded in THIS window (q11's scalar-subquery-threshold
+# shape also rides q15/q20, q16's NOT-IN anti join rides
+# anti_join_customers_without_big_orders, green r5), so they are the
+# candidates whose staleness is least informative. With 154 registered
+# queries over 50 driver slots the exact-≤2-rounds ceiling is
+# arithmetically out of reach (154/50 > 3); the rotation keeps the
+# overflow at the minimum and names it here rather than letting it
+# happen silently.
 # Keys not listed keep their relative definition order after the
 # priority block.
 # ===========================================================================
@@ -5176,15 +5312,17 @@ _PRIORITY_50 = [
     "text_bigram_novelty",
     # (b) changed or new THIS round — always windowed in their own round
     "subset_export_lines",  # NEW flagship: subset -> anonymise -> dump
+    "hybrid_search_rrf",  # NEW: BM25 + cosine reciprocal-rank fusion
+    "dedup_ngram_jaccard",  # adaptive df-cap cliff guard (sf2 sweep find)
     "embedding_neardup",  # default flipped to numpy-prune in r5 post-grade
     # (c) last driver row r1 (the oldest grades anywhere): the three
     # mask singles that yielded their r5 slots
     "mask_city",
     "mask_company",
     "mask_country",
-    # (d) last driver row r3 — everything except the two documented
-    # deferrals (q4/q13, TPC-H family freshness argument above) and the
-    # two newly-retired 16-bit simhash legacy entries
+    # (d) last driver row r3 — everything except the four documented
+    # deferrals (q4/q13/q11/q16, TPC-H family freshness argument above)
+    # and the two newly-retired 16-bit simhash legacy entries
     "ann_int8_topk",
     "consistency_broadcast_apply",
     "consistency_fk_integrity",
@@ -5203,9 +5341,7 @@ _PRIORITY_50 = [
     "privacy_risk_metrics",
     "privacy_shift_dates",
     "privacy_suppress_below_k",
-    "q11_important_stock",
     "q15_top_supplier",
-    "q16_supplier_part_count",
     "q20_excess_supply",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",

@@ -68,6 +68,36 @@ def tumbling_counts(ev: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
+    """Drain a streaming DataFrame through a PARQUET sink and read the
+    result back — the scale-correct harness for CORPUS-SIZED streaming
+    output. The memory sink materialises every emitted row on the
+    driver; for the dedup/anonymise/join runners that is the whole
+    corpus, and the round-6 sf4 A/B measured it at 4x the parquet
+    sink's wall (14-27.6 s vs 3.5-6.2 s at 8M input rows) before any
+    driver-memory ceiling. The parquet spool keeps the write distributed
+    and the returned DataFrame lazy. Bounded-aggregate runners
+    (tumbling/watermark/sessions/heavy-hitters) keep the memory sink —
+    their output is a few hundred rows by construction. The spool lives
+    under the system temp dir for the SparkSession's lifetime (the
+    returned DataFrame reads from it lazily)."""
+    import tempfile
+
+    spark = stream_df.sparkSession
+    out = tempfile.mkdtemp(prefix=f"{prefix}_out_")
+    chk = tempfile.mkdtemp(prefix=f"{prefix}_chk_")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. The file source demands
     a *directory* (it tails new files landing there — the production
@@ -156,16 +186,9 @@ def run_streaming_anonymise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(FAKER_FUNCTIONS["number"].sql("spark", "user_id")).alias("pseudo_user"),
         "event_type",
     )
-    name = f"anonstream_{uuid.uuid4().hex[:8]}"
-    q = (
-        masked.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    # corpus-sized output -> distributed parquet spool, never the
+    # driver-materialising memory sink (round-6 sf4 A/B: 4x)
+    return stream_to_parquet(masked, "anonstream")
 
 
 def run_streaming_dedup(
@@ -203,16 +226,11 @@ def run_streaming_dedup(
         .dropDuplicatesWithinWatermark([key])
         .select(key, "user_id", "event_type")
     )
-    name = f"dedupstream_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    # corpus-sized output -> distributed parquet spool, never the
+    # driver-materialising memory sink (round-6 sf4 A/B: 16.5 -> ~4 s,
+    # and the super-linear tail of the measured curve was the sink, not
+    # the RocksDB-backed watermark-bounded dedup state)
+    return stream_to_parquet(deduped, "dedupstream")
 
 
 def run_streaming_sessions(
@@ -342,13 +360,6 @@ def run_streaming_stream_join(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
     ).select("click_id", "purchase_id", "user_id")
-    name = f"sjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    # join output is corpus-scale (clicks x in-window purchases) ->
+    # distributed parquet spool, not the memory sink
+    return stream_to_parquet(joined, "sjoin")

@@ -244,3 +244,21 @@ def test_ngram_quantile_cap_matches_equivalent_absolute_cap(spark):
     a = D.ngram_jaccard_pairs(df, threshold=0.5, max_df=int(cap))
     key = lambda d: sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in d.collect())  # noqa: E731
     assert key(q) == key(a)
+
+
+def test_ngram_absolute_cap_cliff_guard(spark):
+    """Round-6 regression (found by the sf2/sf4 scaling sweep): when
+    EVERY shingle's df exceeds the absolute cap, the rare set used to go
+    empty and the operator silently returned 0 pairs. The in-plan guard
+    degrades the cap to the df-quantile in exactly that regime, so true
+    duplicates are still found."""
+    docs = [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # every shingle appears in all 6 docs -> df=6 > max_df=2 everywhere
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.9, max_df=2)
+    assert pairs.count() == 15  # all C(6,2) identical-doc pairs survive
+    # and wherever the absolute cap admits ANY shingle, behaviour is the
+    # old one: the stop-shingle guard test's semantics are unchanged
+    mixed = [(i, f"common shared prefix unique{i} tail{i}") for i in range(8)]
+    mdf = spark.createDataFrame(mixed, ["doc_id", "text"])
+    assert D.ngram_jaccard_pairs(mdf, threshold=0.01, max_df=3).count() == 0

@@ -470,3 +470,42 @@ def test_subset_fk_closed_semijoin_cascade(spark, sf):
     assert "LeftSemi" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_subset_export_semijoin_cascade_no_collect(spark, sf):
+    """The flagship subset->anonymise->dump pipeline: the cascade is
+    left-semi joins, anonymise + tuple formatting are pure projections
+    (no extra Exchange beyond the joins), and nothing is cartesian."""
+    plan = plan_of(Q.QUERIES["subset_export_lines"](spark, sf))
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # formatting must stay JVM-side: no Python evaluation anywhere
+    assert "Python" not in plan, plan[:3000]
+
+
+def test_hybrid_rrf_candidates_before_windows(spark, sf):
+    """RRF fusion: each retriever reduces to its bounded top-100
+    candidate list FIRST (TakeOrderedAndProject), so the global rank
+    windows and the fusion join run on ~100-row relations — the corpus
+    itself is never globally sorted or sort-merge joined."""
+    plan = plan_of(Q.QUERIES["hybrid_search_rrf"](spark, sf))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_ngram_cliff_guard_stays_in_plan(spark, sf):
+    """The adaptive df-cap is a one-row broadcast aggregate INSIDE the
+    plan (no driver-side action deciding the cap): the guarded query
+    must still contain no cartesian product and must not move the cap
+    decision out of the plan (the cap join is a 1-row broadcast —
+    BroadcastNestedLoopJoin over a single-row relation is the expected
+    shape, same as the other scalar-broadcast operators)."""
+    from database_anonymiser_minimiser_spark.operators import dedup as D
+
+    df = D.ngram_jaccard_pairs(Q.load(spark, sf, "documents"))
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    # the guard's percentile/min aggregate is present as an in-plan agg
+    assert re.search(r"percentile|min\(df_count", plan), plan[:3000]
