@@ -160,6 +160,7 @@ HEADLINE = [
     "subset_export_lines",
     "heavy_hitters_sketch_only",
     "hybrid_search_rrf",
+    "bpe_learn_merges",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -4350,6 +4350,115 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_N_MERGES = 8
+
+
+def _bpe_apply_merge_expr(left: str, right: str) -> str:
+    """SQL fold applying ONE BPE merge (left,right)->left||right to a
+    token array, greedy left-to-right non-overlapping — the classic
+    apply step. Struct accumulator: `out` (emitted tokens) + `pend`
+    (the one token awaiting its potential right partner). A just-merged
+    token never re-merges in the same pass (pend resets to NULL), which
+    matches the simultaneous-application semantics of standard BPE."""
+    merged = "concat(acc.pend, x)"
+    esc_l = left.replace("'", "''")
+    esc_r = right.replace("'", "''")
+    return (
+        "aggregate(tokens, "
+        "named_struct('out', CAST(array() AS ARRAY<STRING>), "
+        "'pend', CAST(NULL AS STRING)), "
+        "(acc, x) -> IF("
+        f"acc.pend = '{esc_l}' AND x = '{esc_r}', "
+        f"named_struct('out', concat(acc.out, array({merged})), "
+        "'pend', CAST(NULL AS STRING)), "
+        "named_struct('out', IF(acc.pend IS NULL, acc.out, "
+        "concat(acc.out, array(acc.pend))), 'pend', x)), "
+        "acc -> IF(acc.pend IS NULL, acc.out, "
+        "concat(acc.out, array(acc.pend))))"
+    )
+
+
+@register("bpe_learn_merges")
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE merge-learning loop (Sennrich et al., ACL'16) — the
+    iterative algorithm bpe_merge_pairs is one step of: learn the first
+    8 character-level merges from corpus word frequencies.
+
+    Scale shape — the part that matters at 100 TB: the corpus is
+    touched EXACTLY ONCE (one explode + one partial-aggregated shuffle
+    to the (word, freq) relation); every one of the K iterations then
+    runs on the DISTINCT-WORD relation, which scales with vocabulary
+    (Heaps' law — millions of rows), not with the corpus (trillions).
+    Per iteration: map-side adjacent-pair expansion weighted by freq,
+    one pair-keyed partial-agg shuffle, a 1-row TakeOrdered for the
+    winning pair (the only driver materialisation — one row per
+    iteration), and a map-side fold applying the merge. The loop is
+    driver-side control flow over bounded iterations; all data math
+    stays distributed and JVM-side.
+
+    Grading: rows-only BY DESIGN — an iterative algorithm is the
+    documented non-SQL-expressible case (a K-stage unrolled SQL oracle
+    would re-implement the fold in a dialect without struct-accumulator
+    list folds). The exact gate lives in tests/test_bpe_learn.py: an
+    independent 25-line pure-Python BPE reference (word frequencies
+    recomputed via DuckDB from the same parquet) must produce the
+    IDENTICAL merge list — rank, pair, and count — at sf0.001 and in
+    the synthetic edge cases (overlap runs like 'aaaa', ties)."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                    " ",
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    vocab = words.select(
+        "freq", F.expr("split(word, '')").alias("tokens")
+    ).persist()
+    vocab.count()  # materialise once; iterations reuse the persisted relation
+
+    merges = []
+    for rank in range(1, _BPE_N_MERGES + 1):
+        top = (
+            vocab.filter(F.size("tokens") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(tokens) - 2), "
+                        "i -> named_struct('l', tokens[i], 'r', tokens[i+1]))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()  # exactly ONE row per iteration
+        )
+        if not top:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((rank, left, right, left + right, int(n)))
+        new_vocab = vocab.select(
+            "freq", F.expr(_bpe_apply_merge_expr(left, right)).alias("tokens")
+        ).persist()
+        new_vocab.count()
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
 # Bloom parameters: m bits, k=3 hash functions. m is sized for the test
 # corpus (sf0.01 benchmark side ~ a few hundred 5-gram shingles -> <<1%
 # fill); production sizes m = -n*ln(p)/(ln 2)^2 for target FP rate p.

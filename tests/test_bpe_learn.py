@@ -1,0 +1,97 @@
+"""Exact gate for the iterative BPE merge-learning loop.
+
+`bpe_learn_merges` is rows-only in the driver window (iterative
+algorithms are the documented non-SQL-expressible case), so its exact
+verification lives here: an independent pure-Python BPE reference —
+word frequencies recomputed via DuckDB straight from the parquet, the
+merge loop in plain dicts — must produce the IDENTICAL merge list
+(rank, pair, merged token, weighted count) as the distributed query.
+Reference semantics are classic Sennrich et al. BPE: count adjacent
+symbol pairs weighted by word frequency, merge the (count DESC, left
+ASC, right ASC) winner greedily left-to-right non-overlapping, repeat.
+"""
+
+from collections import Counter
+
+import duckdb
+
+
+def _python_bpe(word_freqs: dict[str, int], n_merges: int):
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, toks in vocab.items():
+            f = word_freqs[w]
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += f
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, left + right, n))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_learn_matches_python_reference(spark, sf_dir):
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in Q.QUERIES["bpe_learn_merges"](spark, sf_dir).collect()
+    ]
+    got.sort()
+
+    rows = duckdb.sql(
+        "SELECT word, count(*) AS freq FROM (SELECT unnest(string_split("
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')) WHERE word <> '' "
+        "GROUP BY word"
+    ).fetchall()
+    expected = _python_bpe(dict(rows), 8)
+
+    assert got == expected
+    assert len(got) == 8  # the corpus supports all eight merges
+
+
+def test_bpe_apply_merge_fold_edge_cases(spark):
+    """The SQL fold's greedy non-overlap must match the reference on the
+    classic traps: odd runs ('aaa' -> 'aa','a'), even runs, the merged
+    token never re-merging in the same pass, and no-op sequences."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.queries import (
+        _bpe_apply_merge_expr,
+    )
+
+    cases = [
+        (["a", "a", "a"], ["aa", "a"]),
+        (["a", "a", "a", "a"], ["aa", "aa"]),
+        (["a", "b", "a"], ["a", "b", "a"]),  # merge is (a,a): no-op
+        (["a"], ["a"]),
+        ([], []),
+        (["b", "a", "a", "b"], ["b", "aa", "b"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, toks) for i, (toks, _) in enumerate(cases)],
+        "i int, tokens array<string>",
+    )
+    out = {
+        r["i"]: r["applied"]
+        for r in df.select(
+            "i", F.expr(_bpe_apply_merge_expr("a", "a")).alias("applied")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, out[i], want)
