@@ -161,6 +161,7 @@ HEADLINE = [
     "heavy_hitters_sketch_only",
     "hybrid_search_rrf",
     "bpe_learn_merges",
+    "bpe_encode_token_count",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

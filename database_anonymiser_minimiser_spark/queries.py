@@ -4459,6 +4459,57 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_encode_token_count")
+def q_bpe_encode_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE SERVING: learn the first 8 merges (bpe_learn_merges), then
+    ENCODE the corpus with them and count the resulting tokens per
+    document — the train->apply->count loop a tokenizer pipeline runs
+    before sizing a dataset in tokens.
+
+    Scale shape: encoding is applied to the DISTINCT-WORD relation once
+    (8 sequential merge folds over each word's char array — vocabulary-
+    bound work, Heaps' law), and the per-word token counts ride back to
+    the corpus through ONE broadcast join keyed on the word; the per-doc
+    total is a map-side explode + one doc-keyed partial-agg shuffle.
+    The corpus is never re-tokenised character-by-character.
+
+    Grading: rows-only BY DESIGN (the learned merges are the output of
+    the iterative trainer). Exact gate in tests/test_bpe_learn.py: the
+    independent pure-Python reference learns the same merges, encodes
+    every document, and must match every per-doc count."""
+    merges = q_bpe_learn_merges(spark, sf_dir).collect()  # K rows (bounded)
+
+    docs = load(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+            )
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+
+    vocab = doc_words.select("word").distinct().withColumn(
+        "tokens", F.expr("split(word, '')")
+    )
+    for m in merges:
+        vocab = vocab.select(
+            "word",
+            F.expr(_bpe_apply_merge_expr(m["left"], m["right"])).alias(
+                "tokens"
+            ),
+        )
+    word_tok = vocab.select(
+        "word", F.size("tokens").cast("long").alias("n_word_tokens")
+    )
+
+    return (
+        doc_words.join(F.broadcast(word_tok), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_word_tokens").alias("n_bpe8_tokens"))
+    )
+
+
 # Bloom parameters: m bits, k=3 hash functions. m is sized for the test
 # corpus (sf0.01 benchmark side ~ a few hundred 5-gram shingles -> <<1%
 # fill); production sizes m = -n*ln(p)/(ln 2)^2 for target FP rate p.

@@ -95,3 +95,50 @@ def test_bpe_apply_merge_fold_edge_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert out[i] == want, (i, out[i], want)
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """The serving half: encode with the learned merges, count per doc.
+    The Python reference learns the same 8 merges, encodes every
+    document word-by-word, and every per-doc count must match."""
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    got = {
+        r["doc_id"]: r["n_bpe8_tokens"]
+        for r in Q.QUERIES["bpe_encode_token_count"](spark, sf_dir).collect()
+    }
+
+    rows = duckdb.sql(
+        "SELECT word, count(*) AS freq FROM (SELECT unnest(string_split("
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')) WHERE word <> '' "
+        "GROUP BY word"
+    ).fetchall()
+    word_freqs = dict(rows)
+    merges = _python_bpe(word_freqs, 8)
+
+    def encode_len(word: str) -> int:
+        toks = list(word)
+        for _, left, right, _, _ in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return len(toks)
+
+    word_len = {w: encode_len(w) for w in word_freqs}
+    doc_rows = duckdb.sql(
+        "SELECT doc_id, string_split(regexp_replace(lower(trim(text)), "
+        f"'\\s+', ' ', 'g'), ' ') FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    expected = {
+        doc_id: sum(word_len[w] for w in words if w != "")
+        for doc_id, words in doc_rows
+        if any(w != "" for w in words)
+    }
+    assert got == expected
