@@ -408,3 +408,79 @@ def test_subset_export_referentially_closed(spark, sf_dir, tmp_path):
     assert {r[0] for r in li_rows} <= order_keys
     # and it IS a subset, not the full corpus
     assert len(cust_keys) < src.get_row_count("customer")
+
+
+def test_subset_export_imports_into_real_sqlite(spark, sf_dir, tmp_path):
+    """END-STATE check: the subset dump, generated in the sqlite dialect,
+    must import into a REAL fresh SQLite database and show ZERO foreign-
+    key violations when the FK constraints are checked by the database
+    itself — the strongest form of the referential-closure claim."""
+    import sqlite3
+
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.dump import write_dump
+    from database_anonymiser_minimiser_spark.plans.topo import (
+        sort_tables_by_dependency,
+    )
+    from database_anonymiser_minimiser_spark.sources.parquet import ParquetSource
+
+    src = ParquetSource(spark, sf_dir)
+    chain = ["customer", "orders", "lineitem"]
+    bucket = F.expr(
+        "CAST(substr(translate(md5(CAST(c_custkey AS STRING)), "
+        "'abcdef', '012345'), 1, 6) AS BIGINT) % 100"
+    )
+    sc = src.read("customer").filter(bucket < 10)
+    so = src.read("orders").join(
+        sc.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    sl = src.read("lineitem").join(
+        so.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    dfs = {"customer": sc, "orders": so, "lineitem": sl}
+
+    # DDL with REAL FK constraints so sqlite itself enforces closure
+    ddl = {
+        "customer": 'CREATE TABLE "customer" ("c_custkey" INTEGER PRIMARY KEY,'
+        ' "c_name" TEXT, "c_nationkey" INTEGER, "c_acctbal" REAL,'
+        ' "c_mktsegment" TEXT);',
+        "orders": 'CREATE TABLE "orders" ("o_orderkey" INTEGER PRIMARY KEY,'
+        ' "o_custkey" INTEGER REFERENCES "customer"("c_custkey"),'
+        ' "o_orderstatus" TEXT, "o_totalprice" REAL, "o_orderdate" TEXT,'
+        ' "o_orderpriority" TEXT);',
+        "lineitem": 'CREATE TABLE "lineitem" ("l_orderkey" INTEGER REFERENCES'
+        ' "orders"("o_orderkey"), "l_partkey" INTEGER, "l_suppkey" INTEGER,'
+        ' "l_linenumber" INTEGER, "l_quantity" REAL, "l_extendedprice" REAL,'
+        ' "l_discount" REAL, "l_tax" REAL, "l_returnflag" TEXT,'
+        ' "l_linestatus" TEXT, "l_shipdate" TEXT);',
+    }
+
+    fks = [fk for fk in src.get_foreign_keys() if fk.table in set(chain)]
+    order = sort_tables_by_dependency(chain, fks)
+    out = tmp_path / "subset_sqlite.sql"
+    with open(out, "w") as fh:
+        stats = write_dump(
+            fh,
+            "sqlite",
+            ((t, ddl[t], dfs[t], None) for t in order),
+        )
+
+    con = sqlite3.connect(":memory:")
+    con.executescript(out.read_text())
+    # the database's own FK checker is the judge
+    violations = con.execute("PRAGMA foreign_key_check").fetchall()
+    assert violations == []
+    counts = {
+        t: con.execute(f'SELECT count(*) FROM "{t}"').fetchone()[0]
+        for t in chain
+    }
+    assert counts == stats.per_table_rows
+    assert 0 < counts["customer"] < src.get_row_count("customer")
+    # masked/minimised values are not part of this test: it isolates the
+    # subset+dump+import path (anonymise is covered by its twin above)
+    con.close()
