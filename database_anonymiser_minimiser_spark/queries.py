@@ -5448,7 +5448,7 @@ def q_subset_export_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q* shapes regraded in THIS window (q11's scalar-subquery-threshold
 # shape also rides q15/q20, q16's NOT-IN anti join rides
 # anti_join_customers_without_big_orders, green r5), so they are the
-# candidates whose staleness is least informative. With 154 registered
+# candidates whose staleness is least informative. With 149 oracle-keyed
 # queries over 50 driver slots the exact-≤2-rounds ceiling is
 # arithmetically out of reach (154/50 > 3); the rotation keeps the
 # overflow at the minimum and names it here rather than letting it
