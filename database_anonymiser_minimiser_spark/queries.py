@@ -4834,11 +4834,18 @@ _RRF_QUERY_VEC = 0  # query embedding: vec_id 0 (same convention as ANN)
     vec_top AS (SELECT vec_id, cosine FROM vec
                 ORDER BY cosine DESC, vec_id LIMIT {_RRF_CAND}),
     vecr AS (SELECT vec_id, CAST(row_number() OVER
-               (ORDER BY cosine DESC, vec_id) AS INT) AS r_vec FROM vec_top)
-    SELECT l.doc_id, r_lex, r_vec,
-      1.0e0 / ({_RRF_K} + r_lex) + 1.0e0 / ({_RRF_K} + r_vec) AS rrf
-    FROM lexr l JOIN vecr v ON l.doc_id = v.vec_id
-    ORDER BY rrf DESC, l.doc_id LIMIT 20
+               (ORDER BY cosine DESC, vec_id) AS INT) AS r_vec FROM vec_top),
+    contrib AS (
+      SELECT doc_id, 1.0e0 / ({_RRF_K} + r_lex) AS c, r_lex, NULL AS r_vec
+      FROM lexr
+      UNION ALL
+      SELECT vec_id AS doc_id, 1.0e0 / ({_RRF_K} + r_vec) AS c,
+             NULL AS r_lex, r_vec
+      FROM vecr)
+    SELECT doc_id, CAST(max(r_lex) AS INT) AS r_lex,
+      CAST(max(r_vec) AS INT) AS r_vec, sum(c) AS rrf
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
     """,
 )
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4846,19 +4853,24 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape for search over a training corpus (BM25 catches
     exact terms, embeddings catch paraphrases; RRF fuses the two rank
     lists without comparing their incommensurable scores). Documents
-    join embeddings on the corpus convention doc_id == vec_id (docs
-    without an embedding participate only in the lexical list and
-    cannot appear in the fused inner join — the real-pipeline
-    behaviour: un-embedded docs are not vector-retrievable).
+    align with embeddings on the corpus convention doc_id == vec_id.
+    Fusion is over the UNION of the two candidate lists — the standard
+    RRF formulation: each list contributes 1/(k+rank) rows and the
+    per-doc sum is one bounded aggregate, NO join at all; an absent
+    side simply contributes nothing. The r6 scaling measurement caught
+    the original inner-join form returning ZERO rows at sf1+, where
+    the two top-100 lists stop overlapping (docs outnumber embeddings
+    2.5:1 there); union fusion degrades gracefully to the single
+    present retriever instead.
 
     Scale shape: each retriever reduces to its top-100 candidate
     list FIRST (TakeOrderedAndProject — the corpus never shuffles), so
-    the rank windows and the fusion join run on two bounded ~100-row
-    relations (single-partition window over a bounded list is free).
+    the rank windows and the <=200-row fusion aggregate are free.
     At 100 TB the candidate lists come from the ANN index / inverted
     index instead of brute-force scoring, but the fusion stage is
-    byte-identical. Ranks are integers and both engines compute the
-    identical double formula, so the oracle compare is exact."""
+    byte-identical. Ranks are integers, a <=2-row double sum is
+    order-independent (IEEE addition is commutative), and both engines
+    compute the identical formula, so the oracle compare is exact."""
     lex_top = (
         _bm25_scored(spark, sf_dir)
         .select("doc_id", "score")
@@ -4897,16 +4909,30 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.row_number().over(w_vec).cast("int").alias("r_vec")
     )
 
-    fused = lexr.join(vecr, lexr.doc_id == vecr.vec_id).select(
+    # union fusion needs no join at all: each list contributes
+    # (doc_id, 1/(k+rank)) rows, summed in ONE <=200-row aggregate —
+    # absent sides contribute nothing, exactly the standard RRF sum.
+    contrib = lexr.select(
         "doc_id",
-        "r_lex",
-        "r_vec",
-        (
-            F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex"))
-            + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec"))
-        ).alias("rrf"),
+        (F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex"))).alias("c"),
+        F.col("r_lex"),
+        F.lit(None).cast("int").alias("r_vec"),
+    ).unionAll(
+        vecr.select(
+            F.col("vec_id").alias("doc_id"),
+            (F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec"))).alias("c"),
+            F.lit(None).cast("int").alias("r_lex"),
+            F.col("r_vec"),
+        )
     )
-    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+    fused = contrib.groupBy("doc_id").agg(
+        F.max("r_lex").cast("int").alias("r_lex"),
+        F.max("r_vec").cast("int").alias("r_vec"),
+        F.sum("c").alias("rrf"),
+    )
+    return fused.select("doc_id", "r_lex", "r_vec", "rrf").orderBy(
+        F.desc("rrf"), "doc_id"
+    ).limit(20)
 
 
 @register(

@@ -486,13 +486,17 @@ def test_subset_export_semijoin_cascade_no_collect(spark, sf):
 
 def test_hybrid_rrf_candidates_before_windows(spark, sf):
     """RRF fusion: each retriever reduces to its bounded top-100
-    candidate list FIRST (TakeOrderedAndProject), so the global rank
-    windows and the fusion join run on ~100-row relations — the corpus
-    itself is never globally sorted or sort-merge joined."""
+    candidate list FIRST (TakeOrderedAndProject), and union fusion is
+    JOIN-FREE (a <=200-row union + per-doc aggregate) — the corpus is
+    never globally sorted, joined, or crossed."""
     plan = plan_of(Q.QUERIES["hybrid_search_rrf"](spark, sf))
     assert plan.count("TakeOrderedAndProject") >= 2, plan[:3000]
+    # the only joins allowed are the 1-row scalar broadcasts (BM25
+    # stats, query vector) — fusion itself is join-free
     assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "ShuffledHashJoin" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+    assert "Union" in plan, plan[:3000]
 
 
 def test_ngram_cliff_guard_stays_in_plan(spark, sf):
