@@ -461,6 +461,100 @@ def write_sorted_parquet(
     ranged.sortWithinPartitions(*cols).write.mode(mode).parquet(str(path))
 
 
+_Z_BITS = 16  # per-dimension resolution of the interleaved key
+
+
+def zvalue_column(
+    df: DataFrame, col_a: str, col_b: str
+) -> "tuple[DataFrame, Column]":
+    """(df_with_bucket_codes, zvalue Column) — Morton/Z-value of two
+    numeric columns, all JVM-side: each column
+    is rank-bucketed to ``_Z_BITS`` bits via its percent_rank over a
+    sampled-window-free approximation — here an ntile-equivalent built
+    from min/max scaling (monotone per column, which is all Z-ordering
+    needs) — then the two 16-bit codes are bit-interleaved into one
+    32-bit key. Rows close in BOTH dimensions get close z-values, so a
+    z-sorted layout yields tight per-file bounding boxes on BOTH
+    columns and parquet min/max stats prune files for 2-D predicates —
+    the multi-dimensional member of the layout family
+    (partitioned / sorted / compacted / z-ordered).
+
+    Min/max scaling is statistics the optimizer or a prior pass already
+    has; percentile bucketing (equi-depth) drops in for skewed columns
+    by swapping the scale expression — the interleave is unchanged.
+    """
+    stats = df.agg(
+        F.min(col_a).cast("double").alias("a_min"),
+        F.max(col_a).cast("double").alias("a_max"),
+        F.min(col_b).cast("double").alias("b_min"),
+        F.max(col_b).cast("double").alias("b_max"),
+    )
+    top = (1 << _Z_BITS) - 1
+
+    def code(col: str, lo: str, hi: str) -> Column:
+        span = F.col(hi) - F.col(lo)
+        frac = F.when(span > 0, (F.col(col).cast("double") - F.col(lo)) / span).otherwise(
+            F.lit(0.0)
+        )
+        return F.least(
+            F.lit(top), F.floor(frac * (top + 1)).cast("int")
+        ).alias(f"z_{col}")
+
+    # bit interleave: a takes even bit positions, b odd (bitwiseAND /
+    # bitwiseOR — Python's & | on Columns are BOOLEAN operators)
+    def interleave(a: Column, b: Column) -> Column:
+        out = F.lit(0)
+        for i in range(_Z_BITS):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            ).bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+                )
+            )
+        return out
+
+    with_codes = df.crossJoin(F.broadcast(stats)).select(
+        *df.columns,
+        code(col_a, "a_min", "a_max"),
+        code(col_b, "b_min", "b_max"),
+    )
+    return with_codes, interleave(
+        F.col(f"z_{col_a}"), F.col(f"z_{col_b}")
+    ).alias("zvalue")
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str | Path,
+    col_a: str,
+    col_b: str,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: compute the Morton key of (col_a,
+    col_b), range-partition and locally sort on it, write without the
+    helper columns. Each output file then covers a small rectangle in
+    (col_a, col_b) space — parquet min/max stats on BOTH columns prune
+    files for 2-D predicates, which a 1-D sort can only do for its
+    leading column. Same distributed shape as write_sorted_parquet
+    (RangePartitioning + local sort — never a global single-partition
+    Sort); the z-key costs one broadcast of a 1-row min/max aggregate
+    and a map-side bit-interleave projection."""
+    coded, z = zvalue_column(df, col_a, col_b)
+    keyed = coded.select(*df.columns, z)
+    if num_partitions:
+        ranged = keyed.repartitionByRange(num_partitions, F.col("zvalue"))
+    else:
+        ranged = keyed.repartitionByRange(F.col("zvalue"))
+    (
+        ranged.sortWithinPartitions("zvalue")
+        .drop("zvalue")
+        .write.mode(mode)
+        .parquet(str(path))
+    )
+
+
 def _hive_partition_columns(p: Path) -> list[str]:
     """Partition columns from the ``key=value`` directory layout (one key
     per nesting level, hive convention)."""

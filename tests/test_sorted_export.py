@@ -49,3 +49,65 @@ def test_sorted_export_plan_is_range_exchange(spark, sf_dir):
     assert "rangepartitioning" in plan.lower(), plan[:2000]
     # `Sort [...], false, 0` = in-partition sort (global flag false)
     assert "Sort [o_orderkey" in plan and "], false, 0" in plan, plan[:2000]
+
+
+def test_zorder_export_tightens_both_dims(spark, sf_dir, tmp_path):
+    """Z-ordered layout: every output file covers a small rectangle in
+    BOTH dimensions, so parquet min/max stats prune files for 2-D
+    predicates. Contrast gate: a 1-D sort on the first column leaves the
+    second column's per-file span at ~the global span."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.dump import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+    from database_anonymiser_minimiser_spark.sources.parquet import (
+        read_parquet_table,
+    )
+
+    orders = read_parquet_table(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    glob_min, glob_max = orders.selectExpr(
+        "min(o_custkey)", "max(o_custkey)"
+    ).first()
+    p_min, p_max = orders.selectExpr(
+        "min(o_totalprice)", "max(o_totalprice)"
+    ).first()
+
+    def mean_spans(path):
+        c_spans, p_spans = [], []
+        for f in Path(path).glob("part-*.parquet"):
+            t = pq.read_table(f, columns=["o_custkey", "o_totalprice"])
+            if t.num_rows < 2:
+                continue
+            c = t.column("o_custkey").to_pylist()
+            p = t.column("o_totalprice").to_pylist()
+            c_spans.append((max(c) - min(c)) / (glob_max - glob_min))
+            p_spans.append((max(p) - min(p)) / (p_max - p_min))
+        assert len(c_spans) >= 4  # the layout actually split into files
+        return sum(c_spans) / len(c_spans), sum(p_spans) / len(p_spans)
+
+    zdir = tmp_path / "zorder"
+    write_zorder_parquet(
+        orders, zdir, "o_custkey", "o_totalprice", num_partitions=8
+    )
+    zc, zp = mean_spans(zdir)
+
+    sdir = tmp_path / "sorted1d"
+    write_sorted_parquet(orders, sdir, ["o_custkey"], num_partitions=8)
+    sc, sp = mean_spans(sdir)
+
+    # 1-D sort: leading column tight, second column ~global
+    assert sc < 0.35, sc
+    assert sp > 0.8, sp
+    # z-order: BOTH columns tight per file
+    assert zc < 0.6, zc
+    assert zp < 0.6, zp
+    # and the z layout loses no rows
+    import pyarrow.dataset as ds
+
+    assert ds.dataset(str(zdir)).count_rows() == orders.count()
