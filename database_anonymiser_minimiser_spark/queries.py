@@ -5466,6 +5466,13 @@ def q_subset_export_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only as documentation. Both stay in the local oracle replica every
 # session. heavy_hitters_sketch_only (new, bench-label twin) is
 # rows-only by design — its exact gate is heavy_hitters_sketch_pairs.
+# bpe_learn_merges + bpe_encode_token_count (new this round) are the
+# documented non-SQL-expressible case (iterative algorithm; a K-stage
+# unrolled SQL oracle would re-implement the fold, proving nothing
+# independent) — their exact gate is the independent 25-line pure-Python
+# BPE reference in tests/test_bpe_learn.py, which must reproduce the
+# merge list rank-for-rank and the greedy encoding token-for-token;
+# windowing them would spend full-green oracle slots on rows-only rows.
 # Slot arithmetic: 9 + 4 + 3 + 38 = 54 candidates for 50 slots; the
 # four deferred to the r7 head are q4_order_priority_check,
 # q13_customer_order_distribution, q11_important_stock and
