@@ -162,6 +162,10 @@ HEADLINE = [
     "hybrid_search_rrf",
     "bpe_learn_merges",
     "bpe_encode_token_count",
+    # bucketed-layout co-located join: time includes BOTH bucketed table
+    # writes plus the shuffle-free join — i.e. the one-off layout cost a
+    # production pipeline amortises over every downstream join
+    "bucketed_join_segment_revenue",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

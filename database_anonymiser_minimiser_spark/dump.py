@@ -617,3 +617,57 @@ def compact_parquet(
     Path(tmp).rename(p)
     shutil.rmtree(old)
     return len(list(p.rglob("*.parquet")))
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_cols: "list[str] | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and bucket-sorted) managed parquet table — the
+    layout-family member that eliminates the JOIN shuffle, not just the
+    scan cost.
+
+    ``bucketBy(n, col)`` hash-partitions rows into ``n`` bucket files at
+    WRITE time and records the bucket spec in the catalog. A later join
+    (or aggregation) keyed on the bucket column reads each bucket as a
+    pre-hash-partitioned split, so EnsureRequirements inserts NO
+    Exchange on that side: two tables bucketed on their join keys with
+    the same bucket count sort-merge-join with ZERO shuffle of either
+    side (gated in tests/test_plans.py). At 100 TB this converts every
+    repeated fact-fact join on a stable key (orders x lineitem on
+    orderkey, events x users on user_id) from the single most expensive
+    network operation in the pipeline into a local merge — the write
+    pays the shuffle once, every downstream join rides it for free.
+
+    ``sortBy`` additionally orders rows inside each bucket file so a
+    sorted-bucket reader can skip or cheapen the merge sort. Bucket
+    count is a layout contract: pick it once per subject area (both
+    sides must match for co-location) and size it so one bucket of the
+    LARGEST table fits an executor core's working set at target scale.
+
+    The reference's single-node exporter has no equivalent (it streams
+    one table at a time, exporter.go:65-88); this is Spark-native
+    physical design."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    # idempotent across sessions: the in-memory catalog forgets managed
+    # tables on restart but their warehouse directory survives, and
+    # saveAsTable refuses to reuse the location (LOCATION_ALREADY_EXISTS)
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    stale = Path(warehouse.path) / table.lower()
+    if stale.exists():
+        shutil.rmtree(stale)
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(*(sort_cols or [bucket_col]))
+    )
+    writer.saveAsTable(table)

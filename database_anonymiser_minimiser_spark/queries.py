@@ -5430,6 +5430,68 @@ def q_subset_export_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionAll, parts)
 
 
+@register(
+    "bucketed_join_segment_revenue",
+    """
+    SELECT c_mktsegment,
+      CAST(count(*) AS BIGINT) AS order_cnt,
+      CAST(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED CO-LOCATED JOIN: write customer and orders as managed
+    tables hash-bucketed on their join key (dump.write_bucketed_table),
+    then sort-merge-join them with ZERO Exchange on either side — the
+    bucket spec recorded at write time satisfies the join's required
+    hash distribution, so EnsureRequirements inserts no shuffle
+    (plan-gated in tests/test_plans.py: the only Exchange in the whole
+    plan is the 5-group final aggregation).
+
+    This is the layout-family member aimed at the 100 TB pipeline's
+    dominant cost: a fact-fact join on a stable key. Partitioned layout
+    prunes SCANS; bucketed layout eliminates the JOIN SHUFFLE — pay the
+    hash exchange once at write time, and every downstream join or
+    aggregation keyed on the bucket column rides it for free. The
+    ``.hint("merge")`` pins sort-merge (at test SF the dimension side is
+    broadcast-sized, which would hide the property being proven; at
+    production SF both sides are fact-sized and SMJ is what AQE picks
+    anyway). Money math in DECIMAL per the q1 pattern so the result is
+    exact, order-independent, and engine-identical.
+
+    The write is idempotent (mode=overwrite into the session warehouse)
+    so the query callable stays side-effect-safe across repeat runs."""
+    from .dump import write_bucketed_table
+
+    n_buckets = 8
+    write_bucketed_table(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "bkt_customer",
+        "c_custkey",
+        n_buckets,
+    )
+    write_bucketed_table(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "bkt_orders",
+        "o_custkey",
+        n_buckets,
+    )
+    cust = spark.table("bkt_customer")
+    orders = spark.table("bkt_orders")
+    joined = cust.hint("merge").join(
+        orders, cust.c_custkey == orders.o_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("order_cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .cast("double")
+        .alias("total_revenue"),
+    )
+
+
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Window ROTATION policy (documented in
@@ -5473,15 +5535,17 @@ def q_subset_export_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE reference in tests/test_bpe_learn.py, which must reproduce the
 # merge list rank-for-rank and the greedy encoding token-for-token;
 # windowing them would spend full-green oracle slots on rows-only rows.
-# Slot arithmetic: 9 + 4 + 3 + 38 = 54 candidates for 50 slots; the
-# four deferred to the r7 head are q4_order_priority_check,
-# q13_customer_order_distribution, q11_important_stock and
-# q16_supplier_part_count — the TPC-H family shares its whole
-# scan/join/agg machinery with q1/q3/q5 (green r5) and seventeen other
-# q* shapes regraded in THIS window (q11's scalar-subquery-threshold
-# shape also rides q15/q20, q16's NOT-IN anti join rides
-# anti_join_customers_without_big_orders, green r5), so they are the
-# candidates whose staleness is least informative. With 149 oracle-keyed
+# Slot arithmetic: 9 + 5 + 3 + 38 = 55 candidates for 50 slots; the
+# five deferred to the r7 head are q4_order_priority_check,
+# q13_customer_order_distribution, q11_important_stock,
+# q16_supplier_part_count and string_suite_part — the TPC-H family
+# shares its whole scan/join/agg machinery with q1/q3/q5 (green r5) and
+# seventeen other q* shapes regraded in THIS window (q11's
+# scalar-subquery-threshold shape also rides q15/q20, q16's NOT-IN anti
+# join rides anti_join_customers_without_big_orders, green r5), and
+# string_suite_part's built-in string-function machinery rides the 13
+# mask singles regraded r5 plus mask_all_fakers (green r4), so they are
+# the candidates whose staleness is least informative. With 149 oracle-keyed
 # queries over 50 driver slots the exact-≤2-rounds ceiling is
 # arithmetically out of reach (154/50 > 3); the rotation keeps the
 # overflow at the minimum and names it here rather than letting it
@@ -5508,6 +5572,7 @@ _PRIORITY_50 = [
     "hybrid_search_rrf",  # NEW: BM25 + cosine reciprocal-rank fusion
     "dedup_ngram_jaccard",  # adaptive df-cap cliff guard (sf2 sweep find)
     "embedding_neardup",  # default flipped to numpy-prune in r5 post-grade
+    "bucketed_join_segment_revenue",  # NEW: shuffle-free co-located join
     # (c) last driver row r1 (the oldest grades anywhere): the three
     # mask singles that yielded their r5 slots
     "mask_city",
@@ -5544,7 +5609,6 @@ _PRIORITY_50 = [
     "q9_product_type_profit",
     "quality_quantile_filter",
     "snapshot_diff_cdc",
-    "string_suite_part",
     "text_language_id",
     "text_quality_score",
     "text_repetition_quality",

@@ -513,3 +513,22 @@ def test_ngram_cliff_guard_stays_in_plan(spark, sf):
     assert "CartesianProduct" not in plan, plan[:3000]
     # the guard's percentile/min aggregate is present as an in-plan agg
     assert re.search(r"percentile|min\(df_count", plan), plan[:3000]
+
+
+def test_bucketed_join_no_exchange_before_join(spark, sf):
+    """Two tables bucketed on their join key with the same bucket count
+    must sort-merge-join with ZERO shuffle of either side: the bucket
+    spec recorded at write time satisfies the join's required hash
+    distribution, so the ONLY Exchange in the whole plan is the final
+    5-group aggregation. This is the property that makes the write-once
+    bucket layout pay for itself at 100 TB — if an Exchange ever
+    reappears under the join, the layout contract broke (bucket-count
+    mismatch, bucketing disabled, or a non-bucket join key)."""
+    plan = plan_of(Q.QUERIES["bucketed_join_segment_revenue"](spark, sf))
+    assert "SortMergeJoin" in plan, plan[:3000]
+    # both scans must actually ride the bucket layout
+    assert plan.count("Bucketed: true") == 2, plan[:3000]
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan[:3000]
+    # exactly one Exchange in the WHOLE plan: the 5-group final
+    # aggregation — i.e. neither join side shuffled
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
