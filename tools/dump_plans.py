@@ -103,8 +103,18 @@ SHOWCASE = [
         "hybrid_search_rrf",
         "RRF fusion: each retriever collapses to its bounded top-100 "
         "candidate list FIRST (TakeOrderedAndProject - the corpus never "
-        "globally sorts); the rank windows and the fusion join run on "
-        "two ~100-row relations.",
+        "globally sorts); fusion is a UNION of the two ~100-row "
+        "contribution lists + one per-doc aggregate - no join at all, so "
+        "disjoint candidate lists still fuse (the inner-join form "
+        "returned 0 rows once the lists stopped overlapping at sf1+).",
+    ),
+    (
+        "bucketed_join_segment_revenue",
+        "Bucketed co-located join: both scans read pre-hash-bucketed "
+        "managed tables (Bucketed: true), so the SortMergeJoin needs NO "
+        "Exchange on either side - the plan's only Exchange is the "
+        "5-group final aggregation. The write-once bucket layout turns "
+        "every downstream join on the key into a local merge.",
     ),
 ]
 
