@@ -166,6 +166,10 @@ HEADLINE = [
     # writes plus the shuffle-free join — i.e. the one-off layout cost a
     # production pipeline amortises over every downstream join
     "bucketed_join_segment_revenue",
+    # event-sequence analytics: stacked-window funnel (one corpus
+    # shuffle) and calendar-bounded cohort retention
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -5492,6 +5492,136 @@ def q_bucketed_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+           GROUP BY e.user_id)
+    SELECT CAST(step AS INTEGER) AS step, CAST(users AS BIGINT) AS users
+    FROM (SELECT 1 AS step, count(*) AS users FROM s1
+          UNION ALL SELECT 2, count(*) FROM s2
+          UNION ALL SELECT 3, count(*) FROM s3) t
+    """,
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED FUNNEL (view -> click -> purchase): how many users reach
+    each step, where a step only counts if it happens strictly AFTER the
+    previous one. The event-sequence op every behavioural pipeline needs
+    and plain SQL expresses only as N self-joins.
+
+    Spark-first shape: THREE stacked window aggregates over the SAME
+    ``partitionBy(user_id)`` — t1 = min view ts; t2 = min click ts > t1;
+    t3 = min purchase ts > t2. Catalyst plans consecutive windows over
+    one partitioning as ONE Exchange + ONE Sort, each step reading the
+    previous step's column map-side; the per-user reduction afterwards
+    (groupBy user_id) reuses that same hashpartitioning, so the whole
+    funnel costs exactly one corpus shuffle and O(1) state per row — no
+    per-user event list is ever collected (unbounded for hot users), no
+    self-join (the oracle's 3-join form re-scans and re-shuffles the
+    corpus per step; at 100 TB that is 3x the network of this plan).
+    Sequential-min semantics are exactly the oracle's: a click at
+    ts == t1 does not advance the funnel (strict >)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").cast("long").alias("u1"),
+        F.count("t2").cast("long").alias("u2"),
+        F.count("t3").cast("long").alias("u3"),
+    )
+    return counts.selectExpr(
+        "inline(array(named_struct('step', 1, 'users', u1),"
+        " named_struct('step', 2, 'users', u2),"
+        " named_struct('step', 3, 'users', u3)))"
+    )
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+    WITH uw AS (SELECT DISTINCT user_id,
+        date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+    fw AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+    SELECT strftime(fw.cohort, '%Y-%m-%d') AS cohort_week,
+      CAST(date_diff('week', fw.cohort, uw.wk) AS INTEGER) AS week_offset,
+      CAST(count(*) AS BIGINT) AS users
+    FROM uw JOIN fw ON uw.user_id = fw.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION MATRIX: users bucketed by the week of their
+    first event (cohort), counted in every later week they were active
+    — the (cohort_week, week_offset, users) triangle behind every
+    retention curve.
+
+    Spark-first shape: ONE corpus shuffle. groupBy(user_id) folds each
+    user to (first_week, active_week_set) where the set is bounded by
+    the CALENDAR (weeks in the corpus' time span — ~5 here, a few
+    hundred after years of 100 TB ingest), never by event volume, so
+    collect_set is safe where a per-event list would not be; the
+    explode + (cohort, offset) aggregation runs on the users-x-weeks
+    relation, orders of magnitude smaller than events. The oracle's
+    DISTINCT + self-join form shuffles the corpus twice and joins; both
+    week keys are Monday-aligned by date_trunc so offset = whole weeks
+    in both engines."""
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+        .groupBy("user_id")
+        .agg(
+            F.min("wk").alias("cohort"),
+            F.collect_set("wk").alias("weeks"),
+        )
+    )
+    return (
+        per_user.select(
+            "cohort", F.explode("weeks").alias("wk")
+        )
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("CAST(datediff(wk, cohort) DIV 7 AS INT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )
+
+
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Window ROTATION policy (documented in
@@ -5535,19 +5665,23 @@ def q_bucketed_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 # BPE reference in tests/test_bpe_learn.py, which must reproduce the
 # merge list rank-for-rank and the greedy encoding token-for-token;
 # windowing them would spend full-green oracle slots on rows-only rows.
-# Slot arithmetic: 9 + 5 + 3 + 38 = 55 candidates for 50 slots; the
-# five deferred to the r7 head are q4_order_priority_check,
+# Slot arithmetic: 9 + 7 + 3 + 38 = 57 candidates for 50 slots; the
+# seven deferred to the r7 head are q4_order_priority_check,
 # q13_customer_order_distribution, q11_important_stock,
-# q16_supplier_part_count and string_suite_part — the TPC-H family
-# shares its whole scan/join/agg machinery with q1/q3/q5 (green r5) and
-# seventeen other q* shapes regraded in THIS window (q11's
-# scalar-subquery-threshold shape also rides q15/q20, q16's NOT-IN anti
-# join rides anti_join_customers_without_big_orders, green r5), and
+# q16_supplier_part_count, string_suite_part, multimodal_meta and
+# multimodal_frame_sample — the TPC-H family shares its whole
+# scan/join/agg machinery with q1/q3/q5 (green r5) and seventeen other
+# q* shapes regraded in THIS window (q11's scalar-subquery-threshold
+# shape also rides q15/q20, q16's NOT-IN anti join rides
+# anti_join_customers_without_big_orders, green r5);
 # string_suite_part's built-in string-function machinery rides the 13
-# mask singles regraded r5 plus mask_all_fakers (green r4), so they are
-# the candidates whose staleness is least informative. With 149 oracle-keyed
+# mask singles regraded r5 plus mask_all_fakers (green r4); and the two
+# multimodal projections ride their family's mapInPandas machinery
+# proven fresher by multimodal_decode_wav (green r5) and
+# multimodal_features (green r4). These are the candidates whose
+# staleness is least informative. With 152 oracle-keyed
 # queries over 50 driver slots the exact-≤2-rounds ceiling is
-# arithmetically out of reach (154/50 > 3); the rotation keeps the
+# arithmetically out of reach (152/50 > 3); the rotation keeps the
 # overflow at the minimum and names it here rather than letting it
 # happen silently.
 # Keys not listed keep their relative definition order after the
@@ -5573,6 +5707,8 @@ _PRIORITY_50 = [
     "dedup_ngram_jaccard",  # adaptive df-cap cliff guard (sf2 sweep find)
     "embedding_neardup",  # default flipped to numpy-prune in r5 post-grade
     "bucketed_join_segment_revenue",  # NEW: shuffle-free co-located join
+    "funnel_view_click_purchase",  # NEW: stacked-window ordered funnel
+    "cohort_retention_weekly",  # NEW: calendar-bounded retention matrix
     # (c) last driver row r1 (the oldest grades anywhere): the three
     # mask singles that yielded their r5 slots
     "mask_city",
@@ -5591,8 +5727,6 @@ _PRIORITY_50 = [
     "cube_lineitem_flag_status",
     "dedup_incremental_ingest",
     "doc_chunks_128_64",
-    "multimodal_frame_sample",
-    "multimodal_meta",
     "percentiles_orders_by_status",
     "pivot_orders_priority",
     "privacy_perturb_numeric",

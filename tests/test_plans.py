@@ -532,3 +532,28 @@ def test_bucketed_join_no_exchange_before_join(spark, sf):
     # exactly one Exchange in the WHOLE plan: the 5-group final
     # aggregation — i.e. neither join side shuffled
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
+
+
+def test_funnel_single_corpus_exchange_no_join(spark, sf):
+    """The ordered funnel must be the stacked-windows form — three
+    Window ops over ONE user_id partitioning (one Exchange + one Sort),
+    with the per-user reduction reusing that partitioning — never the
+    N-self-join form (3x scans/shuffles of the corpus at scale) and
+    never a per-user collect_list (unbounded for hot users)."""
+    plan = plan_of(Q.QUERIES["funnel_view_click_purchase"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 3, tree
+    assert "Join" not in plan, plan[:3000]
+    assert "collect_list" not in plan, plan[:3000]
+    # corpus shuffle + single-row final agg — exactly two
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, tree
+
+
+def test_cohort_retention_single_corpus_exchange(spark, sf):
+    """Cohort retention folds each user to (first_week, week_set) in one
+    corpus shuffle — the set is calendar-bounded, not volume-bounded —
+    and aggregates the exploded users-x-weeks relation; no self-join of
+    the corpus, exactly two Exchanges."""
+    plan = plan_of(Q.QUERIES["cohort_retention_weekly"](spark, sf))
+    assert "Join" not in plan, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:3000]
