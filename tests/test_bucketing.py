@@ -79,3 +79,30 @@ def test_bucketed_join_correct(spark, sf_dir, bucketed):
         .collect()
     }
     assert got == want
+
+
+def test_write_bucketed_table_survives_stale_location(spark, sf_dir):
+    """A managed table's warehouse directory can outlive the in-memory
+    catalog that tracked it (new session, old spark-warehouse on disk);
+    saveAsTable then refuses with LOCATION_ALREADY_EXISTS. The writer
+    must clear both the catalog entry and the stale directory so the
+    layout write is idempotent across sessions AND within one."""
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    from database_anonymiser_minimiser_spark.dump import write_bucketed_table
+    from database_anonymiser_minimiser_spark.queries import load
+
+    spark.sql("DROP TABLE IF EXISTS bkt_stale_test")
+    wh = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    stale = wh / "bkt_stale_test"
+    stale.mkdir(parents=True, exist_ok=True)
+    (stale / "junk.parquet").write_text("not parquet")
+
+    df = load(spark, sf_dir, "region")
+    write_bucketed_table(df, "bkt_stale_test", "r_regionkey", 2)
+    assert spark.table("bkt_stale_test").count() == df.count()
+    # second write in the SAME session must also succeed (overwrite)
+    write_bucketed_table(df, "bkt_stale_test", "r_regionkey", 2)
+    assert spark.table("bkt_stale_test").count() == df.count()
+    spark.sql("DROP TABLE IF EXISTS bkt_stale_test")
