@@ -5528,45 +5528,14 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (the oracle's 3-join form re-scans and re-shuffles the
     corpus per step; at 100 TB that is 3x the network of this plan).
     Sequential-min semantics are exactly the oracle's: a click at
-    ts == t1 does not advance the funnel (strict >)."""
+    ts == t1 does not advance the funnel (strict >). The generic N-step
+    operator lives in operators/funnel.py (hypothesis-fuzzed against an
+    independent pure-Python reference in tests/test_funnel.py)."""
+    from .operators.funnel import funnel_counts
+
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    w = Window.partitionBy("user_id")
-    staged = (
-        ev.withColumn(
-            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-        )
-        .withColumn(
-            "t2",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "t3",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t2")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-    )
-    per_user = staged.groupBy("user_id").agg(
-        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
-    )
-    counts = per_user.agg(
-        F.count("t1").cast("long").alias("u1"),
-        F.count("t2").cast("long").alias("u2"),
-        F.count("t3").cast("long").alias("u3"),
-    )
-    return counts.selectExpr(
-        "inline(array(named_struct('step', 1, 'users', u1),"
-        " named_struct('step', 2, 'users', u2),"
-        " named_struct('step', 3, 'users', u3)))"
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
 
 

@@ -1,0 +1,108 @@
+"""Funnel operator: hypothesis-fuzzed equivalence against an independent
+pure-Python reference of the sequential-min definition, with tiny ts/user
+domains so timestamp TIES and step-order inversions actually occur — the
+cases where a wrong funnel (>= instead of >, order-dependent fold,
+per-step independence) silently diverges."""
+
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from database_anonymiser_minimiser_spark.operators.funnel import (
+    funnel_counts,
+    funnel_times,
+)
+
+STEPS = ["a", "b", "c"]
+
+# small domains force collisions: 4 users, 8 distinct ts, 4 event types
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=7),  # ts
+        st.sampled_from(STEPS + ["noise"]),  # type
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def ref_funnel(events, steps):
+    """Independent sequential-min reference: t1 = min ts of step 1;
+    t_i = min ts of step i strictly greater than t_{i-1}."""
+    per_user = defaultdict(list)
+    for u, ts, ty in events:
+        per_user[u].append((ts, ty))
+    counts = [0] * len(steps)
+    times = {}
+    for u, evs in per_user.items():
+        t = None
+        ts_out = []
+        for i, s in enumerate(steps):
+            cand = [
+                ts
+                for ts, ty in evs
+                if ty == s and (t is None if i == 0 else ts > t)
+            ]
+            if not cand:
+                break
+            t = min(cand)
+            ts_out.append(t)
+            counts[i] += 1
+        times[u] = ts_out + [None] * (len(steps) - len(ts_out))
+    return counts, times
+
+
+@given(EVENTS)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_matches_reference_on_random_event_sets(spark, events):
+    df = spark.createDataFrame(events, "user_id int, ts int, event_type string")
+    want_counts, want_times = ref_funnel(events, STEPS)
+
+    got_counts = {
+        r["step"]: r["users"]
+        for r in funnel_counts(df, "user_id", "ts", "event_type", STEPS).collect()
+    }
+    assert [got_counts[i] for i in (1, 2, 3)] == want_counts
+
+    got_times = {
+        r["user_id"]: [r["t1"], r["t2"], r["t3"]]
+        for r in funnel_times(df, "user_id", "ts", "event_type", STEPS).collect()
+    }
+    assert got_times == want_times
+
+
+def test_funnel_tie_does_not_advance(spark):
+    """A step-2 event at exactly t1 must NOT count (strict >)."""
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 5, "b"), (1, 6, "b"), (2, 5, "a"), (2, 5, "b")],
+        "user_id int, ts int, event_type string",
+    )
+    times = {
+        r["user_id"]: (r["t1"], r["t2"])
+        for r in funnel_times(df, "user_id", "ts", "event_type", ["a", "b"]).collect()
+    }
+    assert times[1] == (5, 6)  # the ts=5 'b' is skipped, ts=6 counts
+    assert times[2] == (5, None)  # only a tied 'b' exists -> step 2 unreached
+
+
+def test_funnel_out_of_order_steps_do_not_count(spark):
+    """Step events BEFORE the prior step completed are invisible."""
+    df = spark.createDataFrame(
+        [(1, 1, "b"), (1, 2, "a"), (1, 3, "b")],
+        "user_id int, ts int, event_type string",
+    )
+    times = funnel_times(df, "user_id", "ts", "event_type", ["a", "b"]).collect()[0]
+    assert (times["t1"], times["t2"]) == (2, 3)
+
+
+def test_funnel_empty_steps_rejected(spark):
+    df = spark.createDataFrame([(1, 1, "a")], "user_id int, ts int, event_type string")
+    with pytest.raises(ValueError):
+        funnel_times(df, "user_id", "ts", "event_type", [])
