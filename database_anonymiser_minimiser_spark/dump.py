@@ -626,6 +626,7 @@ def write_bucketed_table(
     num_buckets: int,
     sort_cols: "list[str] | None" = None,
     mode: str = "overwrite",
+    path: "str | Path | None" = None,
 ) -> None:
     """Hash-bucketed (and bucket-sorted) managed parquet table — the
     layout-family member that eliminates the JOIN shuffle, not just the
@@ -649,6 +650,11 @@ def write_bucketed_table(
     sides must match for co-location) and size it so one bucket of the
     LARGEST table fits an executor core's working set at target scale.
 
+    ``path`` pins the table data to an explicit (external-table)
+    location instead of ``spark.sql.warehouse.dir`` — the warehouse
+    default is ``cwd/spark-warehouse``, which an embedding process may
+    not be able to write.
+
     The reference's single-node exporter has no equivalent (it streams
     one table at a time, exporter.go:65-88); this is Spark-native
     physical design."""
@@ -656,12 +662,16 @@ def write_bucketed_table(
     from urllib.parse import urlparse
 
     spark = df.sparkSession
-    # idempotent across sessions: the in-memory catalog forgets managed
-    # tables on restart but their warehouse directory survives, and
-    # saveAsTable refuses to reuse the location (LOCATION_ALREADY_EXISTS)
+    # idempotent across sessions: the in-memory catalog forgets tables
+    # on restart but their data directory survives, and saveAsTable
+    # refuses to reuse a managed location (LOCATION_ALREADY_EXISTS);
+    # for an explicit path, a stale dir would shadow the overwrite
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    stale = Path(warehouse.path) / table.lower()
+    if path is not None:
+        stale = Path(path)
+    else:
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        stale = Path(warehouse.path) / table.lower()
     if stale.exists():
         shutil.rmtree(stale)
     writer = (
@@ -670,4 +680,6 @@ def write_bucketed_table(
         .bucketBy(num_buckets, bucket_col)
         .sortBy(*(sort_cols or [bucket_col]))
     )
+    if path is not None:
+        writer = writer.option("path", str(path))
     writer.saveAsTable(table)

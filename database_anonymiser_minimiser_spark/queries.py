@@ -5460,22 +5460,30 @@ def q_bucketed_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     anyway). Money math in DECIMAL per the q1 pattern so the result is
     exact, order-independent, and engine-identical.
 
-    The write is idempotent (mode=overwrite into the session warehouse)
-    so the query callable stays side-effect-safe across repeat runs."""
+    The write is idempotent (drop + overwrite into an explicit
+    system-temp location, NOT cwd/spark-warehouse — the embedding
+    process' working directory may not be writable) so the query
+    callable stays side-effect-safe across repeat runs."""
+    import tempfile
+    from pathlib import Path as _P
+
     from .dump import write_bucketed_table
 
     n_buckets = 8
+    base = _P(tempfile.gettempdir()) / "dbmask_bucketed"
     write_bucketed_table(
         load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
         "bkt_customer",
         "c_custkey",
         n_buckets,
+        path=base / "bkt_customer",
     )
     write_bucketed_table(
         load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
         "bkt_orders",
         "o_custkey",
         n_buckets,
+        path=base / "bkt_orders",
     )
     cust = spark.table("bkt_customer")
     orders = spark.table("bkt_orders")
