@@ -82,3 +82,39 @@ def funnel_counts(
         for i in range(1, len(steps) + 1)
     )
     return counts.selectExpr(f"inline(array({structs}))")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """(cohort_week string, week_offset int, users long) — the weekly
+    retention triangle: users bucketed by the Monday-aligned week of
+    their first event, counted in every later week they were active.
+
+    ONE corpus shuffle: groupBy(user) folds each user to
+    (first_week, active_week_set); the set is bounded by the CALENDAR
+    (weeks spanned by the corpus), never by event volume, so collect_set
+    is safe where a per-event list would not be. The exploded
+    users-x-weeks relation the matrix aggregates over is orders of
+    magnitude smaller than the event log. Both keys are date_trunc
+    Monday-aligned, so offset = whole weeks by integer division."""
+    per_user = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("week", F.col(ts_col)).alias("wk"),
+        )
+        .groupBy("u")
+        .agg(F.min("wk").alias("cohort"), F.collect_set("wk").alias("weeks"))
+    )
+    return (
+        per_user.select("cohort", F.explode("weeks").alias("wk"))
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("CAST(datediff(wk, cohort) DIV 7 AS INT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )

@@ -5575,28 +5575,12 @@ def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, orders of magnitude smaller than events. The oracle's
     DISTINCT + self-join form shuffles the corpus twice and joins; both
     week keys are Monday-aligned by date_trunc so offset = whole weeks
-    in both engines."""
-    ev = load(spark, sf_dir, "events")
-    per_user = (
-        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
-        .groupBy("user_id")
-        .agg(
-            F.min("wk").alias("cohort"),
-            F.collect_set("wk").alias("weeks"),
-        )
-    )
-    return (
-        per_user.select(
-            "cohort", F.explode("weeks").alias("wk")
-        )
-        .groupBy(
-            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
-            F.expr("CAST(datediff(wk, cohort) DIV 7 AS INT)").alias(
-                "week_offset"
-            ),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("users"))
-    )
+    in both engines. The reusable operator lives in operators/funnel.py
+    (hypothesis-fuzzed against an independent pure-Python reference in
+    tests/test_funnel.py)."""
+    from .operators.funnel import cohort_retention
+
+    return cohort_retention(load(spark, sf_dir, "events"), "user_id", "ts")
 
 
 # ===========================================================================

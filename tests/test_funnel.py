@@ -106,3 +106,57 @@ def test_funnel_empty_steps_rejected(spark):
     df = spark.createDataFrame([(1, 1, "a")], "user_id int, ts int, event_type string")
     with pytest.raises(ValueError):
         funnel_times(df, "user_id", "ts", "event_type", [])
+
+
+# --- cohort retention ------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+from database_anonymiser_minimiser_spark.operators.funnel import cohort_retention
+
+_EPOCH = datetime(2024, 1, 1)  # a Monday
+
+COHORT_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=45),  # day offset (7 weeks)
+        st.integers(min_value=0, max_value=23),  # hour
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def ref_cohort(events):
+    """Independent reference: Monday-aligned first week per user, count
+    users per (cohort_week, whole-week offset)."""
+    weeks = defaultdict(set)
+    for u, day, hour in events:
+        ts = _EPOCH + timedelta(days=day, hours=hour)
+        monday = (ts - timedelta(days=ts.weekday())).date()
+        weeks[u].add(monday)
+    matrix = defaultdict(int)
+    for u, wks in weeks.items():
+        first = min(wks)
+        for wk in wks:
+            matrix[(first.isoformat(), (wk - first).days // 7)] += 1
+    return dict(matrix)
+
+
+@given(COHORT_EVENTS)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cohort_matches_reference_on_random_event_sets(spark, events):
+    rows = [
+        (u, _EPOCH + timedelta(days=day, hours=hour))
+        for u, day, hour in events
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["users"]
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert got == ref_cohort(events)
