@@ -170,6 +170,8 @@ HEADLINE = [
     # shuffle) and calendar-bounded cohort retention
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
+    # dense time-series resample (gap-filled hourly grid, single scan)
+    "events_resample_hourly_dense",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -5583,6 +5583,66 @@ def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(load(spark, sf_dir, "events"), "user_id", "ts")
 
 
+@register(
+    "events_resample_hourly_dense",
+    """
+    WITH c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                      event_type, count(*) AS n
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+    grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             FROM b),
+    types AS (SELECT DISTINCT event_type FROM c)
+    SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour, t.event_type,
+      CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN c ON c.h = g.h AND c.event_type = t.event_type
+    """,
+)
+def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE TIME-SERIES RESAMPLE: hourly counts per event type with
+    every gap zero-filled over the corpus' own [min, max] hour span —
+    the grid a forecasting / anomaly model consumes (a sparse groupBy
+    silently drops empty hours, which downstream models read as missing
+    data, not as zero activity).
+
+    Scale shape: the corpus is scanned EXACTLY ONCE — the sparse
+    (hour, type) aggregation (one partial-agg shuffle) is persisted
+    (calendar-bounded: hours x types, ~9k rows/year/type at ANY corpus
+    size) and bounds/grid/types all derive from the cached relation
+    (without the persist, Catalyst re-expands each of the three
+    references into its own corpus scan). The grid is generated
+    JVM-side by ``sequence()`` from the aggregate's own min/max — no
+    driver materialisation — and the gap-fill joins broadcast.
+    Plan-gated: zero parquet scans in the final plan (all three inputs
+    read the in-memory relation), no sort-merge join."""
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    counts.count()  # materialise the single corpus scan
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = counts.select("event_type").distinct()
+    return (
+        grid.crossJoin(types)
+        .join(counts, ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Window ROTATION policy (documented in
@@ -5626,11 +5686,11 @@ def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE reference in tests/test_bpe_learn.py, which must reproduce the
 # merge list rank-for-rank and the greedy encoding token-for-token;
 # windowing them would spend full-green oracle slots on rows-only rows.
-# Slot arithmetic: 9 + 7 + 3 + 38 = 57 candidates for 50 slots; the
-# seven deferred to the r7 head are q4_order_priority_check,
+# Slot arithmetic: 9 + 8 + 3 + 38 = 58 candidates for 50 slots; the
+# eight deferred to the r7 head are q4_order_priority_check,
 # q13_customer_order_distribution, q11_important_stock,
-# q16_supplier_part_count, string_suite_part, multimodal_meta and
-# multimodal_frame_sample — the TPC-H family shares its whole
+# q16_supplier_part_count, string_suite_part, multimodal_meta,
+# multimodal_frame_sample and text_language_id — the TPC-H family shares its whole
 # scan/join/agg machinery with q1/q3/q5 (green r5) and seventeen other
 # q* shapes regraded in THIS window (q11's scalar-subquery-threshold
 # shape also rides q15/q20, q16's NOT-IN anti join rides
@@ -5639,7 +5699,9 @@ def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mask singles regraded r5 plus mask_all_fakers (green r4); and the two
 # multimodal projections ride their family's mapInPandas machinery
 # proven fresher by multimodal_decode_wav (green r5) and
-# multimodal_features (green r4). These are the candidates whose
+# multimodal_features (green r4); text_language_id's regexp/built-in
+# machinery rides text_quality_score + text_repetition_quality, both in
+# this window. These are the candidates whose
 # staleness is least informative. With 152 oracle-keyed
 # queries over 50 driver slots the exact-≤2-rounds ceiling is
 # arithmetically out of reach (152/50 > 3); the rotation keeps the
@@ -5670,6 +5732,7 @@ _PRIORITY_50 = [
     "bucketed_join_segment_revenue",  # NEW: shuffle-free co-located join
     "funnel_view_click_purchase",  # NEW: stacked-window ordered funnel
     "cohort_retention_weekly",  # NEW: calendar-bounded retention matrix
+    "events_resample_hourly_dense",  # NEW: gap-filled hourly grid
     # (c) last driver row r1 (the oldest grades anywhere): the three
     # mask singles that yielded their r5 slots
     "mask_city",
@@ -5704,7 +5767,6 @@ _PRIORITY_50 = [
     "q9_product_type_profit",
     "quality_quantile_filter",
     "snapshot_diff_cdc",
-    "text_language_id",
     "text_quality_score",
     "text_repetition_quality",
     "tfdf_top_terms",

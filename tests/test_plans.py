@@ -557,3 +557,20 @@ def test_cohort_retention_single_corpus_exchange(spark, sf):
     plan = plan_of(Q.QUERIES["cohort_retention_weekly"](spark, sf))
     assert "Join" not in plan, plan[:3000]
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:3000]
+
+
+def test_resample_dense_single_scan_no_smj(spark, sf):
+    """Dense resample must scan the corpus EXACTLY once: the sparse
+    (hour, type) aggregate is persisted (calendar-bounded) and bounds /
+    grid / types all read the in-memory relation — the final plan has
+    ZERO parquet scans (the one real scan happened at materialisation)
+    and no corpus self-join. Without the persist, Catalyst re-expands
+    each of the three references into its own full corpus scan."""
+    plan = plan_of(Q.QUERIES["events_resample_hourly_dense"](spark, sf))
+    # all three inputs read the cached relation
+    assert plan.count("InMemoryTableScan") >= 3, plan[:3000]
+    # the only parquet scan is the ONE node inside the cached plan's
+    # provenance rendering — a single distinct scan node id
+    ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(ids) == 1, (ids, plan[:3000])
+    assert "SortMergeJoin" not in plan, plan[:3000]
