@@ -116,6 +116,15 @@ SHOWCASE = [
         "5-group final aggregation. The write-once bucket layout turns "
         "every downstream join on the key into a local merge.",
     ),
+    (
+        "funnel_view_click_purchase",
+        "Ordered funnel: three stacked Window ops over ONE user_id "
+        "partitioning (one Exchange + one Sort for the whole funnel); "
+        "the per-user reduction reuses that partitioning, so the only "
+        "other Exchange is the single-row final count. No self-join "
+        "(the SQL form is 3 corpus scans + shuffles), no collect_list "
+        "(unbounded for hot users).",
+    ),
 ]
 
 
