@@ -5583,6 +5583,11 @@ def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(load(spark, sf_dir, "events"), "user_id", "ts")
 
 
+# last persisted sparse aggregate of the resample query — released on
+# the next invocation so repeated calls hold at most one cached relation
+_RESAMPLE_PERSISTS: list[DataFrame] = []
+
+
 @register(
     "events_resample_hourly_dense",
     """
@@ -5616,6 +5621,12 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
     driver materialisation — and the gap-fill joins broadcast.
     Plan-gated: zero parquet scans in the final plan (all three inputs
     read the in-memory relation), no sort-merge join."""
+    # cap the cache footprint at ONE relation across repeated calls:
+    # the previous call's persist is released here (its returned DF, if
+    # still held, just recomputes) — repeated grading/bench invocations
+    # must not accumulate cached blocks
+    while _RESAMPLE_PERSISTS:
+        _RESAMPLE_PERSISTS.pop().unpersist()
     counts = (
         load(spark, sf_dir, "events")
         .groupBy(
@@ -5624,6 +5635,7 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n"))
         .persist()
     )
+    _RESAMPLE_PERSISTS.append(counts)
     counts.count()  # materialise the single corpus scan
     bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = bounds.select(
