@@ -172,6 +172,8 @@ HEADLINE = [
     "cohort_retention_weekly",
     # dense time-series resample (gap-filled hourly grid, single scan)
     "events_resample_hourly_dense",
+    # exists-semantics windowed funnel (running-max window passes)
+    "funnel_windowed_24h",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

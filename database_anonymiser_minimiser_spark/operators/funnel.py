@@ -118,3 +118,100 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("users"))
     )
+
+
+def funnel_times_windowed(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within_us: int,
+) -> DataFrame:
+    """Windowed funnel with EXACT exists-semantics: step *i* completes at
+    the earliest step-i event for which SOME step-(i-1) completion lies
+    strictly before it and at most ``within_us`` microseconds earlier
+    (per-step conversion window, Amplitude-style — not "whole chain
+    within W of the first event").
+
+    The greedy fold (anchor on the first step-1 event) UNDERCOUNTS here:
+    with W=2 and events a@0, a@2, b@3, anchoring at a@0 misses the
+    conversion that a@2 enables. Exists-semantics is order-free and
+    exact, and still needs no per-user event list:
+
+    qualifying(i, e) <=> max{ts' : ts' qualifying step i-1, ts' < e.ts}
+                         >= e.ts - W
+    — the RUNNING MAX of qualifying step-(i-1) timestamps strictly
+    before the current row. Each step is one window aggregate over the
+    SAME ``partitionBy(user).orderBy(ts_us)`` with a RANGE frame
+    ``(-inf, -1]`` (range, not rows: ties at equal ts must not satisfy
+    the strict <). K steps = K windows over ONE Sort + ONE Exchange;
+    O(1) state per row. Timestamps ride as epoch microseconds so the
+    integer range frame is exact for int and timestamp inputs alike."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    dtype = dict(df.dtypes)[ts_col]
+    if dtype == "timestamp_ntz":
+        # unix_micros only accepts TIMESTAMP; NTZ -> LTZ is an exact,
+        # monotone epoch mapping under the engine's pinned UTC session
+        # timezone (session.py) — matching the DuckDB oracle's naive/UTC
+        # reading of the same parquet
+        ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    elif dtype.startswith("timestamp"):
+        ts_us = F.unix_micros(F.col(ts_col))
+    else:
+        ts_us = F.col(ts_col).cast("long")
+    out = df.withColumn("_ts_us", ts_us)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("_ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wfull = Window.partitionBy(user_col)
+    prev_q: str | None = None
+    for i, step in enumerate(steps, 1):
+        if prev_q is None:
+            qual = F.when(F.col(type_col) == step, F.col("_ts_us"))
+        else:
+            latest_prev = F.max(F.col(prev_q)).over(w)
+            qual = F.when(
+                (F.col(type_col) == step)
+                & latest_prev.isNotNull()
+                & (latest_prev >= F.col("_ts_us") - F.lit(within_us)),
+                F.col("_ts_us"),
+            )
+        out = out.withColumn(f"q{i}", qual)
+        prev_q = f"q{i}"
+    agg_cols = [
+        F.min(F.col(f"q{i}")).over(wfull).alias(f"t{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    staged = out.select(user_col, *agg_cols)
+    return staged.groupBy(user_col).agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(1, len(steps) + 1)]
+    )
+
+
+def funnel_counts_windowed(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within_us: int,
+) -> DataFrame:
+    """(step int, users long) for the windowed exists-semantics funnel."""
+    per_user = funnel_times_windowed(
+        df, user_col, ts_col, type_col, steps, within_us
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"t{i}").cast("long").alias(f"u{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    structs = ", ".join(
+        f"named_struct('step', {i}, 'users', u{i})"
+        for i in range(1, len(steps) + 1)
+    )
+    return counts.selectExpr(f"inline(array({structs}))")

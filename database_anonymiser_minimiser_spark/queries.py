@@ -5583,6 +5583,57 @@ def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(load(spark, sf_dir, "events"), "user_id", "ts")
 
 
+@register(
+    "funnel_windowed_24h",
+    """
+    WITH a AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'view'),
+    b AS (SELECT DISTINCT e.user_id, CAST(e.ts AS TIMESTAMP) AS ts
+          FROM events e WHERE e.event_type = 'click' AND EXISTS (
+            SELECT 1 FROM a WHERE a.user_id = e.user_id
+              AND a.ts < CAST(e.ts AS TIMESTAMP)
+              AND CAST(e.ts AS TIMESTAMP) <= a.ts + INTERVAL 24 HOUR)),
+    c AS (SELECT DISTINCT e.user_id, CAST(e.ts AS TIMESTAMP) AS ts
+          FROM events e WHERE e.event_type = 'purchase' AND EXISTS (
+            SELECT 1 FROM b WHERE b.user_id = e.user_id
+              AND b.ts < CAST(e.ts AS TIMESTAMP)
+              AND CAST(e.ts AS TIMESTAMP) <= b.ts + INTERVAL 24 HOUR))
+    SELECT CAST(step AS INTEGER) AS step, CAST(users AS BIGINT) AS users
+    FROM (SELECT 1 AS step, count(DISTINCT user_id) AS users FROM a
+          UNION ALL SELECT 2, count(DISTINCT user_id) FROM b
+          UNION ALL SELECT 3, count(DISTINCT user_id) FROM c) t
+    """,
+)
+def q_funnel_windowed_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED FUNNEL (24 h per-step conversion window) with EXACT
+    exists-semantics: step i counts a user iff SOME step-(i-1)
+    completion lies strictly before a step-i event and at most 24 h
+    earlier. The greedy first-anchor fold undercounts here (a later
+    step-1 event can enable a conversion the first one misses —
+    regression-pinned in tests/test_funnel.py), so the operator
+    (operators/funnel.py:funnel_times_windowed, hypothesis-fuzzed
+    against a brute-force reference) computes each step as a RUNNING
+    MAX of qualifying previous-step timestamps over a RANGE frame
+    (-inf, -1] on epoch-microseconds — ties at equal ts are excluded
+    exactly as the oracle's strict <.
+
+    Scale shape: K steps = K window aggregates over ONE
+    partitionBy(user).orderBy(ts) Sort + Exchange, O(1) state per row;
+    the oracle's correlated-EXISTS form is a per-event subquery scan
+    (quadratic per user) that no engine runs at corpus scale."""
+    from .operators.funnel import funnel_counts_windowed
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_counts_windowed(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        24 * 3600 * 1_000_000,
+    )
+
+
 # last persisted sparse aggregate of the resample query — released on
 # the next invocation so repeated calls hold at most one cached relation
 _RESAMPLE_PERSISTS: list[DataFrame] = []
@@ -5698,11 +5749,12 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 # BPE reference in tests/test_bpe_learn.py, which must reproduce the
 # merge list rank-for-rank and the greedy encoding token-for-token;
 # windowing them would spend full-green oracle slots on rows-only rows.
-# Slot arithmetic: 9 + 8 + 3 + 38 = 58 candidates for 50 slots; the
-# eight deferred to the r7 head are q4_order_priority_check,
+# Slot arithmetic: 9 + 9 + 3 + 38 = 59 candidates for 50 slots; the
+# nine deferred to the r7 head are q4_order_priority_check,
 # q13_customer_order_distribution, q11_important_stock,
 # q16_supplier_part_count, string_suite_part, multimodal_meta,
-# multimodal_frame_sample and text_language_id — the TPC-H family shares its whole
+# multimodal_frame_sample, text_language_id and
+# dedup_incremental_ingest — the TPC-H family shares its whole
 # scan/join/agg machinery with q1/q3/q5 (green r5) and seventeen other
 # q* shapes regraded in THIS window (q11's scalar-subquery-threshold
 # shape also rides q15/q20, q16's NOT-IN anti join rides
@@ -5713,7 +5765,9 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 # proven fresher by multimodal_decode_wav (green r5) and
 # multimodal_features (green r4); text_language_id's regexp/built-in
 # machinery rides text_quality_score + text_repetition_quality, both in
-# this window. These are the candidates whose
+# this window; dedup_incremental_ingest's anti-join-ingest machinery
+# rides cdc_apply_orders (same anti join + union shape), windowed this
+# round. These are the candidates whose
 # staleness is least informative. With 152 oracle-keyed
 # queries over 50 driver slots the exact-≤2-rounds ceiling is
 # arithmetically out of reach (152/50 > 3); the rotation keeps the
@@ -5745,6 +5799,7 @@ _PRIORITY_50 = [
     "funnel_view_click_purchase",  # NEW: stacked-window ordered funnel
     "cohort_retention_weekly",  # NEW: calendar-bounded retention matrix
     "events_resample_hourly_dense",  # NEW: gap-filled hourly grid
+    "funnel_windowed_24h",  # NEW: exists-semantics windowed funnel
     # (c) last driver row r1 (the oldest grades anywhere): the three
     # mask singles that yielded their r5 slots
     "mask_city",
@@ -5761,7 +5816,6 @@ _PRIORITY_50 = [
     "corpus_mix_budget",
     "corpus_vocab_top100",
     "cube_lineitem_flag_status",
-    "dedup_incremental_ingest",
     "doc_chunks_128_64",
     "percentiles_orders_by_status",
     "pivot_orders_priority",

@@ -160,3 +160,76 @@ def test_cohort_matches_reference_on_random_event_sets(spark, events):
         for r in cohort_retention(df, "user_id", "ts").collect()
     }
     assert got == ref_cohort(events)
+
+
+# --- windowed funnel (exists-semantics) ------------------------------------
+
+from database_anonymiser_minimiser_spark.operators.funnel import (
+    funnel_times_windowed,
+)
+
+
+def ref_windowed_funnel(events, steps, within):
+    """Brute-force reference straight from the definition: step i's
+    qualifying set = step-i events with SOME qualifying step-(i-1) time
+    strictly before and at most `within` earlier."""
+    per_user = defaultdict(list)
+    for u, ts, ty in events:
+        per_user[u].append((ts, ty))
+    out = {}
+    for u, evs in per_user.items():
+        prev = None  # qualifying set of the previous step
+        times = []
+        for i, s in enumerate(steps):
+            if i == 0:
+                q = {ts for ts, ty in evs if ty == s}
+            else:
+                q = {
+                    ts
+                    for ts, ty in evs
+                    if ty == s
+                    and any(p < ts <= p + within for p in prev)
+                }
+            times.append(min(q) if q else None)
+            prev = q
+        out[u] = times
+    return out
+
+
+@given(EVENTS, st.integers(min_value=1, max_value=4))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_windowed_funnel_matches_bruteforce(spark, events, within):
+    df = spark.createDataFrame(events, "user_id int, ts int, event_type string")
+    got = {
+        r["user_id"]: [r["t1"], r["t2"], r["t3"]]
+        for r in funnel_times_windowed(
+            df, "user_id", "ts", "event_type", STEPS, within
+        ).collect()
+    }
+    assert got == ref_windowed_funnel(events, STEPS, within)
+
+
+def test_windowed_funnel_beats_greedy_anchor(spark):
+    """The case a greedy first-anchor fold gets WRONG: with W=2 and
+    a@0, a@2, b@3, anchoring on a@0 misses the a@2 -> b@3 conversion.
+    Exists-semantics must count it."""
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (1, 2, "a"), (1, 3, "b")],
+        "user_id int, ts int, event_type string",
+    )
+    r = funnel_times_windowed(df, "user_id", "ts", "event_type", ["a", "b"], 2).collect()[0]
+    assert (r["t1"], r["t2"]) == (0, 3)
+
+
+def test_windowed_funnel_tie_excluded(spark):
+    """Equal timestamps must not satisfy the strict < (range frame, not
+    rows frame — a rows frame would leak same-ts rows nondeterministically)."""
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 5, "b")], "user_id int, ts int, event_type string"
+    )
+    r = funnel_times_windowed(df, "user_id", "ts", "event_type", ["a", "b"], 10).collect()[0]
+    assert (r["t1"], r["t2"]) == (5, None)

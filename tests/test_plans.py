@@ -574,3 +574,17 @@ def test_resample_dense_single_scan_no_smj(spark, sf):
     ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
     assert len(ids) == 1, (ids, plan[:3000])
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_windowed_funnel_single_corpus_exchange_no_join(spark, sf):
+    """The windowed exists-semantics funnel must keep the plain funnel's
+    shape: stacked Window ops over ONE user partitioning (running max of
+    qualifying prior-step timestamps, RANGE frame), per-user reduction
+    reusing the partitioning — never the correlated-EXISTS form
+    (per-event subquery = a corpus self-join) and never a collect_list."""
+    plan = plan_of(Q.QUERIES["funnel_windowed_24h"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 3, tree
+    assert "Join" not in plan, plan[:3000]
+    assert "collect_list" not in plan, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, tree
