@@ -65,3 +65,60 @@ def mg_partition_summary(batches: Iterator, cap: int, col: str):
     yield pd.DataFrame(
         {col: [k for k, _ in items], "est": [v for _, v in items]}
     )
+
+
+def cm_sketch(df, col: str, depth: int = 4, width: int = 1024):
+    """Count-Min sketch of a key column as a BOUNDED relation of at most
+    ``depth * width`` cells (row, col, cnt) — the point-frequency
+    companion to the Misra-Gries top-k summary: MG answers "which keys
+    are heavy", CM answers "how often did THIS key occur" for any key,
+    in O(depth*width) space regardless of corpus size.
+
+    Distributed shape, all JVM built-ins: each input row expands
+    map-side into its ``depth`` (row, hash_d(key) % width) cells
+    (transform + explode — no Python), and ONE partial-aggregated
+    shuffle reduces them; map-side combine caps the shuffle volume at
+    ``partitions * depth * width`` cell rows, the mergeable-summaries
+    property (cell counts add, so per-partition sketches merge by
+    elementwise sum — property-tested). Estimates (cm_estimate) read
+    min over the key's ``depth`` cells: >= true count always (each cell
+    only over-counts via collisions); within e/width * N with
+    probability 1 - (1/2)^depth by the classic bound."""
+    from pyspark.sql import functions as F
+
+    cells = df.select(F.col(col).cast("string").alias("k")).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {depth - 1}), d -> named_struct("
+                f"'r', d, 'c', pmod(xxhash64(concat(CAST(d AS STRING), "
+                f"char(1), k)), {width})))"
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(
+        F.col("cell.r").alias("r"), F.col("cell.c").cast("int").alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def cm_estimate(sketch, keys_df, col: str, depth: int = 4, width: int = 1024):
+    """(key, est) point-frequency estimates: min over the key's depth
+    cells, 0-filled for never-hit cells. ``keys_df`` is the (small)
+    relation of keys to probe; the sketch side is <= depth*width rows,
+    so both join inputs are bounded — the corpus never reappears."""
+    from pyspark.sql import functions as F
+
+    probes = keys_df.select(F.col(col).cast("string").alias("k")).distinct().select(
+        "k",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {depth - 1}), d -> named_struct("
+                f"'r', d, 'c', pmod(xxhash64(concat(CAST(d AS STRING), "
+                f"char(1), k)), {width})))"
+            )
+        ).alias("cell"),
+    ).select("k", F.col("cell.r").alias("r"), F.col("cell.c").cast("int").alias("c"))
+    return (
+        probes.join(sketch, ["r", "c"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

@@ -73,3 +73,62 @@ def test_mg_partition_summary_deterministic_order():
     (out,) = mg_partition_summary(frames, 10, "k")
     assert list(out["k"]) == ["b", "a", "c"]  # (-count, key) order
     assert list(out["est"]) == [3, 2, 1]
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+
+def test_cm_never_underestimates_and_exact_when_wide(spark):
+    """est >= true for EVERY key (cells only over-count via collisions);
+    with width >> distinct keys, collisions are absent for this fixed
+    key set and est == true exactly."""
+    from collections import Counter
+
+    from database_anonymiser_minimiser_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    items = [f"k{i % 37}" for i in range(1000)] + ["hot"] * 500
+    true = Counter(items)
+    df = spark.createDataFrame([(x,) for x in items], ["v"])
+    keys = spark.createDataFrame([(k,) for k in true], ["v"])
+
+    # tight width: only the lower bound is guaranteed
+    sk = cm_sketch(df, "v", depth=4, width=16)
+    est = {r["k"]: r["est"] for r in cm_estimate(sk, keys, "v", 4, 16).collect()}
+    assert all(est[k] >= c for k, c in true.items()), (est, true)
+
+    # wide sketch: exact
+    sk = cm_sketch(df, "v", depth=4, width=4096)
+    est = {r["k"]: r["est"] for r in cm_estimate(sk, keys, "v", 4, 4096).collect()}
+    assert est == dict(true)
+
+
+def test_cm_sketches_merge_by_cell_sum(spark):
+    """Mergeability: the sketch of A UNION B equals the elementwise sum
+    of the sketches of A and B — the property that makes per-partition
+    sketches combinable by one aggregation."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.operators.sketch import cm_sketch
+
+    a = spark.createDataFrame([(f"a{i % 7}",) for i in range(100)], ["v"])
+    b = spark.createDataFrame([(f"b{i % 5}",) for i in range(80)], ["v"])
+    merged = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cm_sketch(a.union(b), "v", 3, 64).collect()
+    }
+    summed = {}
+    for part in (a, b):
+        for r in cm_sketch(part, "v", 3, 64).collect():
+            summed[(r["r"], r["c"])] = summed.get((r["r"], r["c"]), 0) + r["cnt"]
+    assert merged == summed
+
+
+def test_cm_sketch_relation_is_bounded(spark):
+    """The sketch never exceeds depth*width rows no matter the input."""
+    from database_anonymiser_minimiser_spark.operators.sketch import cm_sketch
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(5000)], ["v"])
+    assert cm_sketch(df, "v", depth=2, width=32).count() <= 2 * 32
