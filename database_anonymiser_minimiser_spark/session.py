@@ -113,6 +113,13 @@ def deployment_profile(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target_bytes),
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # runtime bloom-filter join pruning: a selective dim-side filter
+        # builds a bloom filter that drops fact rows BEFORE their
+        # shuffle (plan-gated in test_plans.py); the default size
+        # thresholds (creation <= 10 MB, application >= 10 GB scan) are
+        # already production-calibrated — stated here so the knob is
+        # part of the audited envelope
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         "spark.sql.session.timeZone": "UTC",

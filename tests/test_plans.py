@@ -588,3 +588,51 @@ def test_windowed_funnel_single_corpus_exchange_no_join(spark, sf):
     assert "Join" not in plan, plan[:3000]
     assert "collect_list" not in plan, plan[:3000]
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, tree
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf):
+    """Catalyst's runtime bloom-filter join pruning: a selective filter
+    on the dimension side builds a bloom_filter_agg whose might_contain
+    is injected into the FACT side BEFORE its shuffle — at 100 TB this
+    drops most fact rows at the scan/exchange boundary instead of
+    carrying them into the join. Default-on in the session profile; the
+    size thresholds are production-calibrated (creation <= 10 MB,
+    application >= 10 GB scan), so this gate lowers them to force the
+    rewrite at test scale and asserts both the plan shape and result
+    equality with the filter disabled."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        orders = Q.load(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = Q.load(spark, sf, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        assert "might_contain" in plan, plan[:3000]
+        with_filter = j.collect()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert sorted(map(tuple, with_filter)) == sorted(map(tuple, without))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
