@@ -1,0 +1,128 @@
+"""Data-quality expectations: declarative constraints verified in ONE
+aggregation pass (Deequ-style, plain DataFrame ops).
+
+A 100 TB ingest needs its quality gates to cost one scan, not one scan
+per constraint: every check here compiles to an aggregate expression
+over the same single groupBy().agg() — completeness, uniqueness,
+ranges, set membership all ride ONE scan and ONE partial-aggregated
+reduction (plan-asserted in tests; an exact-uniqueness check adds the
+distinct pre-reduction stage Catalyst plans for count_distinct — one
+extra Exchange, still one scan). Referential containment
+(`fk_contained`) is the exception by nature — it is a left-anti join,
+priced separately.
+
+Output is a tidy (constraint, passed, observed) relation so a pipeline
+can `.filter(~passed)` and fail the run, write the audit trail next to
+the data, or feed a dashboard.
+
+Extension surface — the reference validates config shape only
+(config.go), never data; this is the operational gate its users ask for
+before trusting an anonymised export.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One named constraint: `observed` is an aggregate Column, `passed`
+    a predicate over the observed value."""
+
+    name: str
+    observed: Column
+    passed: "callable"
+
+
+def complete(col: str) -> Expectation:
+    """No NULLs in `col`."""
+    frac = F.avg(F.when(F.col(col).isNull(), 1.0).otherwise(0.0))
+    return Expectation(f"complete({col})", frac, lambda o: o == 0.0)
+
+
+def unique(col: str) -> Expectation:
+    """`col` is unique (count == distinct count; NULLs count as rows but
+    not as distinct values, so a single NULL still fails)."""
+    delta = F.count(F.lit(1)) - F.count_distinct(F.col(col))
+    return Expectation(f"unique({col})", delta.cast("double"), lambda o: o == 0.0)
+
+
+def in_range(col: str, lo: float, hi: float) -> Expectation:
+    """All non-NULL values of `col` within [lo, hi]."""
+    bad = F.sum(
+        F.when(
+            F.col(col).isNotNull() & ~F.col(col).between(lo, hi), 1
+        ).otherwise(0)
+    )
+    return Expectation(
+        f"in_range({col},{lo},{hi})", bad.cast("double"), lambda o: o == 0.0
+    )
+
+
+def member_of(col: str, allowed: "list[str]") -> Expectation:
+    """All non-NULL values of `col` drawn from `allowed`."""
+    bad = F.sum(
+        F.when(
+            F.col(col).isNotNull() & ~F.col(col).isin(allowed), 1
+        ).otherwise(0)
+    )
+    return Expectation(
+        f"member_of({col})", bad.cast("double"), lambda o: o == 0.0
+    )
+
+
+def min_rows(n: int) -> Expectation:
+    """At least `n` rows (an empty export is the classic silent failure)."""
+    return Expectation(
+        f"min_rows({n})",
+        F.count(F.lit(1)).cast("double"),
+        lambda o: o >= float(n),
+    )
+
+
+def check(df: DataFrame, expectations: "list[Expectation]") -> DataFrame:
+    """(constraint string, passed boolean, observed double) — ALL
+    expectations verified in ONE aggregation over `df` (single Exchange;
+    the observed aggregates are computed map-side-partial like any
+    other agg). `passed` is evaluated JVM-side on the 1-row result."""
+    if not expectations:
+        raise ValueError("no expectations given")
+    agg_row = df.agg(
+        *[e.observed.alias(f"o{i}") for i, e in enumerate(expectations)]
+    )
+    structs = ", ".join(
+        f"named_struct('constraint', '{e.name}', 'observed', CAST(o{i} AS DOUBLE))"
+        for i, e in enumerate(expectations)
+    )
+    tidy = agg_row.selectExpr(f"inline(array({structs}))")
+    passed = F.lit(False)
+    for e in expectations:
+        passed = F.when(
+            F.col("constraint") == e.name, e.passed(F.col("observed"))
+        ).otherwise(passed)
+    return tidy.select("constraint", passed.alias("passed"), "observed")
+
+
+def fk_contained(child: DataFrame, child_col: str, parent: DataFrame, parent_col: str) -> DataFrame:
+    """(constraint, passed, observed): every non-NULL child key exists in
+    the parent — one left-anti join (key-partitioned; the parent side
+    broadcasts when dimension-sized). Kept separate from check():
+    referential containment inherently costs a join, not an aggregate."""
+    orphans = (
+        child.filter(F.col(child_col).isNotNull())
+        .join(
+            parent.select(F.col(parent_col).alias(child_col)).distinct(),
+            child_col,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("observed"))
+    )
+    return orphans.select(
+        F.lit(f"fk_contained({child_col})").alias("constraint"),
+        (F.col("observed") == 0.0).alias("passed"),
+        "observed",
+    )

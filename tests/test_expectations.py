@@ -1,0 +1,103 @@
+"""Single-pass data-quality expectations: correctness of each constraint
+plus the plan property that makes them usable at 100 TB — ALL aggregate
+checks ride ONE Exchange."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from database_anonymiser_minimiser_spark.operators.expectations import (
+    check,
+    complete,
+    fk_contained,
+    in_range,
+    member_of,
+    min_rows,
+    unique,
+)
+
+
+def plan_of(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _results(df):
+    return {r["constraint"]: (r["passed"], r["observed"]) for r in df.collect()}
+
+
+def test_constraints_pass_and_fail_correctly(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 300.0), (3, "d", -1.0)],
+        "id long, name string, score double",
+    )
+    got = _results(
+        check(
+            df,
+            [
+                complete("id"),  # pass: no NULL ids
+                complete("name"),  # FAIL: one NULL
+                unique("name"),  # FAIL: NULL breaks count==distinct
+                unique("id"),  # FAIL: 3 twice
+                in_range("score", 0, 100),  # FAIL: 300 and -1
+                member_of("name", ["a", "b", "d"]),  # pass: NULLs exempt
+                min_rows(4),  # pass
+                min_rows(5),  # FAIL
+            ],
+        )
+    )
+    assert got["complete(id)"][0] is True
+    assert got["complete(name)"][0] is False
+    assert got["unique(name)"][0] is False
+    assert got["unique(id)"][0] is False
+    assert got["in_range(score,0,100)"] == (False, 2.0)
+    assert got["member_of(name)"][0] is True
+    assert got["min_rows(4)"][0] is True
+    assert got["min_rows(5)"][0] is False
+
+
+def test_all_aggregate_checks_cost_one_scan(spark, sf_dir):
+    """The whole expectation suite must be ONE aggregation pass over ONE
+    scan — a per-constraint scan would multiply the 100 TB read by the
+    number of checks. Without a uniqueness check the plan is a single
+    Exchange; exact count_distinct inherently adds its own distinct
+    pre-reduction stage (one extra Exchange, still one scan)."""
+    from database_anonymiser_minimiser_spark.queries import load
+
+    df = load(spark, sf_dir, "customer")
+    exps = [
+        complete("c_custkey"),
+        in_range("c_acctbal", -1000.0, 10000.0),
+        member_of(
+            "c_mktsegment",
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        ),
+        min_rows(1),
+    ]
+    plan = plan_of(check(df, exps))
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))) == 1, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+    out = check(df, exps + [unique("c_custkey")])
+    plan = plan_of(out)
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))) == 1, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:3000]
+    assert all(r["passed"] for r in out.collect())
+
+
+def test_fk_containment(spark, sf_dir):
+    from database_anonymiser_minimiser_spark.queries import load
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    ok = fk_contained(orders, "o_custkey", customer, "c_custkey").collect()[0]
+    assert ok["passed"] is True and ok["observed"] == 0.0
+
+    # breaking referential integrity must be caught
+    broken = orders.withColumn(
+        "o_custkey", F.col("o_custkey") + F.lit(10_000_000)
+    )
+    bad = fk_contained(broken, "o_custkey", customer, "c_custkey").collect()[0]
+    assert bad["passed"] is False and bad["observed"] > 0
