@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     sync = sub.add_parser("sync", help="add missing tables to the config")
     sync.add_argument("--truncate", action="store_true")
     sync.add_argument("--dry-run", action="store_true")
+    sub.add_parser(
+        "audit",
+        help="data-quality audit of the export-shaped data: PK "
+        "completeness/uniqueness + FK containment (surfaces rows "
+        "orphaned by per-table retain rules before you import the dump)",
+    )
     sub.add_parser("version", help="print version")
     return p
 
@@ -68,6 +74,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.verbose:
         print(f"config: {args.config}", file=sys.stderr)
         print(f"connection: {cfg.connection.type}", file=sys.stderr)
+    if args.command == "audit":
+        rows = engine.audit()
+        failed = 0
+        for table, constraint, passed, observed in rows:
+            status = "PASS" if passed else "FAIL"
+            failed += 0 if passed else 1
+            print(f"{status}  {table}: {constraint} (observed={observed:g})")
+        print(
+            f"\n{len(rows) - failed}/{len(rows)} checks passed",
+            file=sys.stderr,
+        )
+        return 0 if failed == 0 else 1
     if args.command == "sync":
         missing = engine.sync(truncate=args.truncate, dry_run=args.dry_run)
         for t in missing:

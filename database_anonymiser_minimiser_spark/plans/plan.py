@@ -213,3 +213,62 @@ class Engine:
             for t in missing:
                 self.config.add_table(t, truncate=truncate)
         return missing
+
+    def audit(self) -> "list[tuple[str, str, bool, float]]":
+        """Data-quality audit of the EXPORT-SHAPED data — the transformed
+        (minimised + anonymised) relations a downstream consumer will
+        actually load, not the source: per-table PK completeness +
+        uniqueness (masking must never collide or null a key), and FK
+        containment across every catalog edge. The latter is the check a
+        reference user needs most: per-table retain rules can orphan
+        child rows (retain 50 orders does NOT retain their lineitems —
+        the documented reason the FK-closed subsetting operator exists),
+        and this makes that visible before the dump is imported.
+
+        Each PK check is one aggregation over one scan
+        (operators/expectations.py, plan-gated there); each FK edge is
+        one left-anti join. Returns (table, constraint, passed, observed)
+        rows; truncated tables are skipped (empty by design)."""
+        from ..operators.expectations import (
+            check,
+            complete,
+            fk_contained,
+            unique,
+        )
+
+        dfs = self.dataframes()
+        plans = {p.name: p for p in self.plan_tables()}
+        rows: list[tuple[str, str, bool, float]] = []
+        for name, df in dfs.items():
+            if plans[name].config.truncate:
+                continue
+            pk = plans[name].config.primary_key
+            if pk:
+                for r in check(df, [complete(pk), unique(pk)]).collect():
+                    rows.append(
+                        (name, r["constraint"], r["passed"], r["observed"])
+                    )
+        for fk in self.source.get_foreign_keys():
+            if fk.table not in dfs or fk.referenced_table not in dfs:
+                continue
+            if plans[fk.table].config.truncate:
+                continue
+            # a truncated REFERENCED table is deliberately not skipped:
+            # every child key is then an orphan, and that breakage is
+            # exactly what the audit must surface
+            r = fk_contained(
+                dfs[fk.table],
+                fk.column,
+                dfs[fk.referenced_table],
+                fk.referenced_column,
+            ).collect()[0]
+            rows.append(
+                (
+                    fk.table,
+                    f"fk_contained({fk.column}->"
+                    f"{fk.referenced_table}.{fk.referenced_column})",
+                    r["passed"],
+                    r["observed"],
+                )
+            )
+        return rows

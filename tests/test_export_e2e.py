@@ -484,3 +484,50 @@ def test_subset_export_imports_into_real_sqlite(spark, sf_dir, tmp_path):
     # masked/minimised values are not part of this test: it isolates the
     # subset+dump+import path (anonymise is covered by its twin above)
     con.close()
+
+
+def test_cli_audit_surfaces_retain_orphans(spark, sf_dir, tmp_path, capsys):
+    """`audit` checks the EXPORT-SHAPED data: retain-N on orders must be
+    reported as orphaning lineitem rows (FAIL, exit 1), while the intact
+    FK edges and the PK checks pass. This is the per-table-retain
+    footgun the FK-closed subsetting operator exists to avoid — the
+    audit makes it visible before the dump is imported."""
+    from database_anonymiser_minimiser_spark import cli
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: %s}\n"
+        "configuration:\n"
+        "  orders: {retain: 50, primary_key: o_orderkey}\n" % sf_dir
+    )
+    rc = cli.main(["-c", str(cfg), "audit"])
+    out = capsys.readouterr().out
+    assert rc == 1  # at least one failed check
+    assert "PASS  orders: complete(o_orderkey)" in out
+    assert "PASS  orders: unique(o_orderkey)" in out
+    assert "FAIL  lineitem: fk_contained(l_orderkey->orders.o_orderkey)" in out
+    m = re.search(
+        r"FAIL  lineitem: fk_contained\(l_orderkey->orders\.o_orderkey\) "
+        r"\(observed=(\d+)\)",
+        out,
+    )
+    assert m and int(m.group(1)) > 0
+    # edges not touched by the retain stay green
+    assert "PASS  orders: fk_contained(o_custkey->customer.c_custkey)" in out
+
+
+def test_cli_audit_clean_config_passes(spark, sf_dir, tmp_path, capsys):
+    """Full export of everything (no minimisation) must audit clean —
+    exit 0, zero FAIL lines."""
+    from database_anonymiser_minimiser_spark import cli
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: %s}\n"
+        "configuration:\n"
+        "  customer: {primary_key: c_custkey}\n" % sf_dir
+    )
+    rc = cli.main(["-c", str(cfg), "audit"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "FAIL" not in out
