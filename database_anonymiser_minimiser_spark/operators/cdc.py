@@ -40,3 +40,49 @@ def apply_changes(
     upserts = changes.filter(F.col(op_col) != "delete").drop(op_col)
     survivors = base.join(changes.select(key).distinct(), key, "left_anti")
     return survivors.unionByName(upserts)
+
+
+def maintain_rollup(
+    rollup: DataFrame,
+    changes: DataFrame,
+    keys: "list[str]",
+    count_col: str = "n",
+    op_col: str = "change_type",
+) -> DataFrame:
+    """Incremental aggregate maintenance: update a materialised COUNT
+    rollup from a CDC change feed at DELTA cost, never corpus cost.
+
+    At 100 TB, re-aggregating the base table to refresh an hourly rollup
+    re-reads everything a feed of a few million changes touched nothing
+    of; the incremental identity for distributive aggregates is
+    ``R' = R (+) agg(delta)`` with inserts weighted +1 and deletes -1
+    (an update arrives as delete(old)+insert(new), the snapshot_diff_cdc
+    convention — an in-place 'update' row would need the OLD group key
+    to retract from, which a full-row feed does not carry for grouped
+    rollups). The whole maintenance costs ONE shuffle of
+    ``|delta groups| + |rollup|`` rows: aggregate the signed delta
+    (bounded by the feed), union with the existing rollup relation, and
+    re-reduce; groups whose count reaches zero leave the rollup so the
+    result is exactly what a full recompute would build (asserted
+    byte-identical in tests/test_cdc.py).
+
+    COUNT here generalises to any distributive aggregate (SUM ships the
+    signed value; AVG = SUM+COUNT maintained together); MIN/MAX are NOT
+    maintainable from deletes alone (retracting the minimum needs the
+    runner-up) — the classic incremental-view-maintenance boundary,
+    stated so nobody reaches for this where it cannot work."""
+    signed = changes.filter(F.col(op_col).isin("insert", "delete")).select(
+        *keys,
+        F.when(F.col(op_col) == "insert", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("_w"),
+    )
+    delta = signed.groupBy(*keys).agg(F.sum("_w").alias(count_col))
+    merged = (
+        rollup.select(*keys, F.col(count_col).cast("long").alias(count_col))
+        .unionByName(delta.select(*keys, F.col(count_col).cast("long").alias(count_col)))
+        .groupBy(*keys)
+        .agg(F.sum(count_col).cast("long").alias(count_col))
+        .filter(F.col(count_col) > 0)
+    )
+    return merged
