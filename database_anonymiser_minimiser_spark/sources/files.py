@@ -169,3 +169,18 @@ class FilesSource:
             ]
         tables = set(self.get_tables())
         return [fk for fk in TESTDATA_FOREIGN_KEYS if fk.table in tables]
+
+
+def read_parquet_evolved(spark: SparkSession, path: str | Path) -> DataFrame:
+    """Schema-evolved parquet dataset: a directory written over time
+    where later files ADDED columns (the normal drift of a long-running
+    100 TB ingest). ``mergeSchema`` unions every file's footer schema at
+    planning time, so new columns surface as NULL in pre-drift files
+    instead of the default single-footer sample silently DROPPING them
+    (which footer wins is nondeterministic — the classic
+    works-on-my-sample bug).
+
+    Cost note: merging reads every footer (a planning-time metadata
+    pass, parallelised over the file list) — pay it on drifting
+    datasets; keep the default reader for schema-stable ones."""
+    return spark.read.option("mergeSchema", "true").parquet(str(path))

@@ -117,3 +117,27 @@ def test_txt_lines_round_trip(spark, sf_dir, tmp_path):
     assert sorted(r["value"] for r in back.collect()) == sorted(
         r["text"] for r in docs.collect()
     )
+
+
+def test_parquet_schema_evolution_merges_added_column(spark, tmp_path):
+    """Files written before a column existed must read back with the
+    column present and NULL — not dropped because the sampled footer
+    predates the drift."""
+    from database_anonymiser_minimiser_spark.sources.files import (
+        read_parquet_evolved,
+    )
+
+    d = tmp_path / "evolving"
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).write.parquet(
+        str(d / "part_old")
+    )
+    spark.createDataFrame(
+        [(3, "c", 9.5)], ["id", "v", "score"]
+    ).write.parquet(str(d / "part_new"))
+
+    # read both partitions as one dataset
+    df = read_parquet_evolved(spark, str(d / "part_*"))
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", None)
+    assert rows[3] == ("c", 9.5)
