@@ -5768,9 +5768,9 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 # this window; dedup_incremental_ingest's anti-join-ingest machinery
 # rides cdc_apply_orders (same anti join + union shape), windowed this
 # round. These are the candidates whose
-# staleness is least informative. With 152 oracle-keyed
+# staleness is least informative. With 154 oracle-keyed
 # queries over 50 driver slots the exact-≤2-rounds ceiling is
-# arithmetically out of reach (152/50 > 3); the rotation keeps the
+# arithmetically out of reach (154/50 > 3); the rotation keeps the
 # overflow at the minimum and names it here rather than letting it
 # happen silently.
 # Keys not listed keep their relative definition order after the
