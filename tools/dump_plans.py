@@ -125,6 +125,22 @@ SHOWCASE = [
         "(the SQL form is 3 corpus scans + shuffles), no collect_list "
         "(unbounded for hot users).",
     ),
+    (
+        "funnel_windowed_24h",
+        "Windowed funnel, EXACT exists-semantics: each step is a "
+        "running max of qualifying prior-step timestamps over a RANGE "
+        "(-inf,-1] frame on epoch-microseconds - same one-Exchange "
+        "shape as the plain funnel where the SQL equivalent is a "
+        "correlated-EXISTS per-event subquery scan.",
+    ),
+    (
+        "events_resample_hourly_dense",
+        "Dense gap-filled resample: the corpus is scanned ONCE into a "
+        "persisted calendar-bounded (hour, type) aggregate; bounds, "
+        "grid (sequence()-generated) and types all read the "
+        "InMemoryRelation, and the zero-fill joins broadcast - no "
+        "second corpus scan, no sort-merge join.",
+    ),
 ]
 
 
