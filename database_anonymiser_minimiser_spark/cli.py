@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--parallel", action="store_true",
         help="format tables as concurrent Spark jobs (output unchanged)",
     )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="with --format parquet: skip tables whose dataset already "
+        "committed (_SUCCESS present) — restart an interrupted export "
+        "without recomputing finished tables",
+    )
     sub = p.add_subparsers(dest="command")
     sync = sub.add_parser("sync", help="add missing tables to the config")
     sync.add_argument("--truncate", action="store_true")
@@ -100,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         if not args.output:
             print("error: --format parquet requires -o <dir>", file=sys.stderr)
             return 2
-        engine.export_parquet(args.output)
+        engine.export_parquet(args.output, resume=args.resume)
         return 0
     dialect = args.dialect or (
         cfg.connection.type

@@ -157,6 +157,7 @@ class Engine:
         self,
         out_dir: str,
         partition_by: dict[str, list[str]] | None = None,
+        resume: bool = False,
     ) -> dump_mod.ExportStats:
         """Native columnar export: one parquet dataset per table under
         ``out_dir`` (the 100 TB path — splittable, column-pruned,
@@ -164,10 +165,31 @@ class Engine:
         path). Truncated tables get an empty dataset with the full
         schema. ``partition_by[table]`` hive-partitions that table for
         downstream partition pruning. Tables are independent datasets so
-        no topo ordering is needed (parquet has no FK constraints)."""
+        no topo ordering is needed (parquet has no FK constraints).
+
+        ``resume=True`` skips tables whose dataset already completed —
+        Spark's committer writes the ``_SUCCESS`` marker only after the
+        whole job commits, so a crash mid-table leaves no marker and
+        that table re-exports from scratch while finished ones are not
+        recomputed. Determinism makes this safe: the masking functions
+        are pure per-value, so a resumed run's surviving tables are
+        byte-compatible with a fresh run's. At 100 TB a multi-hour
+        export WILL be interrupted; restarting table 47 of 50 instead
+        of table 1 is the difference between an incident and a retry."""
+        from pathlib import Path
+
         started = time.time()
         stats = dump_mod.ExportStats()
         for p in self.plan_tables():
+            if resume and (Path(out_dir) / p.name / "_SUCCESS").exists():
+                if p.config.truncate:
+                    stats.tables_truncated += 1
+                else:
+                    n = self.spark.read.parquet(f"{out_dir}/{p.name}").count()
+                    stats.rows_exported += n
+                    stats.per_table_rows[p.name] = n
+                    stats.tables_exported += 1
+                continue
             df = self.source.read(p.name)
             df = df.limit(0) if p.config.truncate else p.build(df)
             dump_mod.write_parquet(

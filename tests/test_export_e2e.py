@@ -531,3 +531,43 @@ def test_cli_audit_clean_config_passes(spark, sf_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "FAIL" not in out
+
+
+def test_export_parquet_resume_skips_completed_tables(spark, sf_dir, tmp_path):
+    """resume=True must not recompute tables whose _SUCCESS marker
+    exists, must re-export a table whose marker is missing (crashed
+    mid-write), and the resumed output must equal a fresh export."""
+    import shutil
+    from pathlib import Path
+
+    from database_anonymiser_minimiser_spark.config import Config
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+    cfg = Config.from_dict(
+        {
+            "connection": {"type": "parquet", "path": str(sf_dir)},
+            "configuration": {
+                "region": {"primary_key": "r_regionkey"},
+                "nation": {"primary_key": "n_nationkey"},
+            },
+        }
+    )
+    eng = Engine(spark, cfg)
+    out = tmp_path / "lake"
+    first = eng.export_parquet(str(out))
+
+    # simulate a crash that lost nation mid-write: marker gone
+    (out / "nation" / "_SUCCESS").unlink()
+    region_mtime = max(
+        f.stat().st_mtime_ns for f in (out / "region").glob("*.parquet")
+    )
+    resumed = eng.export_parquet(str(out), resume=True)
+
+    # region untouched (not rewritten), nation rebuilt, stats identical
+    assert (
+        max(f.stat().st_mtime_ns for f in (out / "region").glob("*.parquet"))
+        == region_mtime
+    )
+    assert (out / "nation" / "_SUCCESS").exists()
+    assert resumed.per_table_rows == first.per_table_rows
+    assert resumed.rows_exported == first.rows_exported
