@@ -135,3 +135,43 @@ def l_diversity_stats(
         F.count(F.lit(1)).cast("long").alias("class_size"),
         F.count_distinct(F.col(f"`{sensitive_col}`")).cast("long").alias("l_distinct"),
     )
+
+
+def pseudonymize_column(
+    col: str, key: str, mode: str = "GCM", deterministic: bool = False
+) -> Column:
+    """REVERSIBLE pseudonymization of a column via the JVM-side
+    ``aes_encrypt`` built-in (base64 text output) — the counterpart to
+    the one-way faker maskers for deployments that must re-identify
+    later under controlled key access (reference's maskers are
+    irreversible by design, anonymiser.go: faker templates only).
+
+    Mode choice is a real privacy/utility trade, stated rather than
+    hidden:
+
+    - default GCM: random-IV authenticated encryption — two rows with
+      the SAME value get DIFFERENT ciphertexts, maximal confidentiality,
+      but equality joins on the pseudonym are impossible and output is
+      nondeterministic run-to-run.
+    - ``deterministic=True`` (ECB): same value -> same token, so FK
+      joins and consistency ("same original -> same pseudonym across
+      all tables") survive — the property the faker maskers guarantee —
+      at the documented cost that equality of plaintexts leaks. For
+      pseudonymization that IS the feature; do not use it for
+      high-entropy secrets where equality patterns are themselves
+      sensitive.
+
+    Stays in whole-stage codegen (built-in expression, no UDF); the key
+    should come from a secret store, never the config file."""
+    m = "ECB" if deterministic else mode
+    return F.base64(
+        F.expr(f"aes_encrypt(CAST(`{col}` AS STRING), '{key}', '{m}')")
+    )
+
+
+def depseudonymize_column(col: str, key: str, mode: str = "GCM", deterministic: bool = False) -> Column:
+    """Inverse of pseudonymize_column: base64 -> aes_decrypt -> string."""
+    m = "ECB" if deterministic else mode
+    return F.expr(
+        f"CAST(aes_decrypt(unbase64(`{col}`), '{key}', '{m}') AS STRING)"
+    )

@@ -139,3 +139,71 @@ def test_l_diversity(generalized):
     assert stats["981"] == (2, 2)  # flu, cold
     assert stats["982"] == (3, 2)  # flu, flu, covid -> 2 distinct
     assert stats["999"] == (1, 1)  # homogeneity: l=1 exposes the diagnosis
+
+
+# --- reversible pseudonymization ------------------------------------------
+
+
+def test_pseudonymize_roundtrip_and_modes(spark):
+    """GCM: roundtrip identity, ciphertext != plaintext, equal plaintexts
+    get DIFFERENT tokens (random IV). ECB (deterministic=True): equal
+    plaintexts get the SAME token — the join-preserving mode."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        depseudonymize_column,
+        pseudonymize_column,
+    )
+
+    key = "0123456789abcdef"  # 16-byte AES-128 test key
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "alice"), (3, "bob")], ["id", "name"]
+    )
+
+    gcm = df.select(
+        "id", "name", pseudonymize_column("name", key).alias("tok")
+    )
+    back = gcm.select(
+        "id", "name", depseudonymize_column("tok", key).alias("plain")
+    ).collect()
+    assert all(r["plain"] == r["name"] for r in back)
+    toks = {r["id"]: r["tok"] for r in gcm.collect()}
+    assert toks[1] != "alice" and toks[1] != toks[2]  # random IV
+
+    det = df.select(
+        "id",
+        pseudonymize_column("name", key, deterministic=True).alias("tok"),
+    ).collect()
+    dtoks = {r["id"]: r["tok"] for r in det}
+    assert dtoks[1] == dtoks[2] != dtoks[3]  # join-preserving
+
+    # deterministic roundtrip too
+    det2 = (
+        spark.createDataFrame(det, ["id", "tok"])
+        .select(
+            "id",
+            depseudonymize_column("tok", key, deterministic=True).alias(
+                "plain"
+            ),
+        )
+        .collect()
+    )
+    assert {r["id"]: r["plain"] for r in det2} == {1: "alice", 2: "alice", 3: "bob"}
+
+
+def test_pseudonymize_wrong_key_fails_closed(spark):
+    """GCM is authenticated: decrypting with the wrong key must raise,
+    not return garbage."""
+    import pytest as _pytest
+
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        depseudonymize_column,
+        pseudonymize_column,
+    )
+
+    df = spark.createDataFrame([("secret",)], ["v"])
+    enc = df.select(pseudonymize_column("v", "0123456789abcdef").alias("tok"))
+    with _pytest.raises(Exception):
+        enc.select(
+            depseudonymize_column("tok", "feedfacefeedface")
+        ).collect()
