@@ -25,6 +25,7 @@ the PII the rule was meant to mask.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from enum import Enum
 from typing import Any
@@ -41,6 +42,14 @@ class RuleKind(Enum):
     STATIC = "static"
     FAKER = "faker"
     UNKNOWN_FAKER = "unknown_faker"  # warn-only; masks to "" (faker.go:45-52)
+    ENCRYPT = "encrypt"  # extension: reversible pseudonymization
+
+
+#: extension template (not in the reference): ``{{encrypt}}`` = random-IV
+#: GCM, ``{{encrypt.deterministic}}`` = ECB (same value -> same token,
+#: FK-join-preserving; equality leak documented in operators/privacy.py).
+#: The key comes from the DBMASK_ENCRYPT_KEY env var — never the config.
+ENCRYPT_TEMPLATE_RE = re.compile(r"^\{\{encrypt(\.deterministic)?\}\}$")
 
 
 @dataclass(frozen=True)
@@ -49,6 +58,7 @@ class CompiledRule:
     kind: RuleKind
     static_value: str = ""
     faker: FakerSpec | None = None
+    encrypt_deterministic: bool = False
 
     def spark_column(self, df: DataFrame) -> Column:
         """Column expression replacing ``self.column`` in ``df``."""
@@ -60,6 +70,24 @@ class CompiledRule:
         if self.kind is RuleKind.FAKER:
             assert self.faker is not None
             return self.faker.spark_column(self.column)
+        if self.kind is RuleKind.ENCRYPT:
+            import os
+
+            from ..operators.privacy import pseudonymize_column
+
+            key = os.environ.get("DBMASK_ENCRYPT_KEY", "")
+            if len(key) not in (16, 24, 32):
+                # fail CLOSED at plan time: exporting with a missing or
+                # malformed key would either leak the plaintext or write
+                # undecryptable tokens — both unacceptable silently
+                raise ValueError(
+                    "{{encrypt}} rule needs DBMASK_ENCRYPT_KEY set to a "
+                    "16/24/32-byte AES key (got "
+                    f"{len(key)} bytes)"
+                )
+            return pseudonymize_column(
+                self.column, key, deterministic=self.encrypt_deterministic
+            )
         # unknown faker: empty string, NEVER the original (faker.go:45-52 +
         # anonymiser.go:84-92 — a typo'd template must not leak the PII)
         return F.lit("")
@@ -75,6 +103,15 @@ class CompiledRule:
         if self.kind is RuleKind.FAKER:
             assert self.faker is not None
             return self.faker.sql("duckdb", q)
+        if self.kind is RuleKind.ENCRYPT:
+            # no cross-engine oracle: DuckDB has no aes_encrypt; the gate
+            # is the roundtrip + mode unit suite (test_rules.py,
+            # test_privacy.py) — callers building oracles must not use
+            # encrypt rules in oracle-keyed queries
+            raise NotImplementedError(
+                "{{encrypt}} has no DuckDB oracle (aes_encrypt is "
+                "Spark-side); verified by roundtrip unit tests instead"
+            )
         return "''"  # unknown faker: empty string (see spark_column)
 
 
@@ -86,6 +123,13 @@ def parse_rule(column: str, raw: Any) -> CompiledRule:
     if raw is None or raw == "" or raw == "null":
         return CompiledRule(column, RuleKind.NULL)
     value = str(raw)
+    enc = ENCRYPT_TEMPLATE_RE.match(value)
+    if enc:
+        return CompiledRule(
+            column,
+            RuleKind.ENCRYPT,
+            encrypt_deterministic=enc.group(1) is not None,
+        )
     m = FAKER_TEMPLATE_RE.match(value)
     if m:
         spec = get_faker(m.group(1))

@@ -95,3 +95,76 @@ def test_unknown_faker_masks_to_empty_string(spark):
     df = spark.createDataFrame([Row(c="SECRET-PII")])
     out = df.select(r.spark_column(df).alias("c")).collect()
     assert out[0]["c"] == ""
+
+
+# --- {{encrypt}} extension rules -------------------------------------------
+
+
+def test_encrypt_rule_roundtrips_through_anonymise(spark, monkeypatch):
+    """A {{encrypt.deterministic}} column rule must produce decryptable
+    tokens and preserve the same-value-same-token join property; plain
+    {{encrypt}} (GCM) must randomise tokens for equal values."""
+    from database_anonymiser_minimiser_spark.config import TableConfig
+    from database_anonymiser_minimiser_spark.operators.anonymise import (
+        anonymise,
+    )
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        depseudonymize_column,
+    )
+
+    monkeypatch.setenv("DBMASK_ENCRYPT_KEY", "0123456789abcdef")
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "alice"), (3, "bob")], ["id", "name"]
+    )
+
+    det = anonymise(
+        df, TableConfig(columns={"name": "{{encrypt.deterministic}}"})
+    )
+    toks = {r["id"]: r["name"] for r in det.collect()}
+    assert toks[1] == toks[2] != toks[3]
+    back = det.select(
+        "id",
+        depseudonymize_column(
+            "name", "0123456789abcdef", deterministic=True
+        ).alias("plain"),
+    ).collect()
+    assert {r["id"]: r["plain"] for r in back} == {
+        1: "alice", 2: "alice", 3: "bob"
+    }
+
+    gcm = anonymise(df, TableConfig(columns={"name": "{{encrypt}}"}))
+    gtoks = {r["id"]: r["name"] for r in gcm.collect()}
+    assert gtoks[1] != gtoks[2]  # random IV
+
+
+def test_encrypt_rule_fails_closed_without_key(spark, monkeypatch):
+    """Missing/malformed DBMASK_ENCRYPT_KEY must raise at PLAN time —
+    silently exporting plaintext (or undecryptable tokens) is the one
+    unacceptable outcome."""
+    import pytest as _pytest
+
+    from database_anonymiser_minimiser_spark.config import TableConfig
+    from database_anonymiser_minimiser_spark.operators.anonymise import (
+        anonymise,
+    )
+
+    monkeypatch.delenv("DBMASK_ENCRYPT_KEY", raising=False)
+    df = spark.createDataFrame([(1, "alice")], ["id", "name"])
+    with _pytest.raises(ValueError, match="DBMASK_ENCRYPT_KEY"):
+        anonymise(df, TableConfig(columns={"name": "{{encrypt}}"}))
+
+
+def test_encrypt_rule_is_not_a_static_literal():
+    """Template classification: {{encrypt}} and {{encrypt.deterministic}}
+    are ENCRYPT rules; near-misses stay static literals (the reference's
+    fall-through rule for malformed templates)."""
+    from database_anonymiser_minimiser_spark.functions.rules import (
+        RuleKind,
+        parse_rule,
+    )
+
+    assert parse_rule("c", "{{encrypt}}").kind is RuleKind.ENCRYPT
+    r = parse_rule("c", "{{encrypt.deterministic}}")
+    assert r.kind is RuleKind.ENCRYPT and r.encrypt_deterministic
+    assert parse_rule("c", "{{encrypt.gcm}}").kind is RuleKind.STATIC
+    assert parse_rule("c", "{{encrypt").kind is RuleKind.STATIC
