@@ -86,7 +86,8 @@ def main(argv: list[str] | None = None) -> int:
         for table, constraint, passed, observed in rows:
             status = "PASS" if passed else "FAIL"
             failed += 0 if passed else 1
-            print(f"{status}  {table}: {constraint} (observed={observed:g})")
+            obs = "n/a" if observed is None else f"{observed:g}"
+            print(f"{status}  {table}: {constraint} (observed={obs})")
         print(
             f"\n{len(rows) - failed}/{len(rows)} checks passed",
             file=sys.stderr,

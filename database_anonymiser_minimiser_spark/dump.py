@@ -662,18 +662,21 @@ def write_bucketed_table(
     from urllib.parse import urlparse
 
     spark = df.sparkSession
-    # idempotent across sessions: the in-memory catalog forgets tables
-    # on restart but their data directory survives, and saveAsTable
-    # refuses to reuse a managed location (LOCATION_ALREADY_EXISTS);
-    # for an explicit path, a stale dir would shadow the overwrite
-    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    if path is not None:
-        stale = Path(path)
-    else:
-        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        stale = Path(warehouse.path) / table.lower()
-    if stale.exists():
-        shutil.rmtree(stale)
+    if mode == "overwrite":
+        # idempotent across sessions: the in-memory catalog forgets
+        # tables on restart but their data directory survives, and
+        # saveAsTable refuses to reuse a managed location
+        # (LOCATION_ALREADY_EXISTS); for an explicit path, a stale dir
+        # would shadow the overwrite. ONLY for overwrite — any other
+        # mode (append) must never pre-delete existing data
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        if path is not None:
+            stale = Path(path)
+        else:
+            warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+            stale = Path(warehouse.path) / table.lower()
+        if stale.exists():
+            shutil.rmtree(stale)
     writer = (
         df.write.mode(mode)
         .format("parquet")

@@ -76,14 +76,18 @@ class CompiledRule:
             from ..operators.privacy import pseudonymize_column
 
             key = os.environ.get("DBMASK_ENCRYPT_KEY", "")
-            if len(key) not in (16, 24, 32):
+            # AES key sizes are BYTE lengths — measure the UTF-8
+            # encoding, not Python characters (a 16-char key containing
+            # non-ASCII is NOT a valid AES-128 key)
+            key_bytes = len(key.encode("utf-8"))
+            if key_bytes not in (16, 24, 32):
                 # fail CLOSED at plan time: exporting with a missing or
                 # malformed key would either leak the plaintext or write
                 # undecryptable tokens — both unacceptable silently
                 raise ValueError(
                     "{{encrypt}} rule needs DBMASK_ENCRYPT_KEY set to a "
                     "16/24/32-byte AES key (got "
-                    f"{len(key)} bytes)"
+                    f"{key_bytes} UTF-8 bytes)"
                 )
             return pseudonymize_column(
                 self.column, key, deterministic=self.encrypt_deterministic

@@ -39,8 +39,12 @@ class Expectation:
 
 
 def complete(col: str) -> Expectation:
-    """No NULLs in `col`."""
-    frac = F.avg(F.when(F.col(col).isNull(), 1.0).otherwise(0.0))
+    """No NULLs in `col`. Vacuously true on an empty relation (avg over
+    zero rows is NULL — coalesced, or the audit would crash formatting
+    a None observed value)."""
+    frac = F.coalesce(
+        F.avg(F.when(F.col(col).isNull(), 1.0).otherwise(0.0)), F.lit(0.0)
+    )
     return Expectation(f"complete({col})", frac, lambda o: o == 0.0)
 
 
@@ -52,11 +56,15 @@ def unique(col: str) -> Expectation:
 
 
 def in_range(col: str, lo: float, hi: float) -> Expectation:
-    """All non-NULL values of `col` within [lo, hi]."""
-    bad = F.sum(
-        F.when(
-            F.col(col).isNotNull() & ~F.col(col).between(lo, hi), 1
-        ).otherwise(0)
+    """All non-NULL values of `col` within [lo, hi]; vacuously true on
+    an empty relation (sum over zero rows is NULL — coalesced)."""
+    bad = F.coalesce(
+        F.sum(
+            F.when(
+                F.col(col).isNotNull() & ~F.col(col).between(lo, hi), 1
+            ).otherwise(0)
+        ),
+        F.lit(0),
     )
     return Expectation(
         f"in_range({col},{lo},{hi})", bad.cast("double"), lambda o: o == 0.0
@@ -64,11 +72,15 @@ def in_range(col: str, lo: float, hi: float) -> Expectation:
 
 
 def member_of(col: str, allowed: "list[str]") -> Expectation:
-    """All non-NULL values of `col` drawn from `allowed`."""
-    bad = F.sum(
-        F.when(
-            F.col(col).isNotNull() & ~F.col(col).isin(allowed), 1
-        ).otherwise(0)
+    """All non-NULL values of `col` drawn from `allowed`; vacuously true
+    on an empty relation (sum over zero rows is NULL — coalesced)."""
+    bad = F.coalesce(
+        F.sum(
+            F.when(
+                F.col(col).isNotNull() & ~F.col(col).isin(allowed), 1
+            ).otherwise(0)
+        ),
+        F.lit(0),
     )
     return Expectation(
         f"member_of({col})", bad.cast("double"), lambda o: o == 0.0

@@ -62,6 +62,22 @@ def funnel_times(
     )
 
 
+def _counts_from_times(per_user: DataFrame, n_steps: int) -> DataFrame:
+    """(step int, users long) from a per-user t1..tK relation — shared
+    tail of the plain and windowed funnels."""
+    counts = per_user.agg(
+        *[
+            F.count(f"t{i}").cast("long").alias(f"u{i}")
+            for i in range(1, n_steps + 1)
+        ]
+    )
+    structs = ", ".join(
+        f"named_struct('step', {i}, 'users', u{i})"
+        for i in range(1, n_steps + 1)
+    )
+    return counts.selectExpr(f"inline(array({structs}))")
+
+
 def funnel_counts(
     df: DataFrame,
     user_col: str,
@@ -70,18 +86,9 @@ def funnel_counts(
     steps: Sequence[str],
 ) -> DataFrame:
     """(step int, users long) — how many users reached each step."""
-    per_user = funnel_times(df, user_col, ts_col, type_col, steps)
-    counts = per_user.agg(
-        *[
-            F.count(f"t{i}").cast("long").alias(f"u{i}")
-            for i in range(1, len(steps) + 1)
-        ]
+    return _counts_from_times(
+        funnel_times(df, user_col, ts_col, type_col, steps), len(steps)
     )
-    structs = ", ".join(
-        f"named_struct('step', {i}, 'users', u{i})"
-        for i in range(1, len(steps) + 1)
-    )
-    return counts.selectExpr(f"inline(array({structs}))")
 
 
 def cohort_retention(
@@ -201,17 +208,9 @@ def funnel_counts_windowed(
     within_us: int,
 ) -> DataFrame:
     """(step int, users long) for the windowed exists-semantics funnel."""
-    per_user = funnel_times_windowed(
-        df, user_col, ts_col, type_col, steps, within_us
+    return _counts_from_times(
+        funnel_times_windowed(
+            df, user_col, ts_col, type_col, steps, within_us
+        ),
+        len(steps),
     )
-    counts = per_user.agg(
-        *[
-            F.count(f"t{i}").cast("long").alias(f"u{i}")
-            for i in range(1, len(steps) + 1)
-        ]
-    )
-    structs = ", ".join(
-        f"named_struct('step', {i}, 'users', u{i})"
-        for i in range(1, len(steps) + 1)
-    )
-    return counts.selectExpr(f"inline(array({structs}))")

@@ -161,17 +161,25 @@ def pseudonymize_column(
       high-entropy secrets where equality patterns are themselves
       sensitive.
 
-    Stays in whole-stage codegen (built-in expression, no UDF); the key
-    should come from a secret store, never the config file."""
-    m = "ECB" if deterministic else mode
+    Stays in whole-stage codegen (built-in expression, no UDF). The key
+    is passed as a bound literal through ``F.aes_encrypt`` — never
+    string-spliced into SQL text, so keys containing quotes/backslashes
+    are safe. CAVEAT the caller must know: a literal key is still
+    VISIBLE in plan renderings (``explain()``, the Spark UI SQL tab,
+    event logs) like any literal — source the key from a secret store,
+    never a config file, and restrict UI/event-log access in
+    deployments where the plans are sensitive."""
+    m = F.lit("ECB" if deterministic else mode)
     return F.base64(
-        F.expr(f"aes_encrypt(CAST(`{col}` AS STRING), '{key}', '{m}')")
+        F.aes_encrypt(F.col(col).cast("string"), F.lit(key), m)
     )
 
 
 def depseudonymize_column(col: str, key: str, mode: str = "GCM", deterministic: bool = False) -> Column:
-    """Inverse of pseudonymize_column: base64 -> aes_decrypt -> string."""
-    m = "ECB" if deterministic else mode
-    return F.expr(
-        f"CAST(aes_decrypt(unbase64(`{col}`), '{key}', '{m}') AS STRING)"
+    """Inverse of pseudonymize_column: base64 -> aes_decrypt -> string.
+    Same bound-literal key handling (and plan-visibility caveat) as the
+    encrypt side."""
+    m = F.lit("ECB" if deterministic else mode)
+    return F.aes_decrypt(F.unbase64(F.col(col)), F.lit(key), m).cast(
+        "string"
     )

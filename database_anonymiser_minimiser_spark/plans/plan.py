@@ -173,15 +173,16 @@ class Engine:
         that table re-exports from scratch while finished ones are not
         recomputed. Determinism makes this safe: the masking functions
         are pure per-value, so a resumed run's surviving tables are
-        byte-compatible with a fresh run's. At 100 TB a multi-hour
+        byte-compatible with a fresh run's. The marker check goes
+        through the Hadoop FileSystem API, so it works identically for
+        local paths and remote stores (s3a://, hdfs://) — the multi-hour
+        remote export is exactly where resume matters. At 100 TB an
         export WILL be interrupted; restarting table 47 of 50 instead
         of table 1 is the difference between an incident and a retry."""
-        from pathlib import Path
-
         started = time.time()
         stats = dump_mod.ExportStats()
         for p in self.plan_tables():
-            if resume and (Path(out_dir) / p.name / "_SUCCESS").exists():
+            if resume and self._dataset_committed(out_dir, p.name):
                 if p.config.truncate:
                     stats.tables_truncated += 1
                 else:
@@ -206,6 +207,18 @@ class Engine:
                 stats.tables_exported += 1
         self._print_stats(stats, time.time() - started)
         return stats
+
+    def _dataset_committed(self, out_dir: str, table: str) -> bool:
+        """True iff ``out_dir/table/_SUCCESS`` exists, checked through
+        the Hadoop FileSystem for the path's scheme — a local
+        ``pathlib`` check would silently report False for every remote
+        URI and turn --resume into a full re-export."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{table}/_SUCCESS")
+        fs = hpath.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        return bool(fs.exists(hpath))
 
     @staticmethod
     def _print_stats(stats: dump_mod.ExportStats, elapsed: float) -> None:
@@ -249,7 +262,11 @@ class Engine:
 
         Each PK check is one aggregation over one scan
         (operators/expectations.py, plan-gated there); each FK edge is
-        one left-anti join. Returns (table, constraint, passed, observed)
+        one left-anti join. The transformed relations are persisted for
+        the audit's duration — a parent referenced by N foreign keys
+        would otherwise be re-scanned, re-minimised and re-anonymised
+        N+1 times (once per check that touches it) — and released
+        before returning. Returns (table, constraint, passed, observed)
         rows; truncated tables are skipped (empty by design)."""
         from ..operators.expectations import (
             check,
@@ -258,39 +275,43 @@ class Engine:
             unique,
         )
 
-        dfs = self.dataframes()
+        dfs = {name: df.persist() for name, df in self.dataframes().items()}
         plans = {p.name: p for p in self.plan_tables()}
         rows: list[tuple[str, str, bool, float]] = []
-        for name, df in dfs.items():
-            if plans[name].config.truncate:
-                continue
-            pk = plans[name].config.primary_key
-            if pk:
-                for r in check(df, [complete(pk), unique(pk)]).collect():
-                    rows.append(
-                        (name, r["constraint"], r["passed"], r["observed"])
+        try:
+            for name, df in dfs.items():
+                if plans[name].config.truncate:
+                    continue
+                pk = plans[name].config.primary_key
+                if pk:
+                    for r in check(df, [complete(pk), unique(pk)]).collect():
+                        rows.append(
+                            (name, r["constraint"], r["passed"], r["observed"])
+                        )
+            for fk in self.source.get_foreign_keys():
+                if fk.table not in dfs or fk.referenced_table not in dfs:
+                    continue
+                if plans[fk.table].config.truncate:
+                    continue
+                # a truncated REFERENCED table is deliberately not
+                # skipped: every child key is then an orphan, and that
+                # breakage is exactly what the audit must surface
+                r = fk_contained(
+                    dfs[fk.table],
+                    fk.column,
+                    dfs[fk.referenced_table],
+                    fk.referenced_column,
+                ).collect()[0]
+                rows.append(
+                    (
+                        fk.table,
+                        f"fk_contained({fk.column}->"
+                        f"{fk.referenced_table}.{fk.referenced_column})",
+                        r["passed"],
+                        r["observed"],
                     )
-        for fk in self.source.get_foreign_keys():
-            if fk.table not in dfs or fk.referenced_table not in dfs:
-                continue
-            if plans[fk.table].config.truncate:
-                continue
-            # a truncated REFERENCED table is deliberately not skipped:
-            # every child key is then an orphan, and that breakage is
-            # exactly what the audit must surface
-            r = fk_contained(
-                dfs[fk.table],
-                fk.column,
-                dfs[fk.referenced_table],
-                fk.referenced_column,
-            ).collect()[0]
-            rows.append(
-                (
-                    fk.table,
-                    f"fk_contained({fk.column}->"
-                    f"{fk.referenced_table}.{fk.referenced_column})",
-                    r["passed"],
-                    r["observed"],
                 )
-            )
+        finally:
+            for df in dfs.values():
+                df.unpersist()
         return rows

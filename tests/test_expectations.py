@@ -101,3 +101,29 @@ def test_fk_containment(spark, sf_dir):
     )
     bad = fk_contained(broken, "o_custkey", customer, "c_custkey").collect()[0]
     assert bad["passed"] is False and bad["observed"] > 0
+
+
+def test_checks_on_empty_relation_are_vacuously_true(spark):
+    """Aggregates over zero rows return NULL; every check must coalesce
+    to a real observed value (an empty table crashed the audit's
+    formatting before) and pass vacuously — except min_rows, which is
+    exactly the check that must FAIL on empty."""
+    df = spark.createDataFrame([], "id long, name string, score double")
+    got = _results(
+        check(
+            df,
+            [
+                complete("name"),
+                unique("id"),
+                in_range("score", 0, 1),
+                member_of("name", ["a"]),
+                min_rows(1),
+            ],
+        )
+    )
+    for c, (passed, observed) in got.items():
+        assert observed is not None, c
+        if c == "min_rows(1)":
+            assert passed is False
+        else:
+            assert passed is True, c
