@@ -363,3 +363,44 @@ def run_streaming_stream_join(
     # join output is corpus-scale (clicks x in-window purchases) ->
     # distributed parquet spool, not the memory sink
     return stream_to_parquet(joined, "sjoin")
+
+
+def run_streaming_quality_monitor(
+    spark: SparkSession,
+    sf_dir: str,
+    expectations=None,
+) -> "list[tuple[int, str, bool, float]]":
+    """CONTINUOUS data-quality monitoring: the single-pass expectation
+    suite (operators/expectations.py) evaluated per micro-batch via
+    foreachBatch — the streaming half of the batch `audit` surface. Each
+    arriving batch is one aggregation pass (the same one-Exchange plan
+    the batch gate asserts), so the monitor's marginal cost per trigger
+    is one small agg over the new data only; results accumulate as
+    (epoch, constraint, passed, observed) rows a pipeline can alert on.
+
+    Batch-local semantics are deliberate: completeness/range/membership
+    violations are per-row facts, so per-batch checking catches them
+    exactly; UNIQUENESS here means unique WITHIN the batch — cross-batch
+    uniqueness needs keyed state (dedup_events_stream is that operator).
+    foreachBatch runs sequentially per trigger, so the result list never
+    interleaves."""
+    from ..operators.expectations import check, complete, in_range, min_rows
+
+    exps = expectations or [
+        complete("event_id"),
+        complete("user_id"),
+        in_range("value", -1e6, 1e6),
+        min_rows(1),
+    ]
+    ev = read_events_stream(spark, sf_dir)
+    results: list[tuple[int, str, bool, float]] = []
+
+    def sink(batch_df, epoch_id: int) -> None:
+        for r in check(batch_df, exps).collect():
+            results.append(
+                (int(epoch_id), r["constraint"], r["passed"], r["observed"])
+            )
+
+    q = ev.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return results

@@ -264,3 +264,35 @@ def test_streaming_heavy_hitters_state_bounded_and_guaranteed_found(
     assert guaranteed, "corpus must exercise the guarantee non-vacuously"
     missing = [u for u in guaranteed if u not in survivors]
     assert not missing, missing
+
+
+def test_streaming_quality_monitor_per_batch(spark, sf_dir):
+    """The expectation suite runs per micro-batch and flags an injected
+    violation: with a deliberately absurd range bound the monitor must
+    FAIL that constraint while completeness passes."""
+    from database_anonymiser_minimiser_spark.operators.expectations import (
+        complete,
+        in_range,
+    )
+    from database_anonymiser_minimiser_spark.streaming.events import (
+        run_streaming_quality_monitor,
+    )
+
+    rows = run_streaming_quality_monitor(spark, str(sf_dir))
+    assert rows, "no batches monitored"
+    by_constraint = {}
+    for epoch, constraint, passed, observed in rows:
+        by_constraint.setdefault(constraint, []).append(passed)
+    assert all(by_constraint["complete(event_id)"])
+    assert all(by_constraint["complete(user_id)"])
+    assert all(by_constraint["min_rows(1)"])
+
+    # injected violation: a bound the data cannot satisfy
+    bad = run_streaming_quality_monitor(
+        spark,
+        str(sf_dir),
+        expectations=[complete("event_id"), in_range("value", 1e9, 2e9)],
+    )
+    fails = [p for _, c, p, _ in bad if c.startswith("in_range")]
+    assert fails and not any(fails)
+    assert all(p for _, c, p, _ in bad if c.startswith("complete"))
