@@ -98,6 +98,26 @@ def stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+# source dirs created for prior stream readers — released when the NEXT
+# reader is built. Every in-repo caller runs its query to completion
+# (availableNow + awaitTermination) before another stream is created, so
+# the previous dir is no longer being tailed; without this, repeated
+# grading/bench sessions accumulate one tempdir per streaming run (the
+# same leak class the stateful split-dir fix closed).
+_STREAM_DIRS: list[str] = []
+
+
+def _fresh_stream_dir(prefix: str) -> str:
+    import shutil
+    import tempfile
+
+    while _STREAM_DIRS:
+        shutil.rmtree(_STREAM_DIRS.pop(), ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _STREAM_DIRS.append(d)
+    return d
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. The file source demands
     a *directory* (it tails new files landing there — the production
@@ -105,14 +125,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory holding a symlink. Applies the same TIMESTAMP(NANOS)
     tolerance as the batch reader."""
     import os
-    import tempfile
     from pathlib import Path
 
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     ns_cols = _nanos_timestamp_columns(Path(path))
-    stream_dir = tempfile.mkdtemp(prefix="dbmask_stream_")
+    stream_dir = _fresh_stream_dir("dbmask_stream_")
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     return _ntz_to_ltz(convert_ns_columns(stream, ns_cols))
@@ -206,14 +225,13 @@ def run_streaming_dedup(
     The input here is the corpus stream fed TWICE (two files in the
     source dir), so every key genuinely arrives duplicated."""
     import os
-    import tempfile
     from pathlib import Path
 
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     ns_cols = _nanos_timestamp_columns(Path(path))
-    stream_dir = tempfile.mkdtemp(prefix="dbmask_stream_dup_")
+    stream_dir = _fresh_stream_dir("dbmask_stream_dup_")
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "a.parquet"))
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "b.parquet"))
     ev = _ntz_to_ltz(
