@@ -68,6 +68,11 @@ def tumbling_counts(ev: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+#: output spools from prior stream_to_parquet calls — released when the
+#: next spool is created (see the function docstring for why not sooner)
+_SPOOL_DIRS: list[str] = []
+
+
 def stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
     """Drain a streaming DataFrame through a PARQUET sink and read the
     result back — the scale-correct harness for CORPUS-SIZED streaming
@@ -78,23 +83,33 @@ def stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
     driver-memory ceiling. The parquet spool keeps the write distributed
     and the returned DataFrame lazy. Bounded-aggregate runners
     (tumbling/watermark/sessions/heavy-hitters) keep the memory sink —
-    their output is a few hundred rows by construction. The spool lives
-    under the system temp dir for the SparkSession's lifetime (the
-    returned DataFrame reads from it lazily)."""
+    their output is a few hundred rows by construction. The checkpoint
+    dir is removed as soon as the query terminates; the OUTPUT spool
+    must outlive this call (the returned DataFrame reads it lazily), so
+    previous calls' spools are released when the NEXT spool is created —
+    every in-repo caller materialises its result before starting another
+    streaming run, capping disk at one spool instead of one per run."""
+    import shutil
     import tempfile
 
     spark = stream_df.sparkSession
+    while _SPOOL_DIRS:
+        shutil.rmtree(_SPOOL_DIRS.pop(), ignore_errors=True)
     out = tempfile.mkdtemp(prefix=f"{prefix}_out_")
+    _SPOOL_DIRS.append(out)
     chk = tempfile.mkdtemp(prefix=f"{prefix}_chk_")
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", chk)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
     return spark.read.parquet(out)
 
 

@@ -125,6 +125,24 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+
+# split dirs from runs that exited abnormally (e.g. a gated import raising
+# before the cleanup-finally is reached) — drained at the next run so no
+# exit path can accumulate event-table copies on disk
+_SPLIT_DIRS: list[str] = []
+
+
+def _fresh_split_dir(prefix: str) -> str:
+    import shutil
+    import tempfile
+
+    while _SPLIT_DIRS:
+        shutil.rmtree(_SPLIT_DIRS.pop(), ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SPLIT_DIRS.append(d)
+    return d
+
+
 def run_stateful_totals(
     spark: SparkSession,
     sf_dir: str,
@@ -157,7 +175,7 @@ def run_stateful_totals(
 
     src = f"{sf_dir}/events.parquet"
     tbl = pq.read_table(src, columns=["user_id", "ts", "event_id"])
-    split_dir = tempfile.mkdtemp(prefix="dbmask_stateful_")
+    split_dir = _fresh_split_dir("dbmask_stateful_")
     step = (tbl.num_rows + n_splits - 1) // n_splits
     for i in range(n_splits):
         pq.write_table(tbl.slice(i * step, step), os.path.join(split_dir, f"part{i}.parquet"))
@@ -230,6 +248,13 @@ def run_stateful_totals(
                 spark.conf.unset(_provider_key)
             else:
                 spark.conf.set(_provider_key, _prev_provider)
+        # the query has terminated (or failed) by here; the split-file
+        # source dir is no longer tailed — remove it so repeated runs do
+        # not accumulate full event-table copies (the memory-sink table
+        # must stay: the returned DataFrame reads it)
+        import shutil
+
+        shutil.rmtree(split_dir, ignore_errors=True)
     # the memory sink accumulates every update; the final state per user is
     # the row with the highest n_events (monotone counter)
     from pyspark.sql import functions as F
@@ -334,7 +359,7 @@ def run_streaming_heavy_hitters(
 
     src = f"{sf_dir}/events.parquet"
     tbl = pq.read_table(src, columns=["user_id", "event_id"])
-    split_dir = tempfile.mkdtemp(prefix="dbmask_hh_")
+    split_dir = _fresh_split_dir("dbmask_hh_")
     name = f"hh_{uuid.uuid4().hex[:8]}"
     try:
         step = (tbl.num_rows + n_splits - 1) // n_splits
