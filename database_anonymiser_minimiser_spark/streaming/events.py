@@ -68,9 +68,12 @@ def tumbling_counts(ev: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
-#: output spools from prior stream_to_parquet calls — released when the
-#: next spool is created (see the function docstring for why not sooner)
+#: output spools from prior stream_to_parquet calls — the oldest are
+#: released as new ones are created, keeping the last two alive (a
+#: caller may hold one spool's lazy DataFrame while draining a second
+#: stream; see the function docstring for why not sooner)
 _SPOOL_DIRS: list[str] = []
+_SPOOL_DIRS_KEEP = 2
 
 
 def stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
@@ -93,8 +96,10 @@ def stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
     import tempfile
 
     spark = stream_df.sparkSession
-    while _SPOOL_DIRS:
-        shutil.rmtree(_SPOOL_DIRS.pop(), ignore_errors=True)
+    _sweep_stale_tempdirs(f"{prefix}_out_")
+    _sweep_stale_tempdirs(f"{prefix}_chk_")
+    while len(_SPOOL_DIRS) >= _SPOOL_DIRS_KEEP:
+        shutil.rmtree(_SPOOL_DIRS.pop(0), ignore_errors=True)
     out = tempfile.mkdtemp(prefix=f"{prefix}_out_")
     _SPOOL_DIRS.append(out)
     chk = tempfile.mkdtemp(prefix=f"{prefix}_chk_")
@@ -113,21 +118,45 @@ def stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-# source dirs created for prior stream readers — released when the NEXT
-# reader is built. Every in-repo caller runs its query to completion
-# (availableNow + awaitTermination) before another stream is created, so
-# the previous dir is no longer being tailed; without this, repeated
-# grading/bench sessions accumulate one tempdir per streaming run (the
-# same leak class the stateful split-dir fix closed).
+# source dirs from prior stream readers — the OLDEST are released as new
+# ones are created, keeping at most the last four alive. A single query
+# may hold TWO live readers at once (a stream-stream join builds both
+# sides before running — releasing all-but-current here silently emptied
+# the join's left side), so the cap leaves a full query's worth of dirs
+# plus margin; without any cap, repeated grading/bench sessions
+# accumulate one tempdir per streaming run.
 _STREAM_DIRS: list[str] = []
+_STREAM_DIRS_KEEP = 4
+
+
+def _sweep_stale_tempdirs(prefix: str, max_age_s: int = 7200) -> None:
+    """Remove ORPHANED temp dirs with this prefix left by earlier
+    PROCESSES (the in-process release lists cannot see them). Age-gated:
+    a live query's source/spool dir is created seconds before use, so
+    anything hours old is a leak from a dead run — and a concurrent
+    process's fresh dirs are never touched."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    cutoff = time.time() - max_age_s
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def _fresh_stream_dir(prefix: str) -> str:
     import shutil
     import tempfile
 
-    while _STREAM_DIRS:
-        shutil.rmtree(_STREAM_DIRS.pop(), ignore_errors=True)
+    _sweep_stale_tempdirs(prefix)
+    while len(_STREAM_DIRS) >= _STREAM_DIRS_KEEP:
+        shutil.rmtree(_STREAM_DIRS.pop(0), ignore_errors=True)
     d = tempfile.mkdtemp(prefix=prefix)
     _STREAM_DIRS.append(d)
     return d

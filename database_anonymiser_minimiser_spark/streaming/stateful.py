@@ -136,6 +136,9 @@ def _fresh_split_dir(prefix: str) -> str:
     import shutil
     import tempfile
 
+    from .events import _sweep_stale_tempdirs
+
+    _sweep_stale_tempdirs(prefix)
     while _SPLIT_DIRS:
         shutil.rmtree(_SPLIT_DIRS.pop(), ignore_errors=True)
     d = tempfile.mkdtemp(prefix=prefix)
