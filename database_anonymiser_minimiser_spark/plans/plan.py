@@ -171,18 +171,36 @@ class Engine:
         Spark's committer writes the ``_SUCCESS`` marker only after the
         whole job commits, so a crash mid-table leaves no marker and
         that table re-exports from scratch while finished ones are not
-        recomputed. Determinism makes this safe: the masking functions
-        are pure per-value, so a resumed run's surviving tables are
-        byte-compatible with a fresh run's. The marker check goes
-        through the Hadoop FileSystem API, so it works identically for
-        local paths and remote stores (s3a://, hdfs://) — the multi-hour
-        remote export is exactly where resume matters. At 100 TB an
-        export WILL be interrupted; restarting table 47 of 50 instead
-        of table 1 is the difference between an incident and a retry."""
+        recomputed. Determinism alone does NOT make the skip safe: the
+        masking functions are pure per-value, so a resumed run matches a
+        fresh run only *under the same rules*. A table exported by an
+        earlier run under different config (say a masking rule added
+        after the interruption) would otherwise be skipped and silently
+        ship data anonymised under the OLD rules — a PII leak. Each
+        committed dataset therefore carries a ``_RULES_FINGERPRINT``
+        sidecar (sha256 of the table's compiled rule spec +
+        partitioning), and resume skips a table only when BOTH the
+        ``_SUCCESS`` marker exists AND the stored fingerprint matches
+        the current config; any mismatch (or a pre-fingerprint legacy
+        dataset) re-exports the table. Secrets are deliberately not
+        fingerprinted — an ``{{encrypt}}`` key rotation does not change
+        the sidecar (hashing key material next to the export would leak
+        a crackable fingerprint); rotate keys => export fresh. Both
+        marker checks go through the Hadoop FileSystem API, so they
+        work identically for local paths and remote stores (s3a://,
+        hdfs://) — the multi-hour remote export is exactly where resume
+        matters. At 100 TB an export WILL be interrupted; restarting
+        table 47 of 50 instead of table 1 is the difference between an
+        incident and a retry."""
         started = time.time()
         stats = dump_mod.ExportStats()
         for p in self.plan_tables():
-            if resume and self._dataset_committed(out_dir, p.name):
+            fp = self._table_fingerprint(p, (partition_by or {}).get(p.name))
+            if (
+                resume
+                and self._dataset_committed(out_dir, p.name)
+                and self._read_fingerprint(out_dir, p.name) == fp
+            ):
                 if p.config.truncate:
                     stats.tables_truncated += 1
                 else:
@@ -198,6 +216,7 @@ class Engine:
                 f"{out_dir}/{p.name}",
                 partition_by=(partition_by or {}).get(p.name),
             )
+            self._write_fingerprint(out_dir, p.name, fp)
             if p.config.truncate:
                 stats.tables_truncated += 1
             else:
@@ -207,6 +226,69 @@ class Engine:
                 stats.tables_exported += 1
         self._print_stats(stats, time.time() - started)
         return stats
+
+    @staticmethod
+    def _table_fingerprint(
+        plan: TablePlan, partition_by: list[str] | None
+    ) -> str:
+        """sha256 of the table's compiled processing spec — everything
+        that determines the dataset's content and layout (truncate flag,
+        retain rule, column masking rules, primary key ordering,
+        partition columns). ``TableConfig.to_raw()`` is the canonical
+        serialisation, so config-file formatting differences do not
+        perturb the hash while any semantic rule change does."""
+        import hashlib
+        import json
+
+        payload = json.dumps(
+            {
+                "config": plan.config.to_raw(),
+                "partition_by": partition_by or None,
+            },
+            sort_keys=True,
+            default=str,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()
+
+    _FINGERPRINT_MARKER = "_RULES_FINGERPRINT"
+
+    def _write_fingerprint(self, out_dir: str, table: str, fp: str) -> None:
+        """Commit the rules fingerprint next to the dataset (after the
+        parquet job's own ``_SUCCESS`` commit, so an interrupt between
+        the two leaves marker-without-fingerprint => re-export, never
+        the unsafe inverse)."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(
+            f"{out_dir}/{table}/{self._FINGERPRINT_MARKER}"
+        )
+        fs = hpath.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        out = fs.create(hpath, True)
+        try:
+            out.write(bytearray(fp.encode("ascii")))
+        finally:
+            out.close()
+
+    def _read_fingerprint(self, out_dir: str, table: str) -> str | None:
+        """Stored fingerprint, or None for legacy/partial datasets."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(
+            f"{out_dir}/{table}/{self._FINGERPRINT_MARKER}"
+        )
+        fs = hpath.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(hpath):
+            return None
+        stream = fs.open(hpath)
+        try:
+            raw = bytes(
+                jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+            )
+        finally:
+            stream.close()
+        return raw.decode("ascii", errors="replace")
 
     def _dataset_committed(self, out_dir: str, table: str) -> bool:
         """True iff ``out_dir/table/_SUCCESS`` exists, checked through

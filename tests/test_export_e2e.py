@@ -571,3 +571,71 @@ def test_export_parquet_resume_skips_completed_tables(spark, sf_dir, tmp_path):
     assert (out / "nation" / "_SUCCESS").exists()
     assert resumed.per_table_rows == first.per_table_rows
     assert resumed.rows_exported == first.rows_exported
+
+
+def test_export_parquet_resume_reexports_on_rule_change(spark, sf_dir, tmp_path):
+    """A committed dataset is only skippable on resume when the stored
+    _RULES_FINGERPRINT matches the CURRENT config: exporting under old
+    rules, then adding a masking rule and resuming, must re-export the
+    changed table (otherwise the resume silently ships data anonymised
+    under the old rules — the PII footgun). A legacy dataset with a
+    _SUCCESS marker but no fingerprint sidecar must also re-export."""
+    from database_anonymiser_minimiser_spark.config import Config
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+    base = {
+        "connection": {"type": "parquet", "path": str(sf_dir)},
+        "configuration": {
+            "region": {"primary_key": "r_regionkey"},
+            "nation": {"primary_key": "n_nationkey"},
+        },
+    }
+    out = tmp_path / "lake"
+    Engine(spark, Config.from_dict(base)).export_parquet(str(out))
+    assert (out / "region" / "_RULES_FINGERPRINT").exists()
+
+    # rules changed after the first run: region gains a masking rule
+    changed = {
+        "connection": {"type": "parquet", "path": str(sf_dir)},
+        "configuration": {
+            "region": {
+                "primary_key": "r_regionkey",
+                "columns": {"r_name": "static"},
+            },
+            "nation": {"primary_key": "n_nationkey"},
+        },
+    }
+    nation_mtime = max(
+        f.stat().st_mtime_ns for f in (out / "nation").glob("*.parquet")
+    )
+    region_mtime = max(
+        f.stat().st_mtime_ns for f in (out / "region").glob("*.parquet")
+    )
+    Engine(spark, Config.from_dict(changed)).export_parquet(
+        str(out), resume=True
+    )
+    # region re-exported under the new rules; nation untouched
+    assert (
+        max(f.stat().st_mtime_ns for f in (out / "region").glob("*.parquet"))
+        > region_mtime
+    )
+    assert (
+        max(f.stat().st_mtime_ns for f in (out / "nation").glob("*.parquet"))
+        == nation_mtime
+    )
+    masked = spark.read.parquet(str(out / "region")).select("r_name").distinct()
+    assert [r[0] for r in masked.collect()] == ["static"]
+
+    # legacy dataset: marker present, fingerprint sidecar absent
+    (out / "region" / "_RULES_FINGERPRINT").unlink()
+    region_mtime2 = max(
+        f.stat().st_mtime_ns for f in (out / "region").glob("*.parquet")
+    )
+    Engine(spark, Config.from_dict(changed)).export_parquet(
+        str(out), resume=True
+    )
+    assert (
+        max(f.stat().st_mtime_ns for f in (out / "region").glob("*.parquet"))
+        > region_mtime2
+    )
+    assert (out / "region" / "_RULES_FINGERPRINT").exists()
