@@ -501,9 +501,15 @@ def zvalue_column(
         ).alias(f"z_{col}")
 
     # bit interleave: a takes even bit positions, b odd (bitwiseAND /
-    # bitwiseOR — Python's & | on Columns are BOOLEAN operators)
+    # bitwiseOR — Python's & | on Columns are BOOLEAN operators).
+    # The fold runs in LONG: with _Z_BITS=16, b's top bit lands at
+    # position 31, which in a 32-bit int is the sign bit — the upper
+    # half of b's range would sort before everything else, splitting
+    # the curve into two swapped halves.
     def interleave(a: Column, b: Column) -> Column:
-        out = F.lit(0)
+        a = a.cast("long")
+        b = b.cast("long")
+        out = F.lit(0).cast("long")
         for i in range(_Z_BITS):
             out = out.bitwiseOR(
                 F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)

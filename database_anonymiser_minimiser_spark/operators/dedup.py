@@ -25,6 +25,8 @@ at the cost of oracle-checkability.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -297,6 +299,20 @@ def duck_minhash_lsh_sql(
 # ---------------------------------------------------------------------------
 
 
+# persisted relations of the LAST ngram_jaccard_pairs call, released on
+# the next invocation — bounds cache residency at one call's worth in a
+# long-lived session (see the in-function comment)
+_NGRAM_PERSISTS: list[DataFrame] = []
+
+
+class NgramFallbackWarning(UserWarning):
+    """ngram_jaccard_pairs' adaptive df-cap degraded to quantile mode:
+    the corpus has NO shingle under the absolute max_df, so candidate
+    generation enters its Theta(sum df^2) fallback regime — correct but
+    unbounded in cost as the corpus grows. Switch to minhash_lsh_pairs
+    or simhash_wide_pairs (both measured flat/sub-linear to sf4)."""
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -334,7 +350,21 @@ def ngram_jaccard_pairs(
     shingled = shingles(df, text_col, id_col)
     from pyspark.storagelevel import StorageLevel
 
+    # last-call-released persist cap (same pattern as the resample
+    # query's _RESAMPLE_PERSISTS): the returned DataFrame is lazy, so
+    # the caches cannot be dropped inside this call — but without a cap
+    # every invocation in a long-lived session would leave two cached
+    # relations behind. Each call releases the previous call's pair
+    # before registering its own, so at most one invocation's caches
+    # are ever resident. unpersist on a stopped session must not kill
+    # the new query.
+    while _NGRAM_PERSISTS:
+        try:
+            _NGRAM_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
     shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    _NGRAM_PERSISTS.append(shingled)
     # shingle-set size rides the inverted index (one extra int through
     # the existing shuffle, no extra join): Jaccard >= t implies
     # min(|A|,|B|) >= t * max(|A|,|B|), so size-incompatible pairs are
@@ -356,6 +386,7 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("df_count"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _NGRAM_PERSISTS.append(dfs)
     if max_df_quantile is not None:
         # one-row exact quantile of the df distribution, broadcast into
         # the filter — scale-relative stop-shingle cap
@@ -373,26 +404,39 @@ def ngram_jaccard_pairs(
         # grow with size eventually excludes EVERY shingle — at sf2 of
         # the fixed-vocab synthetic corpus the rare set went empty and
         # the operator silently returned 0 pairs (measured; ground truth
-        # 3,275). The guard is one extra one-row aggregate over the
-        # already-computed df relation, kept fully in-plan (broadcast
-        # scalar, no driver action): if even the rarest shingle exceeds
-        # max_df, the cap degrades to the fallback_quantile of the df
-        # distribution, so the candidate index is never empty. Wherever
-        # the absolute cap admits ANY shingle the result is byte-
-        # identical to the old rule (min(df) <= max_df => cap == max_df).
-        cap = dfs.agg(
-            F.when(
-                F.min("df_count") > max_df,
-                F.expr(f"percentile(df_count, {fallback_quantile}D)"),
+        # 3,275). The guard is one one-row aggregate over the
+        # already-persisted df relation: if even the rarest shingle
+        # exceeds max_df, the cap degrades to the fallback_quantile of
+        # the df distribution, so the candidate index is never empty.
+        # Wherever the absolute cap admits ANY shingle the result is
+        # byte-identical to the old rule (min(df) <= max_df =>
+        # cap == max_df). The aggregate is collected EAGERLY (1 row;
+        # it warms the persisted dictionary the rare-set filter reads
+        # next, so no scan is duplicated) so the regime change is
+        # OBSERVABLE: the quantile fallback is Theta(sum df^2) —
+        # correct but a 10-minute stage at sf4 on the designed worst
+        # case — and a pipeline operator must hear about it at plan
+        # time, not discover it on the cluster. MinHash-LSH /
+        # SimHash-63 are the at-scale operators for that regime
+        # (PERFORMANCE.md "Measured scaling").
+        mn, q = dfs.agg(
+            F.min("df_count"),
+            F.expr(f"percentile(df_count, {fallback_quantile}D)"),
+        ).first()
+        if mn is not None and mn > max_df:
+            warnings.warn(
+                f"ngram_jaccard_pairs: every shingle has df > max_df="
+                f"{max_df} (min df = {mn}); cap degraded to the "
+                f"{fallback_quantile} df-quantile ({q:.0f}). This "
+                f"regime is Theta(sum df^2) — prefer minhash_lsh_pairs "
+                f"or simhash_wide_pairs at scale.",
+                NgramFallbackWarning,
+                stacklevel=2,
             )
-            .otherwise(F.lit(float(max_df)))
-            .alias("cap")
-        )
-        rare = (
-            dfs.join(F.broadcast(cap))
-            .filter(F.col("df_count") <= F.col("cap"))
-            .select("sh")
-        )
+            capval = float(q)
+        else:
+            capval = float(max_df)
+        rare = dfs.filter(F.col("df_count") <= F.lit(capval)).select("sh")
     # per-doc rare-shingle count r rides a window over the index itself:
     # one row per doc would have been broadcast-able at test scale, but
     # its cardinality is O(#docs with a rare shingle) — at billions of

@@ -103,14 +103,32 @@ def check(df: DataFrame, expectations: "list[Expectation]") -> DataFrame:
     other agg). `passed` is evaluated JVM-side on the 1-row result."""
     if not expectations:
         raise ValueError("no expectations given")
+    names = [e.name for e in expectations]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        # the passed-predicate dispatch below keys on the constraint
+        # name; a duplicate would silently apply the LAST expectation's
+        # predicate to both rows
+        raise ValueError(f"duplicate expectation names: {dupes}")
     agg_row = df.agg(
         *[e.observed.alias(f"o{i}") for i, e in enumerate(expectations)]
     )
-    structs = ", ".join(
-        f"named_struct('constraint', '{e.name}', 'observed', CAST(o{i} AS DOUBLE))"
-        for i, e in enumerate(expectations)
+    # tidy rows built with struct/lit Columns, never interpolated SQL
+    # text — a quote or backtick in an expectation name is data here,
+    # not syntax
+    tidy = agg_row.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e.name).alias("constraint"),
+                        F.col(f"o{i}").cast("double").alias("observed"),
+                    )
+                    for i, e in enumerate(expectations)
+                ]
+            )
+        )
     )
-    tidy = agg_row.selectExpr(f"inline(array({structs}))")
     passed = F.lit(False)
     for e in expectations:
         passed = F.when(

@@ -68,40 +68,34 @@ def tumbling_counts(ev: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
-#: output spools from prior stream_to_parquet calls — the oldest are
-#: released as new ones are created, keeping the last two alive (a
-#: caller may hold one spool's lazy DataFrame while draining a second
-#: stream; see the function docstring for why not sooner)
-_SPOOL_DIRS: list[str] = []
-_SPOOL_DIRS_KEEP = 2
-
-
 def stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
-    """Drain a streaming DataFrame through a PARQUET sink and read the
-    result back — the scale-correct harness for CORPUS-SIZED streaming
-    output. The memory sink materialises every emitted row on the
-    driver; for the dedup/anonymise/join runners that is the whole
-    corpus, and the round-6 sf4 A/B measured it at 4x the parquet
-    sink's wall (14-27.6 s vs 3.5-6.2 s at 8M input rows) before any
-    driver-memory ceiling. The parquet spool keeps the write distributed
-    and the returned DataFrame lazy. Bounded-aggregate runners
-    (tumbling/watermark/sessions/heavy-hitters) keep the memory sink —
-    their output is a few hundred rows by construction. The checkpoint
-    dir is removed as soon as the query terminates; the OUTPUT spool
-    must outlive this call (the returned DataFrame reads it lazily), so
-    previous calls' spools are released when the NEXT spool is created —
-    every in-repo caller materialises its result before starting another
-    streaming run, capping disk at one spool instead of one per run."""
+    """Drain a streaming DataFrame through a PARQUET sink and return the
+    result as an eagerly-checkpointed DataFrame — the scale-correct
+    harness for CORPUS-SIZED streaming output. The memory sink
+    materialises every emitted row on the driver; for the
+    dedup/anonymise/join runners that is the whole corpus, and the
+    round-6 sf4 A/B measured it at 4x the parquet sink's wall
+    (14-27.6 s vs 3.5-6.2 s at 8M input rows) before any driver-memory
+    ceiling. The parquet spool keeps the write distributed; the
+    read-back is ``localCheckpoint``-ed (eager, executor-resident,
+    MEMORY_AND_DISK) so BOTH temp dirs are deleted before returning and
+    the result has no filesystem tail at all — a caller may hold it
+    across any number of later streaming runs (the previous
+    keep-last-two spool eviction turned a held result into a
+    FileNotFoundException at action time). Executor data stays bounded:
+    the checkpoint is the runner's output corpus, partition-distributed
+    and disk-spillable — never driver-resident. Bounded-aggregate
+    runners (tumbling/watermark/sessions/heavy-hitters) keep the memory
+    sink — their output is a few hundred rows by construction. This is
+    the test/bench harness; a production stream writes to a durable
+    sink and never round-trips through local checkpoints."""
     import shutil
     import tempfile
 
     spark = stream_df.sparkSession
     _sweep_stale_tempdirs(f"{prefix}_out_")
     _sweep_stale_tempdirs(f"{prefix}_chk_")
-    while len(_SPOOL_DIRS) >= _SPOOL_DIRS_KEEP:
-        shutil.rmtree(_SPOOL_DIRS.pop(0), ignore_errors=True)
     out = tempfile.mkdtemp(prefix=f"{prefix}_out_")
-    _SPOOL_DIRS.append(out)
     chk = tempfile.mkdtemp(prefix=f"{prefix}_chk_")
     try:
         q = (
@@ -113,9 +107,10 @@ def stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(chk, ignore_errors=True)
-    return spark.read.parquet(out)
+        shutil.rmtree(out, ignore_errors=True)
 
 
 # source dirs from prior stream readers — the OLDEST are released as new

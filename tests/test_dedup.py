@@ -262,3 +262,25 @@ def test_ngram_absolute_cap_cliff_guard(spark):
     mixed = [(i, f"common shared prefix unique{i} tail{i}") for i in range(8)]
     mdf = spark.createDataFrame(mixed, ["doc_id", "text"])
     assert D.ngram_jaccard_pairs(mdf, threshold=0.01, max_df=3).count() == 0
+
+
+def test_ngram_fallback_regime_is_observable(spark):
+    """Round-7 (r6 verdict polish): when the adaptive cap degrades to
+    quantile mode — the Theta(sum df^2) fallback regime — the operator
+    must SAY so (NgramFallbackWarning naming the at-scale alternatives),
+    and must stay silent when the absolute cap admits any shingle."""
+    import warnings as w
+
+    # uniform-df synthetic: every shingle in every doc -> fallback fires
+    docs = [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    with pytest.warns(D.NgramFallbackWarning, match="minhash_lsh_pairs"):
+        D.ngram_jaccard_pairs(df, threshold=0.9, max_df=2).count()
+
+    # Zipf-ish corpus (a common head + long unique tails): min df = 1
+    # <= max_df, absolute-cap mode — no warning may fire
+    mixed = [(i, f"common shared prefix unique{i} tail{i}") for i in range(8)]
+    mdf = spark.createDataFrame(mixed, ["doc_id", "text"])
+    with w.catch_warnings():
+        w.simplefilter("error", D.NgramFallbackWarning)
+        D.ngram_jaccard_pairs(mdf, threshold=0.01, max_df=3).count()

@@ -127,3 +127,35 @@ def test_checks_on_empty_relation_are_vacuously_true(spark):
             assert passed is False
         else:
             assert passed is True, c
+
+
+def test_check_quote_safe_names_and_duplicate_rejection(spark):
+    """Constraint names are data, not SQL text: a name containing a
+    single quote must survive verbatim (the old named_struct string
+    interpolation produced a malformed literal), and duplicate names
+    are rejected up front (the passed-dispatch would silently apply the
+    last predicate to both rows)."""
+    import pytest
+
+    from database_anonymiser_minimiser_spark.operators.expectations import (
+        Expectation,
+        check,
+        complete,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (2,)], ["`it's a col`".strip("`")])
+    quoted = Expectation(
+        "complete(it's a col)",
+        F.coalesce(
+            F.avg(F.when(F.col("`it's a col`").isNull(), 1.0).otherwise(0.0)),
+            F.lit(0.0),
+        ),
+        lambda o: o == 0.0,
+    )
+    rows = check(df, [quoted]).collect()
+    assert rows[0]["constraint"] == "complete(it's a col)"
+    assert rows[0]["passed"] is True
+
+    with pytest.raises(ValueError, match="duplicate"):
+        check(df, [quoted, quoted])

@@ -111,3 +111,28 @@ def test_zorder_export_tightens_both_dims(spark, sf_dir, tmp_path):
     import pyarrow.dataset as ds
 
     assert ds.dataset(str(zdir)).count_rows() == orders.count()
+
+
+def test_zvalue_is_nonnegative_true_morton(spark):
+    """Regression: the interleave must fold in LONG arithmetic. In a
+    32-bit int, b's bit 15 lands on the sign bit (position 31), making
+    the upper half of b's range sort NEGATIVE — two swapped half-curves
+    instead of one Morton curve. Gate: zvalues are non-negative
+    everywhere and strictly increase along the b axis at fixed a."""
+    from database_anonymiser_minimiser_spark.dump import zvalue_column
+
+    # a fixed at min (code 0), b sweeping the full range: zvalue must be
+    # monotone in b — in particular the b >= mid half must sort AFTER
+    # the lower half, not before it
+    df = spark.range(0, 256).selectExpr("0 as a", "id * 257 as b")  # b: 0..65535
+    with_codes, zcol = zvalue_column(df, "a", "b")
+    rows = (
+        with_codes.select("b", zcol)
+        .orderBy("b")
+        .collect()
+    )
+    zs = [r["zvalue"] for r in rows]
+    assert all(z >= 0 for z in zs), min(zs)
+    assert zs == sorted(zs)  # monotone along b at fixed a
+    # the top code's key uses bit 31: only representable unsigned/long
+    assert zs[-1] > (1 << 30)

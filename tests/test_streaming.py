@@ -296,3 +296,28 @@ def test_streaming_quality_monitor_per_batch(spark, sf_dir):
     fails = [p for _, c, p, _ in bad if c.startswith("in_range")]
     assert fails and not any(fails)
     assert all(p for _, c, p, _ in bad if c.startswith("complete"))
+
+
+def test_stream_to_parquet_result_survives_later_runs(spark, sf_dir):
+    """r7 regression (ADVICE): the spooled result must remain actionable
+    after ANY number of later stream_to_parquet runs — the old
+    keep-last-two eviction deleted the spool dir under a held lazy
+    DataFrame, failing at action time with FileNotFoundException. The
+    result is now eagerly localCheckpoint-ed and both temp dirs are
+    gone before the call returns."""
+    import glob
+
+    from database_anonymiser_minimiser_spark.streaming.events import (
+        run_streaming_anonymise,
+    )
+
+    held = run_streaming_anonymise(spark, sf_dir)
+    n0 = held.count()
+    assert n0 > 0
+    # no spool/checkpoint tail on disk once the call returned
+    assert not glob.glob("/tmp/anonstream_out_*")
+    assert not glob.glob("/tmp/anonstream_chk_*")
+    # three further runs would have evicted the old spool twice over
+    for _ in range(3):
+        assert run_streaming_anonymise(spark, sf_dir).count() == n0
+    assert held.count() == n0  # the held result still actions fine
