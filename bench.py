@@ -174,6 +174,11 @@ HEADLINE = [
     "events_resample_hourly_dense",
     # exists-semantics windowed funnel (running-max window passes)
     "funnel_windowed_24h",
+    # round-7 additions: user-space mergeable t-digest (two-level
+    # digest merge, band-gated) and live session windows (append mode,
+    # watermark-sealed emitted set, parquet spool sink)
+    "percentiles_tdigest_band_orders",
+    "streaming_sessions_gap",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

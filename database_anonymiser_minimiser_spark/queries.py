@@ -1419,6 +1419,57 @@ def q_percentiles_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentiles_tdigest_band_orders",
+    """
+    SELECT o_orderstatus, CAST(p AS DOUBLE) AS p, TRUE AS within_band
+    FROM (SELECT DISTINCT o_orderstatus FROM orders)
+    CROSS JOIN (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) t(p)
+    """,
+)
+def q_percentiles_tdigest_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the USER-SPACE mergeable t-digest
+    (operators/tdigest.py — the template for custom distributive
+    sketches the built-ins lack): per-group quantile estimates from the
+    two-level digest path (mapInPandas Arrow-batch partials -> sharded
+    pre-merge -> final merge; raw rows are never shuffled) are banded
+    against the exact in-plan percentile, emitting TRUE iff the
+    estimate lands within 5% — the same driver-hashable pattern as
+    percentiles_band_orders_by_status, without requiring cross-engine
+    agreement on digest internals."""
+    from .operators.tdigest import tdigest_quantiles
+
+    ps = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    orders = load(spark, sf_dir, "orders")
+    est = tdigest_quantiles(orders, "o_totalprice", ["o_orderstatus"], ps)
+    arr = ", ".join(f"{p}D" for p in ps)
+    exact = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.expr(f"percentile(o_totalprice, array({arr}))").alias("ex"))
+        .select("o_orderstatus", F.posexplode("ex").alias("i", "exact"))
+        .select(
+            "o_orderstatus",
+            F.element_at(
+                F.array(*[F.lit(p).cast("double") for p in ps]), F.col("i") + 1
+            ).alias("p"),
+            "exact",
+        )
+    )
+    # both sides are (#status x #ps)-row aggregates; the join is a
+    # broadcast over at most a few dozen rows
+    return (
+        est.join(F.broadcast(exact), ["o_orderstatus", "p"])
+        .select(
+            "o_orderstatus",
+            "p",
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                <= 0.05 * F.greatest(F.abs(F.col("exact")), F.lit(1.0))
+            ).alias("within_band"),
+        )
+    )
+
+
+@register(
     "q6_forecast_revenue",
     """
     SELECT CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -2485,6 +2536,42 @@ def q_streaming_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sf0.01 under both <= and < boundary readings)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _stream.run_streaming_with_watermark(spark, sf_dir)
+
+
+@register(
+    "streaming_sessions_gap",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    mx AS (SELECT max(ts) AS m FROM e),
+    marked AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM sess, mx GROUP BY user_id, sid, m
+    HAVING max(ts) + INTERVAL 30 MINUTE <= m - INTERVAL 2 HOUR
+    """,
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions on a LIVE stream (streaming/events.py:
+    run_streaming_sessions): F.session_window + watermark is Spark's
+    built-in stateful session-merge operator — append mode emits
+    exactly the sessions SEALED by the final watermark. The oracle is
+    the batch gaps-and-islands sessionization (events_sessionize's
+    rewrite) restricted to that emitted set: sessions whose window end
+    (last event + 30 min gap) precedes max(ts) - 2 h lateness (verified
+    identical at sf0.001 and sf0.01 under both <= and < boundary
+    readings). Output is corpus-sized (~1 session per event on this
+    sparse-activity corpus), so the runner drains through the
+    distributed parquet spool, never the memory sink."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _stream.run_streaming_sessions(spark, sf_dir)
 
 
 # ===========================================================================
@@ -5726,19 +5813,23 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 # round; deferrals past the slot budget are named here and in
 # COVERAGE.md with a family-freshness rationale, and head the next
 # round's window.
-# Round 7 window (consolidation round — no new oracle-keyed queries):
+# Round 7 window:
 #   (a) the nine r3-stale deferrals the r6 verdict names as its top
 #       item (q4/q13/q11/q16, string_suite_part, multimodal_meta,
 #       multimodal_frame_sample, text_language_id,
 #       dedup_incremental_ingest);
-#   (b) the three streaming queries whose sink changed AFTER their r5
-#       grade (memory sink -> parquet spool is now the default path):
-#       streaming_dedup_events, streaming_anonymise_events,
-#       streaming_stream_join — the green row must cover the code that
-#       actually runs;
-#   (c) 38 of the 46 remaining queries whose last driver row is r4 —
-#       everything except the eight deferrals below.
-# Slot arithmetic: 9 + 3 + 46 = 58 candidates for 50 slots; the EIGHT
+#   (b) the FIVE new-or-changed-this-round queries: the three streaming
+#       queries whose sink changed AFTER their r5 grade (memory sink ->
+#       parquet spool is now the default path): streaming_dedup_events,
+#       streaming_anonymise_events, streaming_stream_join — the green
+#       row must cover the code that actually runs — plus the two
+#       queries NEW in r7: streaming_sessions_gap (session_window on a
+#       live stream, emitted-set oracle) and
+#       percentiles_tdigest_band_orders (user-space mergeable t-digest,
+#       band gate);
+#   (c) 36 of the 46 remaining queries whose last driver row is r4 —
+#       everything except the ten deferrals below.
+# Slot arithmetic: 9 + 5 + 46 = 60 candidates for 50 slots; the TEN
 # deferred to the r8 head, each with a same-machinery sibling green
 # r5/r6 or windowed THIS round:
 #   dedup_simhash + dedup_simhash_pairs — retired 16-bit legacy
@@ -5758,9 +5849,16 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 #   topo_order — subset_export_lines' oracle pins the Kahn order
 #     (green r6; a topo regression reds that row);
 #   consistency_mapping — rides consistency_broadcast_apply +
-#     consistency_fk_integrity, both green r6.
+#     consistency_fk_integrity, both green r6;
+#   ann_topk_cosine_numpy — identical plan to ann_topk_cosine (windowed
+#     this round) up to the Arrow prune kernel, whose byte-identity to
+#     the pure-JVM path was driver-proven r6 via embedding_neardup
+#     (same prune, green r6);
+#   sample_fixed_per_lang — same deterministic hash-order machinery as
+#     sample_stratified_by_lang (windowed this round) and
+#     sample_weighted_by_length (green r6).
 # After this window lands green, no active (non-retired) oracle-keyed
-# query's latest grade is older than r4, and the eight above are the
+# query's latest grade is older than r4, and the ten above are the
 # ONLY r4-or-older grades left — they head r8. With 154 oracle-keyed
 # queries over 50 slots a ≤2-round staleness ceiling stays
 # arithmetically out of reach (154/50 > 3); the rotation keeps the
@@ -5788,16 +5886,18 @@ _PRIORITY_50 = [
     "multimodal_frame_sample",
     "text_language_id",
     "dedup_incremental_ingest",
-    # (b) sink path changed post-grade: parquet spool is now default
+    # (b) new or changed this round: the three spool-sink re-grades +
+    # the two r7-new queries
     "streaming_dedup_events",
     "streaming_anonymise_events",
     "streaming_stream_join",
-    # (c) last driver row r4 — everything except the eight documented
+    "streaming_sessions_gap",
+    "percentiles_tdigest_band_orders",
+    # (c) last driver row r4 — everything except the ten documented
     # deferrals (rationale in the header comment above)
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
     "ann_topk_cosine",
-    "ann_topk_cosine_numpy",
     "anonymise_customer_full",
     "approx_distinct_band_events",
     "asof_join_events_orders",
@@ -5823,7 +5923,6 @@ _PRIORITY_50 = [
     "q19_discounted_revenue",
     "q6_forecast_revenue",
     "range_join_events_windows",
-    "sample_fixed_per_lang",
     "sample_stratified_by_lang",
     "scrub_text_pii",
     "source_overlap_matrix",

@@ -85,8 +85,9 @@ def stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
     FileNotFoundException at action time). Executor data stays bounded:
     the checkpoint is the runner's output corpus, partition-distributed
     and disk-spillable — never driver-resident. Bounded-aggregate
-    runners (tumbling/watermark/sessions/heavy-hitters) keep the memory
-    sink — their output is a few hundred rows by construction. This is
+    runners (tumbling/watermark/heavy-hitters) keep the memory
+    sink — their output is a few hundred rows by construction
+    (sessions moved to the spool: ~1 session per event on this corpus). This is
     the test/bench harness; a production stream writes to a durable
     sink and never round-trips through local checkpoints."""
     import shutil
@@ -291,12 +292,22 @@ def run_streaming_dedup(
 
 
 def run_streaming_sessions(
-    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    lateness: str = "2 hours",
 ) -> DataFrame:
     """Session windows under streaming: session_window + watermark is the
     built-in stateful-merge operator (no applyInPandasWithState needed
-    for gap sessions)."""
-    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    for gap sessions). Append mode emits exactly the sessions SEALED by
+    the final watermark (window end = last event + gap <= max(ts) -
+    lateness) — the bounded-state production shape; the emitted set is
+    deterministic over a bounded corpus, which is what the
+    ``streaming_sessions_gap`` oracle mirrors. Output is corpus-sized
+    (sparse activity makes most events their own session — ~95% of
+    events at every measured sf), so it drains through the distributed
+    parquet spool, never the driver-materialising memory sink."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", lateness)
     agg = (
         ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
@@ -306,16 +317,7 @@ def run_streaming_sessions(
             "n_events",
         )
     )
-    name = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return stream_to_parquet(agg, "sessstream")
 
 
 def run_streaming_export(

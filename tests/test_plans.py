@@ -500,19 +500,27 @@ def test_hybrid_rrf_candidates_before_windows(spark, sf):
 
 
 def test_ngram_cliff_guard_stays_in_plan(spark, sf):
-    """The adaptive df-cap is a one-row broadcast aggregate INSIDE the
-    plan (no driver-side action deciding the cap): the guarded query
-    must still contain no cartesian product and must not move the cap
-    decision out of the plan (the cap join is a 1-row broadcast —
-    BroadcastNestedLoopJoin over a single-row relation is the expected
-    shape, same as the other scalar-broadcast operators)."""
+    """The adaptive df-cap guard (round 6, made OBSERVABLE by the r6
+    advice closure): the cap decision is an eager one-row aggregate over
+    the persisted df dictionary — so the regime change can warn at plan
+    time — and the decided cap re-enters the returned plan as a LITERAL
+    filter over that same persisted relation (no second scan, no
+    cartesian). The corpus-relative quantile mode keeps its percentile
+    aggregate fully in-plan as a 1-row broadcast."""
     from database_anonymiser_minimiser_spark.operators import dedup as D
 
     df = D.ngram_jaccard_pairs(Q.load(spark, sf, "documents"))
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan[:3000]
-    # the guard's percentile/min aggregate is present as an in-plan agg
-    assert re.search(r"percentile|min\(df_count", plan), plan[:3000]
+    # the decided cap is a literal predicate on the persisted dictionary
+    assert re.search(r"df_count#\d+L? as double\) <= 100\.0", plan), plan[:3000]
+    # quantile mode: the percentile aggregate stays in-plan (1-row bcast)
+    dfq = D.ngram_jaccard_pairs(
+        Q.load(spark, sf, "documents"), max_df_quantile=0.9
+    )
+    planq = plan_of(dfq)
+    assert "CartesianProduct" not in planq, planq[:3000]
+    assert re.search(r"percentile", planq), planq[:3000]
 
 
 def test_bucketed_join_no_exchange_before_join(spark, sf):

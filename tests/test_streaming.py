@@ -311,12 +311,19 @@ def test_stream_to_parquet_result_survives_later_runs(spark, sf_dir):
         run_streaming_anonymise,
     )
 
+    # pre-existing dirs (a crashed EARLIER session's tail, swept only
+    # after the 2 h age threshold) are not this run's leak — assert on
+    # NEW dirs only
+    pre = set(glob.glob("/tmp/anonstream_out_*") + glob.glob("/tmp/anonstream_chk_*"))
     held = run_streaming_anonymise(spark, sf_dir)
     n0 = held.count()
     assert n0 > 0
     # no spool/checkpoint tail on disk once the call returned
-    assert not glob.glob("/tmp/anonstream_out_*")
-    assert not glob.glob("/tmp/anonstream_chk_*")
+    assert not (
+        set(glob.glob("/tmp/anonstream_out_*")
+            + glob.glob("/tmp/anonstream_chk_*"))
+        - pre
+    )
     # three further runs would have evicted the old spool twice over
     for _ in range(3):
         assert run_streaming_anonymise(spark, sf_dir).count() == n0
