@@ -819,6 +819,12 @@ def simhash_wide(
     )
 
 
+# last-call-released persist cap for simhash_wide_near_pairs (same
+# pattern as _NGRAM_PERSISTS): at most one invocation's banded relation
+# stays cached in a long-lived session
+_SIMHASH_PERSISTS: list[DataFrame] = []
+
+
 def simhash_wide_near_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -831,7 +837,19 @@ def simhash_wide_near_pairs(
     hamming<=2). Band width is the scale knob: random-collision
     candidates are N^2/2^21 per band — at a billion docs that is still
     bucket-bounded work, where the 16-bit form's 4-bit bands degrade to
-    a near-cross-join."""
+    a near-cross-join.
+
+    The banded relation is PERSISTED before the self-join (round 7):
+    Catalyst does not reuse the exchange across the two join sides, so
+    without it the 63-bit majority aggregate — ~90% of the query's
+    work (explode + 63 bit-sums over every token) — executes TWICE.
+    Measured at sf0.1: 1.0 s -> 0.55 s median. The cached relation is
+    3 small rows per doc (two longs + two ints) with MEMORY_AND_DISK
+    spill, i.e. the operator's own output-scale materialisation, and
+    it is released on the next call via the same last-call-released
+    cap as ngram_jaccard_pairs."""
+    from pyspark.storagelevel import StorageLevel
+
     sh = simhash_wide(df, text_col, id_col).select("doc_id", "simhash")
     mask = (1 << WIDE_BAND_BITS) - 1
     band_structs = ", ".join(
@@ -840,6 +858,13 @@ def simhash_wide_near_pairs(
         for b in range(WIDE_BANDS)
     )
     banded = sh.select("doc_id", "simhash", F.expr(f"inline(array({band_structs}))"))
+    while _SIMHASH_PERSISTS:
+        try:
+            _SIMHASH_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    _SIMHASH_PERSISTS.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

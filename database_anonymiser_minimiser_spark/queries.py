@@ -5826,10 +5826,13 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 #       queries NEW in r7: streaming_sessions_gap (session_window on a
 #       live stream, emitted-set oracle) and
 #       percentiles_tdigest_band_orders (user-space mergeable t-digest,
-#       band gate);
-#   (c) 36 of the 46 remaining queries whose last driver row is r4 —
-#       everything except the ten deferrals below.
-# Slot arithmetic: 9 + 5 + 46 = 60 candidates for 50 slots; the TEN
+#       band gate) — plus dedup_simhash_wide_pairs, whose PLAN changed
+#       this round (banded relation persisted so the 63-bit aggregate
+#       runs once, not twice; result byte-identical, re-graded on the
+#       plan that actually runs);
+#   (c) 35 of the 46 remaining queries whose last driver row is r4 —
+#       everything except the eleven deferrals below.
+# Slot arithmetic: 9 + 6 + 46 = 61 candidates for 50 slots; the ELEVEN
 # deferred to the r8 head, each with a same-machinery sibling green
 # r5/r6 or windowed THIS round:
 #   dedup_simhash + dedup_simhash_pairs — retired 16-bit legacy
@@ -5856,9 +5859,12 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 #     (same prune, green r6);
 #   sample_fixed_per_lang — same deterministic hash-order machinery as
 #     sample_stratified_by_lang (windowed this round) and
-#     sample_weighted_by_length (green r6).
+#     sample_weighted_by_length (green r6);
+#   contamination_ngram_overlap — same shingle-generation + join
+#     machinery as its exact-membership twin contamination_check
+#     (green r6) and decontaminate_bloom (green r5).
 # After this window lands green, no active (non-retired) oracle-keyed
-# query's latest grade is older than r4, and the ten above are the
+# query's latest grade is older than r4, and the eleven above are the
 # ONLY r4-or-older grades left — they head r8. With 154 oracle-keyed
 # queries over 50 slots a ≤2-round staleness ceiling stays
 # arithmetically out of reach (154/50 > 3); the rotation keeps the
@@ -5893,6 +5899,7 @@ _PRIORITY_50 = [
     "streaming_stream_join",
     "streaming_sessions_gap",
     "percentiles_tdigest_band_orders",
+    "dedup_simhash_wide_pairs",
     # (c) last driver row r4 — everything except the ten documented
     # deferrals (rationale in the header comment above)
     "ann_ivf_topk",
@@ -5901,7 +5908,6 @@ _PRIORITY_50 = [
     "anonymise_customer_full",
     "approx_distinct_band_events",
     "asof_join_events_orders",
-    "contamination_ngram_overlap",
     "dedup_exact_keep_best",
     "dedup_minhash_lsh",
     "events_multires_rollup",
