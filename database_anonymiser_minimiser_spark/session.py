@@ -120,6 +120,10 @@ def deployment_profile(
         # already production-calibrated — stated here so the knob is
         # part of the audited envelope
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # Python DataSource filter pushdown (Spark 4.1 flag): required
+        # by sources/sqlite_datasource.py — a reader implementing
+        # pushFilters() with this off is an analysis-time ERROR
+        "spark.sql.python.filterPushdown.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         "spark.sql.session.timeZone": "UTC",

@@ -1,0 +1,159 @@
+"""Spark 4 Python DataSource for SQLite: schema inference, partitioned
+parallel reads (disjoint rowid ranges), filter pushdown into SQLite SQL
+(including adversarial quoting), and fallback of unsupported filters to
+Spark."""
+
+import sqlite3
+
+import pytest
+
+from database_anonymiser_minimiser_spark.sources.sqlite_datasource import (
+    RowidRange,
+    SqliteReader,
+    _filter_to_sql,
+    register_sqlite_datasource,
+)
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pysqlite") / "app.db")
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE users (id INTEGER PRIMARY KEY, name TEXT,"
+        " age INTEGER, score REAL, blob BLOB)"
+    )
+    rows = [
+        (i, f"user_{i:03d}", 20 + i % 50, i * 1.5, bytes([i % 256, 255]))
+        for i in range(500)
+    ]
+    # adversarial strings for the LIKE/quote escaping paths
+    rows += [
+        (1000, "o'brien", 33, 1.0, None),
+        (1001, "100%_done", 44, 2.0, None),
+        (1002, "back\\slash", 55, 3.0, None),
+        (1003, None, None, None, None),
+    ]
+    con.executemany("INSERT INTO users VALUES (?,?,?,?,?)", rows)
+    con.commit()
+    con.close()
+    return path
+
+
+@pytest.fixture()
+def reader_df(spark, db):
+    register_sqlite_datasource(spark)
+    return (
+        spark.read.format("pysqlite")
+        .option("path", db)
+        .option("table", "users")
+        .option("numPartitions", "4")
+        .load()
+    )
+
+
+def _ground(db, sql):
+    con = sqlite3.connect(db)
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_schema_and_full_roundtrip(spark, db, reader_df):
+    assert [f.name for f in reader_df.schema.fields] == [
+        "id", "name", "age", "score", "blob",
+    ]
+    assert dict(reader_df.dtypes)["age"] == "bigint"
+    assert dict(reader_df.dtypes)["score"] == "double"
+    assert dict(reader_df.dtypes)["blob"] == "binary"
+    got = sorted(
+        (r["id"], r["name"], r["age"], r["score"],
+         bytes(r["blob"]) if r["blob"] is not None else None)
+        for r in reader_df.collect()
+    )
+    want = sorted(_ground(db, "SELECT id, name, age, score, blob FROM users"))
+    assert got == want
+
+
+def test_partitions_are_disjoint_and_parallel(spark, db, reader_df):
+    assert reader_df.rdd.getNumPartitions() == 4
+    # the 4 rowid slices must tile the table exactly: no dupes, no loss
+    assert reader_df.count() == 504
+    assert reader_df.select("id").distinct().count() == 504
+
+
+def test_filter_pushdown_results_exact(spark, db, reader_df):
+    got = sorted(r["id"] for r in reader_df.filter("age > 60").collect())
+    want = sorted(r[0] for r in _ground(db, "SELECT id FROM users WHERE age > 60"))
+    assert got == want
+    got = sorted(
+        r["id"] for r in reader_df.filter("name LIKE 'user_01%'").collect()
+    )
+    want = sorted(
+        r[0] for r in _ground(db, "SELECT id FROM users WHERE id BETWEEN 10 AND 19")
+    )
+    assert got == want
+
+
+def test_pushdown_adversarial_strings(spark, db, reader_df):
+    import pyspark.sql.functions as F
+
+    assert [r["id"] for r in reader_df.filter(F.col("name") == "o'brien").collect()] == [1000]
+    assert [r["id"] for r in reader_df.filter(F.col("name").startswith("100%")).collect()] == [1001]
+    assert [r["id"] for r in reader_df.filter(F.col("name").contains("\\")).collect()] == [1002]
+    assert [r["id"] for r in reader_df.filter(F.col("name").isNull()).collect()] == [1003]
+
+
+def test_unsupported_filter_falls_back_to_spark(spark, db, reader_df):
+    # upper(name) is not a plain attribute ref: never pushed, still correct
+    got = [r["id"] for r in reader_df.filter("upper(name) = 'O''BRIEN'").collect()]
+    assert got == [1000]
+
+
+def test_reader_unit_pushdown_and_partitions(db):
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNotNull
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("age", T.LongType()),
+    ])
+    rd = SqliteReader(db, "users", schema, 4)
+    unsupported = list(rd.pushFilters([
+        GreaterThan(("age",), 30),
+        In(("id",), (1, 2, 3)),
+        IsNotNull(("age",)),
+        EqualTo(("id",), object()),  # untranslatable literal -> stays in Spark
+    ]))
+    assert len(unsupported) == 1 and isinstance(unsupported[0], EqualTo)
+    assert rd.pushed_where == [
+        '"age" > 30', '"id" IN (1, 2, 3)', '"age" IS NOT NULL',
+    ]
+    parts = rd.partitions()
+    assert all(isinstance(p, RowidRange) for p in parts)
+    spans = sorted((p.lo, p.hi) for p in parts)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo  # disjoint
+
+
+def test_like_fragment_escaping():
+    from pyspark.sql.datasource import StringContains
+
+    frag = _filter_to_sql(StringContains(("name",), "50%_o'k"))
+    assert frag == '"name" LIKE \'%50\\%\\_o\'\'k%\' ESCAPE \'\\\''
+
+
+def test_empty_match_and_missing_table(spark, db):
+    register_sqlite_datasource(spark)
+    df = (
+        spark.read.format("pysqlite")
+        .option("path", db).option("table", "users").load()
+        .filter("age > 1000")
+    )
+    assert df.count() == 0
+    with pytest.raises(Exception, match="table not found"):
+        (
+            spark.read.format("pysqlite")
+            .option("path", db).option("table", "nope").load()
+        ).collect()
