@@ -66,6 +66,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    SimpleDataSourceStreamReader,
     StringContains,
     StringEndsWith,
     StringStartsWith,
@@ -243,9 +244,72 @@ class SqliteReader(DataSourceReader):
                 yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
+class SqliteTailReader(SimpleDataSourceStreamReader):
+    """Streaming tail of a SQLite table by rowid — CDC-lite ingest for
+    the reference's own domain: stream new application-DB rows into
+    Spark and mask them in flight (compose with the streaming
+    anonymise operator) instead of re-exporting the whole table.
+
+    Offsets are ``{"rowid": N}`` — the highest rowid already emitted —
+    so a restart from checkpoint resumes exactly after the last
+    committed row, and ``readBetweenOffsets`` replays any batch
+    deterministically (rowid is SQLite's stable implicit PK; this
+    source assumes the common INSERT-mostly ledger shape — rowid REUSE
+    after DELETE, or UPDATEs, are not change events SQLite exposes
+    without triggers, and that caveat is documented, not hidden).
+
+    Simple (driver-side) reader by design: a SQLite file's write rate
+    is a single-writer stream — exactly the "input rate is small"
+    case the Simple API is for. Bulk backfill belongs to the batch
+    reader's partitioned path."""
+
+    def __init__(self, path: str, table: str, schema: T.StructType, opts):
+        self.path = path
+        self.table = table
+        self.schema_ = schema
+        # offsets are EXCLUSIVE lower bounds ("last emitted rowid").
+        # Default must sit below any real rowid: rowid 0 and negatives
+        # are legal when an INTEGER PRIMARY KEY supplies them, so the
+        # natural-looking 0 default would silently skip row 0
+        self.start_rowid = int(opts.get("startingRowid", str(-(2**63))))
+        self.max_rows = int(opts.get("maxRowsPerBatch", "10000"))
+
+    def initialOffset(self) -> dict:
+        return {"rowid": self.start_rowid}
+
+    def _select(self, lo: int, hi: int | None, limit: int | None):
+        import contextlib
+
+        cols = ", ".join(_q(f.name) for f in self.schema_.fields)
+        sql = f"SELECT {cols}, rowid FROM {_q(self.table)} WHERE rowid > {lo}"
+        if hi is not None:
+            sql += f" AND rowid <= {hi}"
+        sql += " ORDER BY rowid"
+        if limit is not None:
+            sql += f" LIMIT {limit}"
+        with contextlib.closing(sqlite3.connect(self.path)) as con:
+            con.text_factory = str
+            return con.execute(sql).fetchall()
+
+    def read(self, start: dict) -> tuple:
+        lo = int(start["rowid"])
+        rows = self._select(lo, None, self.max_rows)
+        if not rows:
+            return iter([]), {"rowid": lo}
+        end = rows[-1][-1]  # rowid of the last emitted row
+        return iter([r[:-1] for r in rows]), {"rowid": int(end)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator:
+        rows = self._select(int(start["rowid"]), int(end["rowid"]), None)
+        return iter([r[:-1] for r in rows])
+
+
 class SqliteDataSource(DataSource):
     """format("pysqlite"): options `path` (db file), `table`,
-    `numPartitions` (default 4)."""
+    `numPartitions` (default 4, batch reads). Also readable as a
+    STREAM (``spark.readStream.format("pysqlite")``): tails the table
+    by rowid with checkpoint-replayable offsets (SqliteTailReader);
+    extra stream options `startingRowid`, `maxRowsPerBatch`."""
 
     @classmethod
     def name(cls) -> str:
@@ -283,6 +347,11 @@ class SqliteDataSource(DataSource):
             self._table(),
             schema,
             int(self.options.get("numPartitions", "4")),
+        )
+
+    def simpleStreamReader(self, schema: T.StructType) -> SqliteTailReader:
+        return SqliteTailReader(
+            self.options["path"], self._table(), schema, self.options
         )
 
 

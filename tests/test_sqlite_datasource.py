@@ -157,3 +157,71 @@ def test_empty_match_and_missing_table(spark, db):
             spark.read.format("pysqlite")
             .option("path", db).option("table", "nope").load()
         ).collect()
+
+
+def test_stream_tail_resumes_from_checkpoint(spark, db, tmp_path):
+    """Streaming tail: first availableNow run drains the table; rows
+    appended AFTER it are the ONLY output of the second run with the
+    same checkpoint — offsets ({'rowid': N}) persist and replay."""
+    import sqlite3 as s3
+
+    register_sqlite_datasource(spark)
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    def drain():
+        # parquet sink: the memory sink refuses checkpoint RECOVERY, and
+        # resumability is exactly what this test proves
+        q = (
+            spark.readStream.format("pysqlite")
+            .option("path", db).option("table", "users")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["id"] for r in spark.read.parquet(out).collect()}
+
+    first = drain()
+    assert len(first) == 504  # the whole table on first run
+    con = s3.connect(db)
+    con.execute("INSERT INTO users VALUES (2000, 'late_arrival', 99, 9.9, NULL)")
+    con.commit()
+    con.close()
+    second = drain()
+    assert second == first | {2000}  # exactly one new row appended
+
+
+def test_stream_tail_masked_in_flight(spark, db, tmp_path):
+    """Compose the tail with the engine's own domain: deterministic
+    pseudonymisation applied to the live stream — the reference's
+    export loop as CONTINUOUS ingest."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.functions.faker_deterministic import (
+        FAKER_FUNCTIONS,
+    )
+
+    register_sqlite_datasource(spark)
+    stream = (
+        spark.readStream.format("pysqlite")
+        .option("path", db).option("table", "users").load()
+        .select(
+            "id",
+            F.expr(FAKER_FUNCTIONS["name"].sql("spark", "name")).alias("masked"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("tail_masked")
+        .option("checkpointLocation", str(tmp_path / "chk2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("tail_masked").collect()
+    assert len(rows) >= 504
+    originals = {r["masked"] for r in rows}
+    assert "user_001" not in originals  # every name rewritten
