@@ -52,6 +52,31 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return read_parquet_table(spark, f"{sf_dir}/{table}.parquet")
 
 
+# per-query last-call-released persist registry (the generalised form of
+# the resample/ngram/simhash caps): a query whose returned-lazy plan
+# consumes one relation TWICE persists it here; the NEXT invocation of
+# the same query releases the previous call's cache first, so a
+# long-lived session holds at most one call's worth per query key.
+_QUERY_PERSISTS: dict[str, list[DataFrame]] = {}
+
+
+def _cap_persist(key: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK), releasing whatever the previous
+    call under ``key`` persisted. unpersist on a dead session must not
+    kill the new query (harness restarts Spark between calls)."""
+    from pyspark.storagelevel import StorageLevel
+
+    stash = _QUERY_PERSISTS.setdefault(key, [])
+    while stash:
+        try:
+            stash.pop().unpersist()
+        except Exception:
+            pass
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    stash.append(out)
+    return out
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -3856,17 +3881,29 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
-    quarter (scalar-max subquery against a derived view). The revenue
-    aggregation runs once; the max re-aggregates the per-supplier
-    partials (tiny exchange) and broadcasts back as a 1-row filter —
-    never a global sort, and ties all surface (reference semantics).
-    The max/equality comparison runs on the identical decimal→string→
-    double surface on both engines, so equality is bit-exact."""
+    quarter (scalar-max subquery against a derived view). The
+    per-supplier revenue relation is PERSISTED (r7 plan-audit find:
+    Catalyst reused NEITHER the scan nor the exchange across its two
+    consumers — pre- and post-AQE — so the quarter's lineitem scan +
+    revenue aggregation, the query's entire cost, ran TWICE. Honest
+    accounting: wall time at sf0.1 on an idle 32-core box is NEUTRAL
+    (the duplicate work parallelises into spare slots; same-session A/B
+    medians 0.242 vs 0.248 s) — what the persist halves is TOTAL task
+    work and lineitem I/O, which is what bills on a saturated cluster.
+    The cached relation is one bounded row per active supplier,
+    released on the next call). The max then re-aggregates the cached
+    partials (tiny
+    exchange) and broadcasts back as a 1-row filter — never a global
+    sort, and ties all surface (reference semantics). The max/equality
+    comparison runs on the identical decimal→string→double surface on
+    both engines, so equality is bit-exact."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
-    rev = li.groupBy("l_suppkey").agg(_dec_revenue().alias("total_revenue"))
+    rev = _cap_persist(
+        "q15", li.groupBy("l_suppkey").agg(_dec_revenue().alias("total_revenue"))
+    )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -5818,7 +5855,7 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 #       item (q4/q13/q11/q16, string_suite_part, multimodal_meta,
 #       multimodal_frame_sample, text_language_id,
 #       dedup_incremental_ingest);
-#   (b) the FIVE new-or-changed-this-round queries: the three streaming
+#   (b) the SEVEN new-or-changed-this-round queries: the three streaming
 #       queries whose sink changed AFTER their r5 grade (memory sink ->
 #       parquet spool is now the default path): streaming_dedup_events,
 #       streaming_anonymise_events, streaming_stream_join — the green
@@ -5826,13 +5863,15 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 #       queries NEW in r7: streaming_sessions_gap (session_window on a
 #       live stream, emitted-set oracle) and
 #       percentiles_tdigest_band_orders (user-space mergeable t-digest,
-#       band gate) — plus dedup_simhash_wide_pairs, whose PLAN changed
-#       this round (banded relation persisted so the 63-bit aggregate
-#       runs once, not twice; result byte-identical, re-graded on the
-#       plan that actually runs);
-#   (c) 35 of the 46 remaining queries whose last driver row is r4 —
-#       everything except the eleven deferrals below.
-# Slot arithmetic: 9 + 6 + 46 = 61 candidates for 50 slots; the ELEVEN
+#       band gate) — plus the two whose PLAN changed this round, both
+#       r7 plan-audit finds, both result-byte-identical, re-graded on
+#       the plan that actually runs: dedup_simhash_wide_pairs (banded
+#       relation persisted so the 63-bit aggregate runs once, not
+#       twice) and q15_top_supplier (per-supplier revenue persisted so
+#       the quarter's lineitem scan+agg runs once, not twice);
+#   (c) 34 of the 46 remaining queries whose last driver row is r4 —
+#       everything except the twelve deferrals below.
+# Slot arithmetic: 9 + 7 + 46 = 62 candidates for 50 slots; the TWELVE
 # deferred to the r8 head, each with a same-machinery sibling green
 # r5/r6 or windowed THIS round:
 #   dedup_simhash + dedup_simhash_pairs — retired 16-bit legacy
@@ -5862,12 +5901,15 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 #     sample_weighted_by_length (green r6);
 #   contamination_ngram_overlap — same shingle-generation + join
 #     machinery as its exact-membership twin contamination_check
-#     (green r6) and decontaminate_bloom (green r5).
+#     (green r6) and decontaminate_bloom (green r5);
+#   q14_promo_share — same lineitem-x-part broadcast-join +
+#     conditional-aggregate machinery as q17_small_quantity_revenue
+#     and q19_discounted_revenue, BOTH windowed this round.
 # After this window lands green, no active (non-retired) oracle-keyed
-# query's latest grade is older than r4, and the eleven above are the
-# ONLY r4-or-older grades left — they head r8. With 154 oracle-keyed
+# query's latest grade is older than r4, and the twelve above are the
+# ONLY r4-or-older grades left — they head r8. With 156 oracle-keyed
 # queries over 50 slots a ≤2-round staleness ceiling stays
-# arithmetically out of reach (154/50 > 3); the rotation keeps the
+# arithmetically out of reach (156/50 > 3); the rotation keeps the
 # overflow at its minimum and names it rather than letting it happen
 # silently.
 # Permanently not windowed (COVERAGE.md): the rows-only-by-design
@@ -5900,6 +5942,7 @@ _PRIORITY_50 = [
     "streaming_sessions_gap",
     "percentiles_tdigest_band_orders",
     "dedup_simhash_wide_pairs",
+    "q15_top_supplier",
     # (c) last driver row r4 — everything except the ten documented
     # deferrals (rationale in the header comment above)
     "ann_ivf_topk",
@@ -5923,7 +5966,6 @@ _PRIORITY_50 = [
     "profile_customer",
     "q10_returned_item_revenue",
     "q12_priority_shipping",
-    "q14_promo_share",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
