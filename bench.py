@@ -174,11 +174,12 @@ HEADLINE = [
     "events_resample_hourly_dense",
     # exists-semantics windowed funnel (running-max window passes)
     "funnel_windowed_24h",
-    # round-7 additions: user-space mergeable t-digest (two-level
-    # digest merge, band-gated) and live session windows (append mode,
-    # watermark-sealed emitted set, parquet spool sink)
+    # round-7 addition: user-space mergeable t-digest (two-level digest
+    # merge, band-gated). streaming_sessions_gap is correctness-gated in
+    # the oracle suite but excluded here for the same reason as
+    # streaming_dedup/anonymise above: its wall is micro-batch harness +
+    # spool machinery, not operator throughput.
     "percentiles_tdigest_band_orders",
-    "streaming_sessions_gap",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one
