@@ -141,6 +141,22 @@ SHOWCASE = [
         "InMemoryRelation, and the zero-fill joins broadcast - no "
         "second corpus scan, no sort-merge join.",
     ),
+    (
+        "percentiles_tdigest_band_orders",
+        "User-space mergeable t-digest: raw rows never cross an "
+        "Exchange - the mapInPandas stage emits O(delta) centroid "
+        "arrays per (Arrow batch, group), the sharded pre-merge and "
+        "final merge shuffle only digests, and the 5% accuracy band "
+        "joins the exact in-plan percentile as a bounded broadcast.",
+    ),
+    (
+        "q15_top_supplier",
+        "Scalar-max subquery WITHOUT the double scan: the per-supplier "
+        "revenue relation is persisted (r7 plan-audit find - Catalyst "
+        "reuses neither scan nor exchange across its two consumers), "
+        "so the quarter's lineitem pass runs once; max re-aggregates "
+        "the cached partials and broadcasts back as a 1-row filter.",
+    ),
 ]
 
 
