@@ -71,6 +71,11 @@ class Connection:
     database_name: str = ""
     file: str = ""  # sqlite
     path: str = ""  # parquet corpus dir (engine extension)
+    # sqlite only (engine extension): >0 routes table scans through the
+    # native Spark DataSource (format "pysqlite") with this many
+    # rowid-range partitions read in parallel by executors; 0 keeps the
+    # reference-shaped driver-side Arrow ingest
+    partitions: int = 0
 
     def validate(self) -> None:
         if self.type not in VALID_CONNECTION_TYPES:

@@ -78,7 +78,9 @@ class Engine:
         elif conn.type == "sqlite":
             from ..sources.sqlite import SqliteSource
 
-            self.source = SqliteSource(self.spark, conn.file)
+            self.source = SqliteSource(
+                self.spark, conn.file, partitions=conn.partitions
+            )
         else:
             # mysql / postgres / derby: the live JDBC catalog+scan source.
             # Derby's driver ships inside Spark and runs embedded — the

@@ -58,11 +58,26 @@ def _decl_to_spark(decl: str | None) -> T.DataType:
 class SqliteSource:
     """Driver-interface parity over a SQLite database file."""
 
-    def __init__(self, spark: SparkSession, path: str | Path):
+    def __init__(
+        self, spark: SparkSession, path: str | Path, partitions: int = 0
+    ):
+        """``partitions > 0`` routes ``read`` through the native Spark
+        DataSource (``sources/sqlite_datasource.py``): rowid-range
+        slices scanned in parallel by executors, filters pushable into
+        SQLite. 0 (default) keeps the reference-shaped driver-side
+        Arrow ingest — right for small files and the only option when
+        executors cannot reach the .db path. Catalog calls (tables /
+        DDL / columns / FKs / counts) are driver-side metadata either
+        way."""
         self.spark = spark
         self.path = str(path)
+        self.partitions = partitions
         if not Path(self.path).exists():
             raise FileNotFoundError(f"sqlite database not found: {self.path}")
+        if partitions > 0:
+            from .sqlite_datasource import register_sqlite_datasource
+
+            register_sqlite_datasource(spark)
 
     def _connect(self):
         """Context manager yielding a connection that is CLOSED on exit —
@@ -133,7 +148,18 @@ class SqliteSource:
         )
 
     def read(self, table: str) -> DataFrame:
-        """Full-table scan -> Spark DataFrame via Arrow record batches."""
+        """Full-table scan -> Spark DataFrame. With ``partitions > 0``
+        the scan is the native DataSource's parallel rowid-partitioned
+        read (and downstream filters push into SQLite); otherwise the
+        driver-side Arrow ingest below."""
+        if self.partitions > 0:
+            return (
+                self.spark.read.format("pysqlite")
+                .option("path", self.path)
+                .option("table", table)
+                .option("numPartitions", str(self.partitions))
+                .load()
+            )
         import pyarrow as pa
 
         schema = self.spark_schema(table)

@@ -205,3 +205,34 @@ def test_sync_on_sqlite(spark, db_path):
     eng = Engine(spark, cfg)
     missing = eng.sync(dry_run=True)
     assert set(missing) == {"orders", "products", "types_test"}
+
+
+def test_parallel_partitions_export_identical(spark, db_path, tmp_path):
+    """connection.partitions > 0 routes scans through the native Spark
+    DataSource (rowid-partitioned parallel reads): the exported dump
+    must be byte-identical to the driver-side Arrow path's, and the
+    scan must actually carry the requested partitioning."""
+    base = {
+        "configuration": {
+            "users": {
+                "primary_key": "id",
+                "columns": {"email": "{{faker.email}}", "name": "REDACTED"},
+            },
+            "orders": {"retain": 3, "primary_key": "id"},
+        },
+    }
+    cfg_serial = C.Config.from_dict(
+        {"connection": {"type": "sqlite", "file": db_path}, **base}
+    )
+    cfg_par = C.Config.from_dict(
+        {"connection": {"type": "sqlite", "file": db_path, "partitions": 3}, **base}
+    )
+    eng_par = Engine(spark, cfg_par)
+    assert eng_par.source.read("users").rdd.getNumPartitions() == 3
+    out_a, out_b = tmp_path / "serial.sql", tmp_path / "parallel.sql"
+    Engine(spark, cfg_serial).export(str(out_a), db_type="sqlite")
+    eng_par.export(str(out_b), db_type="sqlite")
+    import re
+
+    strip_ts = lambda s: re.sub(r"\d{4}-\d{2}-\d{2}T[0-9:+]+", "<ts>", s)  # noqa: E731
+    assert strip_ts(out_a.read_text()) == strip_ts(out_b.read_text())
