@@ -413,3 +413,148 @@ def run_streaming_heavy_hitters(
     finally:
         spark.catalog.dropTempView(name)
         shutil.rmtree(split_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming t-digest: running quantile estimates per key over an
+# unbounded stream, the quantile companion to the Misra-Gries summary
+# above (same state discipline: bounded sketch per key, JSON-string
+# state row, update-mode emission per micro-batch).
+# ---------------------------------------------------------------------------
+
+TD_DELTA = 100.0
+TD_PS = (0.25, 0.5, 0.9)
+TD_OUTPUT_SCHEMA = (
+    "event_type string, n_seen bigint, p25 double, p50 double, p90 double"
+)
+TD_STATE_SCHEMA = "digest string, n_seen bigint"
+
+
+def _update_tdigest(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch into the key's digest. Incremental feeding
+    keeps the state bounded at <= ~2*delta centroids however long the
+    stream runs (compress() enforces the k1 size bound on every merge);
+    accuracy under ARBITRARY batchings is property-tested in
+    tests/test_tdigest.py::test_incremental_feed_accuracy."""
+    import json
+
+    import numpy as np
+
+    from ..operators.tdigest import compress, merge_digests, quantile
+
+    if state.exists:
+        digest_json, n_seen = state.get
+        d = json.loads(digest_json)
+        m, w = np.asarray(d["m"]), np.asarray(d["w"])
+        vmin, vmax = d["vmin"], d["vmax"]
+    else:
+        m = w = np.array([])
+        vmin, vmax = float("inf"), float("-inf")
+        n_seen = 0
+    for pdf in pdfs:
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if not vals.size:
+            continue
+        n_seen += int(vals.size)
+        vmin = min(vmin, float(vals.min()))
+        vmax = max(vmax, float(vals.max()))
+        pm, pw = compress(vals, np.ones_like(vals), TD_DELTA)
+        m, w = merge_digests([(m, w), (pm, pw)], TD_DELTA) if m.size else (pm, pw)
+    state.update(
+        (
+            json.dumps(
+                {"m": m.tolist(), "w": w.tolist(), "vmin": vmin, "vmax": vmax}
+            ),
+            n_seen,
+        )
+    )
+    ests = quantile(m, w, vmin, vmax, TD_PS) if m.size else [None] * len(TD_PS)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n_seen],
+            "p25": [ests[0]],
+            "p50": [ests[1]],
+            "p90": [ests[2]],
+        }
+    )
+
+
+def running_quantiles(events: DataFrame) -> DataFrame:
+    """Per-event-type running quantiles of ``value``: state is one
+    bounded digest per key (O(delta) doubles regardless of stream
+    length), emission per micro-batch is the current estimate —
+    streaming percentile monitoring without retaining events."""
+    return events.select("event_type", "value").groupBy("event_type").applyInPandasWithState(
+        _update_tdigest,
+        TD_OUTPUT_SCHEMA,
+        TD_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_quantiles(
+    spark: SparkSession, sf_dir: str, n_splits: int = 4
+) -> DataFrame:
+    """Stream the events table in ``n_splits`` micro-batches through the
+    per-type digest operator and return the FINAL estimate per type (the
+    emission with the highest n_seen — a monotone counter)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from ..sources.parquet import _nanos_timestamp_columns, convert_ns_columns
+
+    src = f"{sf_dir}/events.parquet"
+    tbl = pq.read_table(src, columns=["event_type", "value"])
+    split_dir = _fresh_split_dir("dbmask_tdq_")
+    name = f"tdq_{uuid.uuid4().hex[:8]}"
+    try:
+        step = (tbl.num_rows + n_splits - 1) // n_splits
+        for i in range(n_splits):
+            pq.write_table(
+                tbl.slice(i * step, step),
+                os.path.join(split_dir, f"part{i}.parquet"),
+            )
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(split_dir).schema
+        ns_cols = _nanos_timestamp_columns(
+            Path(os.path.join(split_dir, "part0.parquet"))
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(split_dir)
+        )
+        stream = convert_ns_columns(stream, ns_cols)
+        q = (
+            running_quantiles(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        emissions = spark.table(name)
+        w = Window.partitionBy("event_type").orderBy(F.col("n_seen").desc())
+        final = (
+            emissions.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(split_dir, ignore_errors=True)

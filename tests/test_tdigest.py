@@ -124,3 +124,49 @@ def test_spark_path_no_raw_row_shuffle(spark, sf_dir):
 
     for m in re.finditer(r"\(\d+\) Exchange\b.*?\n(.*?)\n", plan):
         assert "_v#" not in m.group(1), m.group(0)
+
+
+def test_incremental_feed_accuracy():
+    """The streaming state discipline: feed a corpus in arbitrary batch
+    splits through repeated merge-with-running-digest. The running
+    digest must stay size-bounded after EVERY step and land within the
+    rank band at the end — digest(digest(A)+B) is not byte-equal to
+    digest(A+B), but the accuracy contract survives."""
+    rng = np.random.default_rng(17)
+    vals = rng.lognormal(2.0, 1.2, 40_000)
+    for n_batches in (1, 7, 23):
+        m = w = np.array([])
+        for chunk in np.array_split(vals, n_batches):
+            pm, pw = compress(chunk, np.ones_like(chunk), 100.0)
+            m, w = merge_digests([(m, w), (pm, pw)], 100.0) if m.size else (pm, pw)
+            assert m.size <= 2 * 100 + 2
+        ests = quantile(m, w, float(vals.min()), float(vals.max()), PS)
+        for p, e in zip(PS, ests):
+            assert _rank_error(vals, e, p) <= 0.02, (n_batches, p)
+
+
+def test_streaming_running_quantiles(spark, sf_dir):
+    """Live-stream path: 4 micro-batches through applyInPandasWithState;
+    the final per-type estimates land within 5% of numpy exact, and
+    every type in the corpus is present."""
+    from database_anonymiser_minimiser_spark.sources.parquet import (
+        read_parquet_table,
+    )
+    from database_anonymiser_minimiser_spark.streaming.stateful import (
+        run_streaming_quantiles,
+    )
+
+    got = {r["event_type"]: r for r in run_streaming_quantiles(spark, sf_dir).collect()}
+    pdf = (
+        read_parquet_table(spark, f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    assert set(got) == set(pdf["event_type"].unique())
+    for etype, r in got.items():
+        vals = pdf.loc[pdf["event_type"] == etype, "value"].to_numpy(dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        assert r["n_seen"] == vals.size
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            exact = np.quantile(vals, p)
+            assert abs(r[col] - exact) <= 0.05 * max(abs(exact), 1.0), (etype, p)
