@@ -88,11 +88,19 @@ def _q(ident: str) -> str:
 
 def _sql_literal(v) -> str | None:
     """SQL literal for a pushed filter value; None = not translatable
-    (the filter stays in Spark)."""
+    (the filter stays in Spark). Untranslatable includes non-finite
+    floats (SQLite has no Inf/NaN literal — repr() would be a syntax
+    error at scan time) and ints beyond 64 bits (SQLite silently parses
+    oversized integer literals as floats, changing comparison
+    semantics)."""
+    import math
+
     if isinstance(v, bool):
         return "1" if v else "0"
-    if isinstance(v, (int, float)):
-        return repr(v)
+    if isinstance(v, int):
+        return repr(v) if -(2**63) <= v < 2**63 else None
+    if isinstance(v, float):
+        return repr(v) if math.isfinite(v) else None
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     return None
@@ -237,10 +245,27 @@ class SqliteReader(DataSourceReader):
                 if not rows:
                     break
                 columns = list(zip(*rows))
-                arrays = [
-                    pa.array(columns[i], type=arrow_fields[i].type)
-                    for i in range(len(arrow_fields))
-                ]
+                arrays = []
+                for i, f in enumerate(arrow_fields):
+                    vals = columns[i]
+                    # SQLite columns are dynamically typed: a TEXT
+                    # column can hold stray ints, BLOB can hold
+                    # memoryview — coerce to the declared affinity
+                    # (same rule as the class-based source) so
+                    # pa.array never sees a type it rejects
+                    if f.type == pa.binary():
+                        vals = [
+                            bytes(v)
+                            if isinstance(v, (bytes, bytearray, memoryview))
+                            else (str(v).encode() if v is not None else None)
+                            for v in vals
+                        ]
+                    elif f.type == pa.string():
+                        vals = [
+                            v if isinstance(v, str) or v is None else str(v)
+                            for v in vals
+                        ]
+                    arrays.append(pa.array(vals, type=f.type))
                 yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 

@@ -225,3 +225,44 @@ def test_stream_tail_masked_in_flight(spark, db, tmp_path):
     assert len(rows) >= 504
     originals = {r["masked"] for r in rows}
     assert "user_001" not in originals  # every name rewritten
+
+
+def test_untranslatable_literals_stay_in_spark(spark, db, reader_df):
+    """Non-finite floats and >64-bit ints have no SQLite literal — the
+    filter must fall back to Spark, never emit broken SQL."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+    from database_anonymiser_minimiser_spark.sources.sqlite_datasource import (
+        _filter_to_sql,
+    )
+
+    assert _filter_to_sql(EqualTo(("score",), float("inf"))) is None
+    assert _filter_to_sql(EqualTo(("score",), float("nan"))) is None
+    assert _filter_to_sql(GreaterThan(("id",), 2**70)) is None
+    # end-to-end: the query still answers correctly via Spark-side eval
+    import pyspark.sql.functions as F
+
+    assert reader_df.filter(F.col("score") == float("inf")).count() == 0
+
+
+def test_dynamic_typing_coerced(spark, tmp_path):
+    """SQLite's dynamic typing: stray ints in a TEXT column surface as
+    strings (declared-affinity rule), not Arrow conversion errors."""
+    import sqlite3 as s3
+
+    path = str(tmp_path / "dyn.db")
+    con = s3.connect(path)
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, label TEXT)")
+    con.execute("INSERT INTO t VALUES (1, 'ok')")
+    con.execute("INSERT INTO t VALUES (2, 42)")  # int in a TEXT column
+    con.commit()
+    con.close()
+    register_sqlite_datasource(spark)
+    got = {
+        r["id"]: r["label"]
+        for r in (
+            spark.read.format("pysqlite")
+            .option("path", path).option("table", "t").load()
+            .collect()
+        )
+    }
+    assert got == {1: "ok", 2: "42"}
