@@ -901,7 +901,7 @@ def q_approx_distinct_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
     marked AS (SELECT user_id, ts,
         CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
              THEN 1 ELSE 0 END AS new_s
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
     sess AS (SELECT user_id, ts,
@@ -918,9 +918,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     F.session_window — the built-in stateful-streaming-compatible form
     (runs identically under Structured Streaming + watermark). Oracle is
     the classic gaps-and-islands rewrite: a new session starts when the
-    gap since the previous event is >= 30 min (Spark's session window is
-    the half-open [start, last+gap), so an event landing exactly at
-    last+gap opens a new session)."""
+    gap since the previous event is STRICTLY > 30 min. The boundary
+    convention is Spark-verified, not assumed: touching windows MERGE,
+    so an event at exactly last+gap extends the session (probed
+    directly, and hypothesis-fuzzed on a 30 s grid against an
+    independent reference in tests/test_session_fuzz.py — the corpus
+    never lands a delta on the exact microsecond boundary, which is
+    precisely why only a fuzzer could pin this down)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -2570,7 +2574,7 @@ def q_streaming_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx AS (SELECT max(ts) AS m FROM e),
     marked AS (SELECT user_id, ts,
         CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
              THEN 1 ELSE 0 END AS new_s
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
     sess AS (SELECT user_id, ts,
@@ -2589,10 +2593,11 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in stateful session-merge operator — append mode emits
     exactly the sessions SEALED by the final watermark. The oracle is
     the batch gaps-and-islands sessionization (events_sessionize's
-    rewrite) restricted to that emitted set: sessions whose window end
-    (last event + 30 min gap) precedes max(ts) - 2 h lateness (verified
-    identical at sf0.001 and sf0.01 under both <= and < boundary
-    readings). Output is corpus-sized (~1 session per event on this
+    rewrite — STRICT > gap, the Spark-verified merge-at-touching
+    convention; tests/test_session_fuzz.py) restricted to that emitted
+    set: sessions whose window end (last event + 30 min gap) precedes
+    max(ts) - 2 h lateness (verified identical at sf0.001 and sf0.01
+    under both <= and < boundary readings). Output is corpus-sized (~1 session per event on this
     sparse-activity corpus), so the runner drains through the
     distributed parquet spool, never the memory sink."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
