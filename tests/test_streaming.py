@@ -328,3 +328,48 @@ def test_stream_to_parquet_result_survives_later_runs(spark, sf_dir):
     for _ in range(3):
         assert run_streaming_anonymise(spark, sf_dir).count() == n0
     assert held.count() == n0  # the held result still actions fine
+
+
+def test_watermark_emission_boundary_is_inclusive(spark, tmp_path):
+    """Directed boundary probe (r7): a window whose END equals the final
+    watermark exactly IS emitted — so the `window_end <= max(ts) -
+    lateness` reading in the streaming_events_watermark /
+    streaming_sessions_gap oracles encodes Spark's real convention.
+    Corpus timestamps never land on the exact boundary (the session-gap
+    fuzzer proved how much that can hide), so this pins it with a
+    constructed one: window [00:00,01:00) and max ts 03:00:00.000000
+    sharp with 2 h lateness -> watermark == 01:00:00 == window end."""
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = str(tmp_path / "wm_src")
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:30:00"), ("b", "2024-01-01 03:00:00")],
+        "event_type string, ts_s string",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    df.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d).withWatermark(
+        "ts", "2 hours"
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.end").cast("string").alias("wend"), "event_type", "n")
+    )
+    import uuid as _uuid
+
+    name = f"wmb_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {r["wend"] for r in spark.table(name).collect()}
+    spark.catalog.dropTempView(name)
+    # end == watermark: emitted (inclusive). The 03:00 event's own
+    # window (end 04:00 > watermark) must NOT be.
+    assert "2024-01-01 01:00:00" in emitted
+    assert all(not e.startswith("2024-01-01 04:") for e in emitted)
