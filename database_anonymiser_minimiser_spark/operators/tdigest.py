@@ -164,8 +164,11 @@ def tdigest_quantiles(
     Output columns: ``*group_cols, p double, est double``.
     """
     gcols = list(group_cols)
+    # NaN must be stripped alongside NULL: isNotNull() passes NaN, and a
+    # single NaN poisons vmin/vmax and every centroid mean for its group.
+    # Matches the streaming twin (_update_tdigest strips NaN explicitly).
     src = df.select(*gcols, F.col(value_col).cast("double").alias("_v")).filter(
-        F.col("_v").isNotNull()
+        F.col("_v").isNotNull() & ~F.isnan("_v")
     )
     gfields = [src.schema[c] for c in gcols]
     digest_schema = StructType(

@@ -19,6 +19,31 @@ path cannot express:
   clause and *removed* from Spark's plan; unsupported ones stay in
   Spark. Less data crosses the Python<->JVM boundary AND SQLite can
   use its own indexes;
+
+Pushdown correctness contract: a filter removed from Spark's plan is
+never re-evaluated, so every pushed fragment must match Spark's
+BINARY comparison semantics exactly. Two SQLite behaviours threaten
+that and are both handled:
+
+- SQLite ``LIKE`` is case-insensitive for ASCII by default (so a
+  pushed ``startswith('user_')`` would wrongly match ``User_010``,
+  and ``Not(StringStartsWith)`` would silently DROP rows Spark
+  would keep). Every scan connection executes
+  ``PRAGMA case_sensitive_like = ON`` before running the pushed
+  WHERE; with the pragma on, LIKE compares case-sensitively (and
+  non-ASCII LIKE is always case-sensitive), matching Spark.
+- A column declared ``COLLATE NOCASE`` (or any custom collation)
+  makes ``=``/``<``/ordering case-insensitive at the SQLite level —
+  not fixable by pragma. The reader inspects the table's stored DDL
+  (``sqlite_master.sql``) at planning time; if it mentions COLLATE
+  anywhere (or the DDL is unavailable), every value-comparing filter
+  is declared unsupported and Spark evaluates it — only the
+  collation-independent ``IS NULL`` / ``IS NOT NULL`` still push.
+  (Coarse per-table rule on purpose: parsing per-column collation
+  out of arbitrary DDL is fragile, and an unpushed filter is merely
+  slower, never wrong. Fragments are NOT even kept as scan-reduction
+  hints in that case — a ``NOT (...)`` hint under NOCASE can drop
+  rows Spark cannot resurrect.)
 - **Arrow-batch transport**: `read()` yields pyarrow RecordBatches
   (BATCH_SIZE rows), not per-row Python tuples.
 
@@ -166,13 +191,60 @@ class RowidRange(InputPartition):
     hi: int
 
 
+#: Spark type -> pyarrow factory for the transport schema. Planning-time
+#: validated: anything outside this table is a descriptive error in
+#: SqliteReader.__init__, not an executor-side KeyError.
+_ARROW_TYPES = {
+    T.LongType(): "int64",
+    T.IntegerType(): "int32",
+    T.ShortType(): "int16",
+    T.ByteType(): "int8",
+    T.DoubleType(): "float64",
+    T.FloatType(): "float32",
+    T.BooleanType(): "bool_",
+    T.StringType(): "string",
+    T.BinaryType(): "binary",
+}
+
+
+def _collation_independent(f: Filter) -> bool:
+    """True for filters whose semantics cannot be altered by a column
+    collation (NULL-ness tests). Everything else compares values and
+    must not push against a table with custom collations."""
+    if isinstance(f, Not):
+        return _collation_independent(f.child)
+    return isinstance(f, (IsNull, IsNotNull))
+
+
 class SqliteReader(DataSourceReader):
-    def __init__(self, path: str, table: str, schema: T.StructType, n_parts: int):
+    def __init__(
+        self,
+        path: str,
+        table: str,
+        schema: T.StructType,
+        n_parts: int,
+        collation_safe: bool = True,
+    ):
         self.path = path
         self.table = table
         self.schema_ = schema
         self.n_parts = max(1, n_parts)
+        self.collation_safe = collation_safe
         self.pushed_where: List[str] = []  # populated by pushFilters
+        bad = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in schema.fields
+            if f.dataType not in _ARROW_TYPES
+        ]
+        if bad:
+            supported = sorted(t.simpleString() for t in _ARROW_TYPES)
+            raise ValueError(
+                "pysqlite: unsupported column type(s) in the read schema — "
+                + ", ".join(bad)
+                + f". SQLite storage classes map to {supported}; "
+                "read with one of those and cast afterwards "
+                "(e.g. .withColumn(c, col(c).cast('timestamp')))."
+            )
 
     # -- planning (driver side) -------------------------------------------
 
@@ -182,7 +254,11 @@ class SqliteReader(DataSourceReader):
         # drains the returned unsupported-filter list
         unsupported: List[Filter] = []
         for f in filters:
-            frag = _filter_to_sql(f)
+            frag = (
+                _filter_to_sql(f)
+                if self.collation_safe or _collation_independent(f)
+                else None  # custom collation: Spark must evaluate it
+            )
             if frag is None:
                 unsupported.append(f)  # Spark keeps evaluating it
             else:
@@ -200,6 +276,9 @@ class SqliteReader(DataSourceReader):
             " WHERE " + " AND ".join(self.pushed_where) if self.pushed_where else ""
         )
         with contextlib.closing(sqlite3.connect(self.path)) as con:
+            # pushed LIKE fragments must compare case-sensitively
+            # (module docstring: pushdown correctness contract)
+            con.execute("PRAGMA case_sensitive_like = ON")
             row = con.execute(
                 f"SELECT min(rowid), max(rowid) FROM {_q(self.table)}{where}"
             ).fetchone()
@@ -227,18 +306,14 @@ class SqliteReader(DataSourceReader):
             f"SELECT {cols} FROM {_q(self.table)} WHERE {' AND '.join(conds)} "
             f"ORDER BY rowid"
         )
-        arrow_fields = []
-        for f in self.schema_.fields:
-            pa_type = {
-                T.LongType(): pa.int64(),
-                T.DoubleType(): pa.float64(),
-                T.StringType(): pa.string(),
-                T.BinaryType(): pa.binary(),
-            }[f.dataType]
-            arrow_fields.append(pa.field(f.name, pa_type))
+        arrow_fields = [
+            pa.field(f.name, getattr(pa, _ARROW_TYPES[f.dataType])())
+            for f in self.schema_.fields
+        ]
         arrow_schema = pa.schema(arrow_fields)
         with contextlib.closing(sqlite3.connect(self.path)) as con:
             con.text_factory = str
+            con.execute("PRAGMA case_sensitive_like = ON")
             cur = con.execute(sql)
             while True:
                 rows = cur.fetchmany(BATCH_SIZE)
@@ -247,26 +322,57 @@ class SqliteReader(DataSourceReader):
                 columns = list(zip(*rows))
                 arrays = []
                 for i, f in enumerate(arrow_fields):
-                    vals = columns[i]
-                    # SQLite columns are dynamically typed: a TEXT
-                    # column can hold stray ints, BLOB can hold
-                    # memoryview — coerce to the declared affinity
-                    # (same rule as the class-based source) so
-                    # pa.array never sees a type it rejects
-                    if f.type == pa.binary():
-                        vals = [
-                            bytes(v)
-                            if isinstance(v, (bytes, bytearray, memoryview))
-                            else (str(v).encode() if v is not None else None)
-                            for v in vals
-                        ]
-                    elif f.type == pa.string():
-                        vals = [
-                            v if isinstance(v, str) or v is None else str(v)
-                            for v in vals
-                        ]
+                    vals = _coerce_affinity(
+                        columns[i], f, self.table, pa
+                    )
                     arrays.append(pa.array(vals, type=f.type))
                 yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
+def _coerce_affinity(vals, field, table, pa):
+    """SQLite columns are dynamically typed: a TEXT column can hold
+    stray ints, an INTEGER column can hold '123' text, BLOB can hold
+    memoryview. Coerce each batch column to its declared affinity —
+    the same rule the class-based source applies — so ``pa.array``
+    never sees a type it rejects; an unparseable value raises a
+    descriptive error naming table/column/value instead of an opaque
+    executor-side ArrowInvalid."""
+    t = field.type
+    if pa.types.is_binary(t):
+        return [
+            bytes(v)
+            if isinstance(v, (bytes, bytearray, memoryview))
+            else (str(v).encode() if v is not None else None)
+            for v in vals
+        ]
+    if pa.types.is_string(t):
+        return [v if isinstance(v, str) or v is None else str(v) for v in vals]
+    out = []
+    is_int = pa.types.is_integer(t)
+    is_bool = pa.types.is_boolean(t)
+    for v in vals:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            if is_bool:
+                out.append(bool(int(v)))
+            elif is_int:
+                # exact int parse first (no float round-trip precision
+                # loss); SQLite CAST AS INTEGER truncates toward zero
+                try:
+                    out.append(int(v))
+                except ValueError:
+                    out.append(int(float(v)))
+            else:
+                out.append(float(v))
+        except (TypeError, ValueError) as exc:
+            raise ValueError(
+                f"pysqlite: value {v!r} in {table}.{field.name} cannot be "
+                f"coerced to declared type {t} (SQLite dynamic typing); "
+                "read the column as string instead"
+            ) from exc
+    return out
 
 
 class SqliteTailReader(SimpleDataSourceStreamReader):
@@ -366,12 +472,27 @@ class SqliteDataSource(DataSource):
             ]
         )
 
+    def _collation_safe(self) -> bool:
+        """False when the table's stored DDL mentions a custom collation
+        (or the DDL is unavailable) — value-comparing pushdown is then
+        disabled (module docstring: pushdown correctness contract)."""
+        import contextlib
+
+        with contextlib.closing(sqlite3.connect(self.options["path"])) as con:
+            row = con.execute(
+                "SELECT sql FROM sqlite_master WHERE type = 'table' AND name = ?",
+                (self._table(),),
+            ).fetchone()
+        ddl = row[0] if row and row[0] else None
+        return ddl is not None and "collate" not in ddl.lower()
+
     def reader(self, schema: T.StructType) -> SqliteReader:
         return SqliteReader(
             self.options["path"],
             self._table(),
             schema,
             int(self.options.get("numPartitions", "4")),
+            collation_safe=self._collation_safe(),
         )
 
     def simpleStreamReader(self, schema: T.StructType) -> SqliteTailReader:

@@ -266,3 +266,163 @@ def test_dynamic_typing_coerced(spark, tmp_path):
         )
     }
     assert got == {1: "ok", 2: "42"}
+
+
+@pytest.fixture(scope="module")
+def mixed_db(tmp_path_factory):
+    """Mixed-case names + custom-collation twin table: the data that
+    exposes SQLite's ASCII-case-insensitive LIKE and NOCASE collation
+    if either were wrongly pushed."""
+    path = str(tmp_path_factory.mktemp("pysqlite_case") / "case.db")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE people (id INTEGER PRIMARY KEY, name TEXT)")
+    con.executemany(
+        "INSERT INTO people VALUES (?,?)",
+        [(1, "user_001"), (2, "User_010"), (3, "USER_X"), (4, "other")],
+    )
+    con.execute(
+        "CREATE TABLE people_nc (id INTEGER PRIMARY KEY,"
+        " name TEXT COLLATE NOCASE)"
+    )
+    con.executemany(
+        "INSERT INTO people_nc VALUES (?,?)",
+        [(1, "abc"), (2, "ABC"), (3, "xyz")],
+    )
+    con.commit()
+    con.close()
+    return path
+
+
+def _read_mixed(spark, path, table):
+    register_sqlite_datasource(spark)
+    return (
+        spark.read.format("pysqlite")
+        .option("path", path).option("table", table)
+        .option("numPartitions", "2").load()
+    )
+
+
+def test_pushed_like_is_case_sensitive(spark, mixed_db):
+    """Pushed String* filters are REMOVED from Spark's plan, so the
+    SQLite LIKE they compile to must match Spark's binary semantics —
+    PRAGMA case_sensitive_like=ON. Without it, startswith('user_')
+    wrongly returns 'User_010'."""
+    import pyspark.sql.functions as F
+
+    df = _read_mixed(spark, mixed_db, "people")
+    assert [r["id"] for r in df.filter(F.col("name").startswith("user_")).collect()] == [1]
+    assert sorted(
+        r["id"] for r in df.filter(F.col("name").contains("ser")).collect()
+    ) == [1, 2]
+    # the silent-row-DROP case from the advisory: NOT(startswith) must
+    # keep the differently-cased rows
+    assert sorted(
+        r["id"] for r in df.filter(~F.col("name").startswith("user_")).collect()
+    ) == [2, 3, 4]
+    assert [r["id"] for r in df.filter(F.col("name").endswith("_X")).collect()] == [3]
+
+
+def test_nocase_collation_disables_value_pushdown(spark, mixed_db):
+    """A COLLATE NOCASE column makes SQLite's =/< case-insensitive —
+    not fixable by pragma — so value-comparing filters must stay in
+    Spark (unit: pushFilters returns them; e2e: binary semantics)."""
+    from pyspark.sql.datasource import EqualTo, IsNotNull
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    rd = SqliteReader(mixed_db, "people_nc", schema, 2, collation_safe=False)
+    unsupported = list(rd.pushFilters([
+        EqualTo(("name",), "abc"),
+        IsNotNull(("name",)),  # NULL-ness is collation-independent
+    ]))
+    assert len(unsupported) == 1 and isinstance(unsupported[0], EqualTo)
+    assert rd.pushed_where == ['"name" IS NOT NULL']
+    # e2e through the registered source: = on the NOCASE column keeps
+    # Spark's binary semantics ('abc' matches exactly one row, not 'ABC')
+    import pyspark.sql.functions as F
+
+    df = _read_mixed(spark, mixed_db, "people_nc")
+    assert [r["id"] for r in df.filter(F.col("name") == "abc").collect()] == [1]
+    assert sorted(
+        r["id"] for r in df.filter(F.col("name") != "abc").collect()
+    ) == [2, 3]
+
+
+def test_user_schema_unsupported_type_is_descriptive(spark, db):
+    """A user-supplied schema with a type SQLite storage cannot carry
+    fails at PLANNING time with a message naming the field — not an
+    executor-side KeyError."""
+    from pyspark.sql import types as T
+
+    register_sqlite_datasource(spark)
+    with pytest.raises(Exception, match="unsupported column type.*ts: timestamp"):
+        (
+            spark.read.format("pysqlite")
+            .schema(
+                T.StructType([
+                    T.StructField("id", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                ])
+            )
+            .option("path", db).option("table", "users").load()
+        ).collect()
+
+
+def test_user_schema_narrow_numerics_supported(spark, db):
+    """IntegerType/FloatType/BooleanType user schemas read through the
+    int32/float32/bool Arrow transport."""
+    from pyspark.sql import types as T
+
+    register_sqlite_datasource(spark)
+    df = (
+        spark.read.format("pysqlite")
+        .schema(
+            T.StructType([
+                T.StructField("id", T.IntegerType()),
+                T.StructField("age", T.IntegerType()),
+                T.StructField("score", T.FloatType()),
+            ])
+        )
+        .option("path", db).option("table", "users").load()
+    )
+    assert dict(df.dtypes) == {"id": "int", "age": "int", "score": "float"}
+    row = {r["id"]: r for r in df.collect()}
+    assert row[10]["age"] == 30 and abs(row[10]["score"] - 15.0) < 1e-6
+
+
+def test_numeric_affinity_coercion(spark, tmp_path):
+    """Dynamic typing the other way round: TEXT values stored in
+    INTEGER/REAL columns coerce to the declared affinity (SQLite CAST
+    semantics — '12.9'->12 for INTEGER); unparseable text raises a
+    descriptive error naming table/column, not an opaque ArrowInvalid."""
+    import sqlite3 as s3
+
+    path = str(tmp_path / "num.db")
+    con = s3.connect(path)
+    con.execute("CREATE TABLE m (id INTEGER PRIMARY KEY, n INTEGER, x REAL)")
+    con.executemany(
+        "INSERT INTO m VALUES (?,?,?)",
+        [(1, 7, 1.5), (2, "123", "2.5"), (3, "12.9", 3), (4, None, None)],
+    )
+    con.commit()
+    con.close()
+    register_sqlite_datasource(spark)
+    df = (
+        spark.read.format("pysqlite")
+        .option("path", path).option("table", "m").load()
+    )
+    got = {r["id"]: (r["n"], r["x"]) for r in df.collect()}
+    assert got == {1: (7, 1.5), 2: (123, 2.5), 3: (12, 3.0), 4: (None, None)}
+
+    con = s3.connect(path)
+    con.execute("INSERT INTO m VALUES (5, 'not-a-number', 0)")
+    con.commit()
+    con.close()
+    with pytest.raises(Exception, match=r"m\.n.*not-a-number|not-a-number.*m\.n"):
+        (
+            spark.read.format("pysqlite")
+            .option("path", path).option("table", "m").load()
+        ).collect()

@@ -109,6 +109,26 @@ def test_spark_two_level_vs_exact(spark, sf_dir):
         assert abs(r["est"] - exact) <= 0.05 * max(abs(exact), 1.0), r
 
 
+def test_nan_values_excluded_like_null(spark):
+    """ADVICE r7: isNotNull() passes NaN, and one NaN poisons
+    vmin/vmax and every centroid mean for its group. The batch path
+    must strip NaN exactly like the streaming twin does — quantiles
+    over [1..100] + NaN must equal quantiles over [1..100]."""
+    rows = [("a", float(i)) for i in range(1, 101)]
+    rows += [("a", float("nan")), ("a", None), ("b", float("nan"))]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["p"]): r["est"]
+        for r in tdigest_quantiles(df, "v", ["g"], [0.0, 0.5, 1.0]).collect()
+    }
+    # group b had ONLY NaN values -> no digest row at all (like all-NULL)
+    assert set(g for g, _ in got) == {"a"}
+    assert got[("a", 0.0)] == 1.0 and got[("a", 1.0)] == 100.0
+    assert abs(got[("a", 0.5)] - 50.5) <= 1.0
+    for v in got.values():
+        assert not np.isnan(v)
+
+
 def test_spark_path_no_raw_row_shuffle(spark, sf_dir):
     """Plan gate: the only exchanges are digest-keyed (group/shard) —
     the raw value column never appears in an Exchange's output, i.e.
