@@ -4550,9 +4550,17 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = words.select(
         "freq", F.expr("split(word, '')").alias("tokens")
     ).persist()
-    vocab.count()  # materialise once; iterations reuse the persisted relation
 
+    # ONE job per iteration (r8): the top-pair collect below is the only
+    # action — it materialises the (lazily) persisted vocab of this round
+    # as a side effect, so the old eager `new_vocab.count()` job is gone
+    # (2 jobs/iter -> 1; on a per-stage-overhead-bound driver that nearly
+    # halves the loop's wall). The predecessor is unpersisted only AFTER
+    # its child is cached: cached blocks survive a parent's unpersist,
+    # and unpersisting earlier would make a cache miss recompute the
+    # whole fold chain from the corpus.
     merges = []
+    prev = None
     for rank in range(1, _BPE_N_MERGES + 1):
         top = (
             vocab.filter(F.size("tokens") >= 2)
@@ -4569,19 +4577,24 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), "l", "r")
             .limit(1)
-            .collect()  # exactly ONE row per iteration
+            .collect()  # exactly ONE row per iteration; caches vocab
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
         merges.append((rank, left, right, left + right, int(n)))
-        new_vocab = vocab.select(
-            "freq", F.expr(_bpe_apply_merge_expr(left, right)).alias("tokens")
-        ).persist()
-        new_vocab.count()
-        vocab.unpersist()
-        vocab = new_vocab
+        if rank < _BPE_N_MERGES:  # the final apply has no consumer here
+            new_vocab = vocab.select(
+                "freq",
+                F.expr(_bpe_apply_merge_expr(left, right)).alias("tokens"),
+            ).persist()
+            prev, vocab = vocab, new_vocab
     vocab.unpersist()
+    if prev is not None:
+        prev.unpersist()
 
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
