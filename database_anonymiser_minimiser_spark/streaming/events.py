@@ -108,6 +108,16 @@ def stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # a stream that legitimately emitted ZERO rows leaves no part
+        # files — schema inference would throw; return an empty frame
+        # with the stream's own schema instead (r8, found by the
+        # boundary fuzzer's no-match examples)
+        import glob as _glob
+
+        if not _glob.glob(f"{out}/*.parquet") and not _glob.glob(
+            f"{out}/part-*"
+        ):
+            return spark.createDataFrame([], stream_df.schema)
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(chk, ignore_errors=True)
