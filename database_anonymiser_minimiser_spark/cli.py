@@ -1,9 +1,13 @@
-"""CLI: export (default) / --dry-run / sync / version.
+"""CLI: export (default) / --dry-run / sync / audit / stream / version.
 
 Command surface of the reference CLI (``cmd/dbmask/main.go:32-77``):
 ``dbmask -c config.yaml -o dump.sql`` exports; ``--dry-run`` prints the
 plan; ``sync [--truncate] [--dry-run]`` adds missing tables to the
-config; ``version`` prints the build version.
+config; ``version`` prints the build version. Engine extensions:
+``audit`` (PK/FK quality gates over the export-shaped data) and
+``stream`` (CDC-lite live export: tail a SQLite table by rowid,
+anonymise in flight, checkpointed parquet append — resumes after the
+last committed row on restart).
 """
 
 from __future__ import annotations
@@ -61,6 +65,25 @@ def build_parser() -> argparse.ArgumentParser:
         "completeness/uniqueness + FK containment (surfaces rows "
         "orphaned by per-table retain rules before you import the dump)",
     )
+    stream = sub.add_parser(
+        "stream",
+        help="CDC-lite live export (sqlite connections): tail the table "
+        "by rowid, anonymise new rows in flight, append to a parquet "
+        "dataset; restarting with the same --checkpoint resumes after "
+        "the last committed row",
+    )
+    stream.add_argument("--table", required=True, help="table to tail")
+    stream.add_argument(
+        "--output", required=True, help="parquet dataset directory"
+    )
+    stream.add_argument(
+        "--checkpoint", required=True, help="streaming checkpoint directory"
+    )
+    stream.add_argument(
+        "--once", action="store_true",
+        help="drain currently-available rows then exit (availableNow); "
+        "default runs continuously with a 5 s trigger",
+    )
     sub.add_parser("version", help="print version")
     return p
 
@@ -93,6 +116,18 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 0 if failed == 0 else 1
+    if args.command == "stream":
+        q = engine.stream_table(
+            args.table, args.output, args.checkpoint, once=args.once
+        )
+        q.awaitTermination()
+        if args.verbose:
+            print(
+                f"streamed {args.table} -> {args.output} "
+                f"(checkpoint {args.checkpoint})",
+                file=sys.stderr,
+            )
+        return 0
     if args.command == "sync":
         missing = engine.sync(truncate=args.truncate, dry_run=args.dry_run)
         for t in missing:

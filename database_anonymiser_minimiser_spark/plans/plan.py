@@ -323,6 +323,57 @@ class Engine:
             file=sys.stderr,
         )
 
+    def stream_table(
+        self,
+        table: str,
+        output_dir: str,
+        checkpoint_dir: str,
+        once: bool = True,
+        max_rows_per_batch: int = 10000,
+        trigger_seconds: int = 5,
+    ):
+        """CDC-lite live export (r8, CLI-wired): tail a SQLite table by
+        rowid (`sources/sqlite_datasource.py:SqliteTailReader` —
+        checkpoint-replayable `{"rowid": N}` offsets), apply the table's
+        ANONYMISE rules in flight, and append to a parquet dataset. A
+        restart with the same checkpoint resumes exactly after the last
+        committed row — new application rows stream out masked instead
+        of re-exporting the whole table.
+
+        Minimise rules deliberately do NOT apply on the stream: retain-N
+        needs a global order over a bounded relation and truncate means
+        "don't export" — both are batch-export concepts; the streaming
+        contract is "every NEW row, masked". Returns the started
+        StreamingQuery; ``once=True`` uses availableNow (drain and
+        finish — the CLI/e2e shape), else a processingTime trigger."""
+        conn = self.config.connection
+        if conn.type != "sqlite":
+            raise ValueError(
+                f"stream requires a sqlite connection, got '{conn.type}'"
+            )
+        from ..sources.sqlite_datasource import register_sqlite_datasource
+
+        register_sqlite_datasource(self.spark)
+        stream = (
+            self.spark.readStream.format("pysqlite")
+            .option("path", conn.file)
+            .option("table", table)
+            .option("maxRowsPerBatch", str(max_rows_per_batch))
+            .load()
+        )
+        masked = anonymise(
+            stream, self.config.configuration.get(table, TableConfig())
+        )
+        writer = (
+            masked.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if once:
+            return writer.trigger(availableNow=True).start()
+        return writer.trigger(processingTime=f"{trigger_seconds} seconds").start()
+
     def sync(self, truncate: bool = False, dry_run: bool = False) -> list[str]:
         """Add DB tables missing from config (main.go:230-315)."""
         missing = [

@@ -265,23 +265,37 @@ class SqliteReader(DataSourceReader):
                 self.pushed_where.append(frag)
         return unsupported
 
-    def partitions(self) -> Sequence[InputPartition]:
-        """Split on rowid min/max. The range query itself applies the
-        pushed WHERE, so a selective pushdown also SHRINKS the rowid
-        span that gets scanned (partition pruning for free when the
-        filter correlates with insertion order)."""
-        import contextlib
-
+    def range_sql(self) -> str:
+        """The rowid-span discovery statement partitions() issues. The
+        range query applies the pushed WHERE, so a selective pushdown
+        also SHRINKS the rowid span that gets scanned (partition pruning
+        for free when the filter correlates with insertion order) — and
+        SQLite's planner can SEARCH an index for it (EXPLAIN QUERY PLAN
+        gated in tests)."""
         where = (
             " WHERE " + " AND ".join(self.pushed_where) if self.pushed_where else ""
         )
+        return f"SELECT min(rowid), max(rowid) FROM {_q(self.table)}{where}"
+
+    def scan_sql(self, partition: "RowidRange") -> str:
+        """The per-partition scan statement read() issues."""
+        cols = ", ".join(_q(f.name) for f in self.schema_.fields)
+        conds = [f"rowid >= {partition.lo}", f"rowid < {partition.hi}"]
+        conds += self.pushed_where
+        return (
+            f"SELECT {cols} FROM {_q(self.table)} WHERE {' AND '.join(conds)} "
+            f"ORDER BY rowid"
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """Split on rowid min/max (see range_sql)."""
+        import contextlib
+
         with contextlib.closing(sqlite3.connect(self.path)) as con:
             # pushed LIKE fragments must compare case-sensitively
             # (module docstring: pushdown correctness contract)
             con.execute("PRAGMA case_sensitive_like = ON")
-            row = con.execute(
-                f"SELECT min(rowid), max(rowid) FROM {_q(self.table)}{where}"
-            ).fetchone()
+            row = con.execute(self.range_sql()).fetchone()
         lo, hi = row
         if lo is None:  # empty table / nothing matches
             return [RowidRange(0, 0)]
@@ -299,13 +313,7 @@ class SqliteReader(DataSourceReader):
 
         if partition.lo >= partition.hi:
             return
-        cols = ", ".join(_q(f.name) for f in self.schema_.fields)
-        conds = [f"rowid >= {partition.lo}", f"rowid < {partition.hi}"]
-        conds += self.pushed_where
-        sql = (
-            f"SELECT {cols} FROM {_q(self.table)} WHERE {' AND '.join(conds)} "
-            f"ORDER BY rowid"
-        )
+        sql = self.scan_sql(partition)
         arrow_fields = [
             pa.field(f.name, getattr(pa, _ARROW_TYPES[f.dataType])())
             for f in self.schema_.fields

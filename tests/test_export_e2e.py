@@ -724,3 +724,67 @@ def test_cli_encrypt_interrupt_resume_audit_lifecycle(
         )
     finally:
         joined.unpersist()
+
+
+def test_cli_stream_tail_cdc_lite(spark, tmp_path):
+    """r8 (verdict item 6): the CDC-lite pipeline end-to-end through the
+    CLI — `stream --table users --once`: tail a live SQLite table by
+    rowid, anonymise in flight per the config's rules, append to a
+    parquet dataset with a checkpoint. Three properties: (1) the first
+    drain exports every row MASKED; (2) rows inserted AFTER it are the
+    ONLY output of a rerun with the same checkpoint (resume-by-rowid);
+    (3) masking is deterministic across the two runs (same input name ->
+    same token), so the streamed dataset is consistent with a batch
+    export."""
+    import sqlite3
+
+    from database_anonymiser_minimiser_spark import cli
+
+    db = str(tmp_path / "app.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE users (id INTEGER PRIMARY KEY, name TEXT, email TEXT)"
+    )
+    con.executemany(
+        "INSERT INTO users VALUES (?,?,?)",
+        [(i, f"Person {i}", f"p{i}@real.example") for i in range(20)],
+    )
+    con.commit()
+    con.close()
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"""
+connection: {{type: sqlite, file: {db}}}
+configuration:
+  users:
+    primary_key: id
+    columns:
+      name: "{{{{faker.name}}}}"
+      email: "{{{{faker.email}}}}"
+"""
+    )
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    argv = [
+        "-c", str(cfg), "stream",
+        "--table", "users", "--output", out, "--checkpoint", chk, "--once",
+    ]
+    assert cli.main(argv) == 0
+    first = spark.read.parquet(out)
+    rows = {r["id"]: (r["name"], r["email"]) for r in first.collect()}
+    assert len(rows) == 20
+    assert all("Person" not in n for n, _ in rows.values())  # masked
+    assert all(e.endswith("@example.com") for _, e in rows.values())
+
+    con = sqlite3.connect(db)
+    con.executemany(
+        "INSERT INTO users VALUES (?,?,?)",
+        [(100, "Person 0", "p0@real.example"), (101, "Late Nancy", "ln@x.dev")],
+    )
+    con.commit()
+    con.close()
+    assert cli.main(argv) == 0
+    second = {r["id"]: (r["name"], r["email"]) for r in
+              spark.read.parquet(out).collect()}
+    assert set(second) == set(rows) | {100, 101}  # ONLY the new rows appended
+    assert second[0] == second[100]  # deterministic: same input -> same token
