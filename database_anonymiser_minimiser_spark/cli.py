@@ -1,10 +1,13 @@
-"""CLI: export (default) / --dry-run / sync / audit / stream / version.
+"""CLI: export (default) / --dry-run / sync / audit / scan / stream / version.
 
 Command surface of the reference CLI (``cmd/dbmask/main.go:32-77``):
 ``dbmask -c config.yaml -o dump.sql`` exports; ``--dry-run`` prints the
 plan; ``sync [--truncate] [--dry-run]`` adds missing tables to the
 config; ``version`` prints the build version. Engine extensions:
-``audit`` (PK/FK quality gates over the export-shaped data) and
+``audit`` (PK/FK quality gates over the export-shaped data), ``scan``
+(PII discovery: profile every string column with the content detectors
+and suggest faker masking rules — ``--suggest`` merges them into a
+config, user-authored rules winning) and
 ``stream`` (CDC-lite live export: tail a SQLite table by rowid,
 anonymise in flight, checkpointed parquet append — resumes after the
 last committed row on restart).
@@ -65,6 +68,27 @@ def build_parser() -> argparse.ArgumentParser:
         "completeness/uniqueness + FK containment (surfaces rows "
         "orphaned by per-table retain rules before you import the dump)",
     )
+    scan = sub.add_parser(
+        "scan",
+        help="PII discovery: profile every string column with the "
+        "content detectors, print per-column hit rates, and suggest "
+        "faker masking rules; --suggest merges the suggestions into a "
+        "config file (your existing rules always win)",
+    )
+    scan.add_argument(
+        "--threshold-pct", type=int, default=None,
+        help="suggest a content rule when >= PCT%% of non-null values "
+        "match (default 30)",
+    )
+    scan.add_argument(
+        "--sample", type=float, default=None, metavar="FRACTION",
+        help="profile a seeded Bernoulli sample instead of every row "
+        "(the at-scale mode)",
+    )
+    scan.add_argument(
+        "--suggest", default=None, metavar="OUT_CONFIG",
+        help="write a config with the suggested rules merged in",
+    )
     stream = sub.add_parser(
         "stream",
         help="CDC-lite live export (sqlite connections): tail the table "
@@ -116,6 +140,32 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 0 if failed == 0 else 1
+    if args.command == "scan":
+        prof_rows, sugg_rows = engine.scan_pii(
+            threshold_pct=args.threshold_pct, sample_fraction=args.sample
+        )
+        hits = {
+            (r.table_name, r.column_name, r.detector): r for r in prof_rows
+        }
+        for (t, c, d), r in sorted(hits.items()):
+            if r.hits:
+                rate = 100.0 * r.hits / max(r.n_nonnull, 1)
+                print(f"{t}.{c}: {d} {r.hits}/{r.n_nonnull} ({rate:.1f}%)")
+        n_sugg = 0
+        for r in sorted(sugg_rows, key=lambda r: (r.table_name, r.column_name)):
+            if r.suggested_rule is not None:
+                n_sugg += 1
+                print(f"suggest {r.table_name}.{r.column_name}: "
+                      f"{r.suggested_rule}  [{r.evidence}]")
+        print(f"\n{n_sugg} suggested rule(s)", file=sys.stderr)
+        if args.suggest:
+            applied = engine.apply_suggestions(sugg_rows)
+            cfg.save(args.suggest)
+            print(
+                f"wrote {args.suggest} with {len(applied)} new rule(s)",
+                file=sys.stderr,
+            )
+        return 0
     if args.command == "stream":
         q = engine.stream_table(
             args.table, args.output, args.checkpoint, once=args.once

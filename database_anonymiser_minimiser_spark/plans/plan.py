@@ -450,3 +450,61 @@ class Engine:
             for df in dfs.values():
                 df.unpersist()
         return rows
+
+    def scan_pii(
+        self,
+        threshold_pct: int | None = None,
+        sample_fraction: float | None = None,
+    ) -> "tuple[list, list]":
+        """PII discovery over the SOURCE data (pre-masking): profile every
+        string column of every catalog table with the content detectors,
+        then suggest a faker rule per column (content evidence first,
+        column-name heuristics second). Returns (profile_rows,
+        suggestion_rows) — both bounded by |columns| x |detectors|, never
+        by data volume. One scan + one 1-row aggregate per table; pass
+        ``sample_fraction`` to profile a seeded Bernoulli sample (the 100
+        TB mode — hit-rates converge long before 1% of rows). The
+        reference has no equivalent: its config is authored blind
+        (config.go:64-126)."""
+        from functools import reduce
+
+        from ..operators.discovery import (
+            DEFAULT_THRESHOLD_PCT,
+            profile_pii,
+            suggest_rules,
+        )
+
+        pct = DEFAULT_THRESHOLD_PCT if threshold_pct is None else threshold_pct
+        parts = []
+        for t in self.source.get_tables():
+            df = self.source.read(t)
+            if any(f.dataType.simpleString() == "string" for f in df.schema.fields):
+                parts.append(profile_pii(df, t, sample_fraction=sample_fraction))
+        if not parts:
+            return [], []
+        profile = reduce(DataFrame.unionAll, parts)
+        # the profile is tiny (|cols| x |dets| rows) but each part costs a
+        # table scan — cache it so profile + suggestions scan sources once
+        profile = profile.persist()
+        try:
+            prof_rows = profile.collect()
+            sugg_rows = suggest_rules(profile, threshold_pct=pct).collect()
+        finally:
+            profile.unpersist()
+        return prof_rows, sugg_rows
+
+    def apply_suggestions(self, suggestions: "list") -> "list[str]":
+        """Merge scan_pii suggestions into the config: set each suggested
+        rule on its table/column unless the user already configured that
+        column (user rules always win). Returns 'table.column=rule' lines
+        for what was applied."""
+        applied: list[str] = []
+        for r in suggestions:
+            if r.suggested_rule is None:
+                continue
+            tc = self.config.configuration.setdefault(r.table_name, TableConfig())
+            if r.column_name in tc.columns:
+                continue
+            tc.columns[r.column_name] = r.suggested_rule
+            applied.append(f"{r.table_name}.{r.column_name}={r.suggested_rule}")
+        return applied
