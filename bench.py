@@ -97,6 +97,9 @@ HEADLINE = [
     "privacy_suppress_below_k",
     "privacy_shift_dates",
     "scrub_text_pii",
+    # round-8: PII discovery (profile + rule suggestion)
+    "pii_profile_tables",
+    "pii_suggest_rules",
     "consistency_fk_integrity",
     "snapshot_diff_cdc",
     "text_token_count_bpe",
