@@ -36,8 +36,6 @@ patterns so Spark and DuckDB agree byte-for-byte.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -96,6 +94,43 @@ NAME_HINTS: list[tuple[str, str]] = [
 #: with exact integer arithmetic.
 DEFAULT_THRESHOLD_PCT = 30
 
+# ---- typed (non-string) columns -------------------------------------------
+# Content detectors are string-only by nature, but column-NAME heuristics
+# apply to ANY type: a `date_of_birth DATE` or `phone BIGINT` column is PII
+# whether or not it can be regex-profiled. The reference's config rules are
+# type-agnostic (config.go:64-126) so a suggestion on a typed column pastes
+# in exactly like a string one. A hint only fires on a typed column when its
+# faker's output shape makes sense for that type CLASS — `{{faker.city}}`
+# on an INT `city_id` would be masking noise, not a suggestion.
+
+#: Spark simpleString -> coarse type class shared with the oracle constants.
+def type_class(simple: str) -> str:
+    """Coarse class of a Spark ``dataType.simpleString()`` for hint
+    compatibility: 'string' | 'date' | 'numeric' | 'other'."""
+    if simple == "string":
+        return "string"
+    if simple in ("date", "timestamp", "timestamp_ntz"):
+        return "date"
+    if simple in ("tinyint", "smallint", "int", "bigint", "float", "double") or (
+        simple.startswith("decimal")
+    ):
+        return "numeric"
+    return "other"
+
+
+#: which non-string type classes each suggested rule is appropriate for —
+#: every rule not listed is string-only (names, addresses, emails, ... are
+#: inherently textual). `{{faker.phone}}` covers digits-only phone columns
+#: stored as integers; `{{faker.date}}` covers DATE/TIMESTAMP birthdates.
+TYPED_RULE_CLASSES: dict[str, frozenset[str]] = {
+    "{{faker.date}}": frozenset({"date"}),
+    "{{faker.phone}}": frozenset({"numeric"}),
+    "{{faker.number}}": frozenset({"numeric"}),
+}
+
+#: catalog relation schema consumed by :func:`suggest_rules`'s typed path.
+CATALOG_SCHEMA = "table_name string, column_name string, type_class string"
+
 
 # --------------------------------------------------------------------------
 # Profiling: one scan, one 1-row aggregate, JVM-side explode to long form
@@ -125,9 +160,17 @@ def profile_pii(
     for c in columns:
         aggs.append(F.count(F.col(c)).cast("long").alias(f"__nn_{c}"))
         for det, pat, _ in CONTENT_DETECTORS:
+            # SUM over zero rows is NULL; the integer-count contract (and
+            # the oracle's count(*) FILTER) says 0 — coalesce so an empty
+            # table or an empty sample still profiles exactly
             aggs.append(
-                F.sum(
-                    F.when(F.regexp_like(F.col(c), F.lit(pat)), F.lit(1)).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.regexp_like(F.col(c), F.lit(pat)), F.lit(1)
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias(f"__h_{c}_{det}")
@@ -158,19 +201,34 @@ def profile_pii(
     )
 
 
+def _sq(s: str) -> str:
+    """SQL single-quoted string literal (doubled-quote escaping)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _qi(name: str) -> str:
+    """SQL double-quoted identifier (doubled-quote escaping) — same
+    discipline as the sqlite_datasource reader's identifier quoting."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def profile_pii_duck_sql(
     table_expr: str, table_name: str, columns: list[str]
 ) -> str:
     """DuckDB oracle for :func:`profile_pii` (no sampling): UNION ALL of
-    per-(column, detector) filtered counts, all from one logical scan."""
+    per-(column, detector) filtered counts, all from one logical scan.
+    Identifiers are quoted and patterns quote-escaped so a column name
+    needing quoting (spaces, keywords) or a pattern containing a single
+    quote cannot break or corrupt the generated SQL."""
     parts = []
     for c in columns:
         for det, pat, _ in CONTENT_DETECTORS:
             parts.append(
-                f"SELECT '{table_name}' AS table_name, '{c}' AS column_name, "
-                f"'{det}' AS detector, "
-                f"CAST(count(*) FILTER (WHERE regexp_matches({c}, '{pat}')) AS BIGINT) AS hits, "
-                f"CAST(count({c}) AS BIGINT) AS n_nonnull, "
+                f"SELECT {_sq(table_name)} AS table_name, "
+                f"{_sq(c)} AS column_name, "
+                f"{_sq(det)} AS detector, "
+                f"CAST(count(*) FILTER (WHERE regexp_matches({_qi(c)}, {_sq(pat)})) AS BIGINT) AS hits, "
+                f"CAST(count({_qi(c)}) AS BIGINT) AS n_nonnull, "
                 f"CAST(count(*) AS BIGINT) AS n_rows "
                 f"FROM {table_expr}"
             )
@@ -183,7 +241,9 @@ def profile_pii_duck_sql(
 
 
 def suggest_rules(
-    profile: DataFrame, threshold_pct: int = DEFAULT_THRESHOLD_PCT
+    profile: DataFrame,
+    threshold_pct: int = DEFAULT_THRESHOLD_PCT,
+    catalog: DataFrame | None = None,
 ) -> DataFrame:
     """Turn a :func:`profile_pii` relation into per-column rule
     suggestions: (table_name, column_name, suggested_rule, evidence).
@@ -193,6 +253,15 @@ def suggest_rules(
     matching ``NAME_HINTS`` substring; otherwise NULL rule (column looks
     clean). Pure DataFrame ops over the already-tiny profile — the input
     table is NOT rescanned.
+
+    ``catalog`` (optional, :data:`CATALOG_SCHEMA`) extends coverage to the
+    NON-string columns content detectors can never see: each catalog row
+    with ``type_class != 'string'`` gets the first ``NAME_HINTS`` match
+    whose rule is type-appropriate (:data:`TYPED_RULE_CLASSES` — e.g.
+    ``{{faker.date}}`` for a DATE ``date_of_birth``, ``{{faker.phone}}``
+    for a BIGINT ``phone``), else a NULL suggestion. String catalog rows
+    are ignored — they arrive through the profile. Like the profile, the
+    catalog is schema-sized, never data-sized.
     """
     per_det = [
         F.max(F.when(F.col("detector") == det, F.col("hits"))).alias(f"__h_{det}")
@@ -217,19 +286,46 @@ def suggest_rules(
         rule = F.when(cond, F.lit(det_rule)).otherwise(rule)
         evidence = F.when(cond, F.lit(f"content:{det}")).otherwise(evidence)
 
-    return g.select(
+    out = g.select(
         "table_name",
         "column_name",
         rule.alias("suggested_rule"),
         evidence.alias("evidence"),
     )
+    if catalog is None:
+        return out
+
+    typed = catalog.filter(F.col("type_class") != "string")
+    t_rule: Column = F.lit(None).cast("string")
+    t_evidence: Column = F.lit(None).cast("string")
+    t_lowered = F.lower(F.col("column_name"))
+    for frag, hint_rule in reversed(NAME_HINTS):
+        allowed = TYPED_RULE_CLASSES.get(hint_rule)
+        if not allowed:
+            continue  # string-only faker: never suggested on a typed column
+        cond = t_lowered.contains(frag) & F.col("type_class").isin(sorted(allowed))
+        t_rule = F.when(cond, F.lit(hint_rule)).otherwise(t_rule)
+        t_evidence = F.when(cond, F.lit(f"name~{frag}")).otherwise(t_evidence)
+    return out.unionAll(
+        typed.select(
+            "table_name",
+            "column_name",
+            t_rule.alias("suggested_rule"),
+            t_evidence.alias("evidence"),
+        )
+    )
 
 
 def suggest_rules_duck_sql(
-    profile_sql: str, threshold_pct: int = DEFAULT_THRESHOLD_PCT
+    profile_sql: str,
+    threshold_pct: int = DEFAULT_THRESHOLD_PCT,
+    catalog_rows: list[tuple[str, str, str]] | None = None,
 ) -> str:
     """DuckDB oracle for :func:`suggest_rules` over a profile subquery,
-    generated from the SAME constant tables so precedence is identical."""
+    generated from the SAME constant tables so precedence is identical.
+    ``catalog_rows`` — (table_name, column_name, type_class) constants —
+    mirror the typed-column path with the same hint order and the same
+    :data:`TYPED_RULE_CLASSES` compatibility filter."""
     per_det = ", ".join(
         f"max(CASE WHEN detector = '{det}' THEN hits END) AS h_{det}"
         for det, _, _ in CONTENT_DETECTORS
@@ -250,10 +346,36 @@ def suggest_rules_duck_sql(
         f"WHEN contains(lower(column_name), '{frag}') THEN 'name~{frag}'"
         for frag, _ in NAME_HINTS
     )
-    return (
+    string_sql = (
         "SELECT table_name, column_name, "
         f"CASE {content_whens} {name_whens} ELSE NULL END AS suggested_rule, "
         f"CASE {content_ev} {name_ev} ELSE NULL END AS evidence "
         "FROM (SELECT table_name, column_name, max(n_nonnull) AS nn, "
         f"{per_det} FROM ({profile_sql}) GROUP BY table_name, column_name)"
     )
+    if catalog_rows is None:
+        return string_sql
+
+    typed_whens, typed_ev = [], []
+    for frag, hint_rule in NAME_HINTS:
+        allowed = TYPED_RULE_CLASSES.get(hint_rule)
+        if not allowed:
+            continue
+        classes = ", ".join(_sq(c) for c in sorted(allowed))
+        cond = (
+            f"type_class IN ({classes}) "
+            f"AND contains(lower(column_name), {_sq(frag)})"
+        )
+        typed_whens.append(f"WHEN {cond} THEN {_sq(hint_rule)}")
+        typed_ev.append(f"WHEN {cond} THEN {_sq('name~' + frag)}")
+    values = ", ".join(
+        f"({_sq(t)}, {_sq(c)}, {_sq(tc)})" for t, c, tc in catalog_rows
+    )
+    typed_sql = (
+        "SELECT table_name, column_name, "
+        f"CASE {' '.join(typed_whens)} ELSE NULL END AS suggested_rule, "
+        f"CASE {' '.join(typed_ev)} ELSE NULL END AS evidence "
+        f"FROM (VALUES {values}) AS cat(table_name, column_name, type_class) "
+        "WHERE type_class <> 'string'"
+    )
+    return f"{string_sql} UNION ALL {typed_sql}"

@@ -458,37 +458,57 @@ class Engine:
     ) -> "tuple[list, list]":
         """PII discovery over the SOURCE data (pre-masking): profile every
         string column of every catalog table with the content detectors,
-        then suggest a faker rule per column (content evidence first,
-        column-name heuristics second). Returns (profile_rows,
-        suggestion_rows) — both bounded by |columns| x |detectors|, never
-        by data volume. One scan + one 1-row aggregate per table; pass
-        ``sample_fraction`` to profile a seeded Bernoulli sample (the 100
-        TB mode — hit-rates converge long before 1% of rows). The
-        reference has no equivalent: its config is authored blind
-        (config.go:64-126)."""
+        then suggest a faker rule per column — content evidence first,
+        column-name heuristics second; name heuristics also cover the
+        NON-string columns (a ``date_of_birth DATE`` or ``phone BIGINT``
+        is PII whether or not it can be regex-profiled), suggesting only
+        type-appropriate fakers. Returns (profile_rows, suggestion_rows) —
+        both bounded by |columns| x |detectors|, never by data volume. One
+        scan + one 1-row aggregate per table; pass ``sample_fraction`` to
+        profile a seeded Bernoulli sample (the 100 TB mode — hit-rates
+        converge long before 1% of rows). The reference has no
+        equivalent: its config is authored blind (config.go:64-126)."""
         from functools import reduce
 
         from ..operators.discovery import (
+            CATALOG_SCHEMA,
             DEFAULT_THRESHOLD_PCT,
             profile_pii,
             suggest_rules,
+            type_class,
         )
 
         pct = DEFAULT_THRESHOLD_PCT if threshold_pct is None else threshold_pct
         parts = []
+        cat_rows: list[tuple[str, str, str]] = []
         for t in self.source.get_tables():
             df = self.source.read(t)
+            # catalog rows come from the schema alone — no extra scan
+            cat_rows.extend(
+                (t, f.name, type_class(f.dataType.simpleString()))
+                for f in df.schema.fields
+            )
             if any(f.dataType.simpleString() == "string" for f in df.schema.fields):
                 parts.append(profile_pii(df, t, sample_fraction=sample_fraction))
-        if not parts:
+        if not cat_rows:
             return [], []
-        profile = reduce(DataFrame.unionAll, parts)
+        catalog = self.spark.createDataFrame(cat_rows, CATALOG_SCHEMA)
+        if parts:
+            profile = reduce(DataFrame.unionAll, parts)
+        else:  # all-typed schema: nothing to content-profile, hints still run
+            profile = self.spark.createDataFrame(
+                [],
+                "table_name string, column_name string, detector string, "
+                "hits long, n_nonnull long, n_rows long",
+            )
         # the profile is tiny (|cols| x |dets| rows) but each part costs a
         # table scan — cache it so profile + suggestions scan sources once
         profile = profile.persist()
         try:
             prof_rows = profile.collect()
-            sugg_rows = suggest_rules(profile, threshold_pct=pct).collect()
+            sugg_rows = suggest_rules(
+                profile, threshold_pct=pct, catalog=catalog
+            ).collect()
         finally:
             profile.unpersist()
         return prof_rows, sugg_rows

@@ -3112,6 +3112,73 @@ def _pii_suggest_oracle() -> str:
 ORACLE["pii_suggest_rules"] = _pii_suggest_oracle()
 
 
+# Typed-column discovery fixture: the corpus carries no typed PII column
+# NAMES, so derive one deterministically from orders — a DATE birthdate, a
+# BIGINT phone, a numeric column with no hint, and a string column for the
+# content path. Oracle type classes are pinned constants; the Spark side
+# recomputes them from the real schema, so a drift fails the hash gate.
+_PII_TYPED_ORACLE_CATALOG: list[tuple[str, str, str]] = [
+    ("orders_typed", "date_of_birth", "date"),
+    ("orders_typed", "phone_number", "numeric"),
+    ("orders_typed", "account_balance", "numeric"),
+    ("orders_typed", "status", "string"),
+]
+
+
+def _pii_typed_oracle() -> str:
+    from .operators.discovery import (
+        profile_pii_duck_sql,
+        suggest_rules_duck_sql,
+    )
+
+    profile_sql = profile_pii_duck_sql(
+        "(SELECT o_orderstatus AS status FROM orders) AS t",
+        "orders_typed",
+        ["status"],
+    )
+    return suggest_rules_duck_sql(
+        profile_sql, catalog_rows=_PII_TYPED_ORACLE_CATALOG
+    )
+
+
+@register("pii_suggest_rules_typed", _pii_typed_oracle())
+def q_pii_suggest_rules_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII discovery over a schema with TYPED PII columns (r9).
+
+    Content detectors are string-only, but a `date_of_birth DATE` or
+    `phone BIGINT` column is PII all the same — and the reference's config
+    rules are type-agnostic (config.go:64-126), so a suggestion on a typed
+    column pastes in exactly like a string one. NAME_HINTS run over the
+    full catalog column list with a type-compatibility filter
+    (TYPED_RULE_CLASSES): {{faker.date}} for the DATE birthdate,
+    {{faker.phone}} for the BIGINT phone; the unhinted numeric column and
+    the clean string column surface with NULL suggestions. The catalog is
+    schema-sized (driver-side constants) — at 100 TB the data is never
+    touched beyond the one string-profile aggregate."""
+    from .operators.discovery import (
+        CATALOG_SCHEMA,
+        profile_pii,
+        suggest_rules,
+        type_class,
+    )
+
+    fixture = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("date_of_birth"),
+        F.col("o_custkey").alias("phone_number"),
+        F.col("o_totalprice").alias("account_balance"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    catalog = spark.createDataFrame(
+        [
+            ("orders_typed", f.name, type_class(f.dataType.simpleString()))
+            for f in fixture.schema.fields
+        ],
+        CATALOG_SCHEMA,
+    )
+    profile = profile_pii(fixture, "orders_typed", columns=["status"])
+    return suggest_rules(profile, catalog=catalog)
+
+
 _FK_NUM = FAKER_FUNCTIONS["number"]
 
 

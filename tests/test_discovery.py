@@ -12,11 +12,15 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from database_anonymiser_minimiser_spark.operators.discovery import (
+    CATALOG_SCHEMA,
     CONTENT_DETECTORS,
     DEFAULT_THRESHOLD_PCT,
     NAME_HINTS,
+    TYPED_RULE_CLASSES,
     profile_pii,
+    profile_pii_duck_sql,
     suggest_rules,
+    type_class,
 )
 
 
@@ -119,6 +123,91 @@ def test_sampling_is_seeded_and_bounded(spark):
     assert 100 < n < 350  # ~10% Bernoulli of 2000
 
 
+def test_empty_input_profiles_to_integer_zero(spark):
+    """SUM over zero rows is NULL in both engines; the integer-count
+    contract says 0 (ADVICE r8) — an empty table, or a --sample fraction
+    that happens to select no rows, must still produce exact counts."""
+    df = spark.createDataFrame([], "contact string")
+    rows = profile_pii(df, "t").collect()
+    assert len(rows) == len(CONTENT_DETECTORS)
+    for r in rows:
+        assert (r.hits, r.n_nonnull, r.n_rows) == (0, 0, 0)
+    # and the suggestion path over the all-zero profile: name hint only
+    got = {r.column_name: r.suggested_rule for r in suggest_rules(profile_pii(df, "t")).collect()}
+    assert got == {"contact": None}
+
+
+def test_typed_columns_get_type_appropriate_hints(spark):
+    """Name hints cover non-string columns (a date_of_birth DATE or phone
+    BIGINT is PII whether or not it regex-profiles), but only with a
+    type-appropriate faker — {{faker.city}} on an INT city_id would be
+    masking noise, so incompatible hints are suppressed, not coerced."""
+    catalog = spark.createDataFrame(
+        [
+            ("t", "date_of_birth", "date"),
+            ("t", "phone", "numeric"),
+            ("t", "city_id", "numeric"),  # hint 'city' is string-only
+            ("t", "created_ts", "date"),  # no hint at all
+            ("t", "blob", "other"),  # binary etc: never suggested
+        ],
+        CATALOG_SCHEMA,
+    )
+    profile = profile_pii(spark.createDataFrame([("x",)], "note string"), "t")
+    got = {
+        r.column_name: (r.suggested_rule, r.evidence)
+        for r in suggest_rules(profile, catalog=catalog).collect()
+    }
+    assert got["date_of_birth"] == ("{{faker.date}}", "name~birth")
+    assert got["phone"] == ("{{faker.phone}}", "name~phone")
+    assert got["city_id"] == (None, None)
+    assert got["created_ts"] == (None, None)
+    assert got["blob"] == (None, None)
+    assert got["note"] == (None, None)  # string path still present
+
+
+def test_catalog_string_rows_do_not_duplicate_profile_rows(spark):
+    """String columns arrive via the profile; a catalog that ALSO lists
+    them (the Engine passes every column) must not emit a second row."""
+    df = spark.createDataFrame([("a@b.io",)], "email string")
+    catalog = spark.createDataFrame([("t", "email", "string")], CATALOG_SCHEMA)
+    rows = suggest_rules(profile_pii(df, "t"), catalog=catalog).collect()
+    assert len(rows) == 1 and rows[0].suggested_rule == "{{faker.email}}"
+
+
+def test_type_class_mapping():
+    assert type_class("string") == "string"
+    for t in ("date", "timestamp", "timestamp_ntz"):
+        assert type_class(t) == "date"
+    for t in ("tinyint", "smallint", "int", "bigint", "float", "double",
+              "decimal(12,2)"):
+        assert type_class(t) == "numeric"
+    for t in ("binary", "boolean", "array<int>", "struct<a:int>"):
+        assert type_class(t) == "other"
+    # every typed-compatibility rule is a real NAME_HINTS rule
+    hint_rules = {rule for _, rule in NAME_HINTS}
+    for rule in TYPED_RULE_CLASSES:
+        assert rule in hint_rules or rule == "{{faker.number}}"
+
+
+def test_oracle_sql_quotes_identifiers_and_escapes_patterns():
+    """ADVICE r8: a column name needing quoting or a pattern containing a
+    single quote must survive oracle-SQL generation (test-only surface,
+    but same quoting discipline as the sqlite reader)."""
+    import duckdb
+
+    sql = profile_pii_duck_sql(
+        '(SELECT \'x\' AS "select", \'a@b.io\' AS "odd name") AS t',
+        "weird'tbl",
+        ["select", "odd name"],
+    )
+    rows = duckdb.connect().execute(sql).fetchall()
+    # 2 columns x len(CONTENT_DETECTORS) rows, all integer counts
+    assert len(rows) == 2 * len(CONTENT_DETECTORS)
+    assert all(r[0] == "weird'tbl" for r in rows)
+    hits = {(r[1], r[2]): r[3] for r in rows}
+    assert hits[("odd name", "email")] == 1
+
+
 def test_patterns_are_re2_safe():
     # common-subset discipline: no backrefs / lookaround in any detector
     for _, pat, _ in CONTENT_DETECTORS:
@@ -154,6 +243,8 @@ def test_cli_scan_end_to_end(spark, tmp_path, capsys):
     from database_anonymiser_minimiser_spark import cli
     from database_anonymiser_minimiser_spark import config as config_mod
 
+    import datetime as dt
+
     corpus = tmp_path / "lake"
     corpus.mkdir()
     pq.write_table(
@@ -162,6 +253,10 @@ def test_cli_scan_end_to_end(spark, tmp_path, capsys):
                 "uid": [1, 2, 3],
                 "contact": ["a@x.io", "b@y.io", "c@z.io"],
                 "city_name": ["Leeds", "York", "Hull"],
+                "date_of_birth": pa.array(
+                    [dt.date(1980, 1, 2), dt.date(1991, 3, 4), dt.date(2002, 5, 6)],
+                    type=pa.date32(),
+                ),
             }
         ),
         corpus / "users.parquet",
@@ -178,10 +273,17 @@ def test_cli_scan_end_to_end(spark, tmp_path, capsys):
     assert rc == 0
     assert "users.contact: email 3/3 (100.0%)" in captured.out
     assert "suggest users.contact: {{faker.email}}  [content:email]" in captured.out
+    # typed-column coverage: the DATE column gets a name-hint suggestion
+    # even though content detectors can never profile it
+    assert (
+        "suggest users.date_of_birth: {{faker.date}}  [name~birth]"
+        in captured.out
+    )
 
     merged = config_mod.load(str(out_cfg))
     cols = merged.configuration["users"].columns
     assert cols["contact"] == "{{faker.email}}"  # discovered
+    assert cols["date_of_birth"] == "{{faker.date}}"  # typed discovery
     assert cols["city_name"] == "REDACTED"  # user rule untouched
 
     # closure: export WITH the merged config — discovered rule must mask
