@@ -100,6 +100,13 @@ HEADLINE = [
     # round-8: PII discovery (profile + rule suggestion)
     "pii_profile_tables",
     "pii_suggest_rules",
+    # round-9: typed-column discovery (catalog-sized; measures the
+    # string-profile aggregate it shares with the pair above).
+    # streaming_percentiles_tdigest is correctness-gated in the oracle
+    # suite but excluded here like the other stateful streaming queries:
+    # its wall is micro-batch harness + file splitting, not operator
+    # throughput — percentiles_tdigest_band_orders measures the digest.
+    "pii_suggest_rules_typed",
     "consistency_fk_integrity",
     "snapshot_diff_cdc",
     "text_token_count_bpe",

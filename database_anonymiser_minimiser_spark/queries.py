@@ -2530,6 +2530,50 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_percentiles_tdigest",
+    """
+    SELECT event_type,
+      CAST(count(*) FILTER (WHERE value IS NOT NULL AND NOT isnan(value))
+           AS BIGINT) AS n_seen,
+      TRUE AS p25_in_band, TRUE AS p50_in_band, TRUE AS p90_in_band
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING t-digest quantiles (r9): per-event-type running
+    percentiles carried in the state store across 4 real micro-batches
+    (streaming/stateful.py:running_quantiles — one bounded digest per key,
+    O(delta) doubles however long the stream runs), driver-graded with the
+    proven band discipline: the FINAL emission per type (highest n_seen —
+    a monotone counter) is banded in-plan against the exact batch
+    percentile, so each (type, p) hashes as a boolean without requiring
+    cross-engine agreement on digest internals; n_seen is integer-exact.
+    Same gate pattern as percentiles_tdigest_band_orders (batch twin) and
+    streaming_stateful_user_totals (final state == batch aggregate)."""
+    from .streaming.stateful import TD_PS, run_streaming_quantiles
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    final = run_streaming_quantiles(spark, sf_dir)  # event_type n_seen p25 p50 p90
+    arr = ", ".join(f"{p}D" for p in TD_PS)
+    exact = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("event_type")
+        .agg(F.expr(f"percentile(value, array({arr}))").alias("ex"))
+    )
+    est_cols = ["p25", "p50", "p90"]
+    joined = final.join(F.broadcast(exact), "event_type")
+    bands = [
+        (
+            F.abs(F.col(c) - F.element_at("ex", i + 1))
+            <= 0.05 * F.greatest(F.abs(F.element_at("ex", i + 1)), F.lit(1.0))
+        ).alias(f"{c}_in_band")
+        for i, c in enumerate(est_cols)
+    ]
+    return joined.select("event_type", "n_seen", *bands)
+
+
+@register(
     "streaming_anonymise_events",
     "SELECT event_id, "
     + FAKER_FUNCTIONS["number"].sql("duckdb", "user_id")
@@ -6089,69 +6133,69 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 # ===========================================================================
 
 _PRIORITY_50 = [
-    # (a) the twelve r3/r4-stale deferrals — the oldest oracle-keyed
-    # grades left in the registry (named in COVERAGE.md r7); graded
-    # green here, no grade in the ledger is older than r5
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "ann_lsh_topk",
-    "sample_hash_10pct",
-    "text_token_count_bpe",
-    "sqldump_escape_golden",
-    "topo_order",
-    "consistency_mapping",
-    "ann_topk_cosine_numpy",
-    "sample_fixed_per_lang",
-    "contamination_ngram_overlap",
-    "q14_promo_share",
-    # (b) plan changed this round: tdigest batch path now strips NaN
-    # alongside NULL (ADVICE r7 medium — matches the streaming twin)
-    "percentiles_tdigest_band_orders",
-    # (b2) NEW this round — the PII discovery pair (profile + rule
-    # suggestion); policy: new queries are graded the round they land
+    # (a) the ten r5-stale faker singles — after r8 the ONLY pre-r6
+    # grades left (r8 verdict item 1); heading this window reaches
+    # steady-state rotation: no oracle-keyed grade older than r6
+    "mask_address",
+    "mask_date",
+    "mask_email",
+    "mask_firstName",
+    "mask_ipv4",
+    "mask_lastName",
+    "mask_name",
+    "mask_number",
+    "mask_phone",
+    "mask_username",
+    # (b) NEW this round — typed-column PII discovery (name hints over
+    # the full catalog, type-compatibility-gated) and the streaming
+    # t-digest quantile operator under the band-gate discipline;
+    # policy: new queries are graded the round they land
+    "pii_suggest_rules_typed",
+    "streaming_percentiles_tdigest",
+    # (c) plan changed this round: profile_pii's detector sums are now
+    # coalesced to integer 0 on empty input (ADVICE r8) — both PII
+    # queries consume that aggregate, so both re-grade on the new plan
     "pii_profile_tables",
     "pii_suggest_rules",
-    # (c) the 35 oldest r5 grades. The 10 r5 grades NOT here are faker
-    # singles (mask_address/date/email/firstName/ipv4/lastName/name/
-    # number/phone/username) — same salted-template machinery as
-    # mask_all_fakers (green r7, all 16 columns) + the bit-identical
-    # Spark=DuckDB cross-engine fuzz gate; deferral rationale in
-    # COVERAGE.md (mask_phone/mask_username displaced by the new pair)
-    "anti_join_customers_without_big_orders",
-    "bpe_merge_pairs",
-    "decontaminate_bloom",
-    "dedup_clusters",
-    "dedup_common_spans",
-    "dedup_exact_documents",
-    "dedup_levenshtein_pairs",
-    "distinct_agg_events",
-    "events_sliding_2h_1h",
-    "events_tumbling_hourly",
-    "full_export_customer",
-    "json_extract_props",
-    "mask_password",
-    "mask_static_null",
-    "mask_text",
-    "mask_uuid",
-    "multimodal_decode_wav",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "retain_count_orders",
-    "retain_date_events",
-    "rollup_orders_by_status_priority",
-    "row_counts",
-    "semantic_dedup_embeddings",
-    "semi_join_orders_with_big_items",
-    "setop_union_intersect_except",
-    "sqldump_tuple_customer",
-    "streaming_events_tumbling",
-    "streaming_events_watermark",
-    "streaming_stateful_user_totals",
-    "truncate_part",
-    "window_running_totals",
-    "window_top_orders_per_customer",
-    "zscore_pandas_band_events",
+    # (d) the 36 oldest r6 grades. The 13 r6 grades NOT here are named
+    # in COVERAGE.md with family rationale (each has a same-machinery
+    # sibling windowed now or an independent exact gate) and head r10
+    "ann_int8_topk",
+    "bm25_search_topk",
+    "consistency_fk_integrity",
+    "corpus_curation_pipeline",
+    "corpus_mix_budget",
+    "corpus_vocab_top100",
+    "cube_lineitem_flag_status",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
+    "events_resample_hourly_dense",
+    "funnel_view_click_purchase",
+    "heavy_hitters_sketch_pairs",
+    "hybrid_search_rrf",
+    "percentiles_orders_by_status",
+    "pivot_orders_priority",
+    "privacy_perturb_numeric",
+    "privacy_risk_metrics",
+    "privacy_shift_dates",
+    "privacy_suppress_below_k",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q20_excess_supply",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "quality_quantile_filter",
+    "shard_assignment_stats",
+    "snapshot_diff_cdc",
+    "streaming_heavy_hitters_users",
+    "subset_export_lines",
+    "text_bigram_novelty",
+    "text_quality_score",
+    "text_repetition_quality",
+    "tfdf_top_terms",
+    "unpivot_customer_metrics",
 ]
 
 
