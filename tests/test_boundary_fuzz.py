@@ -283,3 +283,153 @@ def test_watermark_emission_matches_reference(spark, tmp_path, events):
         for r in out.collect()
     }
     assert got == _ref_watermark(events)
+
+
+# ---------------------------------------------------------------------------
+# 4. t-digest 5% band gate: probe the pass/fail EDGE (r8 verdict item 7)
+# ---------------------------------------------------------------------------
+# The band gates (percentiles_tdigest_band_orders,
+# streaming_percentiles_tdigest) assert |est - exact| <= 5% — green since
+# r7, but the edge itself was assumed, not probed. Probing it shows the
+# band is a DATA-CLASS property, not a universal digest guarantee:
+# adversarial distributions (a heavy-tie mass step under the probed
+# quantile, a 2-row group, an extreme-tail p99) put genuinely more than
+# 5% of value error between the digest's interpolation and the exact
+# order statistic, while the digest's actual invariant — bounded RANK
+# error — keeps holding. These tests pin all three facts:
+#   (a) the rank invariant holds on adversarial inputs for the FULL
+#       pipeline shape (batch partials -> sharded pre-merge -> final
+#       merge), not just a single compress;
+#   (b) the named failure families really do break the value band (so
+#       the gate must never be read as a universal promise);
+#   (c) on the gate's actual corpus distributions the band holds with
+#       measured HEADROOM (worst utilization ~0.72 of the band at
+#       sf0.001, ~0.33 at sf0.01) across batch-split variations — the
+#       green gate is structural, not luck.
+
+
+def _td_pipeline(vals, ps, n_chunks=4, delta=100.0):
+    """The distributed three-level digest shape, driver-side: the same
+    shared kernel (compress/merge_digests/quantile) the Spark path uses,
+    with explicit batch splits standing in for Arrow batches/shards."""
+    import numpy as np
+
+    from database_anonymiser_minimiser_spark.operators.tdigest import (
+        compress,
+        merge_digests,
+        quantile,
+    )
+
+    vals = np.asarray(vals, dtype=np.float64)
+    chunks = [c for c in np.array_split(vals, max(1, n_chunks)) if c.size]
+    parts = [compress(c, np.ones_like(c), delta) for c in chunks]
+    pre = [
+        merge_digests(parts[s::2], delta)
+        for s in range(min(2, len(parts)))
+        if parts[s::2]
+    ]
+    m, w = merge_digests(pre, delta)
+    return quantile(m, w, float(vals.min()), float(vals.max()), ps)
+
+
+def _rank_error(vals, est, p):
+    import numpy as np
+
+    s = np.sort(np.asarray(vals, dtype=np.float64))
+    lo = np.searchsorted(s, est, side="left") / s.size
+    hi = np.searchsorted(s, est, side="right") / s.size
+    return 0.0 if lo <= p <= hi else min(abs(lo - p), abs(hi - p))
+
+
+def _band(exact):
+    return 0.05 * max(abs(exact), 1.0)
+
+
+TD_VALS = st.lists(
+    st.one_of(
+        # heavy ties over a tiny value set (mass steps)
+        st.sampled_from([0.0, 1.0, 2.0, 3.0, 1e6]),
+        # smooth-ish values and extreme magnitudes
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+    ),
+    min_size=2,
+    max_size=600,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(TD_VALS, st.sampled_from([0.1, 0.5, 0.9, 0.99]), st.sampled_from([1, 3, 7]))
+@example(vals=[7.0, 9.0], p=0.25, n_chunks=1)  # 2-row group
+@example(vals=[1.0] * 300 + [2.0] * 150 + [3.0] * 50, p=0.9, n_chunks=3)  # step
+@example(vals=[0.0] * 250 + [1e12] * 250, p=0.5, n_chunks=4)  # far ties
+def test_tdigest_pipeline_rank_invariant_fuzzed(vals, p, n_chunks):
+    """The universal invariant the digest DOES make, for the full
+    pipeline shape: empirical rank of the estimate within 5% of p —
+    on ties, steps, extreme magnitudes, tiny groups, any batching. The
+    1/n term is interpolation granularity: an estimate strictly between
+    two order statistics carries their rank, which can sit up to one
+    rank step from p (hypothesis found it at n=6 before the term)."""
+    (est,) = _td_pipeline(vals, [p], n_chunks)
+    assert _rank_error(vals, est, p) <= 0.05 + 1.0 / len(vals), (est, p)
+
+
+def test_tdigest_value_band_is_not_universal():
+    """The named adversarial families break the 5% VALUE band while the
+    rank invariant holds — the band gate is a property of the corpus
+    distribution class (smooth, n >> delta, bounded local value steps),
+    and must not be read as a universal digest promise. If a future
+    digest change makes every family pass, this characterization is
+    stale: re-probe and update the boundary notes."""
+    import numpy as np
+
+    families = {
+        "tie_step_under_p90": ([1.0] * 3000 + [2.0] * 1500 + [3.0] * 500, 0.9),
+        "two_row_group": ([7.0, 9.0], 0.25),
+        "extreme_tail_p99": (
+            np.exp(np.random.default_rng(0).normal(0, 5, 5000)).tolist(),
+            0.99,
+        ),
+    }
+    band_failures = 0
+    for name, (vals, p) in families.items():
+        (est,) = _td_pipeline(vals, [p])
+        exact = float(np.percentile(vals, p * 100, method="linear"))
+        assert _rank_error(vals, est, p) <= 0.05, name  # invariant holds...
+        if abs(est - exact) > _band(exact):  # ...while the band may not
+            band_failures += 1
+    assert band_failures >= 2, (
+        "adversarial families no longer break the band - re-characterize"
+    )
+
+
+@pytest.mark.parametrize(
+    "table,value_of,group_of,ps",
+    [
+        ("orders", "o_totalprice", "o_orderstatus", (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)),
+        ("events", "value", "event_type", (0.25, 0.5, 0.9)),
+    ],
+)
+def test_tdigest_gate_band_headroom_on_corpus(sf_dir, table, value_of, group_of, ps):
+    """The driver band gates' distributions sit WELL INSIDE the band:
+    worst measured utilization 0.72 at sf0.001 / 0.33 at sf0.01 across
+    1/7/32-chunk batchings. Asserting <= 0.9 pins the edge — a digest or
+    corpus change that pushes any (group, p) near the boundary fails
+    here before it can flake the driver gate."""
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[group_of, value_of])
+    by = collections.defaultdict(list)
+    for g, v in zip(t[group_of].to_pylist(), t[value_of].to_pylist()):
+        if v is not None and v == v:
+            by[g].append(v)
+    worst = 0.0
+    for vals in by.values():
+        for n_chunks in (1, 7, 32):
+            ests = _td_pipeline(vals, list(ps), n_chunks)
+            for p, est in zip(ps, ests):
+                exact = float(np.percentile(vals, p * 100, method="linear"))
+                worst = max(worst, abs(est - exact) / _band(exact))
+    assert worst <= 0.9, f"band utilization {worst:.3f} - gate edge at risk"

@@ -20,6 +20,24 @@ the FULL sf1 corpus (50k docs / 20k vectors, 1000x the grading scale):
   brute-force cosine top-k golden (rank-for-rank), plus a
   separation check that the rank boundary is not a float tie.
 
+r9 extends the harness to the REST of the deselected family (r8 verdict
+item 4):
+
+- ``text_winnow_fingerprint``: pure-Python rolling 3-shingle min-hash
+  fingerprints, exact string compare over all 50k docs.
+- ``dedup_levenshtein_pairs``: independent blocking (length bucket +
+  12-char prefix, adjacency included) + an exact banded edit-distance
+  DP with common-affix stripping, pair-for-pair and value-for-value.
+- ``dedup_common_spans``: dict-based span frequency + per-lang rollup,
+  integer-exact.
+- ``contamination_ngram_overlap``: set-based 5-gram shingle overlap vs
+  the md5-sampled benchmark side, integer counts exact and max_overlap
+  compared as the identical IEEE double division.
+- ``semantic_dedup_embeddings`` + ``embedding_neardup``: numpy
+  normalized-matmul cosine per block (sign-bit blocks / label blocks),
+  survivor-set / pair-set exact with an explicit no-threshold-tie
+  margin check (the fold-vs-BLAS low-bit question the margin answers).
+
 A distributed-execution bug (partition-dependent distinct, overflow
 past 2^31, double-execution divergence, lost rows in a self-join)
 would make Spark disagree with these goldens at 50k docs even if
@@ -273,3 +291,342 @@ def test_ann_topk_full_sf1_vs_numpy_golden(spark, qname):
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
         got.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert got == golden
+
+
+# ---------------------------------------------------------------------------
+# golden 4 (r9): winnowing-style rolling-hash fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _golden_winnow_fingerprints():
+    ids, texts = _load_documents()
+    out = {}
+    for i, txt in zip(ids, texts):
+        ts = _tokens(txt)
+        if len(ts) < 3:
+            continue
+        hs = sorted(
+            int(
+                hashlib.md5(" ".join(ts[j : j + 3]).encode())
+                .hexdigest()
+                .translate(_HEX_TR)[:12]
+            )
+            for j in range(len(ts) - 2)
+        )
+        out[int(i)] = "-".join(str(h) for h in hs[:4])
+    return out
+
+
+def test_text_winnow_fingerprint_full_sf1_vs_python_golden(spark):
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    golden = _golden_winnow_fingerprints()
+    rows = Q.QUERIES["text_winnow_fingerprint"](spark, SF1).collect()
+    got = {r["doc_id"]: r["fingerprint"] for r in rows}
+    assert len(golden) > 10_000
+    assert got == golden
+
+
+# ---------------------------------------------------------------------------
+# golden 5 (r9): blocked capped-prefix edit-distance near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _lev_capped(a: str, b: str, k: int):
+    """Exact Levenshtein if <= k else None: strip common affixes, then a
+    banded DP (band width 2k+1 suffices for any distance <= k) with a
+    row-min early abort. Independent of Spark's full-matrix builtin."""
+    # strip common prefix
+    i, n = 0, min(len(a), len(b))
+    while i < n and a[i] == b[i]:
+        i += 1
+    a, b = a[i:], b[i:]
+    # strip common suffix
+    j, n = 0, min(len(a), len(b))
+    while j < n and a[len(a) - 1 - j] == b[len(b) - 1 - j]:
+        j += 1
+    if j:
+        a, b = a[: len(a) - j], b[: len(b) - j]
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return None
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    INF = k + 1
+    prev = [min(x, INF) for x in range(lb + 1)]
+    for r in range(1, la + 1):
+        lo, hi = max(1, r - k), min(lb, r + k)
+        cur = [INF] * (lb + 1)
+        if r <= k:
+            cur[0] = r
+        band_min = INF
+        ar = a[r - 1]
+        for c in range(lo, hi + 1):
+            cost = 0 if ar == b[c - 1] else 1
+            v = prev[c - 1] + cost
+            if prev[c] + 1 < v:
+                v = prev[c] + 1
+            if cur[c - 1] + 1 < v:
+                v = cur[c - 1] + 1
+            cur[c] = v
+            if v < band_min:
+                band_min = v
+        if min(band_min, cur[0]) > k:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= k else None
+
+
+def _golden_levenshtein_pairs(
+    max_dist=10, prefix_chars=120, block_prefix=12, len_bucket=20
+):
+    ids, texts = _load_documents()
+    buckets: dict[tuple, list[tuple[int, str]]] = {}
+    for i, txt in zip(ids, texts):
+        nt = re.sub(r"\s+", " ", txt.strip().lower())
+        key = (len(nt) // len_bucket, nt[:block_prefix])
+        buckets.setdefault(key, []).append((int(i), nt[:prefix_chars]))
+    golden = {}
+
+    def check(pa, pb):
+        (ia, ta), (ib, tb) = pa, pb
+        if ia > ib:
+            ia, ib, ta, tb = ib, ia, tb, ta
+        d = _lev_capped(ta, tb, max_dist)
+        if d is not None:
+            golden[(ia, ib)] = d
+
+    for (lb, pfx), members in buckets.items():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                check(members[x], members[y])
+        for m in buckets.get((lb + 1, pfx), ()):  # straddling pairs
+            for pa in members:
+                check(pa, m)
+    return golden
+
+
+def test_dedup_levenshtein_full_sf1_vs_banded_dp_golden(spark):
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    golden = _golden_levenshtein_pairs()
+    rows = Q.QUERIES["dedup_levenshtein_pairs"](spark, SF1).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["dist"] for r in rows}
+    assert len(rows) == len(got), "duplicate pairs in Spark output"
+    assert len(golden) > 100, f"suspicious golden size {len(golden)}"
+    assert set(got) == set(golden), (
+        f"pair set mismatch: spark-only={sorted(set(got) - set(golden))[:5]} "
+        f"golden-only={sorted(set(golden) - set(got))[:5]}"
+    )
+    for k, v in golden.items():
+        assert got[k] == v, (k, got[k], v)
+
+
+# ---------------------------------------------------------------------------
+# golden 6 (r9): sub-document common-span audit (per-lang integer rollup)
+# ---------------------------------------------------------------------------
+
+
+def _load_documents_with_lang():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{SF1}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return (
+        t["doc_id"].to_numpy(),
+        t["lang"].to_pylist(),
+        t["text"].to_pylist(),
+    )
+
+
+def _golden_common_spans():
+    from collections import Counter
+
+    from database_anonymiser_minimiser_spark.queries import (
+        _SPAN_MIN_DOCS,
+        _SPAN_TOKENS,
+    )
+
+    _, langs, texts = _load_documents_with_lang()
+    per_doc = []
+    freq: Counter = Counter()
+    for lang, txt in zip(langs, texts):
+        ts = _tokens(txt)
+        if len(ts) < _SPAN_TOKENS:
+            continue
+        spans = {
+            " ".join(ts[i * _SPAN_TOKENS : (i + 1) * _SPAN_TOKENS])
+            for i in range(len(ts) // _SPAN_TOKENS)
+        }
+        per_doc.append((lang, spans))
+        freq.update(spans)
+    common = {s for s, n in freq.items() if n >= _SPAN_MIN_DOCS}
+    agg: dict[str, list[int]] = {}
+    for lang, spans in per_doc:
+        n_common = sum(1 for s in spans if s in common)
+        a = agg.setdefault(lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if n_common else 0
+        a[2] += len(spans)
+        a[3] += n_common
+    return {k: tuple(v) for k, v in agg.items()}
+
+
+def test_dedup_common_spans_full_sf1_vs_python_golden(spark):
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    golden = _golden_common_spans()
+    rows = Q.QUERIES["dedup_common_spans"](spark, SF1).collect()
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_affected_docs"],
+            r["total_spans"],
+            r["total_common_spans"],
+        )
+        for r in rows
+    }
+    assert sum(v[3] for v in golden.values()) > 0, "no common spans exercised"
+    assert got == golden
+
+
+# ---------------------------------------------------------------------------
+# golden 7 (r9): n-gram-overlap decontamination (per-lang rollup)
+# ---------------------------------------------------------------------------
+
+
+def _golden_contamination_overlap(ngram=5, flag_frac=0.3):
+    _, langs, texts = _load_documents_with_lang()
+    docs = []
+    bench: set[str] = set()
+    for lang, txt in zip(langs, texts):
+        ts = _tokens(txt)
+        if len(ts) < ngram:
+            continue
+        sh = {
+            " ".join(ts[j : j + ngram]) for j in range(len(ts) - ngram + 1)
+        }
+        is_bench = (
+            int(hashlib.md5(txt.encode()).hexdigest().translate(_HEX_TR)[:6])
+            % 20
+            == 0
+        )
+        if is_bench:
+            bench |= sh
+        else:
+            docs.append((lang, sh))
+    agg: dict[str, list] = {}
+    for lang, sh in docs:
+        frac = len(sh & bench) * 1.0 / len(sh)
+        a = agg.setdefault(lang, [0, 0, 0.0])
+        a[0] += 1
+        a[1] += 1 if frac >= flag_frac else 0
+        a[2] = max(a[2], frac)
+    return {k: tuple(v) for k, v in agg.items()}
+
+
+def test_contamination_ngram_overlap_full_sf1_vs_python_golden(spark):
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    golden = _golden_contamination_overlap()
+    rows = Q.QUERIES["contamination_ngram_overlap"](spark, SF1).collect()
+    got = {
+        r["lang"]: (r["n_docs"], r["n_flagged"], r["max_overlap"])
+        for r in rows
+    }
+    assert sum(v[1] for v in golden.values()) > 0, "no flagged docs exercised"
+    assert set(got) == set(golden)
+    for lang, (nd, nf, mo) in golden.items():
+        gd, gf, gm = got[lang]
+        assert (gd, gf) == (nd, nf), (lang, got[lang], golden[lang])
+        # same two integers through one IEEE double division -> exact
+        assert gm == mo, (lang, gm, mo)
+
+
+# ---------------------------------------------------------------------------
+# goldens 8+9 (r9): embedding-space dedup (sign-bit / label blocking)
+# ---------------------------------------------------------------------------
+
+
+def _load_embeddings():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{SF1}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, mat, t["label"].to_numpy()
+
+
+def _block_cosines(ids, mat):
+    """All same-block (lo_id, hi_id) -> cosine via one normalized matmul."""
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    vn = np.divide(mat, nrm, out=np.zeros_like(mat), where=nrm != 0)
+    C = vn @ vn.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    lo = np.minimum(ids[iu], ids[ju])
+    hi = np.maximum(ids[iu], ids[ju])
+    return lo, hi, C[iu, ju]
+
+
+def test_semantic_dedup_full_sf1_vs_numpy_golden(spark):
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    threshold, sign_bits = 0.3, 8
+    ids, mat, labels = _load_embeddings()
+    blk = (mat[:, :sign_bits] >= 0)  # sign-bit blocking, the shared constant
+    keys = ["".join("1" if b else "0" for b in row) for row in blk]
+    by_block: dict[str, list[int]] = {}
+    for row, k in enumerate(keys):
+        by_block.setdefault(k, []).append(row)
+    dups: set[int] = set()
+    min_margin = np.inf
+    for rows_ in by_block.values():
+        if len(rows_) < 2:
+            continue
+        sub_ids = ids[rows_]
+        lo, hi, cos = _block_cosines(sub_ids, mat[rows_])
+        min_margin = min(min_margin, float(np.abs(cos - threshold).min()))
+        dups.update(int(h) for h in hi[cos >= threshold])
+    # no in-block pair may sit on the threshold within float-fold drift,
+    # else survivor equality would be luck, not correctness
+    assert min_margin > 1e-9, f"threshold tie ({min_margin})"
+    golden = {(int(i), str(l)) for i, l in zip(ids, labels) if int(i) not in dups}
+    rows = Q.QUERIES["semantic_dedup_embeddings"](spark, SF1).collect()
+    got = {(r["vec_id"], str(r["label"])) for r in rows}
+    assert 0 < len(golden) < len(ids), "dedup not exercised"
+    assert got == golden
+
+
+def test_embedding_neardup_full_sf1_vs_numpy_golden(spark):
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    threshold = 0.2
+    ids, mat, labels = _load_embeddings()
+    golden = {}
+    min_margin = np.inf
+    for lab in np.unique(labels):
+        rows_ = np.nonzero(labels == lab)[0]
+        lo, hi, cos = _block_cosines(ids[rows_], mat[rows_])
+        min_margin = min(min_margin, float(np.abs(cos - threshold).min()))
+        keep = cos >= threshold
+        for a, b, c in zip(lo[keep], hi[keep], cos[keep]):
+            golden[(int(a), int(b))] = float(c)
+    assert min_margin > 1e-9, f"threshold tie ({min_margin})"
+    assert len(golden) > 10_000, f"suspicious golden size {len(golden)}"
+    rows = Q.QUERIES["embedding_neardup"](spark, SF1).collect()
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows}
+    assert len(rows) == len(got), "duplicate pairs in Spark output"
+    assert set(got) == set(golden), (
+        f"pair set mismatch: {len(got)} vs {len(golden)}; "
+        f"spark-only={sorted(set(got) - set(golden))[:3]} "
+        f"golden-only={sorted(set(golden) - set(got))[:3]}"
+    )
+    for k, v in golden.items():
+        # Spark emits the JVM-fold cosine; numpy BLAS differs only in
+        # summation order -> low-bit drift, banded far under the margin
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
