@@ -137,6 +137,10 @@ HEADLINE = [
     "streaming_dedup_events",
     "contamination_check",
     "contamination_ngram_overlap",
+    # round-9: the xxhash64-keyed twins (at-scale shuffle keys) — swept
+    # alongside the string twins so the key strategy's cost is recorded
+    "contamination_ngram_overlap_hashed",
+    "dedup_common_spans_hashed",
     "pack_sequences_2048",
     "ann_lsh_multiprobe",
     "sample_fixed_per_lang",

@@ -3717,6 +3717,64 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "contamination_ngram_overlap_hashed", ORACLE["contamination_ngram_overlap"]
+)
+def q_contamination_ngram_overlap_hashed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """contamination_ngram_overlap with the 100 TB key strategy APPLIED
+    (r9): shingles fold to 64-bit xxhash64 tokens map-side, so the
+    per-doc distinct, the broadcast benchmark set, and the membership
+    join all carry 8-byte longs instead of ~30-byte strings — the string
+    twin's docstring claimed this as the at-scale move; this query makes
+    it tested code. Rollup identical to the twin (same oracle; a 64-bit
+    collision would flip an integer count and fail the hash compare),
+    equality also asserted in tests/test_queries_oracle.py."""
+    docs = load(spark, sf_dir, "documents")
+    samp = F.expr(
+        "CAST(substr(translate(md5(CAST(text AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 20"
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("t"),
+        (samp == 0).alias("is_benchmark"),
+    ).filter(F.size("t") >= 5)
+    sh = base.select(
+        "doc_id",
+        "lang",
+        "is_benchmark",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 4), "
+                "i -> xxhash64(array_join(slice(t, i, 5), ' ')))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    bench = (
+        sh.filter("is_benchmark").select("shingle").distinct()
+        .withColumnRenamed("shingle", "bshingle")
+    )
+    per_doc = (
+        sh.filter(~F.col("is_benchmark"))
+        .join(F.broadcast(bench), F.col("shingle") == F.col("bshingle"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("bshingle").alias("n_hit"),
+        )
+    )
+    hfrac = F.col("n_hit") * 1.0 / F.col("n_sh")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(hfrac >= 0.3, 1)).cast("long").alias("n_flagged"),
+        F.max(hfrac).alias("max_overlap"),
+    )
+
+
+@register(
     "pack_sequences_2048",
     """
     WITH toks AS (
@@ -4593,6 +4651,58 @@ def q_dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"transform(sequence(0, CAST(floor(size(t) / {_SPAN_TOKENS}) AS INT) - 1), "
                 f"i -> array_join(slice(t, i*{_SPAN_TOKENS}+1, {_SPAN_TOKENS}), ' '))"
+            )
+        ).alias("span"),
+    ).distinct()
+    cnt = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n"))
+    common = cnt.filter(F.col("n") >= _SPAN_MIN_DOCS).select(
+        F.col("span").alias("cspan")
+    )
+    per_doc = (
+        spans.join(common, spans.span == F.col("cspan"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("cspan").alias("n_common"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("n_common") > 0, 1)).cast("long").alias(
+            "n_affected_docs"
+        ),
+        F.sum("n_spans").cast("long").alias("total_spans"),
+        F.sum("n_common").cast("long").alias("total_common_spans"),
+    )
+
+
+@register("dedup_common_spans_hashed", ORACLE["dedup_common_spans"])
+def q_dedup_common_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_common_spans with the 100 TB key strategy APPLIED (r9):
+    every span is folded to a 64-bit xxhash64 token map-side, so the
+    frequency shuffle and the join-back carry 8-byte longs instead of
+    ~60-byte strings (~7x less shuffle I/O, cheaper hashing/compare) —
+    the string twin's docstring claimed this as the at-scale move; this
+    query makes it tested code. The per-lang rollup is IDENTICAL to the
+    string-keyed twin (same oracle: a 64-bit collision across ~1M
+    distinct spans has probability ~1e-7, and the hash-exact driver
+    compare would surface one), equality also asserted in
+    tests/test_queries_oracle.py::test_hashed_key_variants_match_string_twins."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("t"),
+    ).filter(F.size("t") >= _SPAN_TOKENS)
+    spans = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(floor(size(t) / {_SPAN_TOKENS}) AS INT) - 1), "
+                f"i -> xxhash64(array_join(slice(t, i*{_SPAN_TOKENS}+1, {_SPAN_TOKENS}), ' ')))"
             )
         ).alias("span"),
     ).distinct()
@@ -6147,17 +6257,21 @@ _PRIORITY_50 = [
     "mask_phone",
     "mask_username",
     # (b) NEW this round — typed-column PII discovery (name hints over
-    # the full catalog, type-compatibility-gated) and the streaming
-    # t-digest quantile operator under the band-gate discipline;
+    # the full catalog, type-compatibility-gated), the streaming
+    # t-digest quantile operator under the band-gate discipline, and
+    # the xxhash64-keyed twins of the two shingle-join queries (the
+    # at-scale key strategy their docstrings claimed, now tested code);
     # policy: new queries are graded the round they land
     "pii_suggest_rules_typed",
     "streaming_percentiles_tdigest",
+    "dedup_common_spans_hashed",
+    "contamination_ngram_overlap_hashed",
     # (c) plan changed this round: profile_pii's detector sums are now
     # coalesced to integer 0 on empty input (ADVICE r8) — both PII
     # queries consume that aggregate, so both re-grade on the new plan
     "pii_profile_tables",
     "pii_suggest_rules",
-    # (d) the 36 oldest r6 grades. The 13 r6 grades NOT here are named
+    # (d) the 34 oldest r6 grades. The 15 r6 grades NOT here are named
     # in COVERAGE.md with family rationale (each has a same-machinery
     # sibling windowed now or an independent exact gate) and head r10
     "ann_int8_topk",
@@ -6165,7 +6279,6 @@ _PRIORITY_50 = [
     "consistency_fk_integrity",
     "corpus_curation_pipeline",
     "corpus_mix_budget",
-    "corpus_vocab_top100",
     "cube_lineitem_flag_status",
     "dedup_ngram_jaccard",
     "embedding_neardup",
@@ -6192,7 +6305,6 @@ _PRIORITY_50 = [
     "streaming_heavy_hitters_users",
     "subset_export_lines",
     "text_bigram_novelty",
-    "text_quality_score",
     "text_repetition_quality",
     "tfdf_top_terms",
     "unpivot_customer_metrics",

@@ -644,3 +644,20 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_hashed_shingle_twins_shuffle_long_keys(spark, sf):
+    """r9 hashed-key twins: the whole point is that no STRING shingle
+    ever reaches an Exchange or join — the span/shingle columns must be
+    bigint (xxhash64) at every hashpartitioning, and the contamination
+    twin must still broadcast its benchmark side."""
+    import re
+
+    plan = plan_of(Q.QUERIES["dedup_common_spans_hashed"](spark, sf))
+    # every partitioning on the span key is the long column
+    assert re.search(r"hashpartitioning\(span#\d+L", plan)
+    assert not re.search(r"hashpartitioning\(span#\d+(?![0-9L])", plan)
+
+    plan2 = plan_of(Q.QUERIES["contamination_ngram_overlap_hashed"](spark, sf))
+    assert "BroadcastHashJoin" in plan2 or "BroadcastExchange" in plan2
+    assert re.search(r"xxhash64", plan2)

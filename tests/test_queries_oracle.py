@@ -142,3 +142,21 @@ def test_rows_only_window_entries_execute(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() > 0
     assert df.columns
+
+
+@pytest.mark.parametrize(
+    "hashed,twin",
+    [
+        ("dedup_common_spans_hashed", "dedup_common_spans"),
+        ("contamination_ngram_overlap_hashed", "contamination_ngram_overlap"),
+    ],
+)
+def test_hashed_key_variants_match_string_twins(spark, sf_dir, hashed, twin):
+    """The xxhash64-keyed twins (r9: the at-scale shuffle-key strategy
+    applied) must produce byte-identical rollups to their string-keyed
+    twins — a 64-bit collision, a hashing asymmetry between the two
+    sides of the membership join, or a dropped shingle would diverge
+    here before it could reach the driver gate."""
+    a = sorted(tuple(r) for r in QUERIES[hashed](spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in QUERIES[twin](spark, sf_dir).collect())
+    assert a == b
