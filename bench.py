@@ -125,6 +125,8 @@ HEADLINE = [
     "semi_join_orders_with_big_items",
     "corpus_curation_pipeline",
     "dedup_incremental_ingest",
+    # round-9: the near-dup sibling (delta-vs-landed MinHash ingest)
+    "dedup_minhash_incremental",
     "corpus_mix_budget",
     "q20_excess_supply",
     "q21_waiting_suppliers",

@@ -181,23 +181,30 @@ def minhash_signature(
     return with_base.select("id", "s", F.expr(f"array({mins})").alias("sig"))
 
 
-def lsh_candidate_pairs(
+def banded_signature(
     sig_df: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
 ) -> DataFrame:
-    """(id_a, id_b) candidates sharing at least one signature band.
-
-    Banding: hash each contiguous ``rows``-slice of the signature; docs
-    agreeing on any band collide. The self-join shuffles on (band_id,
-    band_key) — bucket sizes, not n^2, bound the work.
-    """
+    """(id, band_id, band_key): hash each contiguous ``rows``-slice of
+    the signature — docs agreeing on any band collide. Shared by the
+    self-join (within-corpus pairs) and the incremental new-vs-landed
+    join."""
     band_structs = ", ".join(
         f"struct({b} AS band_id, md5(concat_ws('|', transform(slice(sig, {b * rows + 1}, {rows}), "
         f"x -> CAST(x AS STRING)))) AS band_key)"
         for b in range(bands)
     )
-    banded = sig_df.select(
-        "id", F.expr(f"inline(array({band_structs}))")
-    )
+    return sig_df.select("id", F.expr(f"inline(array({band_structs}))"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
+) -> DataFrame:
+    """(id_a, id_b) candidates sharing at least one signature band.
+
+    The self-join shuffles on (band_id, band_key) — bucket sizes, not
+    n^2, bound the work.
+    """
+    banded = banded_signature(sig_df, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -291,6 +298,109 @@ def duck_minhash_lsh_sql(
           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
         FROM cand JOIN shf sa ON cand.id_a = sa.id JOIN shf sb ON cand.id_b = sb.id)
     SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {threshold}
+    """
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    landed_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    mode: str = "md5",
+    persist: bool = True,
+) -> DataFrame:
+    """(doc_id, n_dups, best_jaccard) for every NEW document that
+    near-duplicates something already LANDED — the near-dup counterpart
+    of the exact-fingerprint incremental ingest (daily-ingest shape:
+    dedup the delta against the 100 TB corpus WITHOUT re-deduping the
+    corpus against itself).
+
+    Scale shape: both sides shingle/sign map-side; the candidate join is
+    new-bands x landed-bands on (band_id, band_key) — the new side is a
+    day's batch, so bucket fan-out is batch-sized, never corpus^2; exact
+    Jaccard verification then joins the shingle sets of the surviving
+    candidates only. No self-join anywhere: a pair of NEW documents
+    duplicating each other is deliberately out of scope (that is the
+    within-batch ``minhash_lsh_pairs`` run, a separate, much smaller
+    job). At 100 TB the landed banded relation is precomputed once and
+    maintained incrementally (append each admitted batch's bands), so
+    the daily cost is batch-shingling + one bucket join."""
+    sh_new = shingles(new_df, text_col, id_col)
+    sh_landed = shingles(landed_df, text_col, id_col)
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+        sh_landed = sh_landed.persist(StorageLevel.MEMORY_AND_DISK)
+    banded_new = banded_signature(minhash_signature(sh_new, mode=mode))
+    banded_landed = banded_signature(minhash_signature(sh_landed, mode=mode))
+    cands = (
+        banded_new.alias("a")
+        .join(
+            banded_landed.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = verify_jaccard(cands, sh_new.unionAll(sh_landed), threshold)
+    return verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+
+
+def duck_minhash_incremental_sql(
+    table: str = "documents",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+    new_pred: str = (
+        "CAST(substr(translate(md5(text), 'abcdef', '012345'), 1, 6) AS BIGINT)"
+        " % 10 = 0"
+    ),
+) -> str:
+    """Oracle for :func:`minhash_lsh_incremental` over a deterministic
+    md5-sampled 'new batch' split of ``table`` (same convention as
+    dedup_incremental_ingest)."""
+    mins = ", ".join(
+        f"list_min(list_transform(hb, h -> ({a} * h + {b}) % {_MINHASH_P}))"
+        for a, b in _perm_constants(num_hashes)
+    )
+    band_rows = ", ".join(
+        f"({b}, md5(array_to_string(list_transform("
+        f"sig[{b * rows + 1}:{b * rows + rows}], x -> CAST(x AS VARCHAR)), '|')))"
+        for b in range(bands)
+    )
+    return f"""
+    WITH raw AS (SELECT doc_id, text, {new_pred} AS is_new FROM {table}),
+    tok AS (SELECT doc_id AS id, is_new,
+        regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM raw),
+    tokf AS (SELECT * FROM tok WHERE len(ts) >= {SHINGLE_K}),
+    shf AS (SELECT id, is_new,
+        list_distinct(list_transform(generate_series(1, len(ts) - {SHINGLE_K - 1}),
+            i -> {" || ' ' || ".join(f"ts[i + {j}]" for j in range(SHINGLE_K))})) AS s
+        FROM tokf),
+    based AS (SELECT id, is_new, s, list_transform(s, x ->
+        CAST(substr(translate(md5(x), 'abcdef', '012345'), 1, 15) AS BIGINT)
+          % {_BASE_MOD}) AS hb FROM shf),
+    sig AS (SELECT id, is_new, s, [{mins}] AS sig FROM based),
+    banded AS (SELECT id, is_new, b.* FROM sig,
+        LATERAL (SELECT * FROM (VALUES {band_rows}) v(band_id, band_key)) b),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.is_new AND NOT b.is_new),
+    ver AS (SELECT id_a, id_b,
+        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+        FROM cand JOIN shf sa ON cand.id_a = sa.id JOIN shf sb ON cand.id_b = sb.id)
+    SELECT id_a AS doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+           max(jaccard) AS best_jaccard
+    FROM ver WHERE jaccard >= {threshold} GROUP BY id_a
     """
 
 

@@ -4300,6 +4300,33 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "fp", "left_anti").select("doc_id", "lang")
 
 
+@register("dedup_minhash_incremental", _dd.duck_minhash_incremental_sql())
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest (r9): which arriving-batch documents
+    near-duplicate something already landed — the MinHash counterpart of
+    dedup_incremental_ingest's exact-fingerprint anti join (exact
+    fingerprints miss a near-identical re-crawl; this is the operator
+    that catches it at the delta, not corpus-vs-corpus). Same
+    deterministic md5-sampled tenth as the exact sibling plays the
+    batch. Returns (doc_id, n_dups, best_jaccard) per flagged new doc.
+
+    Scale shape (operators/dedup.py:minhash_lsh_incremental): both sides
+    shingle+sign map-side; candidates are new-bands x landed-bands on
+    the band key (batch-sized fan-out, no self-join, corpus never pairs
+    with itself); exact-Jaccard verification touches survivors only. At
+    100 TB the landed banded relation persists across days and each
+    admitted batch appends its bands — daily cost is batch shingling +
+    one bucket join."""
+    docs = load(spark, sf_dir, "documents")
+    samp = F.expr(
+        "CAST(substr(translate(md5(CAST(text AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 10"
+    )
+    flagged = docs.withColumn("is_new", samp == 0)
+    return _dd.minhash_lsh_incremental(
+        flagged.filter("is_new"), flagged.filter("NOT is_new")
+    )
+
+
 @register(
     "corpus_mix_budget",
     """
@@ -6258,20 +6285,23 @@ _PRIORITY_50 = [
     "mask_username",
     # (b) NEW this round — typed-column PII discovery (name hints over
     # the full catalog, type-compatibility-gated), the streaming
-    # t-digest quantile operator under the band-gate discipline, and
-    # the xxhash64-keyed twins of the two shingle-join queries (the
-    # at-scale key strategy their docstrings claimed, now tested code);
+    # t-digest quantile operator under the band-gate discipline, the
+    # xxhash64-keyed twins of the two shingle-join queries (the
+    # at-scale key strategy their docstrings claimed, now tested code),
+    # and incremental MinHash near-dup ingest (delta-vs-landed, the
+    # near-dup sibling of dedup_incremental_ingest);
     # policy: new queries are graded the round they land
     "pii_suggest_rules_typed",
     "streaming_percentiles_tdigest",
     "dedup_common_spans_hashed",
     "contamination_ngram_overlap_hashed",
+    "dedup_minhash_incremental",
     # (c) plan changed this round: profile_pii's detector sums are now
     # coalesced to integer 0 on empty input (ADVICE r8) — both PII
     # queries consume that aggregate, so both re-grade on the new plan
     "pii_profile_tables",
     "pii_suggest_rules",
-    # (d) the 34 oldest r6 grades. The 15 r6 grades NOT here are named
+    # (d) the 33 oldest r6 grades. The 16 r6 grades NOT here are named
     # in COVERAGE.md with family rationale (each has a same-machinery
     # sibling windowed now or an independent exact gate) and head r10
     "ann_int8_topk",
@@ -6286,7 +6316,6 @@ _PRIORITY_50 = [
     "funnel_view_click_purchase",
     "heavy_hitters_sketch_pairs",
     "hybrid_search_rrf",
-    "percentiles_orders_by_status",
     "pivot_orders_priority",
     "privacy_perturb_numeric",
     "privacy_risk_metrics",

@@ -284,3 +284,45 @@ def test_ngram_fallback_regime_is_observable(spark):
     with w.catch_warnings():
         w.simplefilter("error", D.NgramFallbackWarning)
         D.ngram_jaccard_pairs(mdf, threshold=0.01, max_df=3).count()
+
+
+def test_minhash_incremental_flags_only_new_vs_landed(spark):
+    """Incremental near-dup ingest (r9): a NEW doc near-duplicating a
+    LANDED doc is flagged with its exact best jaccard; new-vs-new and
+    landed-vs-landed duplicates are deliberately OUT of scope (the
+    within-batch/within-corpus runs are separate jobs); unrelated and
+    sub-shingle-length new docs pass through unflagged."""
+    landed = spark.createDataFrame(
+        [
+            (100, BASE),
+            (101, "spark catalyst optimizer rewrites logical plans into physical plans"),
+            (102, BASE),  # landed-landed exact pair: not this operator's job
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (0, BASE.replace("jumps", "leaps")),  # near-dups 100 AND 102
+            (1, "totally fresh content with no landed counterpart at all here"),
+            (2, "tiny doc"),  # < 3 tokens: cannot match
+            (3, BASE.replace("jumps", "leaps")),  # new-new dup of 0: out of scope as a pair
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_dups"], r["best_jaccard"])
+        for r in D.minhash_lsh_incremental(new, landed, threshold=0.4).collect()
+    }
+    assert set(got) == {0, 3}  # both near-dup the landed BASE copies
+    for i in (0, 3):
+        n, j = got[i]
+        assert n == 2  # landed 100 and 102 both match
+        assert 0.4 <= j < 1.0
+    # exact-copy new doc: best_jaccard is exactly 1.0
+    got2 = {
+        r["doc_id"]: (r["n_dups"], r["best_jaccard"])
+        for r in D.minhash_lsh_incremental(
+            spark.createDataFrame([(7, BASE)], ["doc_id", "text"]), landed
+        ).collect()
+    }
+    assert got2[7][0] == 2 and got2[7][1] == 1.0

@@ -97,7 +97,12 @@ def _tokens(text: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+_MINHASH_GOLDEN_CACHE: dict = {}
+
+
 def _golden_minhash_pairs(threshold: float = 0.5):
+    if threshold in _MINHASH_GOLDEN_CACHE:  # shared by the incremental gate
+        return _MINHASH_GOLDEN_CACHE[threshold]
     ids, texts = _load_documents()
     base_cache: dict[str, int] = {}
 
@@ -153,6 +158,7 @@ def _golden_minhash_pairs(threshold: float = 0.5):
         jac = inter / (len(sa) + len(sb) - inter)
         if jac >= threshold:
             golden[(a_id, b_id)] = jac
+    _MINHASH_GOLDEN_CACHE[threshold] = golden
     return golden
 
 
@@ -630,3 +636,45 @@ def test_embedding_neardup_full_sf1_vs_numpy_golden(spark):
         # Spark emits the JVM-fold cosine; numpy BLAS differs only in
         # summation order -> low-bit drift, banded far under the margin
         assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+# ---------------------------------------------------------------------------
+# golden 10 (r9): incremental MinHash near-dup ingest (delta vs landed)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_minhash_incremental_full_sf1_vs_independent_golden(spark):
+    """Sharing a band is a PAIRWISE property — the incremental operator
+    (new bands x landed bands) must flag exactly the full self-join
+    golden's pairs that straddle the md5-sampled new/landed split,
+    aggregated per new doc with its exact best jaccard."""
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    ids, texts = _load_documents()
+    is_new = {
+        int(i): int(
+            hashlib.md5(t.encode()).hexdigest().translate(_HEX_TR)[:6]
+        )
+        % 10
+        == 0
+        for i, t in zip(ids, texts)
+    }
+    full = _golden_minhash_pairs(threshold=0.5)
+    golden: dict[int, list[float]] = {}
+    for (a, b), jac in full.items():
+        if is_new[a] == is_new[b]:
+            continue  # same-side pairs are out of the operator's scope
+        new_id = a if is_new[a] else b
+        golden.setdefault(new_id, []).append(jac)
+    expected = {k: (len(v), max(v)) for k, v in golden.items()}
+    assert len(expected) > 20, f"suspicious golden size {len(expected)}"
+
+    rows = Q.QUERIES["dedup_minhash_incremental"](spark, SF1).collect()
+    got = {r["doc_id"]: (r["n_dups"], r["best_jaccard"]) for r in rows}
+    assert set(got) == set(expected), (
+        f"flag-set mismatch: spark-only={sorted(set(got) - set(expected))[:5]} "
+        f"golden-only={sorted(set(expected) - set(got))[:5]}"
+    )
+    for k, (n, j) in expected.items():
+        assert got[k][0] == n, (k, got[k], (n, j))
+        assert got[k][1] == pytest.approx(j, abs=1e-12), (k, got[k], (n, j))
