@@ -352,6 +352,76 @@ def minhash_lsh_incremental(
     )
 
 
+def save_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "md5",
+    append: bool = False,
+) -> None:
+    """Persist the landed corpus' MinHash state so daily ingest never
+    re-shingles the corpus: ``<path>/bands`` (id, band_id, band_key — what
+    candidate generation joins against) and ``<path>/shingles`` (id, s —
+    what exact-Jaccard verification needs for the landed side of each
+    candidate). ``append=True`` adds an admitted batch's rows to both
+    datasets — the maintenance step of the ingest loop. Each dataset is
+    written partitioned-by-nothing parquet; at 100 TB bucket ``bands``
+    by band_key and ``shingles`` by id so the daily joins are
+    co-located."""
+    sh = shingles(df, text_col, id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        wmode = "append" if append else "overwrite"
+        banded_signature(minhash_signature(sh, mode=mode)).write.mode(
+            wmode
+        ).parquet(f"{path}/bands")
+        sh.write.mode(wmode).parquet(f"{path}/shingles")
+    finally:
+        sh.unpersist()
+
+
+def minhash_incremental_vs_index(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    mode: str = "md5",
+) -> DataFrame:
+    """:func:`minhash_lsh_incremental` against a PERSISTED index
+    (:func:`save_minhash_index`) instead of re-deriving the landed
+    corpus' bands and shingles — the shape the daily loop actually runs:
+    shingle the batch, join its bands against the stored band relation,
+    verify against the stored shingle sets, then (caller's move) append
+    the admitted docs back into the index."""
+    spark = new_df.sparkSession
+    sh_new = shingles(new_df, text_col, id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+    banded_new = banded_signature(minhash_signature(sh_new, mode=mode))
+    banded_landed = spark.read.parquet(f"{path}/bands")
+    sh_landed = spark.read.parquet(f"{path}/shingles")
+    cands = (
+        banded_new.alias("a")
+        .join(
+            banded_landed.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = verify_jaccard(cands, sh_new.unionAll(sh_landed), threshold)
+    return verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+
+
 def duck_minhash_incremental_sql(
     table: str = "documents",
     threshold: float = 0.5,

@@ -326,3 +326,45 @@ def test_minhash_incremental_flags_only_new_vs_landed(spark):
         ).collect()
     }
     assert got2[7][0] == 2 and got2[7][1] == 1.0
+
+
+def test_minhash_index_lifecycle_matches_direct_operator(spark, tmp_path):
+    """The persisted-index ingest loop (r9): build the landed index once,
+    screen a batch against it (must equal the direct two-DataFrame
+    operator exactly), append the admitted batch, and verify the NEXT
+    batch sees the previously-admitted docs — the daily-ingest cycle the
+    incremental operator's docstring promises, as running code."""
+    idx = str(tmp_path / "mh_index")
+    landed = spark.createDataFrame(
+        [(100, BASE), (101, "unrelated landed content about engines")],
+        ["doc_id", "text"],
+    )
+    batch1 = spark.createDataFrame(
+        [(0, BASE.replace("jumps", "leaps")), (1, "fresh unseen words entirely")],
+        ["doc_id", "text"],
+    )
+    D.save_minhash_index(landed, idx)
+    via_index = sorted(
+        tuple(r)
+        for r in D.minhash_incremental_vs_index(batch1, idx, threshold=0.4).collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in D.minhash_lsh_incremental(batch1, landed, threshold=0.4).collect()
+    )
+    assert via_index == direct and len(via_index) == 1  # doc 0 flagged
+
+    # admit batch1 (both docs) and screen a second batch: doc 7 must now
+    # match doc 1's text, which only exists in the APPENDED index rows
+    D.save_minhash_index(batch1, idx, append=True)
+    got2 = {
+        r["doc_id"]: r["best_jaccard"]
+        for r in D.minhash_incremental_vs_index(
+            spark.createDataFrame(
+                [(7, "fresh unseen words entirely")], ["doc_id", "text"]
+            ),
+            idx,
+            threshold=0.4,
+        ).collect()
+    }
+    assert got2 == {7: 1.0}
