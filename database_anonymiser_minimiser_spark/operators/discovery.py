@@ -5,8 +5,10 @@ the config (``internal/config/config.go:64-126``); nothing in it answers
 "which of my 400 tables/columns actually hold PII?". This operator closes
 that gap: a single aggregation pass per table measures, for every string
 column, how often each PII detector matches, and a deterministic
-suggestion step turns those measurements (plus column-NAME heuristics)
-into ready-to-paste faker rules (``{{faker.email}}``, ``{{faker.phone}}``,
+suggestion step turns those measurements (plus column-NAME heuristics,
+which also cover NON-string columns with type-appropriate fakers — a
+``date_of_birth DATE`` or ``phone BIGINT`` is PII whether or not it can
+be regex-profiled) into ready-to-paste faker rules (``{{faker.email}}``, ``{{faker.phone}}``,
 ...) in the engine's/reference's template grammar
 (``anonymiser.go:11`` — ``{{faker.<fn>}}``) over the reference's own
 16-faker vocabulary (``internal/anonymiser/faker.go:11-28``), so
