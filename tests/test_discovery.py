@@ -294,3 +294,23 @@ def test_cli_scan_end_to_end(spark, tmp_path, capsys):
     assert "{{faker.email}}" not in text and "a@x.io" not in text
     masked = re.findall(r"'([^']+@[^']+)'", text)
     assert len(masked) == 3  # three rows, each a generated email
+
+
+def test_all_typed_schema_suggests_from_empty_profile(spark):
+    """A source whose every table is typed-only (no string columns) has
+    an EMPTY profile relation — Engine.scan_pii builds one explicitly —
+    and suggestions must still flow from the catalog name hints."""
+    profile = spark.createDataFrame(
+        [],
+        "table_name string, column_name string, detector string, "
+        "hits long, n_nonnull long, n_rows long",
+    )
+    catalog = spark.createDataFrame(
+        [("contacts", "pid", "numeric"), ("contacts", "phone", "numeric")],
+        CATALOG_SCHEMA,
+    )
+    got = {
+        r.column_name: r.suggested_rule
+        for r in suggest_rules(profile, catalog=catalog).collect()
+    }
+    assert got == {"pid": None, "phone": "{{faker.phone}}"}
