@@ -473,3 +473,61 @@ def run_streaming_quality_monitor(
     q = ev.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
     return results
+
+
+def run_streaming_neardup_ingest(
+    spark: SparkSession,
+    landed_path: str,
+    new_spool_dir: str,
+    index_path: str,
+    threshold: float = 0.5,
+) -> "list[tuple[int, int, int, float]]":
+    """STREAMING near-dup ingest screen: each arriving micro-batch of
+    documents is checked against the persisted MinHash index
+    (operators/dedup.py: save_minhash_index / minhash_incremental_vs_index)
+    and then APPENDED to it — so later batches screen against everything
+    that arrived before them, which is the arrival-order semantics a real
+    ingest pipeline needs (the batch query `dedup_minhash_incremental`
+    screens one delta against a fixed corpus; this is the continuous
+    version of the same operator, stateful through the on-disk index
+    rather than the state store — index size is corpus-bound, executor
+    state is zero).
+
+    ``landed_path`` seeds the index (the already-landed corpus);
+    ``new_spool_dir`` is a directory of parquet files consumed one per
+    trigger (maxFilesPerTrigger=1 — the production shape is files landing
+    in an ingest bucket). Returns (epoch, doc_id, n_dups, best_jaccard)
+    rows for every flagged document, accumulated in arrival order.
+    foreachBatch runs sequentially per trigger, so screen-then-append
+    never races with the next batch's screen."""
+    from ..operators.dedup import (
+        minhash_incremental_vs_index,
+        save_minhash_index,
+    )
+
+    save_minhash_index(spark.read.parquet(landed_path), index_path)
+    schema = spark.read.parquet(new_spool_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(new_spool_dir)
+    )
+    flagged: list[tuple[int, int, int, float]] = []
+
+    def sink(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for r in minhash_incremental_vs_index(
+            batch_df, index_path, threshold=threshold
+        ).collect():
+            flagged.append(
+                (int(epoch_id), r["doc_id"], r["n_dups"], r["best_jaccard"])
+            )
+        # admit the whole batch (audit semantics: flags recorded, corpus
+        # keeps everything); an enforcing pipeline would append only the
+        # unflagged survivors here
+        save_minhash_index(batch_df, index_path, append=True)
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return flagged

@@ -373,3 +373,63 @@ def test_watermark_emission_boundary_is_inclusive(spark, tmp_path):
     # window (end 04:00 > watermark) must NOT be.
     assert "2024-01-01 01:00:00" in emitted
     assert all(not e.startswith("2024-01-01 04:") for e in emitted)
+
+
+def test_streaming_neardup_ingest_screens_against_arrivals(spark, tmp_path):
+    """The streaming ingest screen (r9): batch 1 is flagged only against
+    the LANDED corpus; batch 2 must also be flagged against batch 1's
+    docs (which exist only in the appended index) — arrival-order
+    semantics, equal to sequentially applying the batch operator with a
+    growing landed side."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.operators import dedup as D
+    from database_anonymiser_minimiser_spark.streaming.events import (
+        run_streaming_neardup_ingest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees above the quiet meadow"
+    )
+    landed_rows = [(100, base), (101, "landed words about query engines only")]
+    b1_rows = [(0, base.replace("jumps", "leaps")), (1, "fresh unseen words entirely here")]
+    b2_rows = [(7, "fresh unseen words entirely here"), (8, "nothing like anything before")]
+
+    landed = str(tmp_path / "landed.parquet")
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [r[0] for r in landed_rows],
+                  "text": [r[1] for r in landed_rows]}), landed)
+    for i, rows in enumerate([b1_rows, b2_rows]):
+        f = spool / f"part{i}.parquet"
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]}), f)
+        os.utime(f, (1700000000 + i, 1700000000 + i))  # arrival order
+
+    got = run_streaming_neardup_ingest(
+        spark, landed, str(spool), str(tmp_path / "idx"), threshold=0.4
+    )
+    by_doc = {d: (e, n, j) for e, d, n, j in got}
+    # batch 1: doc 0 near-dups the landed base; doc 1 is clean
+    assert set(by_doc) == {0, 7}
+    assert by_doc[0][1] == 1 and 0.4 <= by_doc[0][2] < 1.0
+    # batch 2: doc 7 exact-dups doc 1, which arrived in batch 1 and
+    # exists ONLY through the appended index
+    assert by_doc[7] == (1, 1, 1.0)
+
+    # equality with the sequential batch operator over a growing corpus
+    landed_df = spark.createDataFrame(landed_rows, ["doc_id", "text"])
+    expected = {}
+    for rows in [b1_rows, b2_rows]:
+        bdf = spark.createDataFrame(rows, ["doc_id", "text"])
+        for r in D.minhash_lsh_incremental(bdf, landed_df, threshold=0.4).collect():
+            expected[r["doc_id"]] = (r["n_dups"], r["best_jaccard"])
+        landed_df = landed_df.unionAll(bdf)
+    assert {d: (n, j) for d, (e, n, j) in
+            ((k, v) for k, v in by_doc.items())} == expected
