@@ -343,9 +343,20 @@ class Engine:
         Minimise rules deliberately do NOT apply on the stream: retain-N
         needs a global order over a bounded relation and truncate means
         "don't export" — both are batch-export concepts; the streaming
-        contract is "every NEW row, masked". Returns the started
-        StreamingQuery; ``once=True`` uses availableNow (drain and
-        finish — the CLI/e2e shape), else a processingTime trigger."""
+        contract is "every NEW row, masked".
+
+        ``once=True`` drains EVERYTHING currently in the table and
+        finishes. One availableNow run is not enough: Spark's
+        simple-stream-reader wrapper prefetches a single
+        ``maxRowsPerBatch`` batch and plans availableNow against exactly
+        that, so a 6M-row backlog would drain 10k rows per run (found by
+        tools/bench_stream_tail.py, r9 — the original e2e table was
+        smaller than one batch and never hit it). The fix is the loop
+        the checkpoint already makes safe: rerun availableNow until a
+        run commits zero input rows; each run resumes after the last
+        committed rowid, so the loop is exactly-once end to end.
+        Returns the last (terminated) StreamingQuery; ``once=False``
+        returns a running processingTime-trigger query."""
         conn = self.config.connection
         if conn.type != "sqlite":
             raise ValueError(
@@ -371,7 +382,14 @@ class Engine:
             .outputMode("append")
         )
         if once:
-            return writer.trigger(availableNow=True).start()
+            while True:
+                q = writer.trigger(availableNow=True).start()
+                q.awaitTermination()
+                done = sum(
+                    int(p["numInputRows"]) for p in (q.recentProgress or [])
+                ) == 0
+                if done:
+                    return q
         return writer.trigger(processingTime=f"{trigger_seconds} seconds").start()
 
     def sync(self, truncate: bool = False, dry_run: bool = False) -> list[str]:

@@ -788,3 +788,40 @@ configuration:
               spark.read.parquet(out).collect()}
     assert set(second) == set(rows) | {100, 101}  # ONLY the new rows appended
     assert second[0] == second[100]  # deterministic: same input -> same token
+
+
+def test_stream_once_drains_backlog_larger_than_one_batch(spark, tmp_path):
+    """r9 regression (found by tools/bench_stream_tail.py): Spark's
+    simple-stream-reader wrapper plans availableNow against ONE
+    prefetched maxRowsPerBatch batch, so a single run of the old code
+    drained only the first batch of a large backlog. `once=True` must
+    loop until quiescent: a table 5x the batch size drains COMPLETELY in
+    one stream_table call, exactly once, masked."""
+    import sqlite3
+
+    from database_anonymiser_minimiser_spark import config as config_mod
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+    db = str(tmp_path / "big.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE users (id INTEGER PRIMARY KEY, name TEXT)")
+    con.executemany(
+        "INSERT INTO users VALUES (?,?)",
+        [(i, f"Person {i}") for i in range(500)],
+    )
+    con.commit()
+    con.close()
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"connection: {{type: sqlite, file: {db}}}\n"
+        "configuration:\n"
+        "  users: {primary_key: id, columns: {name: '{{faker.name}}'}}\n"
+    )
+    engine = Engine(spark, config_mod.load(str(cfg)))
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = engine.stream_table("users", out, chk, once=True, max_rows_per_batch=100)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 500  # the whole backlog, not one batch
+    assert got.select("id").distinct().count() == 500  # exactly once
+    assert not [r for r in got.collect() if "Person" in r["name"]]  # masked
