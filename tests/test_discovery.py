@@ -314,3 +314,36 @@ def test_all_typed_schema_suggests_from_empty_profile(spark):
         for r in suggest_rules(profile, catalog=catalog).collect()
     }
     assert got == {"pid": None, "phone": "{{faker.phone}}"}
+
+
+def test_cli_scan_sqlite_typed_columns(spark, tmp_path, capsys):
+    """The verdict's user story end-to-end on the reference's own source
+    type: scanning a live SQLite schema whose phone column is INTEGER
+    (digits-only storage — invisible to content detectors) must still
+    suggest {{faker.phone}} via the typed name-hint path, alongside the
+    content-detected TEXT email column."""
+    import sqlite3
+
+    from database_anonymiser_minimiser_spark import cli
+
+    db = str(tmp_path / "app.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE subscribers ("
+        "id INTEGER PRIMARY KEY, contact TEXT, phone INTEGER)"
+    )
+    con.executemany(
+        "INSERT INTO subscribers VALUES (?,?,?)",
+        [(i, f"u{i}@ex.io", 4475512345600 + i) for i in range(4)],
+    )
+    con.commit()
+    con.close()
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"connection: {{type: sqlite, file: {db}}}\n"
+        "configuration:\n  subscribers: {primary_key: id}\n"
+    )
+    assert cli.main(["-c", str(cfg), "scan"]) == 0
+    out = capsys.readouterr().out
+    assert "suggest subscribers.contact: {{faker.email}}  [content:email]" in out
+    assert "suggest subscribers.phone: {{faker.phone}}  [name~phone]" in out
