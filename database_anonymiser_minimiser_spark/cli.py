@@ -105,8 +105,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     stream.add_argument(
         "--once", action="store_true",
-        help="drain currently-available rows then exit (availableNow); "
-        "default runs continuously with a 5 s trigger",
+        help="drain the whole current backlog then exit (loops "
+        "availableNow runs until quiescent); default runs continuously "
+        "with a 5 s trigger",
+    )
+    stream.add_argument(
+        "--batch-rows", type=int, default=10000, metavar="N",
+        help="rows per micro-batch (default 10000); each --once run pays "
+        "a few seconds of query startup per batch, so size this to the "
+        "backlog when draining large tables",
     )
     sub.add_parser("version", help="print version")
     return p
@@ -168,7 +175,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.command == "stream":
         q = engine.stream_table(
-            args.table, args.output, args.checkpoint, once=args.once
+            args.table,
+            args.output,
+            args.checkpoint,
+            once=args.once,
+            max_rows_per_batch=args.batch_rows,
         )
         q.awaitTermination()
         if args.verbose:
