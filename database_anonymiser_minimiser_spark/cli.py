@@ -23,6 +23,17 @@ from .plans.plan import Engine
 from .session import get_spark
 
 
+def _positive_int(value: str) -> int:
+    """argparse type for counts that must be >= 1: a 0 or negative
+    --batch-rows would make the tail reader issue LIMIT 0, so the first
+    availableNow run reads nothing and the --once drain loop would
+    declare an untouched backlog done (exit 0, empty export)."""
+    n = int(value)
+    if n < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {n}")
+    return n
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dbmask-spark",
@@ -110,7 +121,7 @@ def build_parser() -> argparse.ArgumentParser:
         "with a 5 s trigger",
     )
     stream.add_argument(
-        "--batch-rows", type=int, default=10000, metavar="N",
+        "--batch-rows", type=_positive_int, default=10000, metavar="N",
         help="rows per micro-batch (default 10000); each --once run pays "
         "a few seconds of query startup per batch, so size this to the "
         "backlog when draining large tables",

@@ -238,6 +238,33 @@ def verify_jaccard(
     )
 
 
+def verify_jaccard_sided(
+    pairs: DataFrame, sh_a: DataFrame, sh_b: DataFrame, threshold: float
+) -> DataFrame:
+    """:func:`verify_jaccard` with each pair side resolved against ITS OWN
+    shingle relation (``id_a`` against ``sh_a``, ``id_b`` against
+    ``sh_b``). This is the correct shape for asymmetric joins
+    (new-batch vs landed-corpus): if an ingest batch reuses a doc_id
+    already present in the landed side (a re-crawl of the same key), a
+    unioned relation would match BOTH rows per side and duplicate the
+    candidate pair, inflating n_dups/best_jaccard — sided resolution
+    compares exactly new-content against landed-content."""
+    sa = sh_a.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sh_b.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -333,23 +360,49 @@ def minhash_lsh_incremental(
 
         sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
         sh_landed = sh_landed.persist(StorageLevel.MEMORY_AND_DISK)
-    banded_new = banded_signature(minhash_signature(sh_new, mode=mode))
-    banded_landed = banded_signature(minhash_signature(sh_landed, mode=mode))
-    cands = (
-        banded_new.alias("a")
-        .join(
-            banded_landed.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
+    try:
+        banded_new = banded_signature(minhash_signature(sh_new, mode=mode))
+        banded_landed = banded_signature(minhash_signature(sh_landed, mode=mode))
+        cands = (
+            banded_new.alias("a")
+            .join(
+                banded_landed.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    verified = verify_jaccard(cands, sh_new.unionAll(sh_landed), threshold)
-    return verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_dups"),
-        F.max("jaccard").alias("best_jaccard"),
-    )
+        verified = verify_jaccard_sided(cands, sh_new, sh_landed, threshold)
+        out = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        if persist:
+            # materialise the (small, per-new-doc) result while the
+            # shingle relations are cached, so the finally-unpersist
+            # below cannot force a re-shingle and a per-call caller
+            # (the streaming screen runs this once per micro-batch)
+            # does not accumulate shingle-sized cached blocks
+            from pyspark.storagelevel import StorageLevel
+
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
+            out.count()
+        return out
+    finally:
+        if persist:
+            sh_new.unpersist()
+            sh_landed.unpersist()
+
+
+def _hfs_delete(spark, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API, so
+    it works on whatever storage the session is pointed at (local FS in
+    tests, HDFS/object stores on a cluster)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def save_minhash_index(
@@ -359,26 +412,54 @@ def save_minhash_index(
     id_col: str = "doc_id",
     mode: str = "md5",
     append: bool = False,
+    batch: str | None = None,
 ) -> None:
     """Persist the landed corpus' MinHash state so daily ingest never
     re-shingles the corpus: ``<path>/bands`` (id, band_id, band_key — what
     candidate generation joins against) and ``<path>/shingles`` (id, s —
     what exact-Jaccard verification needs for the landed side of each
     candidate). ``append=True`` adds an admitted batch's rows to both
-    datasets — the maintenance step of the ingest loop. Each dataset is
-    written partitioned-by-nothing parquet; at 100 TB bucket ``bands``
-    by band_key and ``shingles`` by id so the daily joins are
-    co-located."""
+    datasets — the maintenance step of the ingest loop.
+
+    Each write lands in its own ``batch=<label>`` partition directory and
+    is a targeted OVERWRITE of that directory, which makes the append
+    step replay-idempotent: a retried micro-batch (foreachBatch re-runs
+    the same epoch after a failure) rewrites its own partition instead of
+    appending duplicate band/shingle rows that would permanently inflate
+    every later batch's n_dups. A fresh seed (``append=False``) clears
+    the whole index first so stale batch partitions from a previous run
+    cannot leak in. Readers (:func:`minhash_incremental_vs_index`) see
+    the union via partition discovery and can exclude a single batch's
+    partition when re-screening a retried epoch.
+
+    ``batch`` names the partition; it defaults to ``"seed"`` for a fresh
+    index and to a unique label for an append (pass the epoch id
+    explicitly to make a retried append idempotent — an auto-generated
+    label makes the append safe against clobbering earlier partitions
+    but cannot dedupe a replay it cannot recognise).
+
+    At 100 TB, additionally bucket ``bands`` by band_key and ``shingles``
+    by id so the daily joins are co-located — see
+    :func:`save_minhash_index_bucketed`."""
+    if batch is None:
+        if append:
+            import uuid
+
+            batch = f"b{uuid.uuid4().hex[:12]}"
+        else:
+            batch = "seed"
+    spark = df.sparkSession
+    if not append:
+        _hfs_delete(spark, path)
     sh = shingles(df, text_col, id_col)
     from pyspark.storagelevel import StorageLevel
 
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        wmode = "append" if append else "overwrite"
         banded_signature(minhash_signature(sh, mode=mode)).write.mode(
-            wmode
-        ).parquet(f"{path}/bands")
-        sh.write.mode(wmode).parquet(f"{path}/shingles")
+            "overwrite"
+        ).parquet(f"{path}/bands/batch={batch}")
+        sh.write.mode("overwrite").parquet(f"{path}/shingles/batch={batch}")
     finally:
         sh.unpersist()
 
@@ -390,36 +471,59 @@ def minhash_incremental_vs_index(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     mode: str = "md5",
+    exclude_batch: str | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_incremental` against a PERSISTED index
     (:func:`save_minhash_index`) instead of re-deriving the landed
     corpus' bands and shingles — the shape the daily loop actually runs:
     shingle the batch, join its bands against the stored band relation,
     verify against the stored shingle sets, then (caller's move) append
-    the admitted docs back into the index."""
+    the admitted docs back into the index.
+
+    ``exclude_batch`` drops one ``batch=<label>`` partition from the
+    landed side — a retrying micro-batch whose own append already landed
+    must not screen against itself. Verification is SIDED
+    (:func:`verify_jaccard_sided`): a batch doc_id that re-uses a landed
+    id (re-crawl of the same key) compares new-content against
+    landed-content exactly once instead of fanning out through a unioned
+    shingle relation. The returned (small, per-new-doc) aggregate is
+    materialised eagerly so the batch shingle cache can be released
+    before returning — per-micro-batch callers do not accumulate
+    shingle-sized cached blocks."""
     spark = new_df.sparkSession
     sh_new = shingles(new_df, text_col, id_col)
     from pyspark.storagelevel import StorageLevel
 
     sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
-    banded_new = banded_signature(minhash_signature(sh_new, mode=mode))
-    banded_landed = spark.read.parquet(f"{path}/bands")
-    sh_landed = spark.read.parquet(f"{path}/shingles")
-    cands = (
-        banded_new.alias("a")
-        .join(
-            banded_landed.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
+    try:
+        banded_new = banded_signature(minhash_signature(sh_new, mode=mode))
+        banded_landed = spark.read.parquet(f"{path}/bands")
+        sh_landed = spark.read.parquet(f"{path}/shingles")
+        if exclude_batch is not None:
+            banded_landed = banded_landed.filter(
+                F.col("batch") != exclude_batch
+            )
+            sh_landed = sh_landed.filter(F.col("batch") != exclude_batch)
+        cands = (
+            banded_new.alias("a")
+            .join(
+                banded_landed.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    verified = verify_jaccard(cands, sh_new.unionAll(sh_landed), threshold)
-    return verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_dups"),
-        F.max("jaccard").alias("best_jaccard"),
-    )
+        verified = verify_jaccard_sided(cands, sh_new, sh_landed, threshold)
+        out = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+    finally:
+        sh_new.unpersist()
 
 
 def duck_minhash_incremental_sql(

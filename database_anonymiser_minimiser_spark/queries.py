@@ -2555,22 +2555,34 @@ def q_streaming_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFra
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     final = run_streaming_quantiles(spark, sf_dir)  # event_type n_seen p25 p50 p90
     arr = ", ".join(f"{p}D" for p in TD_PS)
+    # exact side is computed over EVERY event_type (agg-level FILTER, not
+    # a relation filter) and the streaming finals are LEFT-joined onto it:
+    # a type whose values are all NULL/NaN never reaches the digest, so it
+    # would be absent from `final` — the oracle still emits it with
+    # n_seen=0 and TRUE bands, and so must we (ADVICE r9)
     exact = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .groupBy("event_type")
-        .agg(F.expr(f"percentile(value, array({arr}))").alias("ex"))
+        .agg(
+            F.expr(
+                f"percentile(value, array({arr})) "
+                "FILTER (WHERE value IS NOT NULL AND NOT isnan(value))"
+            ).alias("ex")
+        )
     )
     est_cols = ["p25", "p50", "p90"]
-    joined = final.join(F.broadcast(exact), "event_type")
+    joined = exact.join(F.broadcast(final), "event_type", "left")
+    n_seen = F.coalesce(F.col("n_seen"), F.lit(0)).cast("long").alias("n_seen")
     bands = [
-        (
+        F.when(F.coalesce(F.col("n_seen"), F.lit(0)) == 0, F.lit(True))
+        .otherwise(
             F.abs(F.col(c) - F.element_at("ex", i + 1))
             <= 0.05 * F.greatest(F.abs(F.element_at("ex", i + 1)), F.lit(1.0))
-        ).alias(f"{c}_in_band")
+        )
+        .alias(f"{c}_in_band")
         for i, c in enumerate(est_cols)
     ]
-    return joined.select("event_type", "n_seen", *bands)
+    return joined.select("event_type", n_seen, *bands)
 
 
 @register(

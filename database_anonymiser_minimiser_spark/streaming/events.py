@@ -499,7 +499,16 @@ def run_streaming_neardup_ingest(
     in an ingest bucket). Returns (epoch, doc_id, n_dups, best_jaccard)
     rows for every flagged document, accumulated in arrival order.
     foreachBatch runs sequentially per trigger, so screen-then-append
-    never races with the next batch's screen."""
+    never races with the next batch's screen.
+
+    Replay-idempotent: foreachBatch re-runs a failed micro-batch with
+    the SAME epoch_id, so (a) the index append is a targeted overwrite
+    of the epoch's own ``batch=e<epoch>`` partition (duplicate rows
+    cannot accumulate — save_minhash_index), (b) the screen excludes
+    that partition (present only on a retry whose append already
+    landed — a batch must not screen against itself), and (c) any flags
+    the failed attempt emitted for the epoch are dropped before the
+    deterministic re-emit."""
     from ..operators.dedup import (
         minhash_incremental_vs_index,
         save_minhash_index,
@@ -517,16 +526,22 @@ def run_streaming_neardup_ingest(
     def sink(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        for r in minhash_incremental_vs_index(
-            batch_df, index_path, threshold=threshold
-        ).collect():
-            flagged.append(
-                (int(epoch_id), r["doc_id"], r["n_dups"], r["best_jaccard"])
-            )
+        label = f"e{int(epoch_id)}"
+        flagged[:] = [t for t in flagged if t[0] != int(epoch_id)]
+        res = minhash_incremental_vs_index(
+            batch_df, index_path, threshold=threshold, exclude_batch=label
+        )
+        try:
+            for r in res.collect():
+                flagged.append(
+                    (int(epoch_id), r["doc_id"], r["n_dups"], r["best_jaccard"])
+                )
+        finally:
+            res.unpersist()
         # admit the whole batch (audit semantics: flags recorded, corpus
         # keeps everything); an enforcing pipeline would append only the
         # unflagged survivors here
-        save_minhash_index(batch_df, index_path, append=True)
+        save_minhash_index(batch_df, index_path, append=True, batch=label)
 
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()

@@ -368,3 +368,92 @@ def test_minhash_index_lifecycle_matches_direct_operator(spark, tmp_path):
         ).collect()
     }
     assert got2 == {7: 1.0}
+
+
+def test_minhash_index_append_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r9 (streaming/events.py): a retried micro-batch re-appends
+    its rows to the index, permanently inflating n_dups for all later
+    batches. The fix writes each append into its own batch=<label>
+    partition as a targeted overwrite — replaying the SAME label must
+    leave the index (and every later screen) unchanged."""
+    idx = str(tmp_path / "mh_idx")
+    landed = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(0, BASE.replace("jumps", "leaps"))], ["doc_id", "text"]
+    )
+    D.save_minhash_index(landed, idx)
+    D.save_minhash_index(batch, idx, append=True, batch="e0")
+    bands_once = spark.read.parquet(f"{idx}/bands").count()
+    # replay the same epoch (foreachBatch retry): same label, same rows
+    D.save_minhash_index(batch, idx, append=True, batch="e0")
+    assert spark.read.parquet(f"{idx}/bands").count() == bands_once
+    # a later batch near-dupping BOTH landed and e0 sees each ONCE
+    probe = spark.createDataFrame(
+        [(7, BASE.replace("jumps", "hops"))], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["n_dups"]
+        for r in D.minhash_incremental_vs_index(
+            probe, idx, threshold=0.4
+        ).collect()
+    }
+    assert got == {7: 2}  # landed 100 + admitted 0, no replay inflation
+
+
+def test_minhash_vs_index_exclude_batch_skips_own_partition(spark, tmp_path):
+    """A retrying epoch whose append already landed must not screen
+    against itself: exclude_batch drops exactly its own partition, so the
+    retry's screen equals the original (pre-append) screen."""
+    idx = str(tmp_path / "mh_idx2")
+    landed = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(0, BASE.replace("jumps", "leaps"))], ["doc_id", "text"]
+    )
+    D.save_minhash_index(landed, idx)
+    before = sorted(
+        tuple(r)
+        for r in D.minhash_incremental_vs_index(
+            batch, idx, threshold=0.4
+        ).collect()
+    )
+    D.save_minhash_index(batch, idx, append=True, batch="e0")
+    # without the exclusion the batch would self-match at jaccard 1.0
+    retry = sorted(
+        tuple(r)
+        for r in D.minhash_incremental_vs_index(
+            batch, idx, threshold=0.4, exclude_batch="e0"
+        ).collect()
+    )
+    assert retry == before
+
+
+def test_minhash_incremental_recrawl_id_not_double_counted(spark, tmp_path):
+    """ADVICE r9 (dedup.py): a batch doc_id that already exists in the
+    landed side (re-crawl of the same key) used to match BOTH shingle
+    rows per side through the unioned relation, duplicating candidate
+    pairs. Sided verification compares new-content vs landed-content
+    exactly once."""
+    landed = spark.createDataFrame(
+        [(100, BASE), (102, BASE)], ["doc_id", "text"]
+    )
+    # re-crawl: id 100 arrives again with slightly changed content
+    batch = spark.createDataFrame(
+        [(100, BASE.replace("jumps", "leaps"))], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_dups"], r["best_jaccard"])
+        for r in D.minhash_lsh_incremental(batch, landed, threshold=0.4).collect()
+    }
+    n, j = got[100]
+    assert n == 2  # landed 100 and 102, each counted ONCE
+    assert 0.4 <= j < 1.0  # new-content vs landed-content, not new-vs-new
+    # and the persisted-index path agrees
+    idx = str(tmp_path / "mh_idx3")
+    D.save_minhash_index(landed, idx)
+    via = {
+        r["doc_id"]: (r["n_dups"], r["best_jaccard"])
+        for r in D.minhash_incremental_vs_index(
+            batch, idx, threshold=0.4
+        ).collect()
+    }
+    assert via == got

@@ -825,3 +825,26 @@ def test_stream_once_drains_backlog_larger_than_one_batch(spark, tmp_path):
     assert got.count() == 500  # the whole backlog, not one batch
     assert got.select("id").distinct().count() == 500  # exactly once
     assert not [r for r in got.collect() if "Person" in r["name"]]  # masked
+
+
+def test_cli_rejects_nonpositive_batch_rows(capsys):
+    """ADVICE r9 (cli.py): --batch-rows 0 would make the tail reader
+    issue LIMIT 0, so the first availableNow run reads zero rows and the
+    --once drain loop declares an untouched backlog done — exit 0 with an
+    empty export. The parser must reject it before a session is built."""
+    from database_anonymiser_minimiser_spark import cli
+
+    for bad in ("0", "-5"):
+        with pytest.raises(SystemExit) as e:
+            cli.build_parser().parse_args(
+                ["-c", "x.yaml", "stream", "--table", "t",
+                 "--output", "o", "--checkpoint", "c",
+                 "--batch-rows", bad]
+            )
+        assert e.value.code == 2
+        assert "must be >= 1" in capsys.readouterr().err
+    ns = cli.build_parser().parse_args(
+        ["-c", "x.yaml", "stream", "--table", "t",
+         "--output", "o", "--checkpoint", "c", "--batch-rows", "7"]
+    )
+    assert ns.batch_rows == 7

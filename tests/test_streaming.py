@@ -433,3 +433,44 @@ def test_streaming_neardup_ingest_screens_against_arrivals(spark, tmp_path):
         landed_df = landed_df.unionAll(bdf)
     assert {d: (n, j) for d, (e, n, j) in
             ((k, v) for k, v in by_doc.items())} == expected
+
+
+def test_streaming_tdigest_gate_emits_allnull_event_type(spark, tmp_path):
+    """ADVICE r9 (queries.py streaming_percentiles_tdigest): an
+    event_type whose values are all NULL/NaN never reaches the digest, so
+    the streaming finals lack it — but the oracle emits it with n_seen=0
+    and TRUE bands. The gate must left-join the finals onto an
+    every-type exact side and coalesce, or the corpus gaining such a
+    type silently diverges the hash."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.queries import QUERIES
+
+    rows = (
+        [("view", float(i)) for i in range(40)]
+        + [("ghost", None)] * 3
+        + [("ghost", math.nan)] * 2
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows]),
+                "value": pa.array([r[1] for r in rows], type=pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r["event_type"]: (
+            r["n_seen"], r["p25_in_band"], r["p50_in_band"], r["p90_in_band"]
+        )
+        for r in QUERIES["streaming_percentiles_tdigest"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["ghost"] == (0, True, True, True)
+    n, *bands = got["view"]
+    assert n == 40 and all(bands)
