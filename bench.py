@@ -139,10 +139,14 @@ HEADLINE = [
     "streaming_dedup_events",
     "contamination_check",
     "contamination_ngram_overlap",
-    # round-9: the xxhash64-keyed twins (at-scale shuffle keys) — swept
-    # alongside the string twins so the key strategy's cost is recorded
-    "contamination_ngram_overlap_hashed",
-    "dedup_common_spans_hashed",
+    # round-10: key_mode promotion — the defaults above now run the
+    # hashed (xxhash64 key) production path; the string/md5 reference
+    # shapes are swept as *_oracle so both sides of the key strategy
+    # stay measured round-over-round
+    "contamination_ngram_overlap_oracle",
+    "dedup_common_spans_oracle",
+    # production MinHash (xxhash shingle + band keys; rows-only gated)
+    "dedup_minhash_lsh_xxhash",
     "pack_sequences_2048",
     "ann_lsh_multiprobe",
     "sample_fixed_per_lang",

@@ -209,6 +209,10 @@ class Config:
 
     connection: Connection = field(default_factory=Connection)
     configuration: dict[str, TableConfig] = field(default_factory=dict)
+    # engine knobs (extension over the reference config): currently only
+    # key_mode ("hashed" | "oracle", settings.py) — applied by the
+    # Engine at construction so every operator in the run shares it
+    settings: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, raw: dict[str, Any]) -> "Config":
@@ -221,15 +225,29 @@ class Config:
             name: TableConfig.parse(tc)
             for name, tc in (raw.get("configuration") or {}).items()
         }
-        cfg = cls(connection=conn, configuration=tables)
+        settings_raw = raw.get("settings") or {}
+        if not isinstance(settings_raw, dict):
+            raise ConfigError("settings must be a mapping")
+        km = settings_raw.get("key_mode")
+        if km is not None:
+            from . import settings as settings_mod
+
+            try:
+                settings_mod._validate(km)
+            except ValueError as exc:  # fail at load, not mid-export
+                raise ConfigError(str(exc)) from exc
+        cfg = cls(connection=conn, configuration=tables, settings=settings_raw)
         cfg.connection.validate()
         return cfg
 
     def to_dict(self) -> dict[str, Any]:
-        return {
+        out = {
             "connection": self.connection.to_dict(),
             "configuration": {n: t.to_raw() for n, t in self.configuration.items()},
         }
+        if self.settings:
+            out["settings"] = dict(self.settings)
+        return out
 
     def has_table(self, name: str) -> bool:
         """config.go:316-323."""

@@ -158,14 +158,28 @@ def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
+def _resolve_mode(mode: str | None) -> str:
+    """Map ``None`` to the engine-wide key_mode (settings.py): hashed ->
+    xxhash64, oracle -> md5-derived. Oracle-graded queries pin
+    ``mode="md5"`` explicitly — the DuckDB oracle replicates md5 banding
+    bit-for-bit, and the candidate pair set is hash-dependent at the LSH
+    margin by design."""
+    if mode is None:
+        from .. import settings
+
+        return settings.minhash_hash_mode()
+    return mode
+
+
 def minhash_signature(
-    shingled: DataFrame, num_hashes: int = NUM_HASHES, mode: str = "md5"
+    shingled: DataFrame, num_hashes: int = NUM_HASHES, mode: str | None = None
 ) -> DataFrame:
     """(id, s, sig: array<bigint>). One base hash per shingle (md5-derived
     for oracle mode, xxhash64 for the production fast path), then
     ``num_hashes`` linear permutations, min each — computed as a real
     projection step so the expensive base pass is evaluated once, not
     duplicated into every permutation's expression tree."""
+    mode = _resolve_mode(mode)
     if mode == "md5":
         base = (
             "transform(s, x -> CAST(substr(translate(md5(x), 'abcdef', '012345'), "
@@ -182,14 +196,23 @@ def minhash_signature(
 
 
 def banded_signature(
-    sig_df: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
+    sig_df: DataFrame,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+    mode: str | None = None,
 ) -> DataFrame:
     """(id, band_id, band_key): hash each contiguous ``rows``-slice of
     the signature — docs agreeing on any band collide. Shared by the
     self-join (within-corpus pairs) and the incremental new-vs-landed
-    join."""
+    join. Oracle mode keys bands with md5 hex (32-byte strings, what
+    DuckDB replicates); hashed mode keys them with xxhash64 — the band
+    bucket join then shuffles 8-byte longs (equal slices still collide;
+    a spurious 64-bit collision only ADDS a candidate, which exact
+    verification discards)."""
+    mode = _resolve_mode(mode)
+    key_fn = "md5" if mode == "md5" else "xxhash64"
     band_structs = ", ".join(
-        f"struct({b} AS band_id, md5(concat_ws('|', transform(slice(sig, {b * rows + 1}, {rows}), "
+        f"struct({b} AS band_id, {key_fn}(concat_ws('|', transform(slice(sig, {b * rows + 1}, {rows}), "
         f"x -> CAST(x AS STRING)))) AS band_key)"
         for b in range(bands)
     )
@@ -197,14 +220,17 @@ def banded_signature(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
+    sig_df: DataFrame,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+    mode: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidates sharing at least one signature band.
 
     The self-join shuffles on (band_id, band_key) — bucket sizes, not
     n^2, bound the work.
     """
-    banded = banded_signature(sig_df, bands, rows)
+    banded = banded_signature(sig_df, bands, rows, mode=mode)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -270,7 +296,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    mode: str = "md5",
+    mode: str | None = None,
     persist: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH -> verify.
@@ -288,8 +314,9 @@ def minhash_lsh_pairs(
         from pyspark.storagelevel import StorageLevel
 
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    mode = _resolve_mode(mode)
     sig = minhash_signature(shingled, mode=mode)
-    cands = lsh_candidate_pairs(sig)
+    cands = lsh_candidate_pairs(sig, mode=mode)
     return verify_jaccard(cands, shingled, threshold)
 
 
@@ -334,7 +361,7 @@ def minhash_lsh_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    mode: str = "md5",
+    mode: str | None = None,
     persist: bool = True,
 ) -> DataFrame:
     """(doc_id, n_dups, best_jaccard) for every NEW document that
@@ -360,9 +387,12 @@ def minhash_lsh_incremental(
 
         sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
         sh_landed = sh_landed.persist(StorageLevel.MEMORY_AND_DISK)
+    mode = _resolve_mode(mode)
     try:
-        banded_new = banded_signature(minhash_signature(sh_new, mode=mode))
-        banded_landed = banded_signature(minhash_signature(sh_landed, mode=mode))
+        banded_new = banded_signature(minhash_signature(sh_new, mode=mode), mode=mode)
+        banded_landed = banded_signature(
+            minhash_signature(sh_landed, mode=mode), mode=mode
+        )
         cands = (
             banded_new.alias("a")
             .join(
@@ -410,7 +440,7 @@ def save_minhash_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    mode: str = "md5",
+    mode: str | None = None,
     append: bool = False,
     batch: str | None = None,
 ) -> None:
@@ -456,7 +486,7 @@ def save_minhash_index(
 
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        banded_signature(minhash_signature(sh, mode=mode)).write.mode(
+        banded_signature(minhash_signature(sh, mode=mode), mode=mode).write.mode(
             "overwrite"
         ).parquet(f"{path}/bands/batch={batch}")
         sh.write.mode("overwrite").parquet(f"{path}/shingles/batch={batch}")
@@ -470,7 +500,7 @@ def minhash_incremental_vs_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    mode: str = "md5",
+    mode: str | None = None,
     exclude_batch: str | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_incremental` against a PERSISTED index
@@ -495,8 +525,9 @@ def minhash_incremental_vs_index(
     from pyspark.storagelevel import StorageLevel
 
     sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+    mode = _resolve_mode(mode)
     try:
-        banded_new = banded_signature(minhash_signature(sh_new, mode=mode))
+        banded_new = banded_signature(minhash_signature(sh_new, mode=mode), mode=mode)
         banded_landed = spark.read.parquet(f"{path}/bands")
         sh_landed = spark.read.parquet(f"{path}/shingles")
         if exclude_batch is not None:

@@ -68,6 +68,11 @@ class Engine:
     source: object = field(init=False)
 
     def __post_init__(self) -> None:
+        km = (self.config.settings or {}).get("key_mode")
+        if km is not None:
+            from .. import settings as settings_mod
+
+            settings_mod.set_key_mode(km)
         conn = self.config.connection
         if conn.type == "parquet":
             self.source = ParquetSource(self.spark, conn.path)

@@ -2329,7 +2329,34 @@ from .operators import dedup as _dd  # noqa: E402
 
 @register("dedup_minhash_lsh", _dd.duck_minhash_lsh_sql(threshold=0.5))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dd.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+    """The oracle-graded reference shape: mode pinned to md5, the hash
+    DuckDB replicates bit-for-bit. Unlike the span/contamination family
+    (where key_mode changes only byte widths), MinHash candidate
+    GENERATION is hash-dependent — pair sets may differ at the LSH
+    margin between modes — so the graded query cannot float with the
+    session knob; the production default lives in
+    dedup_minhash_lsh_xxhash."""
+    return _dd.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, mode="md5"
+    )
+
+
+@register("dedup_minhash_lsh_xxhash")
+def q_dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash path (key_mode="hashed", the engine
+    default): xxhash64 per shingle AND per band key, so the LSH
+    self-join shuffles 8-byte longs instead of 32-byte md5 hex strings.
+    Registered rows-only BY DESIGN: the candidate pair set is
+    hash-dependent at the LSH margin (banding theory, not a bug), so no
+    engine-neutral SQL oracle can replicate it — its exact gates are
+    (a) every emitted jaccard is the exact set Jaccard (verify step,
+    property-tested), (b) strong planted pairs found by both modes
+    (tests/test_dedup.py::test_minhash_xxhash_mode_finds_strong_pairs),
+    (c) the r9 mode-comparison measurement (pair sets differ only at
+    the margin at sf1/sf4, jaccards exact in both)."""
+    return _dd.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, mode="xxhash"
+    )
 
 
 @register("dedup_ngram_jaccard", _dd.duck_ngram_jaccard_sql(threshold=0.5, max_df=100))
@@ -2372,9 +2399,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> dedup groups: iterative hash-min connected components over
     the MinHash-LSH near-dup pairs (a~b, b~c collapse into one cluster
     keyed by the minimum doc id). The oracle is a recursive CTE computing
-    the same min-reachable-id fixpoint."""
+    the same min-reachable-id fixpoint (md5 mode pinned: the oracle
+    mirrors md5 banding, and the LSH candidate set is hash-dependent)."""
     docs = load(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_pairs(docs, threshold=0.5).selectExpr(
+    pairs = _dd.minhash_lsh_pairs(docs, threshold=0.5, mode="md5").selectExpr(
         "doc_a AS id_a", "doc_b AS id_b"
     )
     ids = docs.selectExpr("doc_id AS id")
@@ -3679,12 +3707,43 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: the benchmark side is tiny (eval suites) -> its
     distinct shingles BROADCAST; the corpus side explodes to shingles
     map-side (~n_tokens rows per doc, no shuffle), per-doc dedup +
-    rollup are ordinary partial-aggregated shuffles. At 100 TB, hash
-    each shingle to a 64-bit token (xxhash64) before the join to cut
-    shuffle/broadcast bytes ~10x — kept as strings here only because
-    the cross-engine oracle needs an engine-neutral key. Guard:
-    Spark's sequence(1, n) REVERSES when n < 1, so docs under 5 tokens
-    are filtered out before shingling on both engines."""
+    rollup are ordinary partial-aggregated shuffles.
+
+    Runs under the engine key_mode (settings.py, default "hashed"):
+    shingles fold to 64-bit xxhash64 tokens inside the transform lambda,
+    so the per-doc distinct, the broadcast benchmark set, and the
+    membership join all carry 8-byte longs instead of ~30-byte strings
+    (measured 0.83-0.84x wall at sf1/sf4 in r9 as the then-secondary
+    twin; on a cluster it is the ~3.3x smaller broadcast payload that
+    matters). Rollup byte-equal to oracle mode (a collision would flip
+    an integer count and fail the hash-exact compare) — the
+    string-keyed shape stays registered as
+    contamination_ngram_overlap_oracle. Guard: Spark's sequence(1, n)
+    REVERSES when n < 1, so docs under 5 tokens are filtered out before
+    shingling on both engines."""
+    return _contamination_ngram_impl(spark, sf_dir, key_mode=None)
+
+
+@register(
+    "contamination_ngram_overlap_oracle", ORACLE["contamination_ngram_overlap"]
+)
+def q_contamination_ngram_overlap_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The engine-neutral string-keyed reference shape of
+    contamination_ngram_overlap (key_mode="oracle"): what the DuckDB
+    oracle replicates bit-for-bit, kept registered so grading always
+    exercises the cross-engine shape regardless of the session
+    key_mode."""
+    return _contamination_ngram_impl(spark, sf_dir, key_mode="oracle")
+
+
+def _contamination_ngram_impl(
+    spark: SparkSession, sf_dir: str, key_mode: str | None
+) -> DataFrame:
+    from . import settings as _settings
+
+    hashed = _settings.key_mode(key_mode) == "hashed"
     docs = load(spark, sf_dir, "documents")
     samp = F.expr(
         "CAST(substr(translate(md5(CAST(text AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 20"
@@ -3697,14 +3756,15 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("t"),
         (samp == 0).alias("is_benchmark"),
     ).filter(F.size("t") >= 5)
+    sh_of = "array_join(slice(t, i, 5), ' ')"
+    if hashed:
+        sh_of = f"xxhash64({sh_of})"
     sh = base.select(
         "doc_id",
         "lang",
         "is_benchmark",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"
-            )
+            F.expr(f"transform(sequence(1, size(t) - 4), i -> {sh_of})")
         ).alias("shingle"),
     ).distinct()
     bench = (
@@ -3725,64 +3785,6 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count(F.when(frac >= 0.3, 1)).cast("long").alias("n_flagged"),
         F.max(frac).alias("max_overlap"),
-    )
-
-
-@register(
-    "contamination_ngram_overlap_hashed", ORACLE["contamination_ngram_overlap"]
-)
-def q_contamination_ngram_overlap_hashed(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """contamination_ngram_overlap with the 100 TB key strategy APPLIED
-    (r9): shingles fold to 64-bit xxhash64 tokens map-side, so the
-    per-doc distinct, the broadcast benchmark set, and the membership
-    join all carry 8-byte longs instead of ~30-byte strings — the string
-    twin's docstring claimed this as the at-scale move; this query makes
-    it tested code. Rollup identical to the twin (same oracle; a 64-bit
-    collision would flip an integer count and fail the hash compare),
-    equality also asserted in tests/test_queries_oracle.py."""
-    docs = load(spark, sf_dir, "documents")
-    samp = F.expr(
-        "CAST(substr(translate(md5(CAST(text AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 20"
-    )
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.split(
-            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
-        ).alias("t"),
-        (samp == 0).alias("is_benchmark"),
-    ).filter(F.size("t") >= 5)
-    sh = base.select(
-        "doc_id",
-        "lang",
-        "is_benchmark",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 4), "
-                "i -> xxhash64(array_join(slice(t, i, 5), ' ')))"
-            )
-        ).alias("shingle"),
-    ).distinct()
-    bench = (
-        sh.filter("is_benchmark").select("shingle").distinct()
-        .withColumnRenamed("shingle", "bshingle")
-    )
-    per_doc = (
-        sh.filter(~F.col("is_benchmark"))
-        .join(F.broadcast(bench), F.col("shingle") == F.col("bshingle"), "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.count("bshingle").alias("n_hit"),
-        )
-    )
-    hfrac = F.col("n_hit") * 1.0 / F.col("n_sh")
-    return per_doc.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count(F.when(hfrac >= 0.3, 1)).cast("long").alias("n_flagged"),
-        F.max(hfrac).alias("max_overlap"),
     )
 
 
@@ -4335,7 +4337,7 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = docs.withColumn("is_new", samp == 0)
     return _dd.minhash_lsh_incremental(
-        flagged.filter("is_new"), flagged.filter("NOT is_new")
+        flagged.filter("is_new"), flagged.filter("NOT is_new"), mode="md5"
     )
 
 
@@ -4672,9 +4674,37 @@ def q_dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc); the span-frequency count is ONE partial-aggregated shuffle;
     the join-back is a plain shuffle hash join keyed on span — the common
     relation is corpus-sized in the worst case, so it is deliberately NOT
-    broadcast (unlike the tiny benchmark side in contamination_*). At
-    100 TB, hash spans to xxhash64 tokens before the join to cut shuffle
-    bytes ~10x (string keys kept here for the cross-engine oracle)."""
+    broadcast (unlike the tiny benchmark side in contamination_*).
+
+    Runs under the engine key_mode (settings.py, default "hashed"): every
+    span folds to a 64-bit xxhash64 token INSIDE the transform lambda, so
+    the frequency shuffle and the join-back carry 8-byte longs instead of
+    ~60-byte strings (~7x less shuffle I/O; measured 0.83-0.88x wall at
+    sf1/sf4 in r9 as the then-secondary twin). The per-lang rollup is
+    byte-equal to oracle mode (a 64-bit collision across ~1M distinct
+    spans has probability ~1e-7 and the hash-exact driver compare would
+    surface one) — equality asserted at sf0.001/sf1/sf2/sf4 by
+    tests/test_queries_oracle.py::test_key_mode_variants_match and the
+    scale sweeps, so the md5/string shape remains the oracle-graded
+    reference (dedup_common_spans_oracle)."""
+    return _common_spans_impl(spark, sf_dir, key_mode=None)
+
+
+@register("dedup_common_spans_oracle", ORACLE["dedup_common_spans"])
+def q_dedup_common_spans_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-neutral string-keyed reference shape of
+    dedup_common_spans (key_mode="oracle"): what the DuckDB oracle
+    replicates bit-for-bit, kept registered so grading always exercises
+    the cross-engine shape regardless of the session key_mode."""
+    return _common_spans_impl(spark, sf_dir, key_mode="oracle")
+
+
+def _common_spans_impl(
+    spark: SparkSession, sf_dir: str, key_mode: str | None
+) -> DataFrame:
+    from . import settings as _settings
+
+    hashed = _settings.key_mode(key_mode) == "hashed"
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -4683,65 +4713,17 @@ def q_dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
         ).alias("t"),
     ).filter(F.size("t") >= _SPAN_TOKENS)
+    span_of = f"array_join(slice(t, i*{_SPAN_TOKENS}+1, {_SPAN_TOKENS}), ' ')"
+    if hashed:
+        # fold INSIDE the lambda: the string never leaves the projection
+        span_of = f"xxhash64({span_of})"
     spans = base.select(
         "doc_id",
         "lang",
         F.explode(
             F.expr(
                 f"transform(sequence(0, CAST(floor(size(t) / {_SPAN_TOKENS}) AS INT) - 1), "
-                f"i -> array_join(slice(t, i*{_SPAN_TOKENS}+1, {_SPAN_TOKENS}), ' '))"
-            )
-        ).alias("span"),
-    ).distinct()
-    cnt = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n"))
-    common = cnt.filter(F.col("n") >= _SPAN_MIN_DOCS).select(
-        F.col("span").alias("cspan")
-    )
-    per_doc = (
-        spans.join(common, spans.span == F.col("cspan"), "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.count("cspan").alias("n_common"),
-        )
-    )
-    return per_doc.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count(F.when(F.col("n_common") > 0, 1)).cast("long").alias(
-            "n_affected_docs"
-        ),
-        F.sum("n_spans").cast("long").alias("total_spans"),
-        F.sum("n_common").cast("long").alias("total_common_spans"),
-    )
-
-
-@register("dedup_common_spans_hashed", ORACLE["dedup_common_spans"])
-def q_dedup_common_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_common_spans with the 100 TB key strategy APPLIED (r9):
-    every span is folded to a 64-bit xxhash64 token map-side, so the
-    frequency shuffle and the join-back carry 8-byte longs instead of
-    ~60-byte strings (~7x less shuffle I/O, cheaper hashing/compare) —
-    the string twin's docstring claimed this as the at-scale move; this
-    query makes it tested code. The per-lang rollup is IDENTICAL to the
-    string-keyed twin (same oracle: a 64-bit collision across ~1M
-    distinct spans has probability ~1e-7, and the hash-exact driver
-    compare would surface one), equality also asserted in
-    tests/test_queries_oracle.py::test_hashed_key_variants_match_string_twins."""
-    docs = load(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.split(
-            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
-        ).alias("t"),
-    ).filter(F.size("t") >= _SPAN_TOKENS)
-    spans = base.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, CAST(floor(size(t) / {_SPAN_TOKENS}) AS INT) - 1), "
-                f"i -> xxhash64(array_join(slice(t, i*{_SPAN_TOKENS}+1, {_SPAN_TOKENS}), ' ')))"
+                f"i -> {span_of})"
             )
         ).alias("span"),
     ).distinct()
@@ -6282,73 +6264,74 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
 # ===========================================================================
 
 _PRIORITY_50 = [
-    # (a) the ten r5-stale faker singles — after r8 the ONLY pre-r6
-    # grades left (r8 verdict item 1); heading this window reaches
-    # steady-state rotation: no oracle-keyed grade older than r6
-    "mask_address",
-    "mask_date",
-    "mask_email",
-    "mask_firstName",
-    "mask_ipv4",
-    "mask_lastName",
-    "mask_name",
-    "mask_number",
-    "mask_phone",
-    "mask_username",
-    # (b) NEW this round — typed-column PII discovery (name hints over
-    # the full catalog, type-compatibility-gated), the streaming
-    # t-digest quantile operator under the band-gate discipline, the
-    # xxhash64-keyed twins of the two shingle-join queries (the
-    # at-scale key strategy their docstrings claimed, now tested code),
-    # and incremental MinHash near-dup ingest (delta-vs-landed, the
-    # near-dup sibling of dedup_incremental_ingest);
-    # policy: new queries are graded the round they land
-    "pii_suggest_rules_typed",
+    # (a) the sixteen r6-stale grades — after r9's steady state these
+    # are the oldest oracle-keyed grades left (r9 verdict item 1);
+    # grading them bounds every grade at <= 3 rounds old
+    "corpus_vocab_top100",
+    "text_quality_score",
+    "percentiles_orders_by_status",
+    "mask_city",
+    "mask_company",
+    "mask_country",
+    "sample_weighted_by_length",
+    "cdc_apply_orders",
+    "cohort_retention_weekly",
+    "funnel_windowed_24h",
+    "dedup_ngram_jaccard_prefix",
+    "consistency_broadcast_apply",
+    "bucketed_join_segment_revenue",
+    "subset_fk_closed_counts",
+    "contamination_check",
+    "doc_chunks_128_64",
+    # (b) NEW this round — the key_mode promotion (r9 verdict item 3):
+    # the string/md5 reference shapes stay registered as *_oracle, and
+    # the production MinHash path (xxhash shingles AND band keys) gets
+    # its own rows-only entry (candidate sets are hash-dependent at the
+    # LSH margin by design — exact gates listed in its docstring)
+    "dedup_common_spans_oracle",
+    "contamination_ngram_overlap_oracle",
+    "dedup_minhash_lsh_xxhash",
+    # (c) plan changed this round: the span/contamination defaults now
+    # run the hashed key path (engine key_mode, settings.py — results
+    # byte-equal, plans differ), streaming_percentiles_tdigest gained
+    # the all-NULL-type left-join gate (ADVICE r9), and
+    # dedup_minhash_incremental moved to sided verification + eager
+    # result materialisation (ADVICE r9)
+    "dedup_common_spans",
+    "contamination_ngram_overlap",
     "streaming_percentiles_tdigest",
-    "dedup_common_spans_hashed",
-    "contamination_ngram_overlap_hashed",
     "dedup_minhash_incremental",
-    # (c) plan changed this round: profile_pii's detector sums are now
-    # coalesced to integer 0 on empty input (ADVICE r8) — both PII
-    # queries consume that aggregate, so both re-grade on the new plan
-    "pii_profile_tables",
-    "pii_suggest_rules",
-    # (d) the 33 oldest r6 grades. The 16 r6 grades NOT here are named
-    # in COVERAGE.md with family rationale (each has a same-machinery
-    # sibling windowed now or an independent exact gate) and head r10
-    "ann_int8_topk",
-    "bm25_search_topk",
-    "consistency_fk_integrity",
-    "corpus_curation_pipeline",
-    "corpus_mix_budget",
-    "cube_lineitem_flag_status",
-    "dedup_ngram_jaccard",
-    "embedding_neardup",
-    "events_resample_hourly_dense",
-    "funnel_view_click_purchase",
-    "heavy_hitters_sketch_pairs",
-    "hybrid_search_rrf",
-    "pivot_orders_priority",
-    "privacy_perturb_numeric",
-    "privacy_risk_metrics",
-    "privacy_shift_dates",
-    "privacy_suppress_below_k",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q20_excess_supply",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "quality_quantile_filter",
-    "shard_assignment_stats",
-    "snapshot_diff_cdc",
-    "streaming_heavy_hitters_users",
-    "subset_export_lines",
-    "text_bigram_novelty",
-    "text_repetition_quality",
-    "tfdf_top_terms",
-    "unpivot_customer_metrics",
+    # (d) 27 of the 49 oldest (r7) grades, family-spread. The 22 r7
+    # grades NOT here are named in COVERAGE.md §r10 with family
+    # rationale (each has a same-machinery sibling windowed now, an
+    # sf1 independent golden, or an exact twin) and head r11
+    "anonymise_customer_full",
+    "dedup_minhash_lsh",
+    "dedup_incremental_ingest",
+    "dedup_exact_keep_best",
+    "dedup_simhash_wide_pairs",
+    "asof_join_events_orders",
+    "range_join_events_windows",
+    "events_sessionize",
+    "events_multires_rollup",
+    "json_schema_agg",
+    "pack_sequences_2048",
+    "privacy_k_anonymity_stats",
+    "privacy_l_diversity",
+    "privacy_generalize_customer",
+    "profile_customer",
+    "q4_order_priority_check",
+    "q15_top_supplier",
+    "q6_forecast_revenue",
+    "q12_priority_shipping",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "sample_stratified_by_lang",
+    "scrub_text_pii",
+    "source_overlap_matrix",
+    "string_suite_part",
+    "vocab_oov_rate",
 ]
 
 
@@ -6364,6 +6347,11 @@ _ROWS_ONLY_OK = {
     "percentiles_approx_orders_by_status",  # approx sketch, no exact SQL
     "approx_distinct_events",  # HLL estimate, engine-specific
     "zscore_events_pandas",  # pandas pairwise summation, low-bit drift
+    # production MinHash (xxhash64): LSH candidate set is hash-dependent
+    # at the margin by design, so no engine-neutral SQL oracle exists;
+    # exact gates: verified-jaccard property + strong-pair equality with
+    # the md5 reference (dedup_minhash_lsh, oracle-graded)
+    "dedup_minhash_lsh_xxhash",
 }
 _no_oracle = [n for n in _PRIORITY_50 if n not in ORACLE and n not in _ROWS_ONLY_OK]
 if _no_oracle:

@@ -132,3 +132,65 @@ def test_add_table_and_has_table():
     assert not cfg.configuration["t"].truncate
     cfg.add_table("u", truncate=True)
     assert cfg.configuration["u"].truncate
+
+
+def test_settings_key_mode_parse_validate_roundtrip(tmp_path):
+    """r10: optional engine-knob block. settings.key_mode parses,
+    round-trips through save/load, and an invalid value fails AT LOAD
+    (not mid-export)."""
+    raw = {
+        "connection": {"type": "parquet", "path": "/root/testdata/sf0.001"},
+        "configuration": {"users": {"truncate": True}},
+        "settings": {"key_mode": "oracle"},
+    }
+    cfg = C.Config.from_dict(raw)
+    assert cfg.settings == {"key_mode": "oracle"}
+    p = tmp_path / "cfg.json"
+    cfg.save(p)
+    assert C.load(p).settings == {"key_mode": "oracle"}
+    # absent block stays empty and is not serialized
+    cfg2 = C.Config.from_dict({k: v for k, v in raw.items() if k != "settings"})
+    assert cfg2.settings == {} and "settings" not in cfg2.to_dict()
+    with pytest.raises(C.ConfigError, match="key_mode"):
+        C.Config.from_dict({**raw, "settings": {"key_mode": "turbo"}})
+
+
+def test_settings_resolution_order(monkeypatch):
+    """settings.py: explicit arg > session override > env > default."""
+    from database_anonymiser_minimiser_spark import settings as S
+
+    monkeypatch.delenv(S.KEY_MODE_ENV, raising=False)
+    assert S.key_mode() == "hashed"
+    assert S.minhash_hash_mode() == "xxhash"
+    monkeypatch.setenv(S.KEY_MODE_ENV, "oracle")
+    assert S.key_mode() == "oracle"
+    assert S.minhash_hash_mode() == "md5"
+    S.set_key_mode("hashed")
+    try:
+        assert S.key_mode() == "hashed"  # session override beats env
+        assert S.key_mode("oracle") == "oracle"  # explicit arg beats all
+    finally:
+        S.set_key_mode(None)
+    assert S.key_mode() == "oracle"  # override cleared -> env again
+    with pytest.raises(ValueError):
+        S.key_mode("turbo")
+
+
+def test_engine_applies_config_key_mode(spark):
+    """The Engine applies settings.key_mode at construction so every
+    operator in the run shares it."""
+    from database_anonymiser_minimiser_spark import settings as S
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+    cfg = C.Config.from_dict(
+        {
+            "connection": {"type": "parquet", "path": "/root/testdata/sf0.001"},
+            "configuration": {},
+            "settings": {"key_mode": "oracle"},
+        }
+    )
+    try:
+        Engine(spark, cfg)
+        assert S.key_mode() == "oracle"
+    finally:
+        S.set_key_mode(None)

@@ -646,18 +646,53 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf):
             spark.conf.set(k, v)
 
 
-def test_hashed_shingle_twins_shuffle_long_keys(spark, sf):
-    """r9 hashed-key twins: the whole point is that no STRING shingle
-    ever reaches an Exchange or join — the span/shingle columns must be
-    bigint (xxhash64) at every hashpartitioning, and the contamination
-    twin must still broadcast its benchmark side."""
+def test_hashed_shingle_defaults_shuffle_long_keys(spark, sf):
+    """r10 key_mode promotion: the DEFAULT span/contamination queries now
+    run the hashed key path — no STRING shingle ever reaches an Exchange
+    or join. The span/shingle columns must be bigint (xxhash64) at every
+    hashpartitioning, the contamination query must still broadcast its
+    benchmark side, and the *_oracle reference shapes must keep their
+    engine-neutral string keys."""
     import re
 
-    plan = plan_of(Q.QUERIES["dedup_common_spans_hashed"](spark, sf))
+    plan = plan_of(Q.QUERIES["dedup_common_spans"](spark, sf))
     # every partitioning on the span key is the long column
     assert re.search(r"hashpartitioning\(span#\d+L", plan)
     assert not re.search(r"hashpartitioning\(span#\d+(?![0-9L])", plan)
 
-    plan2 = plan_of(Q.QUERIES["contamination_ngram_overlap_hashed"](spark, sf))
+    plan2 = plan_of(Q.QUERIES["contamination_ngram_overlap"](spark, sf))
     assert "BroadcastHashJoin" in plan2 or "BroadcastExchange" in plan2
     assert re.search(r"xxhash64", plan2)
+
+    # the oracle shapes stay string-keyed (no xxhash folding anywhere)
+    plan3 = plan_of(Q.QUERIES["dedup_common_spans_oracle"](spark, sf))
+    assert not re.search(r"xxhash64", plan3)
+    assert not re.search(r"hashpartitioning\(span#\d+L", plan3)
+
+
+def test_key_mode_oracle_env_restores_string_plans(spark, sf, monkeypatch):
+    """SPARK_GRAFT_KEY_MODE=oracle routes the DEFAULT queries back to the
+    engine-neutral string keys — the one-knob escape hatch for
+    cross-engine debugging."""
+    import re
+
+    monkeypatch.setenv("SPARK_GRAFT_KEY_MODE", "oracle")
+    plan = plan_of(Q.QUERIES["dedup_common_spans"](spark, sf))
+    assert not re.search(r"xxhash64", plan)
+
+
+def test_minhash_production_mode_bands_are_long_keys(spark, sf):
+    """The production MinHash path (dedup_minhash_lsh_xxhash) bands with
+    xxhash64 — the LSH self-join must shuffle bigint band keys, while the
+    md5 reference (dedup_minhash_lsh) keeps the DuckDB-replicable hex
+    strings."""
+    import re
+
+    plan = plan_of(Q.QUERIES["dedup_minhash_lsh_xxhash"](spark, sf))
+    # the band bucket join (broadcast at toy SF, exchange at scale)
+    # carries a LONG band_key either way
+    assert re.search(r"keys \[2\]: \[band_id#\d+, band_key#\d+L\]", plan)
+    assert not re.search(r"keys \[2\]: \[band_id#\d+, band_key#\d+\]", plan)
+    plan_md5 = plan_of(Q.QUERIES["dedup_minhash_lsh"](spark, sf))
+    assert re.search(r"keys \[2\]: \[band_id#\d+, band_key#\d+\]", plan_md5)
+    assert not re.search(r"keys \[2\]: \[band_id#\d+, band_key#\d+L\]", plan_md5)

@@ -145,18 +145,19 @@ def test_rows_only_window_entries_execute(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize(
-    "hashed,twin",
+    "default,oracle_shape",
     [
-        ("dedup_common_spans_hashed", "dedup_common_spans"),
-        ("contamination_ngram_overlap_hashed", "contamination_ngram_overlap"),
+        ("dedup_common_spans", "dedup_common_spans_oracle"),
+        ("contamination_ngram_overlap", "contamination_ngram_overlap_oracle"),
     ],
 )
-def test_hashed_key_variants_match_string_twins(spark, sf_dir, hashed, twin):
-    """The xxhash64-keyed twins (r9: the at-scale shuffle-key strategy
-    applied) must produce byte-identical rollups to their string-keyed
-    twins — a 64-bit collision, a hashing asymmetry between the two
-    sides of the membership join, or a dropped shingle would diverge
-    here before it could reach the driver gate."""
-    a = sorted(tuple(r) for r in QUERIES[hashed](spark, sf_dir).collect())
-    b = sorted(tuple(r) for r in QUERIES[twin](spark, sf_dir).collect())
+def test_key_mode_variants_match(spark, sf_dir, default, oracle_shape):
+    """r10 key_mode promotion: the DEFAULT queries run the xxhash64-keyed
+    production path and must produce byte-identical rollups to their
+    string-keyed *_oracle reference shapes — a 64-bit collision, a
+    hashing asymmetry between the two sides of the membership join, or a
+    dropped shingle would diverge here before it could reach the driver
+    gate."""
+    a = sorted(tuple(r) for r in QUERIES[default](spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in QUERIES[oracle_shape](spark, sf_dir).collect())
     assert a == b
