@@ -527,7 +527,6 @@ def minhash_incremental_vs_index(
     sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
     mode = _resolve_mode(mode)
     try:
-        banded_new = banded_signature(minhash_signature(sh_new, mode=mode), mode=mode)
         banded_landed = spark.read.parquet(f"{path}/bands")
         sh_landed = spark.read.parquet(f"{path}/shingles")
         if exclude_batch is not None:
@@ -535,24 +534,136 @@ def minhash_incremental_vs_index(
                 F.col("batch") != exclude_batch
             )
             sh_landed = sh_landed.filter(F.col("batch") != exclude_batch)
-        cands = (
-            banded_new.alias("a")
-            .join(
-                banded_landed.alias("b"),
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_key") == F.col("b.band_key")),
-            )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
+        return _screen_new_vs_landed(
+            sh_new, banded_landed, sh_landed, threshold, mode
         )
-        verified = verify_jaccard_sided(cands, sh_new, sh_landed, threshold)
-        out = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_dups"),
-            F.max("jaccard").alias("best_jaccard"),
+    finally:
+        sh_new.unpersist()
+
+
+def _screen_new_vs_landed(
+    sh_new: DataFrame,
+    banded_landed: DataFrame,
+    sh_landed: DataFrame,
+    threshold: float,
+    mode: str,
+    materialize: bool = True,
+) -> DataFrame:
+    """Shared screen core of the two persisted-index variants: band the
+    (already persisted) batch shingles, bucket-join against the landed
+    band relation, verify sided, aggregate per new doc, and materialise
+    the small result eagerly so callers can release the batch cache."""
+    from pyspark.storagelevel import StorageLevel
+
+    banded_new = banded_signature(minhash_signature(sh_new, mode=mode), mode=mode)
+    cands = (
+        banded_new.alias("a")
+        .join(
+            banded_landed.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = verify_jaccard_sided(cands, sh_new, sh_landed, threshold)
+    out = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    if materialize:
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
         out.count()
-        return out
+    return out
+
+
+def save_minhash_index_bucketed(
+    df: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str | None = None,
+    n_buckets: int = 64,
+    append: bool = False,
+    path: str | None = None,
+) -> None:
+    """The 100 TB layout of :func:`save_minhash_index`: bands and
+    shingles land as BUCKETED tables (``<prefix>_bands`` bucketed+sorted
+    by (band_id, band_key), ``<prefix>_shingles`` by id), so the daily screen's two
+    index-side joins read pre-shuffled, pre-sorted buckets — NO Exchange
+    (and no sort) ever touches the corpus-sized index side again; only
+    the day's batch shuffles. This is the same play the fact-fact
+    bucketed join proves (tests/test_bucketing.py), applied to the
+    operator whose landed side grows without bound. ``append=True`` adds
+    an admitted batch (bucketed appends write additional per-bucket
+    files — bucket routing stays correct). Size ``n_buckets`` so one
+    bucket of the shingle relation fits an executor (the verify join
+    streams bucket pairs)."""
+    spark = df.sparkSession
+    sh = shingles(df, text_col, id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    mode = _resolve_mode(mode)
+    try:
+        wmode = "append" if append else "overwrite"
+        # bucket by BOTH join keys: HashPartitioning(band_id, band_key)
+        # matches the screen's candidate-join requirement exactly —
+        # probed empirically; band_key-only bucketing left Spark
+        # re-shuffling the index side despite the subset rule
+        bands_w = (
+            banded_signature(minhash_signature(sh, mode=mode), mode=mode)
+            .write.bucketBy(n_buckets, "band_id", "band_key")
+            .sortBy("band_id", "band_key")
+            .mode(wmode)
+            .format("parquet")
+        )
+        sh_w = (
+            sh.write.bucketBy(n_buckets, "id")
+            .sortBy("id")
+            .mode(wmode)
+            .format("parquet")
+        )
+        if path is not None:
+            bands_w = bands_w.option("path", f"{path}/bands")
+            sh_w = sh_w.option("path", f"{path}/shingles")
+        bands_w.saveAsTable(f"{table_prefix}_bands")
+        sh_w.saveAsTable(f"{table_prefix}_shingles")
+    finally:
+        sh.unpersist()
+
+
+def minhash_incremental_vs_bucketed_index(
+    new_df: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    mode: str | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """:func:`minhash_incremental_vs_index` against the BUCKETED table
+    index (:func:`save_minhash_index_bucketed`): identical results, but
+    the landed band relation and the landed shingle relation are read as
+    co-located buckets, so neither is shuffled (or sorted) by the screen
+    — plan-gated in tests/test_dedup.py. The daily at-scale cost is
+    exactly: shingle the batch, shuffle THE BATCH into the index's
+    bucket layout twice (bands + verify), stream bucket pairs."""
+    sh_new = shingles(new_df, text_col, id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    spark = new_df.sparkSession
+    sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+    mode = _resolve_mode(mode)
+    try:
+        return _screen_new_vs_landed(
+            sh_new,
+            spark.table(f"{table_prefix}_bands"),
+            spark.table(f"{table_prefix}_shingles"),
+            threshold,
+            mode,
+            materialize=materialize,
+        )
     finally:
         sh_new.unpersist()
 
