@@ -67,6 +67,19 @@ def _ts_us(days_from_epoch_us: np.ndarray) -> pa.Array:
     return pa.array(days_from_epoch_us.astype("int64"), pa.timestamp("us"))
 
 
+
+def _zipf_ids(
+    r: np.random.Generator, n_keys: int, size: int, s: float = 1.3
+) -> np.ndarray:
+    """Zipfian key draw over [0, n_keys): P(k) ~ 1/(k+1)^s. With s=1.3
+    the hottest key takes ~25% of all rows — the hot-user / hot-customer
+    / hot-partkey regime the uniform corpora never exercise."""
+    ranks = np.arange(1, n_keys + 1, dtype=np.float64)
+    p = ranks ** -s
+    p /= p.sum()
+    return r.choice(n_keys, size=size, p=p).astype(np.int64)
+
+
 def gen_region_nation(out: str) -> None:
     _write(out, "region", pa.table({
         "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
@@ -123,7 +136,7 @@ def gen_part(out: str, sf: float) -> int:
 
 
 def gen_orders_lineitem(
-    out: str, sf: float, n_cust: int, n_part: int
+    out: str, sf: float, n_cust: int, n_part: int, skew: bool = False
 ) -> None:
     n = int(1_500_000 * sf)
     r = _rng("orders")
@@ -134,7 +147,8 @@ def gen_orders_lineitem(
     odate_days = r.integers(0, span_days + 1, n)
     _write(out, "orders", pa.table({
         "o_orderkey": np.arange(n, dtype=np.int64),
-        "o_custkey": r.integers(0, n_cust, n).astype(np.int64),
+        "o_custkey": (_zipf_ids(r, n_cust, n) if skew else
+                      r.integers(0, n_cust, n).astype(np.int64)),
         "o_orderstatus": np.array(["O", "P", "F"])[r.integers(0, 3, n)],
         "o_totalprice": np.round(r.uniform(1000.0, 500_000.0, n), 2),
         "o_orderdate": _ts_us(base + odate_days * DAY_US),
@@ -153,9 +167,11 @@ def gen_orders_lineitem(
     qty = rl.integers(1, 51, m).astype("float64")
     _write(out, "lineitem", pa.table({
         "l_orderkey": okey,
-        "l_partkey": rl.integers(0, n_part, m).astype(np.int64),
-        "l_suppkey": rl.integers(0, max(10, int(10_000 * sf)), m).astype(
-            np.int64
+        "l_partkey": (_zipf_ids(rl, n_part, m) if skew else
+                      rl.integers(0, n_part, m).astype(np.int64)),
+        "l_suppkey": (
+            _zipf_ids(rl, max(10, int(10_000 * sf)), m) if skew else
+            rl.integers(0, max(10, int(10_000 * sf)), m).astype(np.int64)
         ),
         "l_linenumber": linenum.astype(np.int32),
         "l_quantity": qty,
@@ -171,7 +187,7 @@ def gen_orders_lineitem(
     }))
 
 
-def gen_events(out: str, sf: float) -> None:
+def gen_events(out: str, sf: float, skew: bool = False) -> None:
     n = int(1_000_000 * sf)
     users = max(15, int(15_000 * sf))
     r = _rng("events")
@@ -180,14 +196,15 @@ def gen_events(out: str, sf: float) -> None:
     _write(out, "events", pa.table({
         "event_id": np.arange(n, dtype=np.int64),
         "ts": _ts_us(base + np.sort(r.integers(0, span_us, n))),
-        "user_id": r.integers(0, users, n).astype(np.int64),
+        "user_id": (_zipf_ids(r, users, n) if skew else
+                    r.integers(0, users, n).astype(np.int64)),
         "event_type": np.array(EVENT_TYPES)[r.integers(0, 5, n)],
         "value": np.round(r.exponential(50.0, n), 2),
         "props": [f'{{"k": {k}}}' for k in r.integers(0, 100, n)],
     }))
 
 
-def gen_documents(out: str, sf: float) -> None:
+def gen_documents(out: str, sf: float, skew: bool = False) -> None:
     """Word-salad docs over the 31-word vocab, uniform 10-100 words,
     5 langs / 20 sources — plus injected duplicate structure so the
     dedup family has real work at every scale: ~3% near-dups (copy of an
@@ -214,9 +231,11 @@ def gen_documents(out: str, sf: float) -> None:
     _write(out, "documents", pa.table({
         "doc_id": np.arange(n, dtype=np.int64),
         "text": texts,
-        "lang": np.array(LANGS)[r.choice(5, n, p=LANG_P)],
+        "lang": np.array(LANGS)[
+            r.choice(5, n, p=([0.8, 0.1, 0.05, 0.03, 0.02] if skew else LANG_P))
+        ],
         "source": np.array([f"src{i}" for i in range(20)])[
-            r.integers(0, 20, n)
+            _zipf_ids(r, 20, n) if skew else r.integers(0, 20, n)
         ],
         "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
     }))
@@ -244,6 +263,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="zipfian hot keys (s=1.3: hottest key ~25%% of rows) on "
+        "o_custkey / l_partkey / l_suppkey / events.user_id / "
+        "documents.lang+source — the skewed-join/agg probe corpus",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     print(f"generating sf={args.sf} -> {args.out}")
@@ -251,9 +276,9 @@ def main() -> None:
     n_cust = gen_customer(args.out, args.sf)
     gen_supplier(args.out, args.sf)
     n_part = gen_part(args.out, args.sf)
-    gen_orders_lineitem(args.out, args.sf, n_cust, n_part)
-    gen_events(args.out, args.sf)
-    gen_documents(args.out, args.sf)
+    gen_orders_lineitem(args.out, args.sf, n_cust, n_part, skew=args.skew)
+    gen_events(args.out, args.sf, skew=args.skew)
+    gen_documents(args.out, args.sf, skew=args.skew)
     gen_embeddings(args.out, args.sf)
     print("done")
 
