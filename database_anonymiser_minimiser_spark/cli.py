@@ -138,7 +138,13 @@ def main(argv: list[str] | None = None) -> int:
     if not args.config:
         print("error: -c/--config is required", file=sys.stderr)
         return 2
-    cfg = config_mod.load(args.config)
+    try:
+        cfg = config_mod.load(args.config)
+    except config_mod.ConfigError as exc:
+        # reference behavior (cmd/dbmask/main.go:76): print the error,
+        # exit nonzero — a bad config is a user mistake, not a traceback
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
     spark = get_spark()
     spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
     engine = Engine(spark, cfg)

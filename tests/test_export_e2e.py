@@ -848,3 +848,21 @@ def test_cli_rejects_nonpositive_batch_rows(capsys):
          "--output", "o", "--checkpoint", "c", "--batch-rows", "7"]
     )
     assert ns.batch_rows == 7
+
+
+def test_cli_config_error_is_message_not_traceback(tmp_path, capsys):
+    """A bad config (unknown connection type, invalid settings.key_mode)
+    must exit nonzero with an `error:` line, not a traceback — reference
+    behavior (cmd/dbmask/main.go:76)."""
+    from database_anonymiser_minimiser_spark import cli
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "settings: {key_mode: turbo}\n"
+        "configuration: {}\n"
+    )
+    rc = cli.main(["-c", str(bad), "--dry-run"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "error:" in err and "key_mode" in err
