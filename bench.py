@@ -127,6 +127,8 @@ HEADLINE = [
     "dedup_incremental_ingest",
     # round-9: the near-dup sibling (delta-vs-landed MinHash ingest)
     "dedup_minhash_incremental",
+    # round-10: the two-phase salted aggregate, oracle-graded (skew probe)
+    "salted_agg_user_value",
     "corpus_mix_budget",
     "q20_excess_supply",
     "q21_waiting_suppliers",

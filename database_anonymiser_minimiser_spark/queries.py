@@ -6182,6 +6182,60 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+from .operators import skew as _skew  # noqa: E402
+
+
+@register(
+    "salted_agg_user_value",
+    """
+    SELECT user_id,
+      CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+           AS VARCHAR) AS DOUBLE) AS total_value,
+      COUNT(*) AS cnt,
+      strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def q_salted_agg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-MITIGATED AGGREGATION: per-user event totals through the
+    two-phase salted aggregate (`operators/skew.py:salted_agg`) — the
+    100 TB answer to a hot group key (one user emitting 1% of all
+    events turns a plain groupBy's single reducer into the job's
+    critical path; the salt splits that key across 32 reducers and the
+    merge phase touches 32 rows per key).
+
+    This registration gives the mitigation itself an oracle-graded
+    gate on real corpora (its unit tests use a 1000-row toy; the
+    r10 skewed-corpus probe, tools/bench_skew.py, exercises it on a
+    zipfian sf1 where the hottest user owns ~25% of rows). The sum
+    runs in DECIMAL so the two-phase split is exact and
+    order-independent — the salted result is bitwise equal to a plain
+    groupBy and to the DuckDB oracle, never merely close.
+
+    Reference tie: the reference's per-value consistency map
+    (anonymiser.go:74-91) is a hot-key aggregation in disguise — every
+    repeated PII value is a hot group — making this the at-scale shape
+    of that operator."""
+    out = _skew.salted_agg(
+        load(spark, sf_dir, "events"),
+        ["user_id"],
+        {
+            "total": ("sum", F.col("value").cast("decimal(18,4)")),
+            "cnt": ("count", None),
+            "mx": ("max", "ts"),
+        },
+        salt_buckets=32,
+        deterministic_from="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("total").cast("decimal(38,4)").cast("string").cast("double")
+            .alias("total_value"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
 # ===========================================================================
 # Registration order: the driver grades the FIRST 50 registered queries
 # (CORRECTNESS window). Window ROTATION policy (documented in
@@ -6291,6 +6345,10 @@ _PRIORITY_50 = [
     "dedup_common_spans_oracle",
     "contamination_ngram_overlap_oracle",
     "dedup_minhash_lsh_xxhash",
+    # ... and the skewed-corpus probe (r9 verdict item 5): the salted
+    # two-phase aggregate gets an oracle-graded gate on real corpora
+    # (decimal sum -> bitwise equal to the plain groupBy and the oracle)
+    "salted_agg_user_value",
     # (c) plan changed this round: the span/contamination defaults now
     # run the hashed key path (engine key_mode, settings.py — results
     # byte-equal, plans differ), streaming_percentiles_tdigest gained
@@ -6301,7 +6359,7 @@ _PRIORITY_50 = [
     "contamination_ngram_overlap",
     "streaming_percentiles_tdigest",
     "dedup_minhash_incremental",
-    # (d) 27 of the 49 oldest (r7) grades, family-spread. The 22 r7
+    # (d) 26 of the 49 oldest (r7) grades, family-spread. The 23 r7
     # grades NOT here are named in COVERAGE.md §r10 with family
     # rationale (each has a same-machinery sibling windowed now, an
     # sf1 independent golden, or an exact twin) and head r11
@@ -6331,7 +6389,9 @@ _PRIORITY_50 = [
     "scrub_text_pii",
     "source_overlap_matrix",
     "string_suite_part",
-    "vocab_oov_rate",
+    # vocab_oov_rate -> r11 head: its tf/df + broadcast-vocab machinery
+    # sibling corpus_vocab_top100 is windowed this round (group a);
+    # displaced by the new salted_agg_user_value (group b)
 ]
 
 
