@@ -111,3 +111,53 @@ def test_salt_distributes_hot_key(spark, skewed_df):
         salted.filter(F.col("key") == "hot").select("__salt").distinct().count()
     )
     assert buckets == 8
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """PLAN GATE for the runtime half of the skew strategy (session.py
+    enables spark.sql.adaptive.skewJoin): a sort-merge join whose big
+    side is dominated by one hot key must come out of AQE with the hot
+    partition actually SPLIT — `SortMergeJoin(skew=true)` plus an
+    `AQEShuffleRead ... skewed` on the hot side — and the answer must
+    still be exact. Thresholds are lowered for the toy corpus (the
+    defaults are sized for 100 TB partitions) and restored after."""
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        n = 400_000
+        big = (
+            spark.range(n)
+            .withColumn(
+                "key",
+                F.when(F.col("id") % 5 != 0, F.lit(0)).otherwise(F.col("id")),
+            )
+            .withColumn("pad", F.repeat(F.lit("x"), 40))
+        )
+        right = (
+            spark.range(n)
+            .withColumnRenamed("id", "key")
+            .withColumn("rv", F.col("key") * 2)
+        )
+        q = big.join(right, "key").select(F.sum("rv").alias("s"))
+        [row] = q.collect()
+        # hot key 0 joins rv=0; the tail keys are the multiples of 5
+        assert row["s"] == sum(2 * k for k in range(0, n, 5))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert any(
+            "AQEShuffleRead" in line and "skewed" in line
+            for line in plan.splitlines()
+        ), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
