@@ -105,21 +105,43 @@ def duck_asof_sql(
     payload_cols: list[str],
     tiebreak_col: str,
 ) -> str:
-    """Oracle: pair-and-filter left join + QUALIFY picking the latest
-    right row per left row, with the same (time, tiebreak) ordering as
-    ``asof_join``. DuckDB's native ASOF JOIN exists but breaks timestamp
-    ties arbitrarily; the explicit window keeps ties deterministic.
-    O(pairs) — fine for an oracle, not for production (that is what the
-    union-merge Spark form is for)."""
-    lsel = ", ".join(f"l.{c}" for c in left_cols)
-    psel = ", ".join(f"r.{c} AS {c}" for c in payload_cols)
+    """Oracle: the SAME union-merge window form as ``asof_join``, in
+    DuckDB SQL — union both sides, one last_value(IGNORE NULLS) window
+    per key ordered (time, side, tiebreak) with an explicit ROWS frame.
+
+    This replaced the original pair-and-filter LEFT JOIN + QUALIFY
+    oracle in r10: that form is O(left x right-per-key) PAIRS, and on a
+    zipfian corpus (both key columns hot) it OOM-killed the sf1 sweep
+    harness at >126 GB inside DuckDB — the exact failure mode the
+    engine's union-merge form exists to avoid, reproduced in the
+    oracle. The window form is linear, keeps ties deterministic
+    (DuckDB's native ASOF JOIN breaks timestamp ties arbitrarily), and
+    was verified row-identical to the naive form at sf0.001/sf0.01
+    before the swap. Tie order: ``__tb`` NULLs sort differently in
+    DuckDB (NULLS LAST) vs Spark (NULLS FIRST) for ASC, but __tb is
+    NULL exactly on left rows, whose relative order within a (key, t)
+    group cannot change the carried payload."""
+    lsel = ", ".join(left_cols)
+    null_left = ", ".join(f"NULL AS {c}" for c in left_cols)
+    struct = ", ".join(f"'{c}': {c}" for c in payload_cols)
+    out_payload = ", ".join(f"__c.{c} AS {c}" for c in payload_cols)
     return f"""
-    SELECT {lsel}, {psel}
-    FROM {left_table} l LEFT JOIN {right_table} r
-      ON l.{left_key} = r.{right_key} AND r.{right_time} <= l.{left_time}
-    QUALIFY row_number() OVER (
-      PARTITION BY l.{left_cols[0]}
-      ORDER BY r.{right_time} DESC NULLS LAST, r.{tiebreak_col} DESC NULLS LAST) = 1
+    WITH __u AS (
+      SELECT {left_key} AS __key, {left_time} AS __t, 1 AS __is_left,
+             {lsel}, NULL AS __payload, NULL AS __tb
+      FROM {left_table}
+      UNION ALL
+      SELECT {right_key}, {right_time}, 0, {null_left},
+             {{{struct}}}, {tiebreak_col}
+      FROM {right_table}
+    ), __w AS (
+      SELECT *, last_value(__payload IGNORE NULLS) OVER (
+          PARTITION BY __key
+          ORDER BY __t ASC, __is_left ASC, __tb ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __c
+      FROM __u
+    )
+    SELECT {lsel}, {out_payload} FROM __w WHERE __is_left = 1
     """
 
 

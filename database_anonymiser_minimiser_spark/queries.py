@@ -2047,26 +2047,27 @@ from .operators import asof as _asof  # noqa: E402
 
 @register(
     "asof_join_events_orders",
-    """
+    f"""
     SELECT event_id, user_id,
       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, o_orderkey, o_totalprice
-    FROM (
-      SELECT l.event_id, l.user_id, l.ts,
-        r.o_orderkey AS o_orderkey, r.o_totalprice AS o_totalprice
-      FROM events l LEFT JOIN orders r
-        ON l.user_id = r.o_custkey AND r.o_orderdate <= l.ts
-      QUALIFY row_number() OVER (
-        PARTITION BY l.event_id
-        ORDER BY r.o_orderdate DESC NULLS LAST, r.o_orderkey DESC NULLS LAST) = 1
-    ) t
+    FROM ({_asof.duck_asof_sql(
+        left_table="events", right_table="orders",
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        left_cols=["event_id", "user_id", "ts"],
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak_col="o_orderkey",
+    )}) t
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event paired with the user's most recent order at
     or before the event time. Spark lacks native ASOF; this is the
     union-merge realisation (operators/asof.py) — one shuffle of
-    events+orders on the user key, one window pass, no pair explosion
-    (the oracle's pair-and-filter form is O(events x orders per user))."""
+    events+orders on the user key, one window pass, no pair explosion.
+    The oracle is the SAME union-merge window in DuckDB SQL (r10: the
+    old pair-and-filter oracle was O(events x orders per user) and
+    OOM'd the sweep harness on the zipfian sf1 corpus)."""
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load(spark, sf_dir, "orders")
     out = _asof.asof_join(
