@@ -4,11 +4,55 @@ on the same parquet tables, then compare row count, column names, and
 order-insensitive values (exact — the driver hash-compares)."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as E
+
+# The scale-sweep deselect list, CODIFIED (r10). These oracles are
+# interpreted-list-bound or pairwise in DuckDB (unnest self-joins,
+# list_intersect over full shingle lists, list dot products over every
+# vector): correct and cheap at the sf0.001/sf0.01 grading scales, but
+# super-linear in the ORACLE (not the engine) on big corpora — the
+# r5-r9 sf1/sf2/sf4 sweeps always deselected them on the command line,
+# and running them by accident at a zipfian sf1 OOM-killed two sweep
+# harnesses this round (126 GB inside DuckDB on dedup_ngram_jaccard's
+# Theta(sum df^2) candidate join). Their sf1+ value-exactness is held by
+# the independent from-scratch goldens in tests/test_scale_values_sf1.py
+# (eleven gates) instead. Set SPARK_GRAFT_SWEEP_FULL=1 to force them on
+# a big corpus anyway.
+INTERPRETED_LIST_BOUND = {
+    "ann_int8_topk", "ann_ivf_topk", "ann_lsh_multiprobe", "ann_lsh_topk",
+    "ann_topk_cosine", "ann_topk_cosine_numpy",
+    "contamination_ngram_overlap", "contamination_ngram_overlap_oracle",
+    "dedup_common_spans", "dedup_common_spans_oracle",
+    "dedup_levenshtein_pairs", "dedup_minhash_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_jaccard_prefix",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_simhash_wide_pairs",
+    "embedding_neardup", "semantic_dedup_embeddings",
+    "text_winnow_fingerprint",
+}
+
+_BIG_CORPUS_BYTES = 3_000_000  # documents.parquet: sf0.1 ~0.6 MB, sf1 ~6 MB
+
+
+def _skip_if_oracle_unscalable(name, sf_dir):
+    if name not in INTERPRETED_LIST_BOUND:
+        return
+    if os.environ.get("SPARK_GRAFT_SWEEP_FULL"):
+        return
+    try:
+        big = os.path.getsize(f"{sf_dir}/documents.parquet") > _BIG_CORPUS_BYTES
+    except OSError:
+        return
+    if big:
+        pytest.skip(
+            f"{name}: DuckDB oracle is interpreted-list-bound; sf1+ value "
+            "gate lives in tests/test_scale_values_sf1.py "
+            "(SPARK_GRAFT_SWEEP_FULL=1 overrides)"
+        )
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -61,6 +105,7 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, sf_dir, name):
+    _skip_if_oracle_unscalable(name, sf_dir)
     sdf = QUERIES[name](spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
