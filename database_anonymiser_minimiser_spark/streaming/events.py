@@ -406,14 +406,41 @@ def run_streaming_stream_join(
     join state — click rows older than (watermark - within) and purchase
     rows older than the watermark are evicted instead of accumulating
     forever (an unbounded stream-stream join without the time bound is a
-    state leak, not an operator). The join itself shuffles both streams
-    on user_id once; availableNow here drains the bounded corpus so the
-    result equals the batch interval join the oracle runs."""
+    state leak, not an operator). The join shuffles both streams once.
+
+    Skew (r10, found by the zipfian sf1 probe): keying the state on
+    user_id alone makes a hot user quadratic — Spark's symmetric hash
+    join keeps ALL buffered right rows of a key in one state-store
+    partition and scans them per arriving left row, so a user owning
+    ~27% of 1M events (53k clicks x 53k buffered purchases) costs ~3e9
+    single-threaded probes: the test went from seconds (uniform) to
+    tens of minutes (zipf). Fix: the equi key is (user_id, hour bucket
+    of the click) with each purchase exploded into the TWO buckets its
+    1h-window can serve — the hot user's state splits across the
+    corpus's ~720 hour buckets, per-probe state shrinks from |all
+    purchases of the user| to |purchases in 2 adjacent hours|, and the
+    interval predicate still evicts state and keeps semantics EXACTLY
+    equal to the batch interval join (the oracle is unchanged). Same
+    play as asof/bucketed_range_join: manufacture an equi key from the
+    range."""
+    # bucket width == the join window, parsed from the interval string
+    _unit_s = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    try:
+        _n, _unit = within.split()
+        within_seconds = int(_n) * _unit_s[_unit.rstrip("s")]
+    except (ValueError, KeyError) as exc:
+        raise ValueError(
+            f"within={within!r}: expected '<n> second|minute|hour|day[s]'"
+        ) from exc
     left = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == left_type)
         .selectExpr("event_id AS click_id", "user_id", "ts AS click_ts")
         .withWatermark("click_ts", lateness)
+        .withColumn(
+            "bucket",
+            (F.unix_timestamp("click_ts") / within_seconds).cast("long"),
+        )
     )
     right = (
         read_events_stream(spark, sf_dir)
@@ -422,10 +449,21 @@ def run_streaming_stream_join(
             "event_id AS purchase_id", "user_id AS p_user_id", "ts AS purchase_ts"
         )
         .withWatermark("purchase_ts", lateness)
+        .withColumn(
+            "p_bucket",
+            F.explode(
+                F.array(
+                    (F.unix_timestamp("purchase_ts") / within_seconds).cast("long"),
+                    (F.unix_timestamp("purchase_ts") / within_seconds).cast("long")
+                    - 1,
+                )
+            ),
+        )
     )
     joined = left.join(
         right,
         (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("bucket") == F.col("p_bucket"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
     ).select("click_id", "purchase_id", "user_id")
