@@ -26,6 +26,19 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # If a session already exists, return it UNTOUCHED. getOrCreate()
+    # applies every builder-specified runtime SQL conf to an existing
+    # session (Spark 3.4+ semantics), so a library helper calling it
+    # with its own defaults silently reconfigures the caller's session —
+    # in this suite it flipped spark.sql.shuffle.partitions from the
+    # fixture's 4 to 32 mid-run, which changed a downstream AQE
+    # skew-split decision (r10: test_aqe_splits_skewed_join_at_runtime
+    # failed in-suite, passed standalone, for exactly this reason). An
+    # engine embedded in someone else's Spark app must not stomp their
+    # conf; callers who need specific settings own the decision.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # Local mode runs driver+executor in ONE JVM whose default heap (1g)
     # is absurd for 32 concurrent tasks — sf1 measurement showed AQE

@@ -126,6 +126,12 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # pinned: the skew decision depends on the shuffle layout (at 32
+        # partitions the constant-pad hot partition compresses under the
+        # factor x median bar and is NOT split) — and r10 found a
+        # get_spark() call mid-suite could leak a different value into
+        # the session before this test ran
+        "spark.sql.shuffle.partitions": "4",
     }
     saved = {k: spark.conf.get(k, None) for k in lowered}
     try:
