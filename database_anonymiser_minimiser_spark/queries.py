@@ -6319,80 +6319,69 @@ def q_salted_agg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _PRIORITY_50 = [
-    # (a) the sixteen r6-stale grades — after r9's steady state these
-    # are the oldest oracle-keyed grades left (r9 verdict item 1);
-    # grading them bounds every grade at <= 3 rounds old
-    "corpus_vocab_top100",
-    "text_quality_score",
-    "percentiles_orders_by_status",
-    "mask_city",
-    "mask_company",
-    "mask_country",
-    "sample_weighted_by_length",
-    "cdc_apply_orders",
-    "cohort_retention_weekly",
-    "funnel_windowed_24h",
-    "dedup_ngram_jaccard_prefix",
-    "consistency_broadcast_apply",
-    "bucketed_join_segment_revenue",
-    "subset_fk_closed_counts",
-    "contamination_check",
-    "doc_chunks_128_64",
-    # (b) NEW this round — the key_mode promotion (r9 verdict item 3):
-    # the string/md5 reference shapes stay registered as *_oracle, and
-    # the production MinHash path (xxhash shingles AND band keys) gets
-    # its own rows-only entry (candidate sets are hash-dependent at the
-    # LSH margin by design — exact gates listed in its docstring)
-    "dedup_common_spans_oracle",
-    "contamination_ngram_overlap_oracle",
-    "dedup_minhash_lsh_xxhash",
-    # ... and the skewed-corpus probe (r9 verdict item 5): the salted
-    # two-phase aggregate gets an oracle-graded gate on real corpora
-    # (decimal sum -> bitwise equal to the plain groupBy and the oracle)
-    "salted_agg_user_value",
-    # (c) plan changed this round: the span/contamination defaults now
-    # run the hashed key path (engine key_mode, settings.py — results
-    # byte-equal, plans differ), streaming_percentiles_tdigest gained
-    # the all-NULL-type left-join gate (ADVICE r9), and
-    # dedup_minhash_incremental moved to sided verification + eager
-    # result materialisation (ADVICE r9)
-    "dedup_common_spans",
-    "contamination_ngram_overlap",
-    "streaming_percentiles_tdigest",
-    "dedup_minhash_incremental",
-    # (d) 26 of the 49 oldest (r7) grades, family-spread. The 23 r7
-    # grades NOT here are named in COVERAGE.md §r10 with family
-    # rationale (each has a same-machinery sibling windowed now, an
-    # sf1 independent golden, or an exact twin) and head r11
-    "anonymise_customer_full",
-    "dedup_minhash_lsh",
-    "dedup_incremental_ingest",
-    "dedup_exact_keep_best",
-    "dedup_simhash_wide_pairs",
-    "asof_join_events_orders",
-    "range_join_events_windows",
-    "events_sessionize",
-    "events_multires_rollup",
-    "json_schema_agg",
-    "pack_sequences_2048",
-    "privacy_k_anonymity_stats",
-    "privacy_l_diversity",
-    "privacy_generalize_customer",
-    "profile_customer",
-    "q4_order_priority_check",
-    "q15_top_supplier",
-    "q6_forecast_revenue",
-    "q12_priority_shipping",
-    "q13_customer_order_distribution",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "sample_stratified_by_lang",
-    "scrub_text_pii",
-    "source_overlap_matrix",
-    "string_suite_part",
-    # vocab_oov_rate -> r11 head: its tf/df + broadcast-vocab machinery
-    # sibling corpus_vocab_top100 is windowed this round (group a);
-    # displaced by the new salted_agg_user_value (group b)
+    # ======== ROUND 11 WINDOW ========
+    # (a) the TWENTY-THREE r7-stale grades head the window (r10 verdict
+    # item 1 — the exact set whose latest driver grade is r7, verified
+    # against CORRECTNESS_r01..r10). streaming_stream_join is mandatory
+    # per the builder's own plan-changed policy: its state key moved to
+    # (user_id, time-bucket) in r10 (streaming/events.py) AFTER the r10
+    # window was composed. After a green r11 window no oracle-keyed
+    # grade is older than r8.
+    "streaming_stream_join",
+    "streaming_anonymise_events",
+    "streaming_dedup_events",
+    "streaming_sessions_gap",
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe",
+    "ann_topk_cosine",
+    "approx_distinct_band_events",
+    "mask_all_fakers",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "percentiles_band_orders_by_status",
+    "q10_returned_item_revenue",
+    "q11_important_stock",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "text_fingerprint",
+    "text_language_id",
+    "text_token_count",
+    "text_winnow_fingerprint",
+    "vocab_oov_rate",
+    "zscore_events_exact",
+    # (b) 27 of the 46 r8 grades (now the oldest tier), family-spread.
+    # The NINETEEN r8 grades NOT here are named in COVERAGE.md §r11
+    # with family rationale (each has a same-machinery sibling windowed
+    # now, a continuously-gated exact twin, or an independent sf1
+    # golden) and head r12.
+    "anti_join_customers_without_big_orders",
+    "bpe_merge_pairs",
+    "decontaminate_bloom",
+    "dedup_clusters",
+    "dedup_exact_documents",
+    "dedup_levenshtein_pairs",
+    "dedup_simhash_pairs",
+    "distinct_agg_events",
+    "events_tumbling_hourly",
+    "full_export_customer",
+    "json_extract_props",
+    "multimodal_decode_wav",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "retain_count_orders",
+    "retain_date_events",
+    "rollup_orders_by_status_priority",
+    "row_counts",
+    "sample_hash_10pct",
+    "semantic_dedup_embeddings",
+    "setop_union_intersect_except",
+    "sqldump_tuple_customer",
+    "streaming_events_watermark",
+    "streaming_stateful_user_totals",
+    "truncate_part",
+    "window_top_orders_per_customer",
 ]
 
 
