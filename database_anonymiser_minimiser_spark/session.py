@@ -17,8 +17,26 @@ Local testing runs ``local[N]`` but every setting here is chosen for the
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
+
+
+def _existing_session() -> SparkSession | None:
+    """The session this process would reuse, if any.
+
+    ``getActiveSession()`` is *thread-scoped* — a call from a thread that
+    did not create the session returns None even though ``getOrCreate()``
+    would reuse (and reconfigure) the process-wide default session. Check
+    both, in the same order getOrCreate resolves them, so the
+    return-untouched guarantee holds from any thread.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    # Public-API accessor for the process-wide default session
+    # (SparkSession.builder consults the same singleton).
+    return getattr(SparkSession, "_instantiatedSession", None)
 
 
 def get_spark(
@@ -35,9 +53,25 @@ def get_spark(
     # skew-split decision (r10: test_aqe_splits_skewed_join_at_runtime
     # failed in-suite, passed standalone, for exactly this reason). An
     # engine embedded in someone else's Spark app must not stomp their
-    # conf; callers who need specific settings own the decision.
-    active = SparkSession.getActiveSession()
+    # conf; callers who need specific settings own the decision — and
+    # get a warning, not silence, when their explicit args are ignored.
+    active = _existing_session()
     if active is not None:
+        ignored = []
+        if master is not None and active.sparkContext.master != master:
+            ignored.append(f"master={master!r}")
+        if shuffle_partitions is not None and active.conf.get(
+            "spark.sql.shuffle.partitions", None
+        ) != str(shuffle_partitions):
+            ignored.append(f"shuffle_partitions={shuffle_partitions}")
+        if ignored:
+            warnings.warn(
+                "get_spark(): an active SparkSession already exists; "
+                f"ignoring requested {', '.join(ignored)} (stop the "
+                "existing session first to apply them)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return active
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # Local mode runs driver+executor in ONE JVM whose default heap (1g)

@@ -388,6 +388,47 @@ def run_streaming_export(
     return total["rows"]
 
 
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Total whole seconds of a day-time interval string.
+
+    Accepts one or more '<n> <unit>' pairs with integral or fractional
+    n, summed — the same strings ``F.expr(f"INTERVAL {interval}")``
+    accepts for these units ('1 hour', '1 hour 30 minutes',
+    '1.5 hours'). Raises ValueError when the string doesn't parse or
+    the total is not a positive whole number of seconds (unix_timestamp
+    bucketing is second-resolution)."""
+    tokens = interval.split()
+    if not tokens or len(tokens) % 2:
+        raise ValueError(
+            f"interval={interval!r}: expected '<n> <unit>' pairs with "
+            "unit in second|minute|hour|day[s]"
+        )
+    total = 0.0
+    for n_tok, unit_tok in zip(tokens[::2], tokens[1::2]):
+        try:
+            n = float(n_tok)
+            total += n * _INTERVAL_UNIT_SECONDS[unit_tok.rstrip("s").lower()]
+        except (ValueError, KeyError) as exc:
+            raise ValueError(
+                f"interval={interval!r}: expected '<n> <unit>' pairs "
+                "with unit in second|minute|hour|day[s]"
+            ) from exc
+    if total <= 0 or total != int(total):
+        raise ValueError(
+            f"interval={interval!r}: must total a positive whole number "
+            f"of seconds (got {total})"
+        )
+    return int(total)
+
+
 def run_streaming_stream_join(
     spark: SparkSession,
     sf_dir: str,
@@ -423,15 +464,15 @@ def run_streaming_stream_join(
     equal to the batch interval join (the oracle is unchanged). Same
     play as asof/bucketed_range_join: manufacture an equi key from the
     range."""
-    # bucket width == the join window, parsed from the interval string
-    _unit_s = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
-    try:
-        _n, _unit = within.split()
-        within_seconds = int(_n) * _unit_s[_unit.rstrip("s")]
-    except (ValueError, KeyError) as exc:
-        raise ValueError(
-            f"within={within!r}: expected '<n> second|minute|hour|day[s]'"
-        ) from exc
+    # bucket width == the join window, parsed from the interval string.
+    # Grammar matches what F.expr(f"INTERVAL {within}") accepts for the
+    # day-time units: one or more '<n> <unit>' pairs, n integral or
+    # fractional, summed ('1 hour 30 minutes' == '1.5 hours' == 5400 s).
+    within_seconds = _interval_seconds(within)
+    # F.floor, NOT cast('long'): the cast truncates toward zero, so a
+    # pre-epoch (negative) timestamp would land in the bucket ABOVE its
+    # floor and the two-bucket explode would miss matches. Floor-based
+    # bucketing is correct for all timestamps.
     left = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == left_type)
@@ -439,7 +480,7 @@ def run_streaming_stream_join(
         .withWatermark("click_ts", lateness)
         .withColumn(
             "bucket",
-            (F.unix_timestamp("click_ts") / within_seconds).cast("long"),
+            F.floor(F.unix_timestamp("click_ts") / within_seconds).cast("long"),
         )
     )
     right = (
@@ -453,8 +494,12 @@ def run_streaming_stream_join(
             "p_bucket",
             F.explode(
                 F.array(
-                    (F.unix_timestamp("purchase_ts") / within_seconds).cast("long"),
-                    (F.unix_timestamp("purchase_ts") / within_seconds).cast("long")
+                    F.floor(
+                        F.unix_timestamp("purchase_ts") / within_seconds
+                    ).cast("long"),
+                    F.floor(
+                        F.unix_timestamp("purchase_ts") / within_seconds
+                    ).cast("long")
                     - 1,
                 )
             ),

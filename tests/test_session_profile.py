@@ -48,3 +48,57 @@ def test_partition_target_is_tunable():
     p = deployment_profile(total_input_bytes=100 * TB, target_partition_mb=256)
     assert int(p["spark.sql.shuffle.partitions"]) == 100 * TB // (256 * 1024**2)
     assert int(p["spark.sql.files.maxPartitionBytes"]) == 256 * 1024**2
+
+
+# ---------------------------------------------------------------------------
+# get_spark reuse semantics (ADVICE r10): an existing session is returned
+# untouched, but explicitly-requested divergent settings WARN instead of
+# being silently ignored; the reuse check must also see the process-wide
+# session from a thread that didn't create it (getActiveSession is
+# thread-scoped).
+
+
+def test_get_spark_warns_on_ignored_explicit_args(spark):
+    import warnings
+
+    from database_anonymiser_minimiser_spark.session import get_spark
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = get_spark(master="local[2]", shuffle_partitions=999)
+    assert got is spark  # untouched reuse
+    assert got.conf.get("spark.sql.shuffle.partitions") != "999"
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("master='local[2]'" in m and "shuffle_partitions=999" in m
+               for m in msgs), msgs
+
+
+def test_get_spark_no_warning_when_args_match_or_default(spark):
+    import warnings
+
+    from database_anonymiser_minimiser_spark.session import get_spark
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = get_spark()  # defaults: nothing explicitly requested
+        got2 = get_spark(
+            shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+    assert got is spark and got2 is spark
+    assert not [w for w in caught if w.category is RuntimeWarning]
+
+
+def test_get_spark_reuses_session_from_other_thread(spark):
+    import threading
+
+    from database_anonymiser_minimiser_spark.session import get_spark
+
+    out = {}
+
+    def worker():
+        out["session"] = get_spark()
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert out["session"] is spark

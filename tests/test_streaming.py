@@ -474,3 +474,62 @@ def test_streaming_tdigest_gate_emits_allnull_event_type(spark, tmp_path):
     assert got["ghost"] == (0, True, True, True)
     n, *bands = got["view"]
     assert n == 40 and all(bands)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10: the stream-join `within` parser must keep accepting every
+# interval string F.expr(f"INTERVAL {within}") accepts for day-time units
+# (compound and fractional), and bucketing must be floor-based so
+# pre-epoch timestamps land in the bucket BELOW zero, not above it.
+
+
+def test_interval_seconds_grammar():
+    import pytest as _pytest
+
+    from database_anonymiser_minimiser_spark.streaming.events import (
+        _interval_seconds,
+    )
+
+    assert _interval_seconds("1 hour") == 3600
+    assert _interval_seconds("2 hours") == 7200
+    assert _interval_seconds("90 seconds") == 90
+    assert _interval_seconds("1 hour 30 minutes") == 5400  # compound
+    assert _interval_seconds("1.5 hours") == 5400  # fractional
+    assert _interval_seconds("1 day 1 hour 1 minute 1 second") == 90061
+    for bad in ["", "hour", "1 fortnight", "1.5 seconds 0.2 seconds",
+                "0 hours", "-1 hour", "1 hour 30"]:
+        with _pytest.raises(ValueError):
+            _interval_seconds(bad)
+
+
+def test_stream_join_bucket_is_floor_based_for_negative_timestamps(spark):
+    # The exact expression the stream join uses, applied to pre-epoch
+    # timestamps: a click at -30 min and a purchase at +30 min are within
+    # 1 hour, so the purchase's two-bucket explode {floor(p/W),
+    # floor(p/W)-1} must cover the click's bucket. With cast('long')
+    # truncation the click would land in bucket 0 (not -1) only when
+    # positive — for the negative side truncation gives 0 while floor
+    # gives -1, and the pair would be dropped.
+    from pyspark.sql import functions as F
+
+    W = 3600
+    df = spark.createDataFrame(
+        [("1969-12-31 23:30:00",), ("1970-01-01 00:30:00",)], ["ts"]
+    ).select(F.to_timestamp("ts").alias("ts"))
+    got = [
+        r[0]
+        for r in df.select(
+            F.floor(F.unix_timestamp("ts") / W).cast("long")
+        ).collect()
+    ]
+    assert got == [-1, 0]
+    # the purchase (bucket 0) explodes into {0, -1} ∋ click bucket -1
+    assert got[0] in {got[1], got[1] - 1}
+    # regression guard: the old truncating cast mis-binned the click
+    trunc = [
+        r[0]
+        for r in df.select(
+            (F.unix_timestamp("ts") / W).cast("long")
+        ).collect()
+    ]
+    assert trunc[0] == 0  # proves the old expression was wrong pre-epoch

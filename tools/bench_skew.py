@@ -32,6 +32,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -58,7 +59,7 @@ POINTS = [
 
 
 def _median(ts: list[float]) -> float:
-    return sorted(ts)[len(ts) // 2]
+    return statistics.median(ts)
 
 
 def bench_movers(spark, queries, runs: int):
