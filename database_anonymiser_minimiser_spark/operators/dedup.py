@@ -586,6 +586,7 @@ def save_minhash_index_bucketed(
     n_buckets: int = 64,
     append: bool = False,
     path: str | None = None,
+    batch: str | None = None,
 ) -> None:
     """The 100 TB layout of :func:`save_minhash_index`: bands and
     shingles land as BUCKETED tables (``<prefix>_bands`` bucketed+sorted
@@ -598,7 +599,23 @@ def save_minhash_index_bucketed(
     an admitted batch (bucketed appends write additional per-bucket
     files — bucket routing stays correct). Size ``n_buckets`` so one
     bucket of the shingle relation fits an executor (the verify join
-    streams bucket pairs)."""
+    streams bucket pairs).
+
+    Both tables are additionally PARTITIONED by ``batch`` (the same
+    ``batch=<label>`` convention as :func:`save_minhash_index`):
+    partition pruning makes a retried micro-batch's self-exclusion
+    cheap, and :func:`bucketed_index_has_batch` answers "did this
+    epoch's append already land?" from the catalog — the two hooks the
+    streaming ingest screen's replay idempotency needs. Bucket routing
+    is per-partition, so scans stay bucket-aware (``Bucketed: true``)
+    across any number of appended batches."""
+    if batch is None:
+        if append:
+            import uuid
+
+            batch = f"b{uuid.uuid4().hex[:12]}"
+        else:
+            batch = "seed"
     spark = df.sparkSession
     sh = shingles(df, text_col, id_col)
     from pyspark.storagelevel import StorageLevel
@@ -607,19 +624,28 @@ def save_minhash_index_bucketed(
     mode = _resolve_mode(mode)
     try:
         wmode = "append" if append else "overwrite"
+        if not append:
+            # a fresh seed must not inherit stale batch partitions (or a
+            # stale table layout) from a previous run at the same names
+            for t in (f"{table_prefix}_bands", f"{table_prefix}_shingles"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
         # bucket by BOTH join keys: HashPartitioning(band_id, band_key)
         # matches the screen's candidate-join requirement exactly —
         # probed empirically; band_key-only bucketing left Spark
         # re-shuffling the index side despite the subset rule
         bands_w = (
             banded_signature(minhash_signature(sh, mode=mode), mode=mode)
-            .write.bucketBy(n_buckets, "band_id", "band_key")
+            .withColumn("batch", F.lit(batch))
+            .write.partitionBy("batch")
+            .bucketBy(n_buckets, "band_id", "band_key")
             .sortBy("band_id", "band_key")
             .mode(wmode)
             .format("parquet")
         )
         sh_w = (
-            sh.write.bucketBy(n_buckets, "id")
+            sh.withColumn("batch", F.lit(batch))
+            .write.partitionBy("batch")
+            .bucketBy(n_buckets, "id")
             .sortBy("id")
             .mode(wmode)
             .format("parquet")
@@ -633,6 +659,16 @@ def save_minhash_index_bucketed(
         sh.unpersist()
 
 
+def bucketed_index_has_batch(spark, table_prefix: str, batch: str) -> bool:
+    """True when a ``batch=<label>`` partition already exists in the
+    bucketed index — a catalog-metadata check (no data scan), used by
+    the streaming ingest screen to make epoch-replay appends idempotent:
+    ``saveAsTable`` commits atomically, so a visible partition means the
+    epoch's append fully landed and the retry must skip it."""
+    rows = spark.sql(f"SHOW PARTITIONS {table_prefix}_bands").collect()
+    return any(r[0] == f"batch={batch}" for r in rows)
+
+
 def minhash_incremental_vs_bucketed_index(
     new_df: DataFrame,
     table_prefix: str,
@@ -641,6 +677,7 @@ def minhash_incremental_vs_bucketed_index(
     threshold: float = 0.5,
     mode: str | None = None,
     materialize: bool = True,
+    exclude_batch: str | None = None,
 ) -> DataFrame:
     """:func:`minhash_incremental_vs_index` against the BUCKETED table
     index (:func:`save_minhash_index_bucketed`): identical results, but
@@ -648,7 +685,12 @@ def minhash_incremental_vs_bucketed_index(
     co-located buckets, so neither is shuffled (or sorted) by the screen
     — plan-gated in tests/test_dedup.py. The daily at-scale cost is
     exactly: shingle the batch, shuffle THE BATCH into the index's
-    bucket layout twice (bands + verify), stream bucket pairs."""
+    bucket layout twice (bands + verify), stream bucket pairs.
+
+    ``exclude_batch`` drops one ``batch=<label>`` PARTITION from the
+    landed side (partition pruning, not a data-scan filter) — a
+    retrying micro-batch whose own append already landed must not
+    screen against itself."""
     sh_new = shingles(new_df, text_col, id_col)
     from pyspark.storagelevel import StorageLevel
 
@@ -656,10 +698,17 @@ def minhash_incremental_vs_bucketed_index(
     sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
     mode = _resolve_mode(mode)
     try:
+        banded_landed = spark.table(f"{table_prefix}_bands")
+        sh_landed = spark.table(f"{table_prefix}_shingles")
+        if exclude_batch is not None:
+            banded_landed = banded_landed.filter(
+                F.col("batch") != exclude_batch
+            )
+            sh_landed = sh_landed.filter(F.col("batch") != exclude_batch)
         return _screen_new_vs_landed(
             sh_new,
-            spark.table(f"{table_prefix}_bands"),
-            spark.table(f"{table_prefix}_shingles"),
+            banded_landed,
+            sh_landed,
             threshold,
             mode,
             materialize=materialize,

@@ -564,6 +564,9 @@ def run_streaming_neardup_ingest(
     new_spool_dir: str,
     index_path: str,
     threshold: float = 0.5,
+    layout: str = "bucketed",
+    table_prefix: str = "neardup_index",
+    n_buckets: int = 16,
 ) -> "list[tuple[int, int, int, float]]":
     """STREAMING near-dup ingest screen: each arriving micro-batch of
     documents is checked against the persisted MinHash index
@@ -586,18 +589,50 @@ def run_streaming_neardup_ingest(
 
     Replay-idempotent: foreachBatch re-runs a failed micro-batch with
     the SAME epoch_id, so (a) the index append is a targeted overwrite
-    of the epoch's own ``batch=e<epoch>`` partition (duplicate rows
-    cannot accumulate — save_minhash_index), (b) the screen excludes
-    that partition (present only on a retry whose append already
-    landed — a batch must not screen against itself), and (c) any flags
-    the failed attempt emitted for the epoch are dropped before the
-    deterministic re-emit."""
+    of the epoch's own ``batch=e<epoch>`` partition in the partitioned
+    layout, and in the bucketed layout an append that already landed is
+    detected from the catalog (``bucketed_index_has_batch`` — saveAsTable
+    commits atomically, a visible partition means the whole append
+    landed) and skipped, (b) the screen excludes that partition (present
+    only on a retry whose append already landed — a batch must not
+    screen against itself), and (c) any flags the failed attempt emitted
+    for the epoch are dropped before the deterministic re-emit.
+
+    ``layout`` selects the index representation:
+
+    - ``"bucketed"`` (the default — the 100 TB shape): the index lives
+      as batch-partitioned BUCKETED tables (``<table_prefix>_bands`` /
+      ``_shingles`` under ``<index_path>/bucketed``), so the
+      per-micro-batch screen reads the corpus-sized landed side as
+      co-located buckets with NO index-side Exchange — only the day's
+      batch shuffles (plan-gated in tests/test_streaming.py and
+      tests/test_dedup.py).
+    - ``"partitioned"``: the plain batch-partitioned parquet index
+      (save_minhash_index) — no catalog/warehouse requirement, the
+      screen shuffles the index side per micro-batch."""
     from ..operators.dedup import (
+        bucketed_index_has_batch,
+        minhash_incremental_vs_bucketed_index,
         minhash_incremental_vs_index,
         save_minhash_index,
+        save_minhash_index_bucketed,
     )
 
-    save_minhash_index(spark.read.parquet(landed_path), index_path)
+    if layout not in ("bucketed", "partitioned"):
+        raise ValueError(
+            f"layout must be 'bucketed' or 'partitioned', got {layout!r}"
+        )
+    bucketed = layout == "bucketed"
+    if bucketed:
+        save_minhash_index_bucketed(
+            spark.read.parquet(landed_path),
+            table_prefix,
+            n_buckets=n_buckets,
+            path=f"{index_path}/bucketed",
+            batch="seed",
+        )
+    else:
+        save_minhash_index(spark.read.parquet(landed_path), index_path)
     schema = spark.read.parquet(new_spool_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -611,9 +646,16 @@ def run_streaming_neardup_ingest(
             return
         label = f"e{int(epoch_id)}"
         flagged[:] = [t for t in flagged if t[0] != int(epoch_id)]
-        res = minhash_incremental_vs_index(
-            batch_df, index_path, threshold=threshold, exclude_batch=label
-        )
+        if bucketed:
+            res = minhash_incremental_vs_bucketed_index(
+                batch_df, table_prefix, threshold=threshold,
+                exclude_batch=label,
+            )
+        else:
+            res = minhash_incremental_vs_index(
+                batch_df, index_path, threshold=threshold,
+                exclude_batch=label,
+            )
         try:
             for r in res.collect():
                 flagged.append(
@@ -624,7 +666,14 @@ def run_streaming_neardup_ingest(
         # admit the whole batch (audit semantics: flags recorded, corpus
         # keeps everything); an enforcing pipeline would append only the
         # unflagged survivors here
-        save_minhash_index(batch_df, index_path, append=True, batch=label)
+        if bucketed:
+            if not bucketed_index_has_batch(spark, table_prefix, label):
+                save_minhash_index_bucketed(
+                    batch_df, table_prefix, n_buckets=n_buckets,
+                    path=f"{index_path}/bucketed", append=True, batch=label,
+                )
+        else:
+            save_minhash_index(batch_df, index_path, append=True, batch=label)
 
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()

@@ -484,12 +484,15 @@ def test_minhash_bucketed_index_lifecycle_and_plan(spark, tmp_path):
     D.save_minhash_index_bucketed(
         landed, prefix, n_buckets=4, mode="md5", path=wh
     )
-    via_bucketed = sorted(
-        tuple(r)
-        for r in D.minhash_incremental_vs_bucketed_index(
-            batch1, prefix, threshold=0.4, mode="md5"
-        ).collect()
+    res1 = D.minhash_incremental_vs_bucketed_index(
+        batch1, prefix, threshold=0.4, mode="md5"
     )
+    via_bucketed = sorted(tuple(r) for r in res1.collect())
+    # release the materialised result BEFORE the plan gate: a persisted
+    # identical plan would cache-hit and the explain would show the
+    # InMemoryTableScan, not the screen plan under audit (production
+    # callers — the streaming sink — unpersist the same way)
+    res1.unpersist()
     direct = sorted(
         tuple(r)
         for r in D.minhash_lsh_incremental(

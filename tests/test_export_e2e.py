@@ -866,3 +866,17 @@ def test_cli_config_error_is_message_not_traceback(tmp_path, capsys):
     assert rc == 1
     err = capsys.readouterr().err
     assert "error:" in err and "key_mode" in err
+
+    # the plausible typo for "hashed" — the internal hash NAME, not a
+    # mode (r10 ADVICE): same friendly exit, and the message must name
+    # the valid values so the user can self-correct
+    bad.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "settings: {key_mode: xxhash}\n"
+        "configuration: {}\n"
+    )
+    rc = cli.main(["-c", str(bad), "--dry-run"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "error:" in err and "hashed" in err and "oracle" in err
+    assert "Traceback" not in err

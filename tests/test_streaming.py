@@ -533,3 +533,110 @@ def test_stream_join_bucket_is_floor_based_for_negative_timestamps(spark):
         ).collect()
     ]
     assert trunc[0] == 0  # proves the old expression was wrong pre-epoch
+
+
+def test_streaming_neardup_ingest_layouts_agree_and_replay_idempotent(
+    spark, tmp_path
+):
+    """r11 (r10 verdict item 4): the ingest screen's DEFAULT path is the
+    bucketed index; it must (a) produce exactly the flags the plain
+    partitioned-parquet layout produces, (b) skip a replayed epoch's
+    append (catalog-detected) so duplicate band/shingle rows can never
+    inflate later screens, and (c) keep the zero-index-side-Exchange
+    property for the per-micro-batch screen INCLUDING the retry shape
+    (exclude_batch partition filter)."""
+    import os
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.operators import dedup as D
+    from database_anonymiser_minimiser_spark.streaming.events import (
+        run_streaming_neardup_ingest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees above the quiet meadow"
+    )
+    landed_rows = [(100, base), (101, "landed words about query engines only")]
+    b1_rows = [(0, base.replace("jumps", "leaps")),
+               (1, "fresh unseen words entirely here")]
+    b2_rows = [(7, "fresh unseen words entirely here"),
+               (8, "nothing like anything before")]
+    landed = str(tmp_path / "landed.parquet")
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [r[0] for r in landed_rows],
+                  "text": [r[1] for r in landed_rows]}), landed)
+    for i, rows in enumerate([b1_rows, b2_rows]):
+        f = spool / f"part{i}.parquet"
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]}), f)
+        os.utime(f, (1700000000 + i, 1700000000 + i))
+
+    prefix = "t_ndup_par"
+    got_bucketed = run_streaming_neardup_ingest(
+        spark, landed, str(spool), str(tmp_path / "idx_b"),
+        threshold=0.4, layout="bucketed", table_prefix=prefix, n_buckets=4,
+    )
+    got_plain = run_streaming_neardup_ingest(
+        spark, landed, str(spool), str(tmp_path / "idx_p"),
+        threshold=0.4, layout="partitioned",
+    )
+    assert sorted(got_bucketed) == sorted(got_plain)
+    assert {d for _, d, _, _ in got_bucketed} == {0, 7}
+
+    # (b) replay idempotency: both epochs' partitions landed; a retry of
+    # epoch 1 sees its append already visible and must skip it
+    assert D.bucketed_index_has_batch(spark, prefix, "e0")
+    assert D.bucketed_index_has_batch(spark, prefix, "e1")
+    assert not D.bucketed_index_has_batch(spark, prefix, "e99")
+    n_bands = spark.table(f"{prefix}_bands").count()
+    # the retry body: has_batch -> skip append; re-screen excluding self
+    retry_df = spark.createDataFrame(b2_rows, ["doc_id", "text"])
+    res = D.minhash_incremental_vs_bucketed_index(
+        retry_df, prefix, threshold=0.4, exclude_batch="e1"
+    )
+    retry_flags = {(r["doc_id"], r["n_dups"], r["best_jaccard"])
+                   for r in res.collect()}
+    res.unpersist()
+    assert retry_flags == {(d, n, j) for e, d, n, j in got_bucketed if e == 1}
+    assert spark.table(f"{prefix}_bands").count() == n_bands  # nothing appended
+
+    # (c) plan gate for the RETRY screen shape: exclude_batch is a
+    # partition filter, both index scans stay bucket-aware, and no
+    # Exchange consumes the index side
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lazy = D.minhash_incremental_vs_bucketed_index(
+            retry_df, prefix, threshold=0.4, exclude_batch="e1",
+            materialize=False,
+        )
+        plan = lazy._sc._jvm.PythonSQLUtils.explainString(
+            lazy._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Bucketed: true") == 2, plan
+    scan_ids = set()
+    for m in re.finditer(
+        rf"Scan parquet [^\n]*{prefix}_(bands|shingles)"
+        r"[\s\S]*?Output \[\d+\]: \[([^\]]+)\]",
+        plan,
+    ):
+        for col in m.group(2).split(","):
+            col = col.strip()
+            if col.startswith(("band_id#", "band_key#", "id#")):
+                scan_ids.add(col.split("#")[1].rstrip("L"))
+    assert scan_ids, "bucketed scans not found in plan"
+    for ex in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        for ref in re.findall(r"#(\d+)L?", ex):
+            assert ref not in scan_ids, f"index side shuffled: {ex}"
+
+    for t in (f"{prefix}_bands", f"{prefix}_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
