@@ -157,10 +157,92 @@ def probe_salted(spark, runs: int):
     return out
 
 
+# streaming stateful family (r10 verdict item 5): the r10 zipf probe
+# covered the batch replica + the interval join; these run the full
+# micro-batch harness on the zipfian corpus, where the hottest user is
+# ONE giant state key — the shape that hid the r10 interval-join
+# quadratic. Wall AND state-store size are recorded (a quadratic shows
+# as a wall ratio; an eviction bug shows as state rows growing past the
+# uniform corpus').
+STREAMING_STATEFUL = [
+    "streaming_sessions_gap",        # session_window merge state
+    "streaming_stateful_user_totals",  # applyInPandasWithState per-user
+    "streaming_percentiles_tdigest",   # stateful t-digest quantiles
+    # streaming_heavy_hitters_users is in MOVERS (timed there); its
+    # capped Misra-Gries state is additionally captured here
+    "streaming_heavy_hitters_users",
+]
+
+
+def probe_streaming_stateful(spark, queries, runs: int):
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _StateCapture(StreamingQueryListener):
+        def __init__(self):
+            self.reset()
+
+        def reset(self):
+            self.max_rows = 0
+            self.max_mem = 0
+            self.batches = 0
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            self.batches += 1
+            for so in event.progress.stateOperators:
+                self.max_rows = max(self.max_rows, so.numRowsTotal)
+                self.max_mem = max(self.max_mem, so.memoryUsedBytes)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    cap = _StateCapture()
+    spark.streams.addListener(cap)
+    out: dict[str, dict[str, dict]] = {}
+    try:
+        for name in STREAMING_STATEFUL:
+            fn = queries[name]
+            for label, d in POINTS:
+                ts, rows_out = [], 0
+                state_rows, state_mem, batches = 0, 0, 0
+                for _ in range(runs):
+                    cap.reset()
+                    t = time.monotonic()
+                    rows_out = fn(spark, d).count()
+                    ts.append(time.monotonic() - t)
+                    time.sleep(1.5)  # listener events are async
+                    state_rows = max(state_rows, cap.max_rows)
+                    state_mem = max(state_mem, cap.max_mem)
+                    batches = max(batches, cap.batches)
+                out.setdefault(name, {})[label] = {
+                    "wall_median": round(_median(ts), 3),
+                    "result_rows": rows_out,
+                    "max_state_rows": state_rows,
+                    "max_state_mem_bytes": state_mem,
+                    "progress_events": batches,
+                }
+                print(f"{label:8s} {name}: {out[name][label]}", flush=True)
+                spark.catalog.clearCache()
+    finally:
+        spark.streams.removeListener(cap)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default="SCALING_skew_r10.json")
+    ap.add_argument(
+        "--only",
+        choices=["movers", "salted", "streaming"],
+        default=None,
+        help="run a single probe section (default: all)",
+    )
     args = ap.parse_args()
 
     for _label, d in POINTS:
