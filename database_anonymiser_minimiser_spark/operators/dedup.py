@@ -650,7 +650,12 @@ def save_minhash_index_bucketed(
             .mode(wmode)
             .format("parquet")
         )
-        if path is not None:
+        if path is not None and not (
+            append and spark.catalog.tableExists(f"{table_prefix}_bands")
+        ):
+            # appends to an EXISTING table must inherit its location —
+            # compaction relocates the table (staged dir + rename), so a
+            # re-specified original path would mismatch and fail
             bands_w = bands_w.option("path", f"{path}/bands")
             sh_w = sh_w.option("path", f"{path}/shingles")
         bands_w.saveAsTable(f"{table_prefix}_bands")
@@ -715,6 +720,103 @@ def minhash_incremental_vs_bucketed_index(
         )
     finally:
         sh_new.unpersist()
+
+
+def compact_minhash_index_bucketed(
+    spark,
+    table_prefix: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+    batch: str = "seed",
+    keep_batches: tuple = (),
+) -> None:
+    """Collapse the bucketed index's per-epoch ``batch=`` partitions into
+    one — the maintenance half of the streaming ingest loop's small-file
+    problem: every appended epoch writes up to ``n_buckets`` files per
+    table, so after E epochs each bucket spans ~E files and the screen's
+    scan-side open/footers cost grows linearly with ingest HISTORY
+    instead of corpus SIZE (at one epoch per 5 minutes that is ~100k
+    files per bucket per year — the classic streaming-sink death). The
+    rewrite repartitions by the bucket keys first, so the compacted
+    layout is ONE file per bucket per table (hashpartitioning and
+    parquet bucket routing share the same Murmur3 formula), restoring
+    scan cost to O(corpus / n_buckets) regardless of how many epochs
+    landed. Index CONTENT, bucket-awareness, and screen results are
+    unchanged — gated in tests/test_dedup.py.
+
+    Not concurrency-safe with a running screen: the swap (write staged
+    tables, drop originals, rename) has a non-atomic window, so run it
+    where the ingest's foreachBatch would run — between micro-batches
+    (foreachBatch is sequential per trigger, so calling this from the
+    sink after the epoch's append IS safe). After compaction the epoch
+    ledger resets: ``bucketed_index_has_batch`` answers False for
+    pre-compaction epochs, which is correct — their data is inside the
+    compacted partition and a replay of an already-compacted epoch must
+    be detected by the caller's checkpoint, not the index (Structured
+    Streaming never replays an epoch older than the last committed
+    one, so this window cannot occur under a single driver).
+
+    ``keep_batches`` names partitions to carry over UNFOLDED (their
+    ``batch=`` label preserved): the streaming loop compacts from inside
+    the epoch's own sink call and must keep THAT epoch's partition
+    separate — fold it and a replay of the epoch would (a) re-append
+    (its ledger entry vanished) and (b) screen against nothing of the
+    corpus (self-exclusion would prune the folded partition holding
+    everything)."""
+    specs = [
+        (f"{table_prefix}_bands", ["band_id", "band_key"], "bands"),
+        (f"{table_prefix}_shingles", ["id"], "shingles"),
+    ]
+    # Force BUCKETED reads for the rewrite: with auto-bucketed-scan on,
+    # the planner elides the repartition Exchange (the bucketed scan
+    # would satisfy it) and THEN disables the bucketed scan (a write
+    # "requires" no distribution), leaving arbitrary partitioning and a
+    # files-per-bucket explosion — probed empirically. With bucketed
+    # scans pinned on, each scan task IS one bucket (its files merged
+    # across every batch partition), the repartition below is elided as
+    # genuinely redundant, and the whole compaction is a ZERO-SHUFFLE
+    # per-bucket file merge. The repartition stays as the belt for the
+    # re-bucketing case (n_buckets != the table's current bucket count),
+    # where the scan no longer satisfies it and the Exchange runs.
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev_auto = spark.conf.get(auto_key)
+    spark.conf.set(auto_key, "false")
+    staged = []
+    try:
+        keep = list(keep_batches)
+        new_batch = (
+            F.when(F.col("batch").isin(keep), F.col("batch")).otherwise(
+                F.lit(batch)
+            )
+            if keep
+            else F.lit(batch)
+        )
+        for table, keys, leaf in specs:
+            tmp = f"{table}__compacting"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            w = (
+                spark.table(table)
+                .withColumn("batch", new_batch)
+                .repartition(n_buckets, *[F.col(k) for k in keys])
+                .write.partitionBy("batch")
+                .bucketBy(n_buckets, *keys)
+                .sortBy(*keys)
+                .mode("overwrite")
+                .format("parquet")
+            )
+            if path is not None:
+                import uuid
+
+                w = w.option("path", f"{path}/{leaf}_c{uuid.uuid4().hex[:8]}")
+            w.saveAsTable(tmp)
+            staged.append((table, tmp))
+    finally:
+        spark.conf.set(auto_key, prev_auto)
+    # swap only after BOTH staged writes committed, so a failure above
+    # leaves the live index untouched
+    for table, tmp in staged:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
 
 
 def duck_minhash_incremental_sql(

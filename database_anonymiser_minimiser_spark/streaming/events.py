@@ -567,6 +567,7 @@ def run_streaming_neardup_ingest(
     layout: str = "bucketed",
     table_prefix: str = "neardup_index",
     n_buckets: int = 16,
+    compact_every: int | None = None,
 ) -> "list[tuple[int, int, int, float]]":
     """STREAMING near-dup ingest screen: each arriving micro-batch of
     documents is checked against the persisted MinHash index
@@ -609,9 +610,19 @@ def run_streaming_neardup_ingest(
       tests/test_dedup.py).
     - ``"partitioned"``: the plain batch-partitioned parquet index
       (save_minhash_index) — no catalog/warehouse requirement, the
-      screen shuffles the index side per micro-batch."""
+      screen shuffles the index side per micro-batch.
+
+    ``compact_every`` (bucketed layout only): when the index holds more
+    than this many batch partitions, the sink compacts them after the
+    epoch's append (`compact_minhash_index_bucketed`), keeping the
+    current epoch's partition separate so the replay contract above
+    survives compaction. Without it, E epochs leave ~E files per bucket
+    and scan metadata cost grows with ingest history instead of corpus
+    size. foreachBatch is sequential per trigger, so compacting inside
+    the sink never races a screen."""
     from ..operators.dedup import (
         bucketed_index_has_batch,
+        compact_minhash_index_bucketed,
         minhash_incremental_vs_bucketed_index,
         minhash_incremental_vs_index,
         save_minhash_index,
@@ -672,6 +683,18 @@ def run_streaming_neardup_ingest(
                     batch_df, table_prefix, n_buckets=n_buckets,
                     path=f"{index_path}/bucketed", append=True, batch=label,
                 )
+            if compact_every is not None:
+                n_parts = len(
+                    spark.sql(
+                        f"SHOW PARTITIONS {table_prefix}_bands"
+                    ).collect()
+                )
+                if n_parts > compact_every:
+                    compact_minhash_index_bucketed(
+                        spark, table_prefix, n_buckets=n_buckets,
+                        path=f"{index_path}/bucketed",
+                        keep_batches=(label,),
+                    )
         else:
             save_minhash_index(batch_df, index_path, append=True, batch=label)
 

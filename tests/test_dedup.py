@@ -550,3 +550,107 @@ def test_minhash_bucketed_index_lifecycle_and_plan(spark, tmp_path):
     assert got2 == {7: 1.0}
     for t in (f"{prefix}_bands", f"{prefix}_shingles"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_minhash_bucketed_index_compaction(spark, tmp_path):
+    """r11: compact_minhash_index_bucketed collapses the per-epoch batch
+    partitions into one, with (a) screen results unchanged, (b) ONE file
+    per bucket per table afterwards (the small-file fix: E epochs leave
+    ~E files per bucket), (c) bucket-awareness and the zero-index-side-
+    Exchange plan property preserved, and (d) the epoch ledger reset."""
+    import re
+
+    prefix = "t_mhc"
+    for t in (f"{prefix}_bands", f"{prefix}_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    wh = str(tmp_path / "wh")
+    landed = spark.createDataFrame(
+        [(100, BASE), (101, "unrelated landed content about engines")],
+        ["doc_id", "text"],
+    )
+    D.save_minhash_index_bucketed(
+        landed, prefix, n_buckets=4, mode="md5", path=wh, batch="seed"
+    )
+    # three appended epochs, one doc each
+    for e, text in enumerate(
+        ["fresh words one", "fresh words two", BASE.replace("dog", "cat")]
+    ):
+        D.save_minhash_index_bucketed(
+            spark.createDataFrame([(200 + e, text)], ["doc_id", "text"]),
+            prefix, n_buckets=4, mode="md5", path=wh, append=True,
+            batch=f"e{e}",
+        )
+    probe = spark.createDataFrame(
+        [(9, BASE.replace("jumps", "leaps"))], ["doc_id", "text"]
+    )
+
+    def screen():
+        res = D.minhash_incremental_vs_bucketed_index(
+            probe, prefix, threshold=0.4, mode="md5"
+        )
+        got = sorted(tuple(r) for r in res.collect())
+        res.unpersist()
+        return got
+
+    def table_files(t):
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {t}")
+            .filter("col_name = 'Location'")
+            .first()["data_type"]
+        )
+        import os
+        root = loc.removeprefix("file:")
+        return [
+            os.path.join(dp, f)
+            for dp, _dn, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = screen()
+    assert before, "probe should near-dup the seeded base doc"
+    files_before = len(table_files(f"{prefix}_bands"))
+    assert len(spark.sql(f"SHOW PARTITIONS {prefix}_bands").collect()) == 4
+
+    D.compact_minhash_index_bucketed(spark, prefix, n_buckets=4, path=wh)
+
+    # (a) content identical
+    assert screen() == before
+    # (d) single partition, epoch ledger reset
+    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {prefix}_bands").collect()]
+    assert parts == ["batch=seed"]
+    assert not D.bucketed_index_has_batch(spark, prefix, "e0")
+    # (b) at most one file per bucket now, and strictly fewer than before
+    files_after = len(table_files(f"{prefix}_bands"))
+    assert files_after <= 4 and files_after < files_before
+    assert len(table_files(f"{prefix}_shingles")) <= 4
+    # (c) plan property: bucket-aware scans, no index-side Exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lazy = D.minhash_incremental_vs_bucketed_index(
+            probe, prefix, threshold=0.4, mode="md5", materialize=False
+        )
+        plan = lazy._sc._jvm.PythonSQLUtils.explainString(
+            lazy._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Bucketed: true") == 2, plan
+    scan_ids = set()
+    for m in re.finditer(
+        rf"Scan parquet [^\n]*{prefix}_(bands|shingles)"
+        r"[\s\S]*?Output \[\d+\]: \[([^\]]+)\]",
+        plan,
+    ):
+        for col in m.group(2).split(","):
+            col = col.strip()
+            if col.startswith(("band_id#", "band_key#", "id#")):
+                scan_ids.add(col.split("#")[1].rstrip("L"))
+    assert scan_ids
+    for ex in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        for ref in re.findall(r"#(\d+)L?", ex):
+            assert ref not in scan_ids, f"index side shuffled: {ex}"
+
+    for t in (f"{prefix}_bands", f"{prefix}_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

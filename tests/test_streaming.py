@@ -640,3 +640,88 @@ def test_streaming_neardup_ingest_layouts_agree_and_replay_idempotent(
 
     for t in (f"{prefix}_bands", f"{prefix}_shingles"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_neardup_ingest_with_compaction(spark, tmp_path):
+    """r11: compact_every folds older epochs inside the sink while
+    KEEPING the current epoch's partition — flags identical to the
+    uncompacted run, partition count bounded, and the replay contract
+    (skip-append + self-exclusion) still holds for the last epoch."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.operators import dedup as D
+    from database_anonymiser_minimiser_spark.streaming.events import (
+        run_streaming_neardup_ingest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees above the quiet meadow"
+    )
+    landed_rows = [(100, base), (101, "landed words about query engines only")]
+    batches = [
+        [(0, base.replace("jumps", "leaps")),
+         (1, "fresh unseen words entirely here")],
+        [(7, "fresh unseen words entirely here")],
+        [(8, base.replace("dog", "cat"))],
+    ]
+    landed = str(tmp_path / "landed.parquet")
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [r[0] for r in landed_rows],
+                  "text": [r[1] for r in landed_rows]}), landed)
+    for i, rows in enumerate(batches):
+        f = spool / f"part{i}.parquet"
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]}), f)
+        os.utime(f, (1700000000 + i, 1700000000 + i))
+
+    plain_prefix, comp_prefix = "t_ndc_plain", "t_ndc_comp"
+    got_plain = run_streaming_neardup_ingest(
+        spark, landed, str(spool), str(tmp_path / "idx_a"),
+        threshold=0.4, table_prefix=plain_prefix, n_buckets=4,
+    )
+    got_comp = run_streaming_neardup_ingest(
+        spark, landed, str(spool), str(tmp_path / "idx_b"),
+        threshold=0.4, table_prefix=comp_prefix, n_buckets=4,
+        compact_every=1,
+    )
+    assert sorted(got_comp) == sorted(got_plain)
+
+    # compaction bounded the partition count: the uncompacted index has
+    # seed + one partition per epoch; the compacted one at most
+    # {folded seed, last epoch}
+    def parts(prefix):
+        return sorted(
+            r[0] for r in
+            spark.sql(f"SHOW PARTITIONS {prefix}_bands").collect()
+        )
+
+    assert len(parts(plain_prefix)) == 1 + len(batches)
+    assert parts(comp_prefix) == ["batch=e2", "batch=seed"]
+
+    # replay contract for the LAST epoch after compaction: ledger entry
+    # survives (skip-append) and self-exclusion re-screens identically
+    assert D.bucketed_index_has_batch(spark, comp_prefix, "e2")
+    retry_df = spark.createDataFrame(batches[-1], ["doc_id", "text"])
+    res = D.minhash_incremental_vs_bucketed_index(
+        retry_df, comp_prefix, threshold=0.4, exclude_batch="e2"
+    )
+    retry_flags = {(r["doc_id"], r["n_dups"], r["best_jaccard"])
+                   for r in res.collect()}
+    res.unpersist()
+    assert retry_flags == {(d, n, j) for e, d, n, j in got_comp if e == 2}
+    # index content identical to the uncompacted twin
+    for leaf in ("bands", "shingles"):
+        a = spark.table(f"{plain_prefix}_{leaf}").drop("batch")
+        b = spark.table(f"{comp_prefix}_{leaf}").drop("batch")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    for p in (plain_prefix, comp_prefix):
+        for t in (f"{p}_bands", f"{p}_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -253,17 +253,21 @@ def main() -> None:
     from database_anonymiser_minimiser_spark.session import get_spark
 
     spark = get_spark()
-    timings, rows = bench_movers(spark, QUERIES, args.runs)
-    salted = probe_salted(spark, args.runs)
-
     payload = {
         "runs": args.runs,
         "sf": 1.0,
         "corpora": {label: d for label, d in POINTS},
-        "timings_sec": timings,
-        "result_rows": rows,
-        "salted_probe": salted,
     }
+    if args.only in (None, "movers"):
+        timings, rows = bench_movers(spark, QUERIES, args.runs)
+        payload["timings_sec"] = timings
+        payload["result_rows"] = rows
+    if args.only in (None, "salted"):
+        payload["salted_probe"] = probe_salted(spark, args.runs)
+    if args.only in (None, "streaming"):
+        payload["streaming_stateful_probe"] = probe_streaming_stateful(
+            spark, QUERIES, args.runs
+        )
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"wrote {args.out}")
