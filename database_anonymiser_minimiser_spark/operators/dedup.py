@@ -435,6 +435,56 @@ def _hfs_delete(spark, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _table_location(spark, table: str) -> str | None:
+    """The table's storage location from the catalog, or None."""
+    try:
+        row = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .filter("col_name = 'Location'")
+            .first()
+        )
+        return row["data_type"] if row is not None else None
+    except Exception:
+        return None
+
+
+def _write_index_manifest(spark, path: str, manifest: dict) -> None:
+    """One-line JSON sidecar at ``<path>/_index_manifest.json`` recording
+    the bucketed index's live table locations + bucket spec — what
+    :func:`register_minhash_index_bucketed` needs to rebuild the catalog
+    entries after a driver restart (bucket metadata lives ONLY in the
+    catalog; the parquet files alone cannot prove their bucketing).
+    Written through the Hadoop FS API so it lands next to the data on
+    whatever storage the index uses."""
+    import json as _json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_index_manifest.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(_json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_index_manifest(spark, path: str) -> dict:
+    import json as _json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_index_manifest.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        # read fully via the JVM IOUtils (the stream is a JVM object)
+        data = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return _json.loads(data)
+
+
 def save_minhash_index(
     df: DataFrame,
     path: str,
@@ -626,16 +676,24 @@ def save_minhash_index_bucketed(
         wmode = "append" if append else "overwrite"
         if not append:
             # a fresh seed must not inherit stale batch partitions (or a
-            # stale table layout) from a previous run at the same names
+            # stale table layout) from a previous run at the same names;
+            # external tables keep their files across DROP, so delete
+            # any previous (possibly relocated-by-compaction) location
+            # first or a re-seed leaks the old directory forever
             for t in (f"{table_prefix}_bands", f"{table_prefix}_shingles"):
+                old_loc = _table_location(spark, t)
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+                if old_loc is not None:
+                    _hfs_delete(spark, old_loc)
         # bucket by BOTH join keys: HashPartitioning(band_id, band_key)
         # matches the screen's candidate-join requirement exactly —
         # probed empirically; band_key-only bucketing left Spark
         # re-shuffling the index side despite the subset rule
+        bands_df = banded_signature(
+            minhash_signature(sh, mode=mode), mode=mode
+        )
         bands_w = (
-            banded_signature(minhash_signature(sh, mode=mode), mode=mode)
-            .withColumn("batch", F.lit(batch))
+            bands_df.withColumn("batch", F.lit(batch))
             .write.partitionBy("batch")
             .bucketBy(n_buckets, "band_id", "band_key")
             .sortBy("band_id", "band_key")
@@ -660,8 +718,78 @@ def save_minhash_index_bucketed(
             sh_w = sh_w.option("path", f"{path}/shingles")
         bands_w.saveAsTable(f"{table_prefix}_bands")
         sh_w.saveAsTable(f"{table_prefix}_shingles")
+        if path is not None:
+            _write_index_manifest(
+                spark,
+                path,
+                _index_manifest(
+                    spark, table_prefix, n_buckets,
+                    bands_ddl=bands_df._jdf.schema().toDDL(),
+                    shingles_ddl=sh._jdf.schema().toDDL(),
+                ),
+            )
     finally:
         sh.unpersist()
+
+
+_INDEX_CLUSTER_KEYS = {"bands": ["band_id", "band_key"], "shingles": ["id"]}
+
+
+def _index_manifest(
+    spark,
+    table_prefix: str,
+    n_buckets: int,
+    bands_ddl: str,
+    shingles_ddl: str,
+) -> dict:
+    return {
+        "n_buckets": n_buckets,
+        "tables": {
+            "bands": {
+                "location": _table_location(spark, f"{table_prefix}_bands"),
+                "schema_ddl": bands_ddl,
+                "cluster_by": _INDEX_CLUSTER_KEYS["bands"],
+            },
+            "shingles": {
+                "location": _table_location(
+                    spark, f"{table_prefix}_shingles"
+                ),
+                "schema_ddl": shingles_ddl,
+                "cluster_by": _INDEX_CLUSTER_KEYS["shingles"],
+            },
+        },
+    }
+
+
+def register_minhash_index_bucketed(
+    spark, table_prefix: str, path: str
+) -> None:
+    """Rebuild the bucketed index's CATALOG entries from the manifest at
+    ``<path>/_index_manifest.json`` — the restart-recovery half of the
+    lifecycle: bucket metadata exists only in the session catalog (the
+    parquet files cannot prove their own bucketing), so with the default
+    in-memory catalog a driver restart would otherwise force a full
+    re-seed (re-shingling the whole corpus — exactly the work the
+    persisted index exists to avoid). Issues ``CREATE TABLE ... USING
+    parquet PARTITIONED BY (batch) CLUSTERED BY (...) SORTED BY (...)
+    INTO n BUCKETS LOCATION ...`` per table and recovers the batch
+    partitions, after which screens, appends, replay detection, and
+    compaction all resume where the previous driver stopped. No-op for
+    tables that already exist (same-session call)."""
+    manifest = _read_index_manifest(spark, path)
+    n = manifest["n_buckets"]
+    for leaf, spec in manifest["tables"].items():
+        table = f"{table_prefix}_{leaf}"
+        if spark.catalog.tableExists(table):
+            continue
+        keys = ", ".join(spec["cluster_by"])
+        spark.sql(
+            f"CREATE TABLE {table} ({spec['schema_ddl']}, batch STRING) "
+            f"USING parquet PARTITIONED BY (batch) "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) INTO {n} BUCKETS "
+            f"LOCATION '{spec['location']}'"
+        )
+        spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
 
 
 def bucketed_index_has_batch(spark, table_prefix: str, batch: str) -> bool:
@@ -813,10 +941,28 @@ def compact_minhash_index_bucketed(
     finally:
         spark.conf.set(auto_key, prev_auto)
     # swap only after BOTH staged writes committed, so a failure above
-    # leaves the live index untouched
+    # leaves the live index untouched; external tables keep their files
+    # across DROP, so the replaced location is deleted explicitly or
+    # every compaction would leak a full index copy
     for table, tmp in staged:
+        old_loc = _table_location(spark, table)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        new_loc = _table_location(spark, table)
+        if old_loc is not None and old_loc != new_loc:
+            _hfs_delete(spark, old_loc)
+    if path is not None:
+        bands_t = spark.table(f"{table_prefix}_bands")
+        sh_t = spark.table(f"{table_prefix}_shingles")
+        _write_index_manifest(
+            spark,
+            path,
+            _index_manifest(
+                spark, table_prefix, n_buckets,
+                bands_ddl=bands_t.drop("batch")._jdf.schema().toDDL(),
+                shingles_ddl=sh_t.drop("batch")._jdf.schema().toDDL(),
+            ),
+        )
 
 
 def duck_minhash_incremental_sql(

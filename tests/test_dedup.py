@@ -654,3 +654,86 @@ def test_minhash_bucketed_index_compaction(spark, tmp_path):
 
     for t in (f"{prefix}_bands", f"{prefix}_shingles"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_minhash_bucketed_index_restart_recovery(spark, tmp_path):
+    """r11: bucket metadata lives only in the session catalog, so a
+    driver restart (or in-memory catalog loss) would force a full
+    re-seed without recovery. register_minhash_index_bucketed rebuilds
+    the catalog entries from the on-storage manifest: screens resume
+    with identical results, bucket-aware plans, a recovered epoch
+    ledger, and appends/compaction keep working — no re-shingling."""
+    prefix = "t_mhr"
+    for t in (f"{prefix}_bands", f"{prefix}_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    wh = str(tmp_path / "wh")
+    landed = spark.createDataFrame(
+        [(100, BASE), (101, "unrelated landed content about engines")],
+        ["doc_id", "text"],
+    )
+    D.save_minhash_index_bucketed(
+        landed, prefix, n_buckets=4, mode="md5", path=wh, batch="seed"
+    )
+    D.save_minhash_index_bucketed(
+        spark.createDataFrame([(200, "fresh words one")], ["doc_id", "text"]),
+        prefix, n_buckets=4, mode="md5", path=wh, append=True, batch="e0",
+    )
+    probe = spark.createDataFrame(
+        [(9, BASE.replace("jumps", "leaps")), (10, "fresh words one")],
+        ["doc_id", "text"],
+    )
+
+    def screen():
+        res = D.minhash_incremental_vs_bucketed_index(
+            probe, prefix, threshold=0.4, mode="md5"
+        )
+        got = sorted(tuple(r) for r in res.collect())
+        res.unpersist()
+        return got
+
+    before = screen()
+    assert {d for d, _n, _j in before} == {9, 10}
+
+    # simulate the restart: catalog entries gone, data files still there
+    # (the tables are external — DROP leaves their storage intact)
+    for t in (f"{prefix}_bands", f"{prefix}_shingles"):
+        spark.sql(f"DROP TABLE {t}")
+        assert not spark.catalog.tableExists(t)
+
+    D.register_minhash_index_bucketed(spark, prefix, wh)
+
+    # identical screen results, recovered epoch ledger
+    assert screen() == before
+    assert D.bucketed_index_has_batch(spark, prefix, "seed")
+    assert D.bucketed_index_has_batch(spark, prefix, "e0")
+    # the recovered tables are really BUCKETED (plan reads them
+    # bucket-aware — a plain CREATE TABLE would lose the property)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lazy = D.minhash_incremental_vs_bucketed_index(
+            probe, prefix, threshold=0.4, mode="md5", materialize=False
+        )
+        plan = lazy._sc._jvm.PythonSQLUtils.explainString(
+            lazy._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Bucketed: true") == 2, plan
+
+    # the lifecycle continues post-recovery: append + compact both work
+    D.save_minhash_index_bucketed(
+        spark.createDataFrame([(201, "fresh words two")], ["doc_id", "text"]),
+        prefix, n_buckets=4, mode="md5", path=wh, append=True, batch="e1",
+    )
+    D.compact_minhash_index_bucketed(spark, prefix, n_buckets=4, path=wh)
+    assert screen() == before  # 201 shares no shingles with the probes
+
+    # compaction must not leak the replaced directory (external DROP
+    # keeps files; the operator deletes the old location explicitly)
+    import os
+    dirs = [d for d in os.listdir(wh) if d.startswith("bands")]
+    assert len(dirs) == 1, dirs
+
+    for t in (f"{prefix}_bands", f"{prefix}_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
