@@ -126,6 +126,41 @@ def build_parser() -> argparse.ArgumentParser:
         "a few seconds of query startup per batch, so size this to the "
         "backlog when draining large tables",
     )
+    screen = sub.add_parser(
+        "screen",
+        help="streaming near-duplicate ingest screen: seed a persisted "
+        "MinHash index from --landed, then consume parquet files from "
+        "--spool one per trigger, flagging each arriving document that "
+        "near-duplicates anything landed before it and appending it to "
+        "the index (runs without -c/--config — operates on parquet "
+        "paths, not the configured connection)",
+    )
+    screen.add_argument(
+        "--landed", required=True,
+        help="parquet path of the already-landed corpus (doc_id, text)",
+    )
+    screen.add_argument(
+        "--spool", required=True,
+        help="directory of arriving parquet files (consumed in "
+        "modification-time order, one file per micro-batch)",
+    )
+    screen.add_argument(
+        "--index", required=True,
+        help="directory for the persisted MinHash index",
+    )
+    screen.add_argument(
+        "--threshold", type=float, default=0.5,
+        help="Jaccard threshold for flagging (default 0.5)",
+    )
+    screen.add_argument(
+        "--table-prefix", default="neardup_index",
+        help="catalog table prefix for the bucketed index layout",
+    )
+    screen.add_argument(
+        "--compact-every", type=_positive_int, default=None, metavar="N",
+        help="fold older epoch partitions once the index holds more "
+        "than N batch partitions (bounds small-file growth)",
+    )
     sub.add_parser("version", help="print version")
     return p
 
@@ -134,6 +169,25 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "version":
         print(f"dbmask-spark {__version__}")
+        return 0
+    if args.command == "screen":
+        # path-based verb: no config/connection involved
+        from .streaming.events import run_streaming_neardup_ingest
+
+        spark = get_spark()
+        spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
+        flagged = run_streaming_neardup_ingest(
+            spark,
+            args.landed,
+            args.spool,
+            args.index,
+            threshold=args.threshold,
+            table_prefix=args.table_prefix,
+            compact_every=args.compact_every,
+        )
+        for epoch, doc_id, n_dups, best_j in flagged:
+            print(f"{epoch}\t{doc_id}\t{n_dups}\t{best_j:.6f}")
+        print(f"\n{len(flagged)} document(s) flagged", file=sys.stderr)
         return 0
     if not args.config:
         print("error: -c/--config is required", file=sys.stderr)

@@ -880,3 +880,50 @@ def test_cli_config_error_is_message_not_traceback(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "error:" in err and "hashed" in err and "oracle" in err
     assert "Traceback" not in err
+
+
+def test_cli_screen_verb_flags_neardups(spark, tmp_path, capsys):
+    """r11: the `screen` verb runs the streaming near-dup ingest from
+    the CLI without a config — flags printed as TSV in arrival order,
+    exit 0."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark import cli
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees above the quiet meadow"
+    )
+    landed = str(tmp_path / "landed.parquet")
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [100], "text": [base]}), landed)
+    f = spool / "part0.parquet"
+    pq.write_table(
+        pa.table({"doc_id": [0, 1],
+                  "text": [base.replace("jumps", "leaps"),
+                           "fresh unseen words entirely here"]}), f)
+    os.utime(f, (1700000000, 1700000000))
+
+    rc = cli.main([
+        "screen",
+        "--landed", landed,
+        "--spool", str(spool),
+        "--index", str(tmp_path / "idx"),
+        "--threshold", "0.4",
+        "--table-prefix", "t_cli_screen",
+    ])
+    assert rc == 0
+    out = capsys.readouterr()
+    lines = [ln for ln in out.out.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    epoch, doc_id, n_dups, best_j = lines[0].split("\t")
+    assert (epoch, doc_id, n_dups) == ("0", "0", "1")
+    assert 0.4 <= float(best_j) < 1.0
+    assert "1 document(s) flagged" in out.err
+    for t in ("t_cli_screen_bands", "t_cli_screen_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
