@@ -161,6 +161,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="fold older epoch partitions once the index holds more "
         "than N batch partitions (bounds small-file growth)",
     )
+    screen.add_argument(
+        "--checkpoint", default=None,
+        help="streaming checkpoint directory; required for --resume",
+    )
+    screen.add_argument(
+        "--resume", action="store_true",
+        help="restart a checkpointed screen: skip re-seeding, recover "
+        "the index tables from the on-storage manifest, and consume "
+        "only spool files not yet committed",
+    )
     sub.add_parser("version", help="print version")
     return p
 
@@ -184,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
             threshold=args.threshold,
             table_prefix=args.table_prefix,
             compact_every=args.compact_every,
+            checkpoint=args.checkpoint,
+            resume=args.resume,
         )
         for epoch, doc_id, n_dups, best_j in flagged:
             print(f"{epoch}\t{doc_id}\t{n_dups}\t{best_j:.6f}")

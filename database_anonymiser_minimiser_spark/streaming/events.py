@@ -568,6 +568,8 @@ def run_streaming_neardup_ingest(
     table_prefix: str = "neardup_index",
     n_buckets: int = 16,
     compact_every: int | None = None,
+    checkpoint: str | None = None,
+    resume: bool = False,
 ) -> "list[tuple[int, int, int, float]]":
     """STREAMING near-dup ingest screen: each arriving micro-batch of
     documents is checked against the persisted MinHash index
@@ -619,12 +621,26 @@ def run_streaming_neardup_ingest(
     survives compaction. Without it, E epochs leave ~E files per bucket
     and scan metadata cost grows with ingest history instead of corpus
     size. foreachBatch is sequential per trigger, so compacting inside
-    the sink never races a screen."""
+    the sink never races a screen.
+
+    ``checkpoint`` + ``resume=True`` make the screen RESTARTABLE — the
+    continuous-ingest operational loop: the first run seeds the index
+    and processes the backlog under a checkpoint; a later run with
+    ``resume=True`` skips the seed (re-shingling the landed corpus —
+    the cost the persisted index exists to avoid), re-registers the
+    bucketed tables from the on-storage manifest if the session catalog
+    lost them (driver restart, in-memory catalog), and the checkpoint
+    makes Structured Streaming consume only files not yet committed,
+    with epoch ids continuing where they stopped. An epoch that
+    appended but did not commit before the crash replays under the
+    replay contract above. The returned flags cover THIS invocation's
+    epochs only."""
     from ..operators.dedup import (
         bucketed_index_has_batch,
         compact_minhash_index_bucketed,
         minhash_incremental_vs_bucketed_index,
         minhash_incremental_vs_index,
+        register_minhash_index_bucketed,
         save_minhash_index,
         save_minhash_index_bucketed,
     )
@@ -633,16 +649,24 @@ def run_streaming_neardup_ingest(
         raise ValueError(
             f"layout must be 'bucketed' or 'partitioned', got {layout!r}"
         )
+    if resume and checkpoint is None:
+        raise ValueError("resume=True requires a checkpoint directory")
     bucketed = layout == "bucketed"
     if bucketed:
-        save_minhash_index_bucketed(
-            spark.read.parquet(landed_path),
-            table_prefix,
-            n_buckets=n_buckets,
-            path=f"{index_path}/bucketed",
-            batch="seed",
-        )
-    else:
+        if resume:
+            # restart: catalog entries may be gone; the data is not
+            register_minhash_index_bucketed(
+                spark, table_prefix, f"{index_path}/bucketed"
+            )
+        else:
+            save_minhash_index_bucketed(
+                spark.read.parquet(landed_path),
+                table_prefix,
+                n_buckets=n_buckets,
+                path=f"{index_path}/bucketed",
+                batch="seed",
+            )
+    elif not resume:
         save_minhash_index(spark.read.parquet(landed_path), index_path)
     schema = spark.read.parquet(new_spool_dir).schema
     stream = (
@@ -698,6 +722,9 @@ def run_streaming_neardup_ingest(
         else:
             save_minhash_index(batch_df, index_path, append=True, batch=label)
 
-    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    writer = stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
     q.awaitTermination()
     return flagged

@@ -725,3 +725,85 @@ def test_streaming_neardup_ingest_with_compaction(spark, tmp_path):
     for p in (plain_prefix, comp_prefix):
         for t in (f"{p}_bands", f"{p}_shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_neardup_ingest_checkpoint_resume(spark, tmp_path):
+    """r11: the restartable screen — a checkpointed first run processes
+    the backlog; a resume run after a simulated driver restart (catalog
+    entries dropped) recovers the index from the manifest, consumes
+    ONLY the new spool file with epoch ids continuing, and the final
+    index equals a single uninterrupted run over all files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.operators import dedup as D
+    from database_anonymiser_minimiser_spark.streaming.events import (
+        run_streaming_neardup_ingest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees above the quiet meadow"
+    )
+    landed_rows = [(100, base), (101, "landed words about query engines only")]
+    batches = [
+        [(0, base.replace("jumps", "leaps")),
+         (1, "fresh unseen words entirely here")],
+        [(7, "fresh unseen words entirely here")],
+        [(8, base.replace("dog", "cat"))],
+    ]
+    landed = str(tmp_path / "landed.parquet")
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [r[0] for r in landed_rows],
+                  "text": [r[1] for r in landed_rows]}), landed)
+
+    def drop_file(i):
+        f = spool / f"part{i}.parquet"
+        rows = batches[i]
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]}), f)
+        os.utime(f, (1700000000 + i, 1700000000 + i))
+
+    prefix, chk = "t_ndr", str(tmp_path / "chk")
+    idx = str(tmp_path / "idx")
+    drop_file(0)
+    drop_file(1)
+    first = run_streaming_neardup_ingest(
+        spark, landed, str(spool), idx, threshold=0.4,
+        table_prefix=prefix, n_buckets=4, checkpoint=chk,
+    )
+    assert {(e, d) for e, d, _n, _j in first} == {(0, 0), (1, 7)}
+
+    # driver restart: session catalog loses the (external) tables
+    for t in (f"{prefix}_bands", f"{prefix}_shingles"):
+        spark.sql(f"DROP TABLE {t}")
+
+    drop_file(2)
+    second = run_streaming_neardup_ingest(
+        spark, landed, str(spool), idx, threshold=0.4,
+        table_prefix=prefix, n_buckets=4, checkpoint=chk, resume=True,
+    )
+    # only the NEW file, epoch id continuing after the committed ones
+    assert {(e, d) for e, d, _n, _j in second} == {(2, 8)}
+    assert all(0.4 <= j < 1.0 for _e, _d, _n, j in second)
+
+    # index state equals one uninterrupted run over all three files
+    fresh_prefix = "t_ndr_fresh"
+    fresh = run_streaming_neardup_ingest(
+        spark, landed, str(spool), str(tmp_path / "idx_f"), threshold=0.4,
+        table_prefix=fresh_prefix, n_buckets=4,
+    )
+    assert sorted(first + second) == sorted(fresh)
+    for leaf in ("bands", "shingles"):
+        a = spark.table(f"{prefix}_{leaf}").drop("batch")
+        b = spark.table(f"{fresh_prefix}_{leaf}").drop("batch")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    for p in (prefix, fresh_prefix):
+        for t in (f"{p}_bands", f"{p}_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
