@@ -610,6 +610,11 @@ def test_minhash_bucketed_index_compaction(spark, tmp_path):
     before = screen()
     assert before, "probe should near-dup the seeded base doc"
     files_before = len(table_files(f"{prefix}_bands"))
+    # r11 write-side gate: seed and appends repartition by the bucket
+    # keys, so each of the 4 batch partitions holds at most n_buckets
+    # files (without the repartition the seed alone wrote tasks x
+    # buckets files — 1,309 measured on a 250-doc corpus)
+    assert files_before <= 4 * 4, files_before
     assert len(spark.sql(f"SHOW PARTITIONS {prefix}_bands").collect()) == 4
 
     D.compact_minhash_index_bucketed(spark, prefix, n_buckets=4, path=wh)
