@@ -184,6 +184,9 @@ def main(argv: list[str] | None = None) -> int:
         # path-based verb: no config/connection involved
         from .streaming.events import run_streaming_neardup_ingest
 
+        if args.resume and not args.checkpoint:
+            print("error: --resume requires --checkpoint", file=sys.stderr)
+            return 2
         spark = get_spark()
         spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
         flagged = run_streaming_neardup_ingest(

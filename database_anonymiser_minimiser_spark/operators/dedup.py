@@ -476,6 +476,12 @@ def _read_index_manifest(spark, path: str) -> dict:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/_index_manifest.json")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"no index manifest at {path}/_index_manifest.json — the "
+            "bucketed index was never seeded here (seed it first, or "
+            "check the path)"
+        )
     stream = fs.open(p)
     try:
         # read fully via the JVM IOUtils (the stream is a JVM object)

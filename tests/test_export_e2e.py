@@ -927,3 +927,27 @@ def test_cli_screen_verb_flags_neardups(spark, tmp_path, capsys):
     assert "1 document(s) flagged" in out.err
     for t in ("t_cli_screen_bands", "t_cli_screen_shingles"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cli_screen_resume_requires_checkpoint(capsys):
+    from database_anonymiser_minimiser_spark import cli
+
+    rc = cli.main([
+        "screen", "--landed", "/nonexistent", "--spool", "/nonexistent",
+        "--index", "/nonexistent", "--resume",
+    ])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "error:" in err and "--checkpoint" in err
+    assert "Traceback" not in err
+
+
+def test_register_index_missing_manifest_is_friendly(spark, tmp_path):
+    import pytest as _pytest
+
+    from database_anonymiser_minimiser_spark.operators import dedup as D
+
+    with _pytest.raises(FileNotFoundError, match="never seeded"):
+        D.register_minhash_index_bucketed(
+            spark, "t_nope", str(tmp_path / "empty")
+        )
