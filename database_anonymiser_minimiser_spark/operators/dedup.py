@@ -689,7 +689,15 @@ def _screen_new_vs_landed(
     """Shared screen core of the two persisted-index variants: band the
     (already persisted) batch shingles, bucket-join against the landed
     band relation, verify sided, aggregate per new doc, and materialise
-    the small result eagerly so callers can release the batch cache."""
+    the small result eagerly so callers can release the batch cache.
+
+    Hot-band note: a landed band bucket of size B fans out B landed
+    candidates per matching batch doc — linear in the BATCH (not the
+    B² of the self-join case, see :class:`HotBandWarning`), so the
+    screen stays bounded per micro-batch; but a template-heavy landed
+    corpus still multiplies every epoch's verify work by B. Run
+    exact_dedup (or the capped batch operator) over the corpus BEFORE
+    seeding the index — a deduplicated landed side has no hot bands."""
     from pyspark.storagelevel import StorageLevel
 
     banded_new = banded_signature(minhash_signature(sh_new, mode=mode), mode=mode)
