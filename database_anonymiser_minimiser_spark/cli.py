@@ -171,6 +171,12 @@ def build_parser() -> argparse.ArgumentParser:
         "the index tables from the on-storage manifest, and consume "
         "only spool files not yet committed",
     )
+    screen.add_argument(
+        "--dedup-seed", action="store_true",
+        help="exact-deduplicate the landed corpus before seeding the "
+        "index (hot-band fix for template-heavy corpora; verdicts "
+        "unchanged, n_dups counts distinct contents instead of copies)",
+    )
     sub.add_parser("version", help="print version")
     return p
 
@@ -199,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
             compact_every=args.compact_every,
             checkpoint=args.checkpoint,
             resume=args.resume,
+            dedup_seed=args.dedup_seed,
         )
         for epoch, doc_id, n_dups, best_j in flagged:
             print(f"{epoch}\t{doc_id}\t{n_dups}\t{best_j:.6f}")

@@ -572,6 +572,27 @@ def _read_index_manifest(spark, path: str) -> dict:
     return _json.loads(data)
 
 
+def dedup_exact_for_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse exact-duplicate documents to their min-id canonical copy
+    before the corpus is shingled into a MinHash index — the hot-band
+    fix the screen core's docstring prescribes: removing an exact copy
+    never changes a screen VERDICT (identical text ⇒ identical shingle
+    set ⇒ identical bands and identical jaccard against any batch doc),
+    it only stops template-heavy corpora from putting B copies in one
+    band bucket and multiplying every epoch's verify fan-out by B.
+    ``n_dups`` then counts distinct landed CONTENTS matched rather than
+    landed copies; ``best_jaccard`` and the flagged set are unchanged.
+
+    One hash-groupBy on the text (the same single-shuffle shape as
+    :func:`exact_dedup`); survivors keep their original ids, so flags
+    referencing landed ids stay resolvable."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).cast("long").alias(id_col)
+    ).select(id_col, text_col)
+
+
 def save_minhash_index(
     df: DataFrame,
     path: str,
@@ -580,6 +601,7 @@ def save_minhash_index(
     mode: str | None = None,
     append: bool = False,
     batch: str | None = None,
+    dedup_exact: bool = False,
 ) -> None:
     """Persist the landed corpus' MinHash state so daily ingest never
     re-shingles the corpus: ``<path>/bands`` (id, band_id, band_key — what
@@ -605,6 +627,11 @@ def save_minhash_index(
     label makes the append safe against clobbering earlier partitions
     but cannot dedupe a replay it cannot recognise).
 
+    ``dedup_exact=True`` collapses exact-duplicate texts to one
+    canonical copy first (:func:`dedup_exact_for_index`) — the hot-band
+    fix for template-heavy corpora; verdicts and best_jaccard are
+    unchanged, n_dups counts distinct contents instead of copies.
+
     At 100 TB, additionally bucket ``bands`` by band_key and ``shingles``
     by id so the daily joins are co-located — see
     :func:`save_minhash_index_bucketed`."""
@@ -618,6 +645,8 @@ def save_minhash_index(
     spark = df.sparkSession
     if not append:
         _hfs_delete(spark, path)
+    if dedup_exact:
+        df = dedup_exact_for_index(df, text_col, id_col)
     sh = shingles(df, text_col, id_col)
     from pyspark.storagelevel import StorageLevel
 
@@ -732,6 +761,7 @@ def save_minhash_index_bucketed(
     append: bool = False,
     path: str | None = None,
     batch: str | None = None,
+    dedup_exact: bool = False,
 ) -> None:
     """The 100 TB layout of :func:`save_minhash_index`: bands and
     shingles land as BUCKETED tables (``<prefix>_bands`` bucketed+sorted
@@ -753,7 +783,12 @@ def save_minhash_index_bucketed(
     epoch's append already land?" from the catalog — the two hooks the
     streaming ingest screen's replay idempotency needs. Bucket routing
     is per-partition, so scans stay bucket-aware (``Bucketed: true``)
-    across any number of appended batches."""
+    across any number of appended batches.
+
+    ``dedup_exact=True`` collapses exact-duplicate texts to one
+    canonical copy first (:func:`dedup_exact_for_index`) — the hot-band
+    fix for template-heavy corpora; verdicts and best_jaccard are
+    unchanged, n_dups counts distinct contents instead of copies."""
     if batch is None:
         if append:
             import uuid
@@ -762,6 +797,8 @@ def save_minhash_index_bucketed(
         else:
             batch = "seed"
     spark = df.sparkSession
+    if dedup_exact:
+        df = dedup_exact_for_index(df, text_col, id_col)
     sh = shingles(df, text_col, id_col)
     from pyspark.storagelevel import StorageLevel
 

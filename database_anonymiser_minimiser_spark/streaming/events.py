@@ -570,6 +570,7 @@ def run_streaming_neardup_ingest(
     compact_every: int | None = None,
     checkpoint: str | None = None,
     resume: bool = False,
+    dedup_seed: bool = False,
 ) -> "list[tuple[int, int, int, float]]":
     """STREAMING near-dup ingest screen: each arriving micro-batch of
     documents is checked against the persisted MinHash index
@@ -634,7 +635,14 @@ def run_streaming_neardup_ingest(
     with epoch ids continuing where they stopped. An epoch that
     appended but did not commit before the crash replays under the
     replay contract above. The returned flags cover THIS invocation's
-    epochs only."""
+    epochs only.
+
+    ``dedup_seed=True`` exact-deduplicates the landed corpus before
+    seeding the index (operators/dedup.py:dedup_exact_for_index) — the
+    hot-band fix for template-heavy corpora: screen VERDICTS and
+    best_jaccard are unchanged, per-epoch verify fan-out stops scaling
+    with the landed copy count, and n_dups counts distinct landed
+    contents instead of copies."""
     from ..operators.dedup import (
         bucketed_index_has_batch,
         compact_minhash_index_bucketed,
@@ -665,9 +673,13 @@ def run_streaming_neardup_ingest(
                 n_buckets=n_buckets,
                 path=f"{index_path}/bucketed",
                 batch="seed",
+                dedup_exact=dedup_seed,
             )
     elif not resume:
-        save_minhash_index(spark.read.parquet(landed_path), index_path)
+        save_minhash_index(
+            spark.read.parquet(landed_path), index_path,
+            dedup_exact=dedup_seed,
+        )
     schema = spark.read.parquet(new_spool_dir).schema
     stream = (
         spark.readStream.schema(schema)

@@ -830,3 +830,79 @@ def test_lsh_hot_band_cap_star_chains_boilerplate(spark):
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in D.minhash_lsh_pairs(small_df, threshold=0.5, mode="md5").collect()
     }
+
+
+def test_dedup_exact_seed_preserves_verdicts_and_collapses_hot_bands(
+    spark, tmp_path
+):
+    """r11: dedup_exact=True on the index seed is the PREVENTIVE hot-band
+    fix the screen core's docstring prescribes (the cap above is the
+    self-join mitigation; this removes the hot bands from the landed side
+    entirely). Contract: (a) the flagged set and every best_jaccard are
+    IDENTICAL to the undeduped seed — removing an exact copy never
+    changes a verdict; (b) n_dups counts distinct landed CONTENTS, so
+    the template match reports 1 instead of copy-count; (c) the landed
+    band relation has no hot buckets afterwards (max bucket size 1 on
+    this corpus vs >= copy-count before)."""
+    template = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )
+    n_copies = 40
+    landed_rows = [(i, template) for i in range(n_copies)]
+    landed_rows += [(100, BASE), (101, "unrelated landed content about engines")]
+    landed = spark.createDataFrame(landed_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (500, template.replace("dolor", "color")),  # near-dup of template
+            (501, BASE.replace("jumps", "leaps")),      # near-dup of doc 100
+            (502, "fresh unseen words entirely novel"),  # no match
+        ],
+        ["doc_id", "text"],
+    )
+
+    # canonical-survivor unit contract: min id per distinct text
+    kept = {
+        r["text"]: r["doc_id"]
+        for r in D.dedup_exact_for_index(landed).collect()
+    }
+    assert kept[template] == 0 and kept[BASE] == 100 and len(kept) == 3
+
+    idx_plain = str(tmp_path / "idx_plain")
+    idx_dedup = str(tmp_path / "idx_dedup")
+    D.save_minhash_index(landed, idx_plain)
+    D.save_minhash_index(landed, idx_dedup, dedup_exact=True)
+
+    plain = {
+        r["doc_id"]: (r["n_dups"], r["best_jaccard"])
+        for r in D.minhash_incremental_vs_index(
+            batch, idx_plain, threshold=0.4
+        ).collect()
+    }
+    dedup = {
+        r["doc_id"]: (r["n_dups"], r["best_jaccard"])
+        for r in D.minhash_incremental_vs_index(
+            batch, idx_dedup, threshold=0.4
+        ).collect()
+    }
+    # (a) verdict + best_jaccard parity
+    assert set(plain) == set(dedup) == {500, 501}
+    assert all(plain[d][1] == dedup[d][1] for d in plain)
+    # (b) copies vs contents
+    assert plain[500][0] == n_copies and dedup[500][0] == 1
+    assert plain[501] == dedup[501]
+
+    # (c) hot bands gone: max band-bucket size in the landed relation
+    from pyspark.sql import functions as F
+
+    def max_bucket(path):
+        return (
+            spark.read.parquet(f"{path}/bands")
+            .groupBy("band_id", "band_key")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+    assert max_bucket(idx_plain) >= n_copies
+    assert max_bucket(idx_dedup) == 1
