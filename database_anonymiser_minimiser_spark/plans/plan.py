@@ -29,6 +29,48 @@ from .. import dump as dump_mod
 from .topo import sort_tables_by_dependency
 
 
+# Wide-table codegen window, measured (tools/bench_wide.py, 100k rows,
+# all-faker configs, local[32]): Spark silently drops whole-stage
+# codegen for plans past spark.sql.codegen.maxFields (default 100), so a
+# 150-column masked projection runs interpreted — raising the limit won
+# back 15% of wall there. The boundary is EXPRESSION WEIGHT, not column
+# count: at 300 all-faker columns the generated method exceeds the JVM's
+# 64KB bytecode limit, compilation fails per job (Spark falls back
+# gracefully but pays the compile + partial-fallback cost) and raised
+# measured 30% SLOWER; a 20%-lighter mixed config still won at 300.
+# Conservative cutoff at the scale every measured config wins.
+_WIDE_CODEGEN_MAX = 200
+
+
+class _wide_codegen:
+    """Raise spark.sql.codegen.maxFields for the duration of an export
+    whose widest masked table is in the (100, 400] win window; restore
+    the previous value after. Narrow tables are unaffected by a raised
+    limit (maxFields only gates whether codegen is ATTEMPTED for plans
+    wider than it), so one export-wide setting equals the per-table
+    optimum."""
+
+    _KEY = "spark.sql.codegen.maxFields"
+
+    def __init__(self, spark: SparkSession, max_width: int) -> None:
+        self.spark = spark
+        self.active = 100 < max_width <= _WIDE_CODEGEN_MAX
+        self.width = max_width
+
+    def __enter__(self):
+        if self.active:
+            self.prev = self.spark.conf.get(self._KEY, None)
+            self.spark.conf.set(self._KEY, str(self.width + 10))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self.active:
+            if self.prev is None:
+                self.spark.conf.unset(self._KEY)
+            else:
+                self.spark.conf.set(self._KEY, self.prev)
+
+
 @dataclass
 class TablePlan:
     """Compiled plan for one table (the reference's StreamOptions + rule
@@ -140,10 +182,15 @@ class Engine:
             )
             for p in plans
         ]
-        if parallel:
-            stats = dump_mod.write_dump_parallel(out, db_type, sections)
-        else:
-            stats = dump_mod.write_dump(out, db_type, iter(sections))
+        max_width = max(
+            (len(df.columns) for _, _, df, _ in sections if df is not None),
+            default=0,
+        )
+        with _wide_codegen(self.spark, max_width):
+            if parallel:
+                stats = dump_mod.write_dump_parallel(out, db_type, sections)
+            else:
+                stats = dump_mod.write_dump(out, db_type, iter(sections))
         self._print_stats(stats, time.time() - started)
         return stats
 
@@ -218,11 +265,12 @@ class Engine:
                 continue
             df = self.source.read(p.name)
             df = df.limit(0) if p.config.truncate else p.build(df)
-            dump_mod.write_parquet(
-                df,
-                f"{out_dir}/{p.name}",
-                partition_by=(partition_by or {}).get(p.name),
-            )
+            with _wide_codegen(self.spark, len(df.columns)):
+                dump_mod.write_parquet(
+                    df,
+                    f"{out_dir}/{p.name}",
+                    partition_by=(partition_by or {}).get(p.name),
+                )
             self._write_fingerprint(out_dir, p.name, fp)
             if p.config.truncate:
                 stats.tables_truncated += 1
