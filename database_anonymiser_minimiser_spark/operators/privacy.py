@@ -183,3 +183,136 @@ def depseudonymize_column(col: str, key: str, mode: str = "GCM", deterministic: 
     return F.aes_decrypt(F.unbase64(F.col(col)), F.lit(key), m).cast(
         "string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially private counts: the two-sided geometric mechanism
+# ---------------------------------------------------------------------------
+
+
+def geometric_inverse_cdf(
+    epsilon: float, scale_bits: int = 52
+) -> tuple[list[int], int]:
+    """Driver-side inverse-CDF breakpoint table for the two-sided
+    geometric mechanism (Ghosh/Roughgarden/Sundararajan SICOMP'12 — the
+    utility-optimal noise for integer count queries): noise Z has
+    P(Z = k) = (1-a)/(1+a) * a^|k| with a = e^(-epsilon).
+
+    Returns ``(breaks, K)`` where ``breaks[i] = floor(CDF(-K + i) * 2^b)``
+    for k in [-K, K) and K is the smallest tail bound with
+    P(|Z| > K) < 2^-b — so a uniform integer u in [0, 2^b) maps to
+    noise = |{break <= u}| - K, entirely in INT64 comparisons against
+    literal constants. Both engines evaluate the same table against the
+    same md5-derived u, so the released noisy counts are bit-identical
+    cross-engine (the exactness discipline every sampling op here uses;
+    float inverse-CDF noise would differ in low bits per libm)."""
+    import math
+
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    a = math.exp(-epsilon)
+    m = 1 << scale_bits
+    k_tail = 1
+    while 2 * a ** (k_tail + 1) / (1 + a) > 2.0**-scale_bits:
+        k_tail += 1
+    coef = (1 - a) / (1 + a)
+    breaks: list[int] = []
+    cdf = 0.0
+    for k in range(-k_tail, k_tail):
+        cdf += coef * a ** abs(k)
+        breaks.append(int(cdf * m))
+    return breaks, k_tail
+
+
+def _uniform52_duck(key_sql: str) -> str:
+    """52-bit exactly-uniform integer from md5 (13 hex chars = 52 bits;
+    no modulo bias because the draw IS the full bit width). The Spark
+    side is the same draw via conv(substr(md5, 1, 13), 16, 10)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, 13), "
+        f"i -> strpos('0123456789abcdef', substr(md5({key_sql}), i, 1)) - 1), "
+        f"(acc, d) -> acc * 16 + d)"
+    )
+
+
+def dp_noise_column(
+    key: Column, epsilon: float = 1.0, seed: str = "dbmask-dp"
+) -> Column:
+    """Integer geometric noise as a Column: deterministic function of
+    (key, seed) — the seeded-PRG form every production DP release uses
+    (noise must be FIXED per release: re-querying must return the same
+    answer, otherwise averaging repeated queries strips the noise). The
+    epsilon-DP guarantee holds against anyone who does not know the
+    seed; treat the seed like a key and use a fresh one per release
+    (each re-release with a new seed spends another epsilon of budget)."""
+    breaks, k_tail = geometric_inverse_cdf(epsilon)
+    arr = ", ".join(str(b) for b in breaks)
+    key_str = F.concat(key.cast("string"), F.lit(":" + seed))
+    u = F.conv(F.md5(key_str).substr(1, 13), 16, 10).cast("bigint")
+    return (
+        F.size(
+            F.filter(
+                F.expr(f"array({arr})"),
+                lambda b: b <= u,
+            )
+        )
+        - F.lit(k_tail)
+    ).cast("long")
+
+
+def dp_noisy_count(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_count",
+) -> DataFrame:
+    """Per-group COUNT(*) released under epsilon-differential privacy
+    via the two-sided geometric mechanism — the aggregate-release
+    counterpart of the row-level masking family: row masking protects
+    identities inside the data, DP noise protects them in PUBLISHED
+    STATISTICS (a count of 1 pinpoints a person; count+noise provably
+    bounds what any query reveals about one row's presence).
+
+    Count sensitivity is 1, so geometric noise with a = e^(-epsilon)
+    gives exact epsilon-DP per released count. Noise is a deterministic
+    function of (group key, seed): see :func:`dp_noise_column` for the
+    seeded-release semantics. Negative noisy counts are clamped at 0
+    (postprocessing — does not affect the guarantee).
+
+    Scale shape: ONE map-side-combined groupBy shuffle (identical to the
+    plain count); the noise is a per-GROUP literal-table lookup on the
+    already-aggregated relation — zero extra shuffles, zero Python."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    noisy = F.greatest(
+        F.lit(0).cast("long"),
+        F.count(F.lit(1)).cast("long")
+        + dp_noise_column(key, epsilon, seed),
+    )
+    return df.groupBy(*group_cols).agg(noisy.alias(alias))
+
+
+def duck_dp_noisy_count_sql(
+    table: str,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_count",
+) -> str:
+    """DuckDB twin of :func:`dp_noisy_count` — same breakpoint table,
+    same md5-derived uniform, byte-identical released counts."""
+    breaks, k_tail = geometric_inverse_cdf(epsilon)
+    arr = ", ".join(str(b) for b in breaks)
+    cols = ", ".join(group_cols)
+    key = (
+        "concat("
+        + " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in group_cols)
+        + f", ':{seed}')"
+    )
+    u = _uniform52_duck(key)
+    return f"""
+    SELECT {cols},
+      GREATEST(0, CAST(count(*) AS BIGINT)
+        + len(list_filter([{arr}], b -> b <= {u})) - {k_tail}) AS {alias}
+    FROM {table} GROUP BY {cols}
+    """

@@ -2038,6 +2038,23 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "privacy_dp_noisy_counts",
+    _priv.duck_dp_noisy_count_sql("events", ["event_type"], epsilon=1.0),
+)
+def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event counts released under epsilon=1 differential
+    privacy (two-sided geometric mechanism, the aggregate-release
+    counterpart of row masking — see operators/privacy.py:
+    dp_noisy_count). Noise is integer and derived from a literal
+    inverse-CDF table against an md5-uniform, so the released counts are
+    bit-identical cross-engine — same exactness discipline as every
+    sampling op. Scale shape: one map-side-combined groupBy shuffle,
+    noise applied on the aggregated relation (zero extra shuffles)."""
+    ev = load(spark, sf_dir, "events")
+    return _priv.dp_noisy_count(ev, ["event_type"], epsilon=1.0)
+
+
 # ===========================================================================
 # As-of (point-in-time) join
 # ===========================================================================

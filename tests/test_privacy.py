@@ -207,3 +207,91 @@ def test_pseudonymize_wrong_key_fails_closed(spark):
         enc.select(
             depseudonymize_column("tok", "feedfacefeedface")
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# DP noisy counts (two-sided geometric mechanism)
+# ---------------------------------------------------------------------------
+
+
+def test_geometric_inverse_cdf_table():
+    """The literal breakpoint table must be a valid inverse CDF: sorted,
+    2K entries, covering [0, 2^52) with the documented tail bound."""
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        geometric_inverse_cdf,
+    )
+    import math
+
+    for eps in (0.1, 0.5, 1.0, 2.0):
+        breaks, k_tail = geometric_inverse_cdf(eps)
+        assert len(breaks) == 2 * k_tail
+        assert breaks == sorted(breaks)
+        assert breaks[0] >= 0 and breaks[-1] <= (1 << 52)
+        a = math.exp(-eps)
+        # tail mass beyond K is below the uniform's resolution
+        assert 2 * a ** (k_tail + 1) / (1 + a) <= 2.0**-52
+        # the median break (CDF just below 0) sits near the distribution
+        # centre: CDF(-1) = a/(1+a), CDF(0) = 1/(1+a)
+        lo = breaks[k_tail - 1] / (1 << 52)  # CDF(-1)
+        hi = breaks[k_tail] / (1 << 52)  # CDF(0)
+        assert abs(lo - a / (1 + a)) < 1e-9
+        assert abs(hi - 1 / (1 + a)) < 1e-9
+
+
+def test_dp_noise_distribution_and_determinism(spark):
+    """Empirical noise over many keys matches the two-sided geometric:
+    zero-centred, E|Z| = 2a/(1-a^2) within a sampling band, bounded by
+    the tail cutoff, deterministic across evaluations, and smaller at
+    larger epsilon."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        dp_noise_column,
+        geometric_inverse_cdf,
+    )
+
+    keys = spark.range(5000)
+
+    def sample(eps):
+        return [
+            r["z"]
+            for r in keys.select(
+                dp_noise_column(F.col("id"), epsilon=eps).alias("z")
+            ).collect()
+        ]
+
+    z1 = sample(1.0)
+    assert z1 == sample(1.0)  # deterministic release
+    _, k_tail = geometric_inverse_cdf(1.0)
+    assert all(abs(z) <= k_tail for z in z1)
+    a = math.exp(-1.0)
+    expected_abs = 2 * a / (1 - a * a)  # 0.851 at eps=1
+    mean_abs = sum(abs(z) for z in z1) / len(z1)
+    assert abs(mean_abs - expected_abs) < 0.08
+    assert abs(sum(z1) / len(z1)) < 0.05  # zero-centred
+
+    z_tight = sample(2.0)
+    assert sum(abs(z) for z in z_tight) / len(z_tight) < mean_abs
+
+
+def test_dp_noisy_count_clamps_and_shapes(spark):
+    """dp_noisy_count: released counts are never negative (epsilon small
+    enough that size-1 groups draw noise below -1), and the plan is ONE
+    aggregate exchange with the noise on the aggregated side."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        dp_noisy_count,
+    )
+
+    df = spark.range(400).select(F.col("id").alias("g"))  # 400 groups of 1
+    out = dp_noisy_count(df, ["g"], epsilon=0.05)
+    rows = {r["g"]: r["noisy_count"] for r in out.collect()}
+    assert len(rows) == 400
+    assert min(rows.values()) == 0  # clamp engaged
+    assert all(v >= 0 for v in rows.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one agg shuffle at most
+    assert "PythonUDF" not in plan
