@@ -316,3 +316,82 @@ def duck_dp_noisy_count_sql(
         + len(list_filter([{arr}], b -> b <= {u})) - {k_tail}) AS {alias}
     FROM {table} GROUP BY {cols}
     """
+
+
+def dp_noisy_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bound: int,
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_sum",
+) -> DataFrame:
+    """Per-group SUM released under epsilon-DP with a BOUNDED-CONTRIBUTION
+    clamp — the companion to :func:`dp_noisy_count` for magnitude
+    queries. Three integer steps, each cross-engine exact:
+
+    1. clamp every row's value into [0, bound] (the contribution bound:
+       without it one row can move the sum arbitrarily and no finite
+       noise is DP; the clamp is a stated bias/privacy trade),
+    2. round the clamped sum to GRANULARITY ``bound`` (integer
+       ``(S + bound/2) DIV bound``) — rounding is applied to the true
+       sum of a neighbouring-dataset pair too, so the rounded statistic
+       has sensitivity exactly 1 unit,
+    3. add the SAME two-sided geometric noise table as the count path
+       (sensitivity-1 integer mechanism) in units, clamp at 0, and
+       release units * bound.
+
+    The release is therefore a non-negative multiple of ``bound``; its
+    error vs the clamped sum is at most bound/2 (rounding) plus
+    bound * |Z| (noise). One map-side-combined groupBy shuffle, noise on
+    the aggregated relation — same scale shape as the plain sum."""
+    if bound <= 0:
+        raise ValueError(f"bound must be a positive integer, got {bound}")
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    clamped = F.least(
+        F.greatest(F.col(value_col).cast("long"), F.lit(0).cast("long")),
+        F.lit(int(bound)).cast("long"),
+    )
+    agg = df.groupBy(*group_cols).agg(F.sum(clamped).alias("_s"))
+    units = F.expr(f"(_s + {bound // 2}) DIV {bound}")
+    noisy_units = F.greatest(
+        F.lit(0).cast("long"),
+        units + dp_noise_column(key, epsilon, seed),
+    )
+    return agg.select(
+        *group_cols, (noisy_units * F.lit(int(bound))).alias(alias)
+    )
+
+
+def duck_dp_noisy_sum_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    bound: int,
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_sum",
+) -> str:
+    """DuckDB twin of :func:`dp_noisy_sum` — identical clamp, rounding,
+    breakpoint table and md5 uniform; byte-identical releases."""
+    breaks, k_tail = geometric_inverse_cdf(epsilon)
+    arr = ", ".join(str(b) for b in breaks)
+    cols = ", ".join(group_cols)
+    key = (
+        "concat("
+        + " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in group_cols)
+        + f", ':{seed}')"
+    )
+    u = _uniform52_duck(key)
+    return f"""
+    WITH agg AS (
+      SELECT {cols},
+        sum(LEAST(GREATEST(CAST({value_col} AS BIGINT), 0), {bound})) AS s
+      FROM {table} GROUP BY {cols})
+    SELECT {cols},
+      GREATEST(0, (s + {bound // 2}) // {bound}
+        + len(list_filter([{arr}], b -> b <= {u})) - {k_tail})
+        * {bound} AS {alias}
+    FROM agg
+    """

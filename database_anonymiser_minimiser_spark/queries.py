@@ -2055,6 +2055,24 @@ def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _priv.dp_noisy_count(ev, ["event_type"], epsilon=1.0)
 
 
+@register(
+    "privacy_dp_noisy_sum",
+    _priv.duck_dp_noisy_sum_sql(
+        "lineitem", ["l_returnflag"], "l_quantity", bound=50, epsilon=1.0
+    ),
+)
+def q_privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag quantity totals under epsilon=1 DP: contribution
+    clamped to [0, 50] per row, sum rounded to granularity 50
+    (sensitivity 1 unit), geometric noise in units — the released value
+    is a non-negative multiple of 50, bit-identical cross-engine. See
+    operators/privacy.py:dp_noisy_sum."""
+    li = load(spark, sf_dir, "lineitem")
+    return _priv.dp_noisy_sum(
+        li, ["l_returnflag"], "l_quantity", bound=50, epsilon=1.0
+    )
+
+
 # ===========================================================================
 # As-of (point-in-time) join
 # ===========================================================================

@@ -295,3 +295,34 @@ def test_dp_noisy_count_clamps_and_shapes(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # one agg shuffle at most
     assert "PythonUDF" not in plan
+
+
+def test_dp_noisy_sum_release_properties(spark):
+    """dp_noisy_sum: releases are non-negative multiples of the bound,
+    within bound/2 (rounding) + bound*K (noise tail) of the clamped true
+    sum, deterministic, and the clamp actually binds oversized rows."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        dp_noisy_sum,
+        geometric_inverse_cdf,
+    )
+
+    bound = 10
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 7), ("a", 999), ("b", 2), ("b", -5), ("c", 0)],
+        ["g", "v"],
+    )
+    # clamped sums: a = 3+7+10 = 20, b = 2+0 = 2, c = 0
+    true_clamped = {"a": 20, "b": 2, "c": 0}
+    out1 = {r["g"]: r["noisy_sum"] for r in dp_noisy_sum(df, ["g"], "v", bound).collect()}
+    out2 = {r["g"]: r["noisy_sum"] for r in dp_noisy_sum(df, ["g"], "v", bound).collect()}
+    assert out1 == out2  # deterministic release
+    _, k_tail = geometric_inverse_cdf(1.0)
+    for g, s in out1.items():
+        assert s >= 0 and s % bound == 0
+        assert abs(s - true_clamped[g]) <= bound // 2 + bound * k_tail
+    # without the oversized row the a-sum differs by >= the clamp cut
+    df2 = df.filter(F.col("v") <= 100)
+    out3 = {r["g"]: r["noisy_sum"] for r in dp_noisy_sum(df2, ["g"], "v", bound).collect()}
+    assert out3["a"] <= out1["a"]
