@@ -177,6 +177,30 @@ def build_parser() -> argparse.ArgumentParser:
         "index (hot-band fix for template-heavy corpora; verdicts "
         "unchanged, n_dups counts distinct contents instead of copies)",
     )
+    curate = sub.add_parser(
+        "curate",
+        help="corpus curation pipeline: quality gate -> exact near-dup "
+        "collapse -> optional per-language token budget; writes the "
+        "surviving documents as parquet and prints a per-language "
+        "report (runs without -c/--config — operates on parquet paths)",
+    )
+    curate.add_argument(
+        "--docs", required=True,
+        help="parquet path of the input corpus (doc_id, text, lang)",
+    )
+    curate.add_argument(
+        "--out", required=True,
+        help="output directory for the curated parquet corpus",
+    )
+    curate.add_argument(
+        "--min-quality", type=float, default=0.5,
+        help="quality-score gate in [0, 1] (default 0.5)",
+    )
+    curate.add_argument(
+        "--budget-tokens", type=_positive_int, default=None, metavar="N",
+        help="per-language token budget: admit best-quality documents "
+        "first while the language's running token total fits",
+    )
     sub.add_parser("version", help="print version")
     return p
 
@@ -185,6 +209,23 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "version":
         print(f"dbmask-spark {__version__}")
+        return 0
+    if args.command == "curate":
+        # path-based verb: no config/connection involved
+        from .operators.curation import run_curation
+
+        spark = get_spark()
+        spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
+        stats = run_curation(
+            spark,
+            args.docs,
+            args.out,
+            min_quality=args.min_quality,
+            budget_tokens=args.budget_tokens,
+        )
+        print("lang\tn_docs\ttotal_tokens\tmin_quality\tmax_quality")
+        for lang, n_docs, total, qmin, qmax in stats:
+            print(f"{lang}\t{n_docs}\t{total}\t{qmin:.4f}\t{qmax:.4f}")
         return 0
     if args.command == "screen":
         # path-based verb: no config/connection involved

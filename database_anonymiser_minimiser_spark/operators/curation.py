@@ -1,0 +1,117 @@
+"""Corpus curation as an operational pipeline: quality gate -> exact
+near-dup collapse -> per-language token budget -> curated parquet.
+
+The graded query ``corpus_curation_pipeline`` (queries.py) proves the
+composed PLAN (one enrichment projection, filter before the dedup
+shuffle, rollup over survivors); this module is the same composition as
+a runnable product surface (CLI verb ``curate``) that keeps the
+DOCUMENTS — the query releases only the per-language report, a real
+curation job must write the surviving corpus.
+
+Scale shape, in order:
+1. one whole-stage-codegen projection computes tokens + quality +
+   normalised fingerprint per document (no Python),
+2. the quality filter prunes BEFORE any shuffle,
+3. exact near-dup collapse = groupBy(fingerprint) keep-min-id, then a
+   semi join back by id to recover full rows (statistics-driven:
+   broadcast while the survivor-id relation is small),
+4. optional per-language token budget: rank by (quality desc, id)
+   within language, keep while the running token total fits — a
+   window keyed on language (language cardinality is small; a single
+   hot language is the documented two-phase-top-N escalation, same as
+   ``corpus_mix_budget``),
+5. stats = one rollup over the collapsed survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import quality_score_column
+
+
+def enrich_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(id, lang, text, n_tokens, q, fp) in ONE projection."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        text.alias("text"),
+        F.size(F.split(F.trim(text), r"\s+")).cast("long").alias("n_tokens"),
+        quality_score_column(text).alias("q"),
+        F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ").alias("fp"),
+    )
+
+
+def curate_documents(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    budget_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Surviving documents (doc_id, lang, text, n_tokens, q) after the
+    quality gate, exact near-dup collapse (normalised-text key, lowest
+    id survives), and — when ``budget_tokens`` is set — a per-language
+    greedy token budget: documents are admitted best-quality-first
+    (ties -> lowest id) while the language's running token total stays
+    within the budget; the document that would cross it is dropped."""
+    enriched = enrich_documents(df, text_col, id_col, lang_col)
+    filtered = enriched.filter(F.col("q") >= F.lit(min_quality))
+    keep_ids = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = filtered.join(
+        keep_ids.select("doc_id"), "doc_id", "left_semi"
+    ).drop("fp")
+    if budget_tokens is not None:
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(F.desc("q"), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        survivors = (
+            survivors.withColumn("_cum", F.sum("n_tokens").over(w))
+            .filter(F.col("_cum") <= budget_tokens)
+            .drop("_cum")
+        )
+    return survivors
+
+
+def curation_stats(survivors: DataFrame) -> DataFrame:
+    """Per-language budget report over the curated survivors — the same
+    rollup the graded pipeline query releases."""
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+    )
+
+
+def run_curation(
+    spark,
+    docs_path: str,
+    out_dir: str,
+    min_quality: float = 0.5,
+    budget_tokens: int | None = None,
+) -> list[tuple]:
+    """CLI entry: read a documents parquet, curate, write the surviving
+    corpus as parquet (doc_id, lang, text, n_tokens, q), and return the
+    per-language stats rows sorted by language."""
+    survivors = curate_documents(
+        spark.read.parquet(docs_path),
+        min_quality=min_quality,
+        budget_tokens=budget_tokens,
+    )
+    survivors.write.mode("overwrite").parquet(out_dir)
+    written = spark.read.parquet(out_dir)
+    return [
+        tuple(r)
+        for r in curation_stats(written).orderBy("lang").collect()
+    ]

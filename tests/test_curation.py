@@ -1,0 +1,99 @@
+"""Curation pipeline as a product surface (operators/curation.py + the
+CLI ``curate`` verb): quality gate, exact near-dup collapse, per-language
+token budget, curated parquet output."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_anonymiser_minimiser_spark.operators import curation as C
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs to the river "
+    "for a drink of water in the morning sun that rises over the hills"
+)
+BETTER = GOOD + " while the birds sing in the trees and the wind is soft"
+JUNK = "zzz qqq xxx"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, GOOD, "en"),
+        (1, GOOD, "en"),          # exact duplicate of 0 -> collapsed
+        (2, BETTER, "en"),        # higher quality than GOOD
+        (3, JUNK, "en"),          # fails the quality gate
+        (4, GOOD + " und der hund", "de"),  # distinct text, own budget
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_curate_gate_and_dedup(spark, corpus):
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tokens"])
+        for r in C.curate_documents(corpus, min_quality=0.5).collect()
+    }
+    # junk gone, duplicate collapsed to min id, both languages kept
+    assert set(got) == {0, 2, 4}
+
+
+def test_curate_budget_greedy_by_quality(spark, corpus):
+    # en survivors: doc 2 (higher q) then doc 0; budget fits only doc 2
+    enriched = {
+        r["doc_id"]: r
+        for r in C.enrich_documents(corpus).collect()
+    }
+    assert enriched[2]["q"] > enriched[0]["q"]
+    budget = enriched[2]["n_tokens"] + 5  # room for 2, not for 2+0
+    got = {r["doc_id"] for r in C.curate_documents(
+        corpus, min_quality=0.5, budget_tokens=budget
+    ).collect()}
+    assert 2 in got and 0 not in got
+    assert 4 in got  # de has its own budget
+    # python reference: greedy (q desc, id) cumulative <= budget per lang
+    survivors = C.curate_documents(corpus, min_quality=0.5).collect()
+    by_lang: dict = {}
+    for r in sorted(survivors, key=lambda r: (r["lang"], -r["q"], r["doc_id"])):
+        acc = by_lang.setdefault(r["lang"], [0, set()])
+        if acc[0] + r["n_tokens"] <= budget:
+            acc[0] += r["n_tokens"]
+            acc[1].add(r["doc_id"])
+    expect = set().union(*(v[1] for v in by_lang.values()))
+    assert got == expect
+
+
+def test_curate_cli_e2e(tmp_path, capsys):
+    from database_anonymiser_minimiser_spark.cli import main
+
+    out_dir = str(tmp_path / "curated")
+    rc = main(
+        [
+            "curate",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out_dir,
+            "--min-quality", "0.5",
+            "--budget-tokens", "5000",
+        ]
+    )
+    assert rc == 0
+    lines = [
+        l for l in capsys.readouterr().out.strip().splitlines()
+        if l and not l.startswith("lang\t")
+    ]
+    assert lines, "expected per-language stats rows"
+    from database_anonymiser_minimiser_spark.session import get_spark
+
+    spark = get_spark()
+    written = spark.read.parquet(out_dir)
+    assert set(written.columns) == {"doc_id", "lang", "text", "n_tokens", "q"}
+    # the printed report matches the written corpus, and every language
+    # respects the token budget
+    totals = {
+        r["lang"]: (r["n"], r["t"])
+        for r in written.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    for line in lines:
+        lang, n_docs, total_tokens, _qmin, _qmax = line.split("\t")
+        assert totals[lang] == (int(n_docs), int(total_tokens))
+        assert int(total_tokens) <= 5000
