@@ -201,6 +201,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-language token budget: admit best-quality documents "
         "first while the language's running token total fits",
     )
+    curate.add_argument(
+        "--near-dup-threshold", type=float, default=None, metavar="J",
+        help="also collapse NEAR duplicates among survivors: MinHash+LSH "
+        "pairs at this Jaccard threshold, connected components, lowest "
+        "id per cluster kept (prices an LSH self-join; leave unset for "
+        "exact-only curation)",
+    )
     sub.add_parser("version", help="print version")
     return p
 
@@ -222,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
             args.out,
             min_quality=args.min_quality,
             budget_tokens=args.budget_tokens,
+            near_dup_threshold=args.near_dup_threshold,
         )
         print("lang\tn_docs\ttotal_tokens\tmin_quality\tmax_quality")
         for lang, n_docs, total, qmin, qmax in stats:

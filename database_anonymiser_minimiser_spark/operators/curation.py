@@ -53,6 +53,7 @@ def curate_documents(
     df: DataFrame,
     min_quality: float = 0.5,
     budget_tokens: int | None = None,
+    near_dup_threshold: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
@@ -62,13 +63,35 @@ def curate_documents(
     id survives), and — when ``budget_tokens`` is set — a per-language
     greedy token budget: documents are admitted best-quality-first
     (ties -> lowest id) while the language's running token total stays
-    within the budget; the document that would cross it is dropped."""
+    within the budget; the document that would cross it is dropped.
+
+    ``near_dup_threshold`` additionally collapses NEAR duplicates among
+    the exact-dedup survivors: MinHash+LSH pairs at that Jaccard
+    threshold, connected components over the match graph, keep the
+    lowest id per cluster (operators/dedup.py machinery; runs BEFORE the
+    token budget so a budget slot is never spent on a near-copy). The
+    LSH self-join prices this stage — leave it unset for exact-only
+    curation at ingest speed."""
     enriched = enrich_documents(df, text_col, id_col, lang_col)
     filtered = enriched.filter(F.col("q") >= F.lit(min_quality))
     keep_ids = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     survivors = filtered.join(
         keep_ids.select("doc_id"), "doc_id", "left_semi"
     ).drop("fp")
+    if near_dup_threshold is not None:
+        from .dedup import connected_components, minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            survivors.select("doc_id", "text"),
+            threshold=near_dup_threshold,
+        ).selectExpr("doc_a AS id_a", "doc_b AS id_b")
+        clusters = connected_components(
+            pairs, survivors.select(F.col("doc_id").alias("id"))
+        )
+        losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias("doc_id")
+        )
+        survivors = survivors.join(losers, "doc_id", "left_anti")
     if budget_tokens is not None:
         w = (
             Window.partitionBy("lang")
@@ -100,6 +123,7 @@ def run_curation(
     out_dir: str,
     min_quality: float = 0.5,
     budget_tokens: int | None = None,
+    near_dup_threshold: float | None = None,
 ) -> list[tuple]:
     """CLI entry: read a documents parquet, curate, write the surviving
     corpus as parquet (doc_id, lang, text, n_tokens, q), and return the
@@ -108,6 +132,7 @@ def run_curation(
         spark.read.parquet(docs_path),
         min_quality=min_quality,
         budget_tokens=budget_tokens,
+        near_dup_threshold=near_dup_threshold,
     )
     survivors.write.mode("overwrite").parquet(out_dir)
     written = spark.read.parquet(out_dir)

@@ -97,3 +97,25 @@ def test_curate_cli_e2e(tmp_path, capsys):
         lang, n_docs, total_tokens, _qmin, _qmax = line.split("\t")
         assert totals[lang] == (int(n_docs), int(total_tokens))
         assert int(total_tokens) <= 5000
+
+
+def test_curate_near_dup_collapse(spark):
+    """near_dup_threshold collapses NEAR duplicates (one-word edits the
+    exact fingerprint misses) to the lowest cluster id, transitively."""
+    a = GOOD
+    b = GOOD.replace("quick", "swift")      # near-dup of a
+    c = b.replace("lazy", "sleepy")         # near-dup of b (chain -> a)
+    rows = [
+        (10, a, "en"),
+        (11, b, "en"),
+        (12, c, "en"),
+        (13, BETTER + " entirely different tail words here now", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    exact = {r["doc_id"] for r in C.curate_documents(df, 0.5).collect()}
+    assert exact == {10, 11, 12, 13}  # fingerprints all distinct
+    near = {
+        r["doc_id"]
+        for r in C.curate_documents(df, 0.5, near_dup_threshold=0.7).collect()
+    }
+    assert near == {10, 13}  # chain 10~11~12 collapsed to its min id
