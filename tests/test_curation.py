@@ -119,3 +119,59 @@ def test_curate_near_dup_collapse(spark):
         for r in C.curate_documents(df, 0.5, near_dup_threshold=0.7).collect()
     }
     assert near == {10, 13}  # chain 10~11~12 collapsed to its min id
+
+
+# ---------------------------------------------------------------------------
+# Budget fuzz: the greedy per-language token budget vs a pure-Python
+# reference on random corpora (duplicates, quality ties, multi-language)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# words chosen so quality varies: stopword-rich docs score high, junk low
+_VOCAB = ["the", "and", "of", "to", "in", "is", "river", "sun", "zzz", "qq"]
+
+DOCS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # lang index
+        st.lists(
+            st.integers(min_value=0, max_value=len(_VOCAB) - 1),
+            min_size=4,
+            max_size=30,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(DOCS, st.integers(min_value=10, max_value=200))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_curate_budget_fuzz(spark, docs, budget):
+    rows = [
+        (i, " ".join(_VOCAB[w] for w in words), ["en", "de"][lang])
+        for i, (lang, words) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    # reference greedy over the engine's OWN enriched survivors (the
+    # fuzz targets the budget stage, not the quality formula)
+    survivors = C.curate_documents(df, min_quality=0.0).collect()
+    by_lang: dict = {}
+    for r in sorted(survivors, key=lambda r: (r["lang"], -r["q"], r["doc_id"])):
+        acc = by_lang.setdefault(r["lang"], [0, set()])
+        if acc[0] + r["n_tokens"] <= budget:
+            acc[0] += r["n_tokens"]
+            acc[1].add(r["doc_id"])
+    expect = set().union(*(v[1] for v in by_lang.values())) if by_lang else set()
+    got = {
+        r["doc_id"]
+        for r in C.curate_documents(
+            df, min_quality=0.0, budget_tokens=budget
+        ).collect()
+    }
+    assert got == expect
