@@ -283,7 +283,17 @@ def dp_noisy_count(
     Scale shape: ONE map-side-combined groupBy shuffle (identical to the
     plain count); the noise is a per-GROUP literal-table lookup on the
     already-aggregated relation — zero extra shuffles, zero Python."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    key = F.concat_ws(
+        "|",
+        *[
+            # NULL-sentinel coalesce: concat_ws silently DROPS null
+            # columns (separator included), so (NULL, x) and (x, NULL)
+            # would otherwise share one noise draw and the DuckDB twin
+            # (null-propagating ||) would diverge — probed, it did
+            F.coalesce(F.col(c).cast("string"), F.lit("\u2400"))
+            for c in group_cols
+        ],
+    )
     noisy = F.greatest(
         F.lit(0).cast("long"),
         F.count(F.lit(1)).cast("long")
@@ -305,9 +315,11 @@ def duck_dp_noisy_count_sql(
     arr = ", ".join(str(b) for b in breaks)
     cols = ", ".join(group_cols)
     key = (
-        "concat("
-        + " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in group_cols)
-        + f", ':{seed}')"
+        "concat(concat_ws('|', "
+        + ", ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), '\u2400')" for c in group_cols
+        )
+        + f"), ':{seed}')"
     )
     u = _uniform52_duck(key)
     return f"""
@@ -348,7 +360,17 @@ def dp_noisy_sum(
     the aggregated relation — same scale shape as the plain sum."""
     if bound <= 0:
         raise ValueError(f"bound must be a positive integer, got {bound}")
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    key = F.concat_ws(
+        "|",
+        *[
+            # NULL-sentinel coalesce: concat_ws silently DROPS null
+            # columns (separator included), so (NULL, x) and (x, NULL)
+            # would otherwise share one noise draw and the DuckDB twin
+            # (null-propagating ||) would diverge — probed, it did
+            F.coalesce(F.col(c).cast("string"), F.lit("\u2400"))
+            for c in group_cols
+        ],
+    )
     clamped = F.least(
         F.greatest(F.col(value_col).cast("long"), F.lit(0).cast("long")),
         F.lit(int(bound)).cast("long"),
@@ -379,9 +401,11 @@ def duck_dp_noisy_sum_sql(
     arr = ", ".join(str(b) for b in breaks)
     cols = ", ".join(group_cols)
     key = (
-        "concat("
-        + " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in group_cols)
-        + f", ':{seed}')"
+        "concat(concat_ws('|', "
+        + ", ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), '\u2400')" for c in group_cols
+        )
+        + f"), ':{seed}')"
     )
     u = _uniform52_duck(key)
     return f"""

@@ -326,3 +326,37 @@ def test_dp_noisy_sum_release_properties(spark):
     df2 = df.filter(F.col("v") <= 100)
     out3 = {r["g"]: r["noisy_sum"] for r in dp_noisy_sum(df2, ["g"], "v", bound).collect()}
     assert out3["a"] <= out1["a"]
+
+
+def test_dp_null_group_keys_cross_engine(spark):
+    """NULL-valued group keys: concat_ws silently drops null columns, so
+    (NULL, x) and (x, NULL) would share one noise draw and the DuckDB
+    twin (null-propagating ||) diverged — probed before the sentinel
+    coalesce landed. Both engines must now release identical counts for
+    every null/non-null key combination."""
+    import duckdb
+
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        dp_noisy_count,
+        duck_dp_noisy_count_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "x"), (None, "x"), ("b", None), (None, None)],
+        ["g", "h"],
+    )
+    got = sorted(
+        ((r["g"] or ""), (r["h"] or ""), r["noisy_count"])
+        for r in dp_noisy_count(df, ["g", "h"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, h VARCHAR)")
+    con.execute(
+        "INSERT INTO t VALUES ('a','x'), (NULL,'x'), (NULL,'x'), "
+        "('b',NULL), (NULL,NULL)"
+    )
+    want = sorted(
+        ((r[0] or ""), (r[1] or ""), r[2])
+        for r in con.execute(duck_dp_noisy_count_sql("t", ["g", "h"])).fetchall()
+    )
+    assert got == want
