@@ -73,11 +73,18 @@ def build_parser() -> argparse.ArgumentParser:
     sync = sub.add_parser("sync", help="add missing tables to the config")
     sync.add_argument("--truncate", action="store_true")
     sync.add_argument("--dry-run", action="store_true")
-    sub.add_parser(
+    audit = sub.add_parser(
         "audit",
         help="data-quality audit of the export-shaped data: PK "
         "completeness/uniqueness + FK containment (surfaces rows "
         "orphaned by per-table retain rules before you import the dump)",
+    )
+    audit.add_argument(
+        "--preflight", action="store_true",
+        help="parquet connections: also probe every data file's footer "
+        "for corruption BEFORE the relational checks (a corrupt file "
+        "otherwise fails the export at first touch — possibly hours in; "
+        "ignoreCorruptFiles would silently drop its rows instead)",
     )
     scan = sub.add_parser(
         "scan",
@@ -277,8 +284,34 @@ def main(argv: list[str] | None = None) -> int:
         print(f"config: {args.config}", file=sys.stderr)
         print(f"connection: {cfg.connection.type}", file=sys.stderr)
     if args.command == "audit":
-        rows = engine.audit()
         failed = 0
+        if getattr(args, "preflight", False):
+            from .sources.parquet import preflight_parquet_files
+
+            if cfg.connection.type != "parquet":
+                print(
+                    "error: --preflight requires a parquet connection",
+                    file=sys.stderr,
+                )
+                return 2
+            bad = [
+                (r["file"], r["error"])
+                for r in preflight_parquet_files(
+                    engine.spark, cfg.connection.path
+                ).collect()
+                if not r["ok"]
+            ]
+            for f, err in sorted(bad):
+                print(f"FAIL  preflight: {f}: {err}")
+                failed += 1
+            if bad:
+                print(
+                    f"\n{len(bad)} corrupt file(s); fix or quarantine "
+                    "before exporting",
+                    file=sys.stderr,
+                )
+                return 1
+        rows = engine.audit()
         for table, constraint, passed, observed in rows:
             status = "PASS" if passed else "FAIL"
             failed += 0 if passed else 1

@@ -202,3 +202,52 @@ class ParquetSource:
             ]
         tables = set(self.get_tables())
         return [fk for fk in TESTDATA_FOREIGN_KEYS if fk.table in tables]
+
+
+def preflight_parquet_files(spark: SparkSession, root: str | Path):
+    """Distributed corruption preflight over every parquet data file
+    under ``root``: (file, ok, error) — one row per file, errors from a
+    real pyarrow FOOTER+metadata read (opening the file and walking its
+    row-group metadata catches truncation and garbage bytes without
+    decoding column data).
+
+    Why it exists: Spark fails a scan at the first corrupt file it
+    touches — possibly HOURS into a 100 TB export. The alternative knob,
+    ``spark.sql.files.ignoreCorruptFiles``, SILENTLY DROPS the file's
+    rows — a compliance hazard in an anonymisation export (missing rows
+    look identical to retained-away rows). This preflight makes the
+    damaged-file list explicit and cheap BEFORE the export: footer reads
+    only, distributed over the cluster (one task per file batch via
+    mapInPandas on a parallelized path list), so the wall is metadata
+    IO, not data volume."""
+    import glob as _glob
+    import os as _os
+
+    paths = sorted(
+        p
+        for p in _glob.glob(str(Path(root) / "**" / "*"), recursive=True)
+        if _os.path.isfile(p)
+        and not _os.path.basename(p).startswith(("_", "."))
+        and p.endswith(".parquet")
+    )
+
+    def probe(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                try:
+                    meta = pq.ParquetFile(f).metadata
+                    _ = meta.num_rows  # touch the footer fields
+                    out.append((f, True, ""))
+                except Exception as exc:  # noqa: BLE001 - report, not raise
+                    out.append((f, False, str(exc)[:500]))
+            yield pd.DataFrame(out, columns=["file", "ok", "error"])
+
+    files_df = spark.createDataFrame([(p,) for p in paths], "file string")
+    n = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    return files_df.repartition(n).mapInPandas(
+        probe, "file string, ok boolean, error string"
+    )

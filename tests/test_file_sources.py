@@ -141,3 +141,64 @@ def test_parquet_schema_evolution_merges_added_column(spark, tmp_path):
     rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", None)
     assert rows[3] == ("c", 9.5)
+
+
+def test_preflight_flags_exactly_the_corrupt_files(spark, tmp_path):
+    """r11: distributed footer preflight — a 100 TB export must learn
+    about damaged files BEFORE the scan fails hours in (and must never
+    be told to ignoreCorruptFiles, which silently drops rows). One row
+    per data file; only the planted garbage files flag, with a real
+    pyarrow error message."""
+    from database_anonymiser_minimiser_spark.sources.parquet import (
+        preflight_parquet_files,
+    )
+
+    lake = tmp_path / "lake"
+    spark.range(50).selectExpr("id AS pk").write.parquet(
+        str(lake / "users.parquet")
+    )
+    spark.range(5).selectExpr("id AS pk").write.parquet(
+        str(lake / "tiny.parquet")
+    )
+    bad1 = lake / "users.parquet" / "part-99999-garbage.parquet"
+    bad1.write_bytes(b"PAR1 not actually parquet")
+    bad2 = lake / "tiny.parquet" / "part-99998-trunc.parquet"
+    # a truncated copy of a real file: valid magic, broken footer
+    real = next((lake / "tiny.parquet").glob("part-*.parquet"))
+    bad2.write_bytes(real.read_bytes()[:40])
+
+    rows = preflight_parquet_files(spark, lake).collect()
+    by_file = {r["file"]: r for r in rows}
+    flagged = {f for f, r in by_file.items() if not r["ok"]}
+    assert flagged == {str(bad1), str(bad2)}
+    assert all(by_file[f]["error"] for f in flagged)
+    # every healthy data file is present and ok
+    healthy = {f for f, r in by_file.items() if r["ok"]}
+    assert all(f.endswith(".parquet") for f in healthy)
+    assert len(healthy) >= 2
+
+
+def test_audit_preflight_cli(spark, tmp_path, capsys):
+    """CLI contract: --preflight exits 1 listing the corrupt file and
+    skips the relational audit; a clean lake proceeds to PK checks."""
+    from database_anonymiser_minimiser_spark.cli import main
+
+    lake = tmp_path / "lake2"
+    spark.range(20).selectExpr("id AS pk").write.parquet(
+        str(lake / "users.parquet")
+    )
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"connection: {{type: parquet, path: {lake}}}\n"
+        "configuration:\n  users: {primary_key: pk}\n"
+    )
+    assert main(["-c", str(cfg), "audit", "--preflight"]) == 0
+    out_clean = capsys.readouterr().out
+    assert "PASS  users: unique(pk)" in out_clean
+
+    bad = lake / "users.parquet" / "part-z-garbage.parquet"
+    bad.write_bytes(b"junk")
+    assert main(["-c", str(cfg), "audit", "--preflight"]) == 1
+    out_dirty = capsys.readouterr().out
+    assert f"FAIL  preflight: {bad}" in out_dirty
+    assert "PASS  users" not in out_dirty  # relational audit skipped
