@@ -209,6 +209,13 @@ def build_parser() -> argparse.ArgumentParser:
         "first while the language's running token total fits",
     )
     curate.add_argument(
+        "--landed", default=None, metavar="DIR",
+        help="previously-curated parquet corpus: run INCREMENTALLY, "
+        "excluding delta documents whose normalised fingerprint is "
+        "already landed (the daily-crawl shape; the landed corpus is "
+        "never reprocessed beyond one fingerprint projection)",
+    )
+    curate.add_argument(
         "--near-dup-threshold", type=float, default=None, metavar="J",
         help="also collapse NEAR duplicates among survivors: MinHash+LSH "
         "pairs at this Jaccard threshold, connected components, lowest "
@@ -237,6 +244,7 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             budget_tokens=args.budget_tokens,
             near_dup_threshold=args.near_dup_threshold,
+            landed_path=args.landed,
         )
         print("lang\tn_docs\ttotal_tokens\tmin_quality\tmax_quality")
         for lang, n_docs, total, qmin, qmax in stats:

@@ -54,6 +54,7 @@ def curate_documents(
     min_quality: float = 0.5,
     budget_tokens: int | None = None,
     near_dup_threshold: float | None = None,
+    landed: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
@@ -71,9 +72,24 @@ def curate_documents(
     lowest id per cluster (operators/dedup.py machinery; runs BEFORE the
     token budget so a budget slot is never spent on a near-copy). The
     LSH self-join prices this stage — leave it unset for exact-only
-    curation at ingest speed."""
+    curation at ingest speed.
+
+    ``landed`` makes the run INCREMENTAL: a previously-curated corpus
+    (any DataFrame with a text column) whose normalised fingerprints are
+    excluded from the delta by an anti join — the daily shape: curate
+    today's crawl against everything already admitted without
+    reprocessing it (one fingerprint-projection scan of the landed side;
+    at index scale, persist the fingerprints instead of re-deriving —
+    the same trade the MinHash index makes)."""
     enriched = enrich_documents(df, text_col, id_col, lang_col)
     filtered = enriched.filter(F.col("q") >= F.lit(min_quality))
+    if landed is not None:
+        landed_fp = landed.select(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(text_col))), r"\s+", " "
+            ).alias("fp")
+        )
+        filtered = filtered.join(landed_fp, "fp", "left_anti")
     keep_ids = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     survivors = filtered.join(
         keep_ids.select("doc_id"), "doc_id", "left_semi"
@@ -124,15 +140,20 @@ def run_curation(
     min_quality: float = 0.5,
     budget_tokens: int | None = None,
     near_dup_threshold: float | None = None,
+    landed_path: str | None = None,
 ) -> list[tuple]:
-    """CLI entry: read a documents parquet, curate, write the surviving
-    corpus as parquet (doc_id, lang, text, n_tokens, q), and return the
-    per-language stats rows sorted by language."""
+    """CLI entry: read a documents parquet, curate (incrementally vs
+    ``landed_path`` when given), write the surviving corpus as parquet
+    (doc_id, lang, text, n_tokens, q), and return the per-language stats
+    rows sorted by language."""
     survivors = curate_documents(
         spark.read.parquet(docs_path),
         min_quality=min_quality,
         budget_tokens=budget_tokens,
         near_dup_threshold=near_dup_threshold,
+        landed=(
+            spark.read.parquet(landed_path) if landed_path is not None else None
+        ),
     )
     survivors.write.mode("overwrite").parquet(out_dir)
     written = spark.read.parquet(out_dir)

@@ -175,3 +175,48 @@ def test_curate_budget_fuzz(spark, docs, budget):
         ).collect()
     }
     assert got == expect
+
+
+def test_curate_incremental_vs_landed(spark, tmp_path):
+    """landed= makes curation incremental: a delta document whose
+    normalised text already landed is excluded; genuinely new documents
+    pass. Whitespace/case differences must still match (normalised
+    fingerprint, not raw equality)."""
+    landed = spark.createDataFrame([(0, GOOD, "en")], ["doc_id", "text", "lang"])
+    delta = spark.createDataFrame(
+        [
+            (100, "  " + GOOD.upper() + " ", "en"),  # normalises to landed
+            (101, BETTER, "en"),                       # new
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {
+        r["doc_id"]
+        for r in C.curate_documents(delta, 0.5, landed=landed).collect()
+    }
+    assert got == {101}
+
+
+def test_curate_cli_incremental(tmp_path, capsys):
+    from database_anonymiser_minimiser_spark.cli import main
+    from database_anonymiser_minimiser_spark.session import get_spark
+
+    spark = get_spark()
+    first_out = str(tmp_path / "day1")
+    rc = main([
+        "curate",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", first_out, "--min-quality", "0.5",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    # day 2 = the same corpus again: everything already landed
+    second_out = str(tmp_path / "day2")
+    rc = main([
+        "curate",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", second_out, "--min-quality", "0.5",
+        "--landed", first_out,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(second_out).count() == 0
