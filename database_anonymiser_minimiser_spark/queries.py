@@ -1133,6 +1133,43 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(bucket < 10).select("c_custkey", "c_name")
 
 
+@register(
+    "sample_k_per_lang",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY
+          CAST(list_reduce(list_transform(generate_series(1, 15),
+            i -> strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+            (a, b) -> a * 16 + b) % 1048576 AS BIGINT), doc_id) AS rn
+      FROM documents) WHERE rn <= 25
+    """,
+)
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k per-group sample (eval-set construction:
+    exactly 25 docs per language, stable across runs/engines/retries) —
+    the per-group counterpart of the rate-based stratified sampler,
+    whose group sizes are only k in expectation. Order within a group is
+    the 20-bit md5 hash of the id (the exactly-uniform draw from
+    sample_weighted_by_length), ties broken by id, so the selection is a
+    uniform without-replacement sample per group, reproducible and
+    engine-neutral. One window shuffle keyed on the group; at a hot
+    group the two-phase top-k (per-partition prune first) is the
+    documented escalation, same as corpus_mix_budget."""
+    docs = load(spark, sf_dir, "documents")
+    h20 = F.expr(
+        "CAST(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1048576 AS BIGINT)"
+    )
+    w = Window.partitionBy("lang").orderBy(h20.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "lang")
+    )
+
+
 # per-language keep-rates (percent) for corpus rebalancing: downsample the
 # dominant language, keep the rest whole. Mirrored literally in the oracle.
 _STRATA_RATES = {"en": 40, "de": 100, "es": 100, "fr": 100, "zh": 100}
