@@ -307,3 +307,78 @@ def duck_bigram_novelty_sql(table: str = "documents") -> str:
     FROM dist JOIN bdf USING (bg) JOIN tot t USING (doc_id)
     GROUP BY t.doc_id, t.n_bigrams
     """
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping (web-crawl ingest: boilerplate/tag removal)
+# ---------------------------------------------------------------------------
+
+# order matters and is part of the cross-engine contract: script/style
+# BLOCKS go first (their text content must not leak into the clean text),
+# then remaining tags, then a fixed entity-decode table, then whitespace
+# collapse. All regex constructs used ((?is), lazy .*?, classes) mean the
+# same thing in Java regex (Spark) and RE2 (DuckDB).
+# no backreference (</\1>) — RE2 (DuckDB) does not support them
+_MARKUP_BLOCKS = [
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+]
+_MARKUP_TAGS = r"(?s)<[^>]*>"
+_ENTITY_TABLE = [
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+]
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Strip HTML/XML markup from ``text_col`` — the extraction step a
+    web-crawl corpus needs before any text operator sees it: script and
+    style blocks removed WITH their contents, remaining tags removed,
+    the six standard entities decoded, whitespace collapsed.
+
+    Returns (id, clean, n_tags, n_entities); counts are taken on the
+    original text (auditability: how markup-heavy was the page). Pure
+    JVM regexp/replace chain — whole-stage codegen, no Python, mirrored
+    exactly by :func:`duck_strip_markup_sql`."""
+    text = F.col(text_col)
+    n_tags = F.regexp_count(text, F.lit(_MARKUP_TAGS)).cast("long")
+    n_entities = F.regexp_count(
+        text, F.lit(r"&[a-z]+;|&#[0-9]+;")
+    ).cast("long")
+    clean = text
+    for block in _MARKUP_BLOCKS:
+        clean = F.regexp_replace(clean, block, " ")
+    clean = F.regexp_replace(clean, _MARKUP_TAGS, " ")
+    for ent, ch in _ENTITY_TABLE:
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean"),
+        n_tags.alias("n_tags"),
+        n_entities.alias("n_entities"),
+    )
+
+
+def duck_strip_markup_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`strip_markup` (same pattern order; DuckDB
+    regexp_replace needs the explicit 'g' flag Spark applies always)."""
+    clean = text_expr
+    for block in _MARKUP_BLOCKS:
+        clean = f"regexp_replace({clean}, '{block}', ' ', 'g')"
+    clean = f"regexp_replace({clean}, '{_MARKUP_TAGS}', ' ', 'g')"
+    for ent, ch in _ENTITY_TABLE:
+        lit = ch.replace("'", "''")
+        clean = f"replace({clean}, '{ent}', '{lit}')"
+    clean = f"trim(regexp_replace({clean}, '\\s+', ' ', 'g'))"
+    return (
+        f"SELECT {id_expr} AS doc_id, {clean} AS clean, "
+        f"CAST(len(regexp_extract_all({text_expr}, '{_MARKUP_TAGS}')) AS BIGINT) AS n_tags, "
+        f"CAST(len(regexp_extract_all({text_expr}, '&[a-z]+;|&#[0-9]+;')) AS BIGINT) AS n_entities"
+    )

@@ -3189,6 +3189,50 @@ def q_scrub_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(_salted_docs(spark, sf_dir), "salted", "doc_id")
 
 
+# Wrap every document in deterministic HTML (tags, attributes, a script
+# block that must vanish WITH its contents, entities) so the stripper is
+# exercised on every row — the synthetic corpus is plain text. Built
+# identically in both engines.
+_MARKUP_DUCK = (
+    "'<html><body class=\"m' || CAST(doc_id % 7 AS VARCHAR) || '\">"
+    "<script>var page=' || CAST(doc_id AS VARCHAR) || ';</script><p>' "
+    "|| text || ' &amp; more &lt;here&gt;</p></body></html>'"
+)
+
+
+def _markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").withColumn(
+        "page",
+        F.concat(
+            F.lit('<html><body class="m'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('"><script>var page='),
+            F.col("doc_id").cast("string"),
+            F.lit(";</script><p>"),
+            F.col("text"),
+            F.lit(" &amp; more &lt;here&gt;</p></body></html>"),
+        ),
+    )
+
+
+def _strip_markup_oracle() -> str:
+    from .operators.textstats import duck_strip_markup_sql
+
+    return duck_strip_markup_sql(f"({_MARKUP_DUCK})") + " FROM documents"
+
+
+@register("text_strip_markup", _strip_markup_oracle())
+def q_text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping — the web-crawl extraction step before any text
+    operator runs: script blocks removed with their CONTENTS, tags
+    removed, entities decoded, whitespace collapsed, plus per-page tag/
+    entity counts for a markup-density audit. Pure regexp chain in
+    whole-stage codegen, no shuffle: scan-bound at 100 TB."""
+    from .operators.textstats import strip_markup
+
+    return strip_markup(_markup_docs(spark, sf_dir), "page", "doc_id")
+
+
 # PII discovery: which columns hold PII, and which faker rule to suggest.
 # Profiled surface: the salted documents text (content detectors fire on
 # every row), customer (name-heuristic regime) and events (clean columns —

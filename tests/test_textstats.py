@@ -29,3 +29,31 @@ def test_bigram_novelty_repeated_bigram_counts_once(spark):
     r = TS.bigram_novelty(df).collect()[0]
     # bigrams: "a b","b a","a b","b a" -> 4 total, 2 distinct, both novel
     assert (r["n_bigrams"], r["n_distinct"], r["n_novel"]) == (4, 2, 2)
+
+
+def test_strip_markup_semantics(spark):
+    """Script/style contents must VANISH (not leak as text), tags strip,
+    the six standard entities decode, whitespace collapses — and the
+    counts audit the original page."""
+    from database_anonymiser_minimiser_spark.operators.textstats import (
+        strip_markup,
+    )
+
+    rows = [
+        (0, '<p>hello <b>world</b></p>'),
+        (1, '<script type="x">SECRET()</script>visible'),
+        (2, '<STYLE>body{color:red}</STYLE>shown'),
+        (3, 'a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f'),
+        (4, 'plain   text\n\nonly'),
+        (5, '<div\nclass="multi\nline">across</div>'),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in strip_markup(df).collect()}
+    assert got[0]["clean"] == "hello world"
+    assert got[0]["n_tags"] == 4
+    assert got[1]["clean"] == "visible" and "SECRET" not in got[1]["clean"]
+    assert got[2]["clean"] == "shown"  # case-insensitive style block
+    assert got[3]["clean"] == "a & b <c> \"d\" 'e' f"
+    assert got[3]["n_entities"] == 8
+    assert got[4]["clean"] == "plain text only"
+    assert got[5]["clean"] == "across"  # tag spanning newlines
