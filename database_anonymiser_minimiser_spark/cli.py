@@ -209,6 +209,12 @@ def build_parser() -> argparse.ArgumentParser:
         "first while the language's running token total fits",
     )
     curate.add_argument(
+        "--strip-markup", action="store_true",
+        help="strip HTML/XML markup from the text before curation "
+        "(script/style blocks removed with contents, tags stripped, "
+        "entities decoded) — the crawled-page ingest shape",
+    )
+    curate.add_argument(
         "--landed", default=None, metavar="DIR",
         help="previously-curated parquet corpus: run INCREMENTALLY, "
         "excluding delta documents whose normalised fingerprint is "
@@ -245,6 +251,7 @@ def main(argv: list[str] | None = None) -> int:
             budget_tokens=args.budget_tokens,
             near_dup_threshold=args.near_dup_threshold,
             landed_path=args.landed,
+            strip_markup=args.strip_markup,
         )
         print("lang\tn_docs\ttotal_tokens\tmin_quality\tmax_quality")
         for lang, n_docs, total, qmin, qmax in stats:

@@ -55,6 +55,7 @@ def curate_documents(
     budget_tokens: int | None = None,
     near_dup_threshold: float | None = None,
     landed: DataFrame | None = None,
+    strip_markup: bool = False,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
@@ -80,7 +81,16 @@ def curate_documents(
     today's crawl against everything already admitted without
     reprocessing it (one fingerprint-projection scan of the landed side;
     at index scale, persist the fingerprints instead of re-deriving —
-    the same trade the MinHash index makes)."""
+    the same trade the MinHash index makes).
+
+    ``strip_markup=True`` runs the HTML/XML extraction expression
+    (textstats.strip_markup_expr) over the text FIRST, so quality,
+    fingerprints, token counts, shingles and the written corpus all see
+    extracted text, never tag soup — the crawled-page ingest shape."""
+    if strip_markup:
+        from .textstats import strip_markup_expr
+
+        df = df.withColumn(text_col, strip_markup_expr(F.col(text_col)))
     enriched = enrich_documents(df, text_col, id_col, lang_col)
     filtered = enriched.filter(F.col("q") >= F.lit(min_quality))
     if landed is not None:
@@ -141,6 +151,7 @@ def run_curation(
     budget_tokens: int | None = None,
     near_dup_threshold: float | None = None,
     landed_path: str | None = None,
+    strip_markup: bool = False,
 ) -> list[tuple]:
     """CLI entry: read a documents parquet, curate (incrementally vs
     ``landed_path`` when given), write the surviving corpus as parquet
@@ -154,6 +165,7 @@ def run_curation(
         landed=(
             spark.read.parquet(landed_path) if landed_path is not None else None
         ),
+        strip_markup=strip_markup,
     )
     survivors.write.mode("overwrite").parquet(out_dir)
     written = spark.read.parquet(out_dir)

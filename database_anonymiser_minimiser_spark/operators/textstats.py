@@ -351,19 +351,25 @@ def strip_markup(
     n_entities = F.regexp_count(
         text, F.lit(r"&[a-z]+;|&#[0-9]+;")
     ).cast("long")
+    return df.select(
+        F.col(id_col),
+        strip_markup_expr(text).alias("clean"),
+        n_tags.alias("n_tags"),
+        n_entities.alias("n_entities"),
+    )
+
+
+def strip_markup_expr(text: Column) -> Column:
+    """The clean-text expression of :func:`strip_markup` alone — for
+    composing into other pipelines (e.g. curation's --strip-markup
+    pre-step) without restructuring their columns."""
     clean = text
     for block in _MARKUP_BLOCKS:
         clean = F.regexp_replace(clean, block, " ")
     clean = F.regexp_replace(clean, _MARKUP_TAGS, " ")
     for ent, ch in _ENTITY_TABLE:
         clean = F.replace(clean, F.lit(ent), F.lit(ch))
-    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
-    return df.select(
-        F.col(id_col),
-        clean.alias("clean"),
-        n_tags.alias("n_tags"),
-        n_entities.alias("n_entities"),
-    )
+    return F.trim(F.regexp_replace(clean, r"\s+", " "))
 
 
 def duck_strip_markup_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:

@@ -220,3 +220,20 @@ def test_curate_cli_incremental(tmp_path, capsys):
     ])
     assert rc == 0
     assert spark.read.parquet(second_out).count() == 0
+
+
+def test_curate_strip_markup_prestep(spark):
+    """--strip-markup: quality, fingerprint dedup, and the written text
+    all see EXTRACTED text — two pages with identical content but
+    different tag soup must collapse to one survivor with clean text."""
+    page_a = f'<html><script>var x=1;</script><p>{GOOD}</p></html>'
+    page_b = f'<div class="other"><b>{GOOD}</b></div>'
+    df = spark.createDataFrame(
+        [(0, page_a, "en"), (1, page_b, "en")], ["doc_id", "text", "lang"]
+    )
+    got = C.curate_documents(df, 0.5, strip_markup=True).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 0
+    assert got[0]["text"] == GOOD  # extracted, not tag soup
+    # without stripping, the raw pages do NOT collapse (different markup)
+    raw = C.curate_documents(df, 0.0).collect()
+    assert len(raw) == 2
