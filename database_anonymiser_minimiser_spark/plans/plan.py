@@ -44,7 +44,7 @@ _WIDE_CODEGEN_MAX = 200
 
 class _wide_codegen:
     """Raise spark.sql.codegen.maxFields for the duration of an export
-    whose widest masked table is in the (100, 400] win window; restore
+    whose widest masked table is in the (100, 200] win window; restore
     the previous value after. Narrow tables are unaffected by a raised
     limit (maxFields only gates whether codegen is ATTEMPTED for plans
     wider than it), so one export-wide setting equals the per-table

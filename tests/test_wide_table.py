@@ -85,7 +85,7 @@ def test_wide_anonymise_is_one_projection(spark):
 
 def test_wide_codegen_window_and_restore(spark):
     """_wide_codegen raises maxFields only inside the measured
-    (100, 400] win window and always restores the prior conf."""
+    (100, 200] win window and always restores the prior conf."""
     key = "spark.sql.codegen.maxFields"
     prev = spark.conf.get(key, None)
     try:
