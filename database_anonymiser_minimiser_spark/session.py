@@ -148,7 +148,16 @@ def deployment_profile(
     target_bytes = target_partition_mb * 1024 * 1024
     shuffle_parts = max(2 * total_cores, total_input_bytes // target_bytes)
     overhead_mb = max(2048, int(executor_mem_gb * 1024 * 0.25))
-    return {
+    # Spill-merge buffer wall (r11, tools/bench_lowmem.py): merging a
+    # heavy spill pass opens a ReadAheadInputStream PER SPILL FILE, each
+    # a multi-MB non-spillable heap buffer — at sf1 the degenerate
+    # ngram regime OOM'd a 1 GB JVM in HashAggregate.finishAggregate on
+    # exactly these allocations (at 2 GB too), and completed in 70 s
+    # with read-ahead off. Below ~1 GB heap per task slot the merge
+    # throughput the buffers buy cannot be worth an OOM; above it the
+    # default stays.
+    mem_per_task_mb = (executor_mem_gb * 1024) // max(1, cores_per_executor)
+    conf = {
         "spark.executor.instances": str(executors),
         "spark.executor.cores": str(cores_per_executor),
         "spark.executor.memory": f"{executor_mem_gb}g",
@@ -180,3 +189,6 @@ def deployment_profile(
         ),
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     }
+    if mem_per_task_mb < 1024:
+        conf["spark.unsafe.sorter.spill.read.ahead.enabled"] = "false"
+    return conf

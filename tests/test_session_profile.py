@@ -102,3 +102,20 @@ def test_get_spark_reuses_session_from_other_thread(spark):
     t.start()
     t.join()
     assert out["session"] is spark
+
+
+def test_profile_disables_spill_readahead_below_1g_per_task():
+    """r11 memory-envelope finding: spill-merge ReadAheadInputStream
+    buffers are non-spillable heap and OOM'd a small-heap JVM in the
+    heavy-spill regime (tools/bench_lowmem.py, sf1); below 1 GB/task the
+    profile turns read-ahead off, above it the default stays."""
+    from database_anonymiser_minimiser_spark.session import deployment_profile
+
+    tight = deployment_profile(
+        10**12, executors=100, cores_per_executor=8, executor_mem_gb=4
+    )
+    assert tight["spark.unsafe.sorter.spill.read.ahead.enabled"] == "false"
+    roomy = deployment_profile(
+        10**12, executors=100, cores_per_executor=4, executor_mem_gb=16
+    )
+    assert "spark.unsafe.sorter.spill.read.ahead.enabled" not in roomy
