@@ -157,6 +157,22 @@ def run_curation(
     ``landed_path`` when given), write the surviving corpus as parquet
     (doc_id, lang, text, n_tokens, q), and return the per-language stats
     rows sorted by language."""
+    import os
+
+    norm = lambda p: os.path.normpath(os.path.abspath(p))  # noqa: E731
+    if landed_path is not None and norm(landed_path) == norm(out_dir):
+        # overwrite-while-reading: the write would destroy the landed
+        # corpus mid-scan (Spark may also fail lazily halfway). Fail
+        # loudly up front instead.
+        raise ValueError(
+            "curate: --out must differ from --landed (writing over the "
+            "corpus being read); write to a new directory and swap after"
+        )
+    if norm(docs_path) == norm(out_dir):
+        raise ValueError(
+            "curate: --out must differ from --docs (writing over the "
+            "corpus being read); write to a new directory and swap after"
+        )
     survivors = curate_documents(
         spark.read.parquet(docs_path),
         min_quality=min_quality,

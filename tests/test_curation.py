@@ -237,3 +237,21 @@ def test_curate_strip_markup_prestep(spark):
     # without stripping, the raw pages do NOT collapse (different markup)
     raw = C.curate_documents(df, 0.0).collect()
     assert len(raw) == 2
+
+
+def test_curate_refuses_self_overwrite(spark, tmp_path):
+    """--out == --landed (or --docs) would destroy the corpus being
+    read mid-scan; the CLI entry fails loudly up front."""
+    import pytest
+
+    from database_anonymiser_minimiser_spark.operators.curation import (
+        run_curation,
+    )
+
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame([(0, GOOD, "en")], ["doc_id", "text", "lang"]) \
+        .write.parquet(d)
+    with pytest.raises(ValueError, match="--out must differ from --landed"):
+        run_curation(spark, d, d + "/", landed_path=d)
+    with pytest.raises(ValueError, match="--out must differ from --docs"):
+        run_curation(spark, d, d)
