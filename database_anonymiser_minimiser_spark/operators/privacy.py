@@ -419,3 +419,67 @@ def duck_dp_noisy_sum_sql(
         * {bound} AS {alias}
     FROM agg
     """
+
+
+def dp_noisy_avg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bound: int,
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_avg",
+) -> DataFrame:
+    """Per-group MEAN released under differential privacy as the ratio
+    of the two integer releases (:func:`dp_noisy_sum` over
+    :func:`dp_noisy_count`) — the standard composed-mean mechanism.
+    Privacy accounting is stated, not hidden: the sum and the count each
+    spend ``epsilon``, so the released mean costs 2*epsilon under
+    sequential composition (both draws use distinct seeds derived from
+    ``seed``). The division is post-processing (free), computed
+    bigint/bigint in IEEE double — one exactly-rounded operation, so
+    cross-engine bit-identical like the integer releases themselves.
+    Groups whose noisy count clamps to 0 release NULL (no denominator;
+    also the honest signal that the group was too small to survive the
+    noise)."""
+    s = dp_noisy_sum(
+        df, group_cols, value_col, bound, epsilon, seed + ":sum", "_s"
+    )
+    c = dp_noisy_count(df, group_cols, epsilon, seed + ":count", "_c")
+    joined = s.join(c, group_cols)
+    return joined.select(
+        *group_cols,
+        F.when(
+            F.col("_c") > 0,
+            F.col("_s").cast("double") / F.col("_c").cast("double"),
+        ).alias(alias),
+    )
+
+
+def duck_dp_noisy_avg_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    bound: int,
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_avg",
+) -> str:
+    """DuckDB twin of :func:`dp_noisy_avg`."""
+    cols = ", ".join(group_cols)
+    s = duck_dp_noisy_sum_sql(
+        table, group_cols, value_col, bound, epsilon, seed + ":sum", "_s"
+    )
+    c = duck_dp_noisy_count_sql(
+        table, group_cols, epsilon, seed + ":count", "_c"
+    )
+    on = " AND ".join(
+        f"s.{g} IS NOT DISTINCT FROM c.{g}" for g in group_cols
+    )
+    scols = ", ".join(f"s.{g}" for g in group_cols)
+    return f"""
+    SELECT {scols},
+      CASE WHEN c._c > 0
+           THEN CAST(s._s AS DOUBLE) / CAST(c._c AS DOUBLE) END AS {alias}
+    FROM ({s}) s JOIN ({c}) c ON {on}
+    """

@@ -2110,6 +2110,24 @@ def q_privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "privacy_dp_noisy_avg",
+    _priv.duck_dp_noisy_avg_sql(
+        "lineitem", ["l_returnflag"], "l_quantity", bound=50, epsilon=1.0
+    ),
+)
+def q_privacy_dp_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag mean quantity under DP: the composed-mean
+    mechanism (noisy sum / noisy count, 2*epsilon total — accounting
+    stated in operators/privacy.py:dp_noisy_avg); the division is
+    post-processing, one exactly-rounded IEEE double op, so the release
+    stays bit-identical cross-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    return _priv.dp_noisy_avg(
+        li, ["l_returnflag"], "l_quantity", bound=50, epsilon=1.0
+    )
+
+
 # ===========================================================================
 # As-of (point-in-time) join
 # ===========================================================================

@@ -360,3 +360,25 @@ def test_dp_null_group_keys_cross_engine(spark):
         for r in con.execute(duck_dp_noisy_count_sql("t", ["g", "h"])).fetchall()
     )
     assert got == want
+
+
+def test_dp_noisy_avg_null_on_clamped_count(spark):
+    """A group whose noisy count clamps to 0 releases NULL, not a
+    division error — and the released means are deterministic."""
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        dp_noisy_avg,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(300).select(
+        F.col("id").alias("g"), (F.col("id") % 7).alias("v")
+    )
+    # epsilon tiny -> size-1 groups frequently clamp to zero count
+    out1 = {r["g"]: r["noisy_avg"]
+            for r in dp_noisy_avg(df, ["g"], "v", bound=7, epsilon=0.05).collect()}
+    out2 = {r["g"]: r["noisy_avg"]
+            for r in dp_noisy_avg(df, ["g"], "v", bound=7, epsilon=0.05).collect()}
+    assert out1 == out2
+    assert len(out1) == 300
+    assert any(v is None for v in out1.values())  # clamp -> NULL path hit
+    assert all(v is None or v >= 0.0 for v in out1.values())
