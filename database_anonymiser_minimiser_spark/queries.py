@@ -6245,6 +6245,119 @@ _RESAMPLE_PERSISTS: list[DataFrame] = []
 
 
 @register(
+    "events_interpolate_hourly",
+    """
+    WITH m AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+        CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS VARCHAR) AS DOUBLE) / count(*) AS y
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM m),
+    grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             FROM b),
+    types AS (SELECT DISTINCT event_type FROM m),
+    g AS (SELECT grid.h, t.event_type, m.y
+          FROM grid CROSS JOIN types t
+          LEFT JOIN m ON m.h = grid.h AND m.event_type = t.event_type),
+    w AS (
+      SELECT h, event_type, y,
+        last_value(y IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS py,
+        last_value(CASE WHEN y IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(y IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ny,
+        first_value(CASE WHEN y IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM g)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      CASE
+        WHEN y IS NOT NULL THEN y
+        WHEN py IS NOT NULL AND ny IS NOT NULL THEN
+          py + (ny - py) * (CAST(epoch(h) - epoch(ph) AS DOUBLE)
+                            / CAST(epoch(nh) - epoch(ph) AS DOUBLE))
+      END AS value_interp,
+      y IS NOT NULL AS is_observed
+    FROM w
+    """,
+)
+def q_events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES LINEAR INTERPOLATION over the dense hourly grid
+    (TimescaleDB-style ``interpolate``): hours with no observations for
+    a type get the straight line between the bracketing observed hourly
+    means; edge gaps (before the first / after the last observation of
+    the type) stay NULL — honest missing data, not an invented plateau.
+
+    Exactness: hourly means use the decimal-sum -> string -> double
+    idiom (order-independent, cross-engine bit-identical — see
+    zscore_events_exact); the interpolation itself is a handful of IEEE
+    double ops on those doubles and integer epochs, identical in both
+    engines. Scale shape: one corpus scan into the calendar-bounded
+    sparse aggregate; grid and gap-fill joins broadcast; the four
+    IGNORE-NULLS windows shuffle only grid-sized rows keyed by type."""
+    ev = load(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,6)")
+    m = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
+        .agg(
+            (
+                F.sum(d).cast("decimal(38,6)").cast("string").cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+        .persist()
+    )
+    _RESAMPLE_PERSISTS.append(m)
+    m.count()
+    bounds = m.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = m.select("event_type").distinct()
+    g = grid.crossJoin(types).join(m, ["h", "event_type"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("y").isNotNull(), F.col("h"))
+    w = g.select(
+        "h",
+        "event_type",
+        "y",
+        F.last("y", ignorenulls=True).over(wp).alias("py"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("y", ignorenulls=True).over(wn).alias("ny"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    frac = (F.unix_timestamp("h") - F.unix_timestamp("ph")).cast("double") / (
+        F.unix_timestamp("nh") - F.unix_timestamp("ph")
+    ).cast("double")
+    interp = (
+        F.when(F.col("y").isNotNull(), F.col("y"))
+        .when(
+            F.col("py").isNotNull() & F.col("ny").isNotNull(),
+            F.col("py") + (F.col("ny") - F.col("py")) * frac,
+        )
+    )
+    return w.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        interp.alias("value_interp"),
+        F.col("y").isNotNull().alias("is_observed"),
+    )
+
+
+@register(
     "events_resample_hourly_dense",
     """
     WITH c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

@@ -57,3 +57,34 @@ def test_strip_markup_semantics(spark):
     assert got[3]["n_entities"] == 8
     assert got[4]["clean"] == "plain text only"
     assert got[5]["clean"] == "across"  # tag spanning newlines
+
+
+def test_interpolate_hourly_math(spark, sf_dir):
+    """Pin the interpolation semantics on the real corpus: observed
+    hours pass through exactly; every interior gap is the straight line
+    between its bracketing observed means; edge gaps are NULL."""
+    from database_anonymiser_minimiser_spark.queries import QUERIES
+
+    rows = QUERIES["events_interpolate_hourly"](spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert len(by_type) >= 2
+    interpolated = 0
+    for series in by_type.values():
+        series.sort(key=lambda r: r["hour"])
+        obs_idx = [i for i, r in enumerate(series) if r["is_observed"]]
+        first, last = obs_idx[0], obs_idx[-1]
+        for i, r in enumerate(series):
+            if r["is_observed"]:
+                continue
+            if i < first or i > last:
+                assert r["value_interp"] is None  # edge gap
+                continue
+            interpolated += 1
+            p = max(j for j in obs_idx if j < i)
+            n = min(j for j in obs_idx if j > i)
+            py, ny = series[p]["value_interp"], series[n]["value_interp"]
+            expect = py + (ny - py) * ((i - p) / (n - p))
+            assert abs(r["value_interp"] - expect) < 1e-9
+    assert interpolated > 0  # the corpus actually exercises the path
