@@ -157,6 +157,22 @@ SHOWCASE = [
         "so the quarter's lineitem pass runs once; max re-aggregates "
         "the cached partials and broadcasts back as a 1-row filter.",
     ),
+    (
+        "privacy_dp_noisy_counts",
+        "DP release costs NOTHING over the plain count: one map-side-"
+        "combined groupBy Exchange, then the geometric noise is a "
+        "literal-table lookup computed ON the aggregated relation - "
+        "no extra shuffle, no Python, released values integer-exact "
+        "cross-engine.",
+    ),
+    (
+        "events_interpolate_hourly",
+        "Gap-fill interpolation touches the corpus ONCE: the sparse "
+        "hourly aggregate is persisted and calendar-bounded, the dense "
+        "grid and type list derive from it (no second scan), fills "
+        "join as broadcasts, and the IGNORE-NULLS windows shuffle only "
+        "grid-sized rows keyed by type.",
+    ),
 ]
 
 
