@@ -209,6 +209,13 @@ def build_parser() -> argparse.ArgumentParser:
         "first while the language's running token total fits",
     )
     curate.add_argument(
+        "--budget-mode", default="prefix", choices=["prefix", "greedy"],
+        help="budget admission rule: prefix = stop at the first document "
+        "that would cross the budget (scale-clean window); greedy = skip "
+        "it and keep filling down the quality order (tighter fill, one "
+        "grouped-map pass per language)",
+    )
+    curate.add_argument(
         "--strip-markup", action="store_true",
         help="strip HTML/XML markup from the text before curation "
         "(script/style blocks removed with contents, tags stripped, "
@@ -249,6 +256,7 @@ def main(argv: list[str] | None = None) -> int:
             args.out,
             min_quality=args.min_quality,
             budget_tokens=args.budget_tokens,
+            budget_mode=args.budget_mode,
             near_dup_threshold=args.near_dup_threshold,
             landed_path=args.landed,
             strip_markup=args.strip_markup,

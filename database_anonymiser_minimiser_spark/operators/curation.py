@@ -16,10 +16,9 @@ Scale shape, in order:
    semi join back by id to recover full rows (statistics-driven:
    broadcast while the survivor-id relation is small),
 4. optional per-language token budget: rank by (quality desc, id)
-   within language, keep while the running token total fits — a
-   window keyed on language (language cardinality is small; a single
-   hot language is the documented two-phase-top-N escalation, same as
-   ``corpus_mix_budget``),
+   within language and admit under the named budget_mode — "prefix"
+   (window cumulative sum, scale-clean default) or "greedy"
+   (skip-and-continue, one applyInPandas pass per language),
 5. stats = one rollup over the collapsed survivors.
 """
 
@@ -53,6 +52,7 @@ def curate_documents(
     df: DataFrame,
     min_quality: float = 0.5,
     budget_tokens: int | None = None,
+    budget_mode: str = "prefix",
     near_dup_threshold: float | None = None,
     landed: DataFrame | None = None,
     strip_markup: bool = False,
@@ -63,9 +63,22 @@ def curate_documents(
     """Surviving documents (doc_id, lang, text, n_tokens, q) after the
     quality gate, exact near-dup collapse (normalised-text key, lowest
     id survives), and — when ``budget_tokens`` is set — a per-language
-    greedy token budget: documents are admitted best-quality-first
-    (ties -> lowest id) while the language's running token total stays
-    within the budget; the document that would cross it is dropped.
+    token budget over the quality order (best first, ties -> lowest id),
+    with the admission rule named explicitly by ``budget_mode``:
+
+    - ``"prefix"`` (default): admission ENDS at the first document that
+      would cross the budget — the quality-ordered prefix. One window
+      cumulative sum, no sequential state: the scale-clean form, at the
+      cost of leaving budget unused when a large document blocks
+      smaller, lower-quality ones behind it.
+    - ``"greedy"``: skip-and-continue — a document that does not fit is
+      dropped and admission continues down the quality order (fills the
+      budget tighter; the hypothesis fuzz surfaced a planted case where
+      prefix admits 1 document and greedy admits 2). Inherently
+      sequential per language, so it runs as one applyInPandas pass per
+      language partition: every language's survivor set must fit one
+      worker's frame (fine for real language cardinalities; the
+      documented constraint).
 
     ``near_dup_threshold`` additionally collapses NEAR duplicates among
     the exact-dedup survivors: MinHash+LSH pairs at that Jaccard
@@ -119,16 +132,42 @@ def curate_documents(
         )
         survivors = survivors.join(losers, "doc_id", "left_anti")
     if budget_tokens is not None:
-        w = (
-            Window.partitionBy("lang")
-            .orderBy(F.desc("q"), "doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        survivors = (
-            survivors.withColumn("_cum", F.sum("n_tokens").over(w))
-            .filter(F.col("_cum") <= budget_tokens)
-            .drop("_cum")
-        )
+        if budget_mode == "prefix":
+            w = (
+                Window.partitionBy("lang")
+                .orderBy(F.desc("q"), "doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            survivors = (
+                survivors.withColumn("_cum", F.sum("n_tokens").over(w))
+                .filter(F.col("_cum") <= budget_tokens)
+                .drop("_cum")
+            )
+        elif budget_mode == "greedy":
+            import pandas as pd
+
+            budget = int(budget_tokens)
+            cols = survivors.columns
+
+            def admit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                pdf = pdf.sort_values(
+                    ["q", "doc_id"], ascending=[False, True]
+                )
+                keep, acc = [], 0
+                for n in pdf["n_tokens"]:
+                    fit = acc + int(n) <= budget
+                    keep.append(fit)
+                    if fit:
+                        acc += int(n)
+                return pdf.loc[keep, cols]
+
+            survivors = survivors.groupBy("lang").applyInPandas(
+                admit, survivors.schema
+            )
+        else:
+            raise ValueError(
+                f"budget_mode must be 'prefix' or 'greedy', got {budget_mode!r}"
+            )
     return survivors
 
 
@@ -149,6 +188,7 @@ def run_curation(
     out_dir: str,
     min_quality: float = 0.5,
     budget_tokens: int | None = None,
+    budget_mode: str = "prefix",
     near_dup_threshold: float | None = None,
     landed_path: str | None = None,
     strip_markup: bool = False,
@@ -177,6 +217,7 @@ def run_curation(
         spark.read.parquet(docs_path),
         min_quality=min_quality,
         budget_tokens=budget_tokens,
+        budget_mode=budget_mode,
         near_dup_threshold=near_dup_threshold,
         landed=(
             spark.read.parquet(landed_path) if landed_path is not None else None

@@ -153,28 +153,51 @@ DOCS = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_curate_budget_fuzz(spark, docs, budget):
+    """Both admission rules against their pure-Python references. The
+    first run of this fuzz CAUGHT the semantics split: the window
+    implements a quality-ordered PREFIX (stop at the first overflow)
+    while the original reference skipped-and-continued — a planted
+    corpus where they admit different sets (1 vs 2 docs). Both rules
+    are now explicit engine modes, each fuzzed against its own
+    reference."""
     rows = [
         (i, " ".join(_VOCAB[w] for w in words), ["en", "de"][lang])
         for i, (lang, words) in enumerate(docs)
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
-    # reference greedy over the engine's OWN enriched survivors (the
-    # fuzz targets the budget stage, not the quality formula)
+    # references over the engine's OWN enriched survivors (the fuzz
+    # targets the budget stage, not the quality formula)
     survivors = C.curate_documents(df, min_quality=0.0).collect()
+    expect_greedy, expect_prefix = set(), set()
     by_lang: dict = {}
     for r in sorted(survivors, key=lambda r: (r["lang"], -r["q"], r["doc_id"])):
-        acc = by_lang.setdefault(r["lang"], [0, set()])
-        if acc[0] + r["n_tokens"] <= budget:
+        acc = by_lang.setdefault(r["lang"], [0, True])
+        fits = acc[0] + r["n_tokens"] <= budget
+        if fits:
             acc[0] += r["n_tokens"]
-            acc[1].add(r["doc_id"])
-    expect = set().union(*(v[1] for v in by_lang.values())) if by_lang else set()
-    got = {
+            expect_greedy.add(r["doc_id"])
+        if acc[1] and fits:
+            expect_prefix.add(r["doc_id"])
+        elif not fits:
+            # prefix admission is over for this language: before the
+            # first overflow the admitted total equals the full
+            # cumulative sum, and after it every later cumulative sum
+            # overflows too
+            acc[1] = False
+    got_prefix = {
         r["doc_id"]
         for r in C.curate_documents(
-            df, min_quality=0.0, budget_tokens=budget
+            df, min_quality=0.0, budget_tokens=budget, budget_mode="prefix"
         ).collect()
     }
-    assert got == expect
+    got_greedy = {
+        r["doc_id"]
+        for r in C.curate_documents(
+            df, min_quality=0.0, budget_tokens=budget, budget_mode="greedy"
+        ).collect()
+    }
+    assert got_greedy == expect_greedy
+    assert got_prefix == expect_prefix
 
 
 def test_curate_incremental_vs_landed(spark, tmp_path):
