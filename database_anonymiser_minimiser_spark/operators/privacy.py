@@ -483,3 +483,80 @@ def duck_dp_noisy_avg_sql(
            THEN CAST(s._s AS DOUBLE) / CAST(c._c AS DOUBLE) END AS {alias}
     FROM ({s}) s JOIN ({c}) c ON {on}
     """
+
+
+def t_closeness_stats(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str
+) -> DataFrame:
+    """Per-equivalence-class TOTAL VARIATION distance between the
+    class's sensitive-value distribution and the table-wide one — the
+    t-closeness audit (Li/Li/Venkatasubramanian ICDE'07) that completes
+    the k-anonymity / l-diversity family: l-diversity counts DISTINCT
+    sensitive values, but a class can be l-diverse and still leak (90%
+    one disease vs 10% globally — skewness attack); a table is
+    t-close iff every class's distance <= t.
+
+    Exactness discipline: TV = 0.5 * sum_i |n_i/N_class - m_i/N_total|
+    is a float SUM (order-dependent); computed instead as
+    0.5 * sum_i |n_i*N_total - m_i*N_class| / (N_class*N_total) — the
+    numerators are exact BIGINTs summed exactly, ONE double division at
+    the end, so both engines agree bitwise.
+
+    Scale shape: one (class x sensitive) aggregate over one scan; the
+    global sensitive histogram (sensitive-cardinality rows) and the
+    1-row total broadcast back; the per-class reduce keys on the
+    quasi-identifiers. Missing (class, value) cells contribute
+    m_i*N_class via the global side — handled by a dense right join
+    against the class x histogram grid."""
+    cell = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    class_tot = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_class")
+    )
+    glob = df.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("m_i")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # dense grid: every class x every sensitive value (absent cells
+    # n_i = 0 still contribute |0 - m_i * N_class|)
+    grid = class_tot.crossJoin(F.broadcast(glob)).crossJoin(
+        F.broadcast(total)
+    )
+    on = [
+        *[grid[c].eqNullSafe(cell[c]) for c in quasi_cols],
+        grid[sensitive_col].eqNullSafe(cell[sensitive_col]),
+    ]
+    joined = grid.join(cell, on, "left").select(
+        *[grid[c] for c in quasi_cols],
+        grid[sensitive_col],
+        F.coalesce(cell["n_i"], F.lit(0)).alias("n_i"),
+        "n_class",
+        "m_i",
+        "n_total",
+    )
+    num = F.abs(
+        F.col("n_i") * F.col("n_total") - F.col("m_i") * F.col("n_class")
+    )
+    return (
+        joined.groupBy(*quasi_cols)
+        .agg(
+            F.max("n_class").alias("class_size"),
+            # cast BEFORE the sum (a bigint sum can overflow at extreme
+            # cardinality x corpus products); decimal -> string -> double
+            # keeps the one conversion bit-identical cross-engine
+            F.sum(num.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .cast("double")
+            .alias("_num"),
+            F.max(F.col("n_class") * F.col("n_total")).alias("_den"),
+        )
+        .select(
+            *quasi_cols,
+            F.col("class_size"),
+            (
+                F.lit(0.5) * F.col("_num") / F.col("_den").cast("double")
+            ).alias("tv_distance"),
+        )
+    )

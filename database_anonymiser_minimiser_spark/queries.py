@@ -2076,6 +2076,46 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "privacy_t_closeness",
+    """
+    WITH cell AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_i
+      FROM customer GROUP BY 1, 2),
+    cls AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_class
+      FROM customer GROUP BY 1),
+    gl AS (
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS m_i
+      FROM customer GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM customer),
+    grid AS (
+      SELECT cls.c_nationkey, gl.c_mktsegment, cls.n_class,
+             gl.m_i, tot.n_total,
+             COALESCE(cell.n_i, 0) AS n_i
+      FROM cls CROSS JOIN gl CROSS JOIN tot
+      LEFT JOIN cell
+        ON cell.c_nationkey IS NOT DISTINCT FROM cls.c_nationkey
+       AND cell.c_mktsegment IS NOT DISTINCT FROM gl.c_mktsegment)
+    SELECT c_nationkey, CAST(max(n_class) AS BIGINT) AS class_size,
+      0.5 * CAST(CAST(CAST(sum(CAST(abs(n_i * n_total - m_i * n_class)
+                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+          / CAST(max(n_class * n_total) AS DOUBLE) AS tv_distance
+    FROM grid GROUP BY c_nationkey
+    """,
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over (nation -> segment): per-class total
+    variation distance to the table-wide sensitive distribution — the
+    skewness-attack check l-diversity misses (a class can hold l
+    distinct values and still be 90% one of them). Exact integer
+    numerators, one final double division — see
+    operators/privacy.py:t_closeness_stats."""
+    return _priv.t_closeness_stats(
+        load(spark, sf_dir, "customer"), ["c_nationkey"], "c_mktsegment"
+    )
+
+
+@register(
     "privacy_dp_noisy_counts",
     _priv.duck_dp_noisy_count_sql("events", ["event_type"], epsilon=1.0),
 )
@@ -6353,6 +6393,70 @@ def q_events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
         interp.alias("value_interp"),
+        F.col("y").isNotNull().alias("is_observed"),
+    )
+
+
+@register(
+    "events_locf_hourly",
+    """
+    WITH m AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+        CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS VARCHAR) AS DOUBLE) / count(*) AS y
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM m),
+    grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             FROM b),
+    types AS (SELECT DISTINCT event_type FROM m),
+    g AS (SELECT grid.h, t.event_type, m.y
+          FROM grid CROSS JOIN types t
+          LEFT JOIN m ON m.h = grid.h AND m.event_type = t.event_type)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      last_value(y IGNORE NULLS) OVER
+        (PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+      y IS NOT NULL AS is_observed
+    FROM g
+    """,
+)
+def q_events_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-fill (TimescaleDB-style ``locf``): missing hours carry
+    the type's LAST observed hourly mean forward — the step-function
+    sibling of ``events_interpolate_hourly`` for measurements that hold
+    until changed (gauges, settings) rather than trend between readings;
+    hours before a type's first observation stay NULL. Same exactness
+    and scale shape as the interpolation query, minus the
+    forward-looking window."""
+    ev = load(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,6)")
+    m = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
+        .agg(
+            (
+                F.sum(d).cast("decimal(38,6)").cast("string").cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+        .persist()
+    )
+    _RESAMPLE_PERSISTS.append(m)
+    m.count()
+    bounds = m.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = m.select("event_type").distinct()
+    g = grid.crossJoin(types).join(m, ["h", "event_type"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.last("y", ignorenulls=True).over(wp).alias("value_locf"),
         F.col("y").isNotNull().alias("is_observed"),
     )
 

@@ -382,3 +382,25 @@ def test_dp_noisy_avg_null_on_clamped_count(spark):
     assert len(out1) == 300
     assert any(v is None for v in out1.values())  # clamp -> NULL path hit
     assert all(v is None or v >= 0.0 for v in out1.values())
+
+
+def test_t_closeness_math(spark):
+    """Pin the TV-distance math on a hand-computed fixture: a perfectly
+    representative class scores 0; a fully skewed class scores the
+    textbook distance; absent (class, value) cells still contribute."""
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        t_closeness_stats,
+    )
+
+    # global segments: A x4, B x4 (p = 0.5/0.5)
+    rows = (
+        [(1, "A")] * 2 + [(1, "B")] * 2      # class 1: 0.5/0.5 -> TV 0
+        + [(2, "A")] * 2                       # class 2: all A  -> TV 0.5
+        + [(3, "B")] * 2                       # class 3: all B  -> TV 0.5
+    )
+    df = spark.createDataFrame(rows, ["qid", "seg"])
+    got = {
+        r["qid"]: (r["class_size"], round(r["tv_distance"], 9))
+        for r in t_closeness_stats(df, ["qid"], "seg").collect()
+    }
+    assert got == {1: (4, 0.0), 2: (2, 0.5), 3: (2, 0.5)}
