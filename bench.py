@@ -202,6 +202,18 @@ HEADLINE = [
     # streaming_dedup/anonymise above: its wall is micro-batch harness +
     # spool machinery, not operator throughput.
     "percentiles_tdigest_band_orders",
+    # round-11 second-half additions: the DP release family (noise on
+    # the aggregated relation — should price like the plain aggregates),
+    # exact-k sampling, markup extraction, gap-fill, and the two new
+    # privacy audits
+    "privacy_dp_noisy_counts",
+    "privacy_dp_noisy_sum",
+    "privacy_dp_noisy_avg",
+    "privacy_t_closeness",
+    "sample_k_per_lang",
+    "text_strip_markup",
+    "events_interpolate_hourly",
+    "events_locf_hourly",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -906,3 +906,48 @@ def test_dedup_exact_seed_preserves_verdicts_and_collapses_hot_bands(
 
     assert max_bucket(idx_plain) >= n_copies
     assert max_bucket(idx_dedup) == 1
+
+
+def test_dedup_exact_seed_bucketed_layout(spark, tmp_path):
+    """The bucketed (streaming-default) layout honours dedup_exact the
+    same way: canonical rows only in the shingle table, verdict parity
+    against the plain-layout deduped index."""
+    import uuid
+
+    template = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )
+    landed = spark.createDataFrame(
+        [(i, template) for i in range(10)] + [(100, BASE)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(500, template.replace("dolor", "color"))], ["doc_id", "text"]
+    )
+    prefix = f"dedup_seed_bkt_{uuid.uuid4().hex[:8]}"
+    D.save_minhash_index_bucketed(
+        landed, prefix, n_buckets=4,
+        path=str(tmp_path / "bkt"), dedup_exact=True,
+    )
+    try:
+        ids = {r["id"] for r in spark.table(f"{prefix}_shingles").collect()}
+        assert ids == {0, 100}  # one canonical copy per distinct text
+        got = {
+            r["doc_id"]: (r["n_dups"], r["best_jaccard"])
+            for r in D.minhash_incremental_vs_bucketed_index(
+                batch, prefix, threshold=0.4
+            ).collect()
+        }
+        idx_plain = str(tmp_path / "plain")
+        D.save_minhash_index(landed, idx_plain, dedup_exact=True)
+        want = {
+            r["doc_id"]: (r["n_dups"], r["best_jaccard"])
+            for r in D.minhash_incremental_vs_index(
+                batch, idx_plain, threshold=0.4
+            ).collect()
+        }
+        assert got == want == {500: (1, want[500][1])}
+    finally:
+        for t in (f"{prefix}_bands", f"{prefix}_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
