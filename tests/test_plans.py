@@ -696,3 +696,36 @@ def test_minhash_production_mode_bands_are_long_keys(spark, sf):
     plan_md5 = plan_of(Q.QUERIES["dedup_minhash_lsh"](spark, sf))
     assert re.search(r"keys \[2\]: \[band_id#\d+, band_key#\d+\]", plan_md5)
     assert not re.search(r"keys \[2\]: \[band_id#\d+, band_key#\d+L\]", plan_md5)
+
+
+def test_interpolate_single_scan_no_smj(spark, sf):
+    """Interpolation inherits the dense-resample scan discipline: the
+    sparse hourly-mean aggregate is persisted, bounds/grid/types/fill
+    all read the in-memory relation (one distinct parquet scan node),
+    no corpus self-join; the IGNORE-NULLS windows key on event_type."""
+    plan = plan_of(Q.QUERIES["events_interpolate_hourly"](spark, sf))
+    assert plan.count("InMemoryTableScan") >= 3, plan[:3000]
+    ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(ids) == 1, (ids, plan[:3000])
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_dp_release_prices_like_the_plain_aggregate(spark, sf):
+    """The DP count release must add NOTHING to the plain count's plan
+    shape: one aggregate Exchange, no join, no Python — the noise is a
+    literal-table lookup on the aggregated relation."""
+    plan = plan_of(Q.QUERIES["privacy_dp_noisy_counts"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    assert "Python" not in plan, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Exchange", tree)) <= 1, tree
+
+
+def test_strip_markup_is_scan_bound(spark, sf):
+    """Markup stripping is a pure per-row regexp chain: no Exchange, no
+    join, no Python anywhere in the plan."""
+    plan = plan_of(Q.QUERIES["text_strip_markup"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+    assert "Python" not in plan, plan[:2000]
