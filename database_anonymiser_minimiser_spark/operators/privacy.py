@@ -275,10 +275,16 @@ def dp_noisy_count(
     bounds what any query reveals about one row's presence).
 
     Count sensitivity is 1, so geometric noise with a = e^(-epsilon)
-    gives exact epsilon-DP per released count. Noise is a deterministic
-    function of (group key, seed): see :func:`dp_noise_column` for the
-    seeded-release semantics. Negative noisy counts are clamped at 0
-    (postprocessing — does not affect the guarantee).
+    gives exact epsilon-DP per released count. ADJACENCY IS ROW-LEVEL:
+    the guarantee protects the presence of one ROW; an entity
+    contributing k rows (one user, many events) is only protected at
+    k*epsilon. For user-level guarantees, bound contribution first —
+    aggregate to one row per (user, group) before this release — the
+    same pre-step dp_noisy_sum's value clamp performs for magnitudes.
+    Noise is a deterministic function of (group key, seed): see
+    :func:`dp_noise_column` for the seeded-release semantics. Negative
+    noisy counts are clamped at 0 (postprocessing — does not affect the
+    guarantee).
 
     Scale shape: ONE map-side-combined groupBy shuffle (identical to the
     plain count); the noise is a per-GROUP literal-table lookup on the
