@@ -209,6 +209,7 @@ HEADLINE = [
     "privacy_dp_noisy_counts",
     "privacy_dp_noisy_sum",
     "privacy_dp_noisy_avg",
+    "privacy_dp_user_counts",
     "privacy_t_closeness",
     "sample_k_per_lang",
     "text_strip_markup",

@@ -566,3 +566,53 @@ def t_closeness_stats(
             ).alias("tv_distance"),
         )
     )
+
+
+def dp_noisy_count_entities(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_entities",
+) -> DataFrame:
+    """USER-LEVEL DP counts: distinct entities per group, with adjacency
+    = add/remove one ENTITY and all its rows — the guarantee
+    :func:`dp_noisy_count` explicitly does not give. Two steps:
+
+    1. contribution bounding: each entity is assigned to exactly ONE
+       group — the minimum ``group_col`` value it appears under (a
+       deterministic, data-independent-per-entity rule). Removing an
+       entity then changes exactly one group count by exactly 1, so the
+       bounded statistic has user-level sensitivity 1. The stated
+       distortion: the released number is "entities whose first group is
+       G", not "entities ever seen in G" — the price every bounded-
+       contribution mechanism pays, made explicit instead of hidden.
+    2. the same geometric noise table as the row-level release, clamped
+       at 0.
+
+    A useful corollary (property-tested): duplicating an entity's rows
+    — or adding any number of NEW rows for an already-present entity in
+    already-seen groups >= its minimum — cannot change the release at
+    all. Scale shape: one entity-keyed aggregate, one group-keyed
+    aggregate, noise on the final relation; both map-side combined."""
+    first = df.groupBy(entity_col).agg(
+        F.min(F.col(group_col)).alias(group_col)
+    )
+    return dp_noisy_count(first, [group_col], epsilon, seed, alias)
+
+
+def duck_dp_noisy_count_entities_sql(
+    table: str,
+    group_col: str,
+    entity_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_entities",
+) -> str:
+    """DuckDB twin of :func:`dp_noisy_count_entities`."""
+    inner = (
+        f"(SELECT {entity_col}, min({group_col}) AS {group_col} "
+        f"FROM {table} GROUP BY {entity_col})"
+    )
+    return duck_dp_noisy_count_sql(inner, [group_col], epsilon, seed, alias)

@@ -2133,6 +2133,24 @@ def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "privacy_dp_user_counts",
+    _priv.duck_dp_noisy_count_entities_sql(
+        "events", "event_type", "user_id", epsilon=1.0
+    ),
+)
+def q_privacy_dp_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-level DP: distinct users per event type with add/remove-one-
+    USER adjacency — contribution bounded to each user's minimum type,
+    then the shared geometric noise table. See
+    operators/privacy.py:dp_noisy_count_entities for the stated
+    bounded-contribution distortion."""
+    ev = load(spark, sf_dir, "events")
+    return _priv.dp_noisy_count_entities(
+        ev, "event_type", "user_id", epsilon=1.0
+    )
+
+
+@register(
     "privacy_dp_noisy_sum",
     _priv.duck_dp_noisy_sum_sql(
         "lineitem", ["l_returnflag"], "l_quantity", bound=50, epsilon=1.0

@@ -404,3 +404,33 @@ def test_t_closeness_math(spark):
         for r in t_closeness_stats(df, ["qid"], "seg").collect()
     }
     assert got == {1: (4, 0.0), 2: (2, 0.5), 3: (2, 0.5)}
+
+
+def test_dp_user_counts_invariant_to_row_duplication(spark):
+    """The user-level release's defining property: duplicating ALL of an
+    entity's rows (or adding rows for an entity in groups >= its
+    minimum) changes NOTHING — the bounded statistic depends only on
+    each entity's first group, so the release is invariant."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        dp_noisy_count_entities,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (3, "b"), (4, "c")], ["u", "g"]
+    )
+    rel = lambda df: sorted(  # noqa: E731
+        tuple(r)
+        for r in dp_noisy_count_entities(df, "g", "u").collect()
+    )
+    out = rel(base)
+    # duplicate user 1's rows five times + pile rows onto later groups
+    noisy_input = base.union(
+        spark.createDataFrame(
+            [(1, "a"), (1, "b")] * 5 + [(2, "b"), (3, "c")], ["u", "g"]
+        )
+    )
+    assert rel(noisy_input) == out
+    # a genuinely NEW entity does change it (sanity that the gate bites)
+    assert rel(base.union(spark.createDataFrame([(9, "a")], ["u", "g"]))) != out
