@@ -317,12 +317,18 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
-            bad = [
-                (r["file"], r["error"])
-                for r in preflight_parquet_files(
+            try:
+                probe_rows = preflight_parquet_files(
                     engine.spark, cfg.connection.path
                 ).collect()
-                if not r["ok"]
+            except FileNotFoundError as exc:
+                # empty/missing enumeration is an error, never a PASS —
+                # a silent pass here is exactly the row-loss blind spot
+                # the preflight exists to prevent
+                print(f"error: preflight: {exc}", file=sys.stderr)
+                return 2
+            bad = [
+                (r["file"], r["error"]) for r in probe_rows if not r["ok"]
             ]
             for f, err in sorted(bad):
                 print(f"FAIL  preflight: {f}: {err}")

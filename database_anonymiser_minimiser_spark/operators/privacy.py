@@ -281,6 +281,21 @@ def dp_noisy_count(
     k*epsilon. For user-level guarantees, bound contribution first —
     aggregate to one row per (user, group) before this release — the
     same pre-step dp_noisy_sum's value clamp performs for magnitudes.
+
+    PRECONDITION — THE GROUP DOMAIN MUST BE PUBLIC: rows are emitted
+    only for group keys PRESENT in the data, so the released KEY SET is
+    the exact true key set, unprotected by any noise — a group
+    contributed by a single row reveals that row's group value with
+    certainty (infinite privacy loss on the key release). The stated
+    epsilon therefore only covers the COUNTS, and the release as a
+    whole is epsilon-DP only when the key set is public knowledge or
+    fixed independently of the data (status codes, country lists,
+    calendar buckets). For data-derived keys (free-text values, user
+    ids) use :func:`dp_noisy_count_known_domain`, which densifies
+    against a caller-supplied public key list and releases a noisy
+    count for EVERY domain key — presence in the output then carries
+    zero information. The same precondition applies verbatim to
+    :func:`dp_noisy_sum` and :func:`dp_noisy_avg`.
     Noise is a deterministic function of (group key, seed): see
     :func:`dp_noise_column` for the seeded-release semantics. Negative
     noisy counts are clamped at 0 (postprocessing — does not affect the
@@ -363,7 +378,11 @@ def dp_noisy_sum(
     The release is therefore a non-negative multiple of ``bound``; its
     error vs the clamped sum is at most bound/2 (rounding) plus
     bound * |Z| (noise). One map-side-combined groupBy shuffle, noise on
-    the aggregated relation — same scale shape as the plain sum."""
+    the aggregated relation — same scale shape as the plain sum.
+
+    Same PUBLIC-GROUP-DOMAIN precondition as :func:`dp_noisy_count`:
+    the emitted key set is the true key set; only use with public/fixed
+    group keys (or densify first)."""
     if bound <= 0:
         raise ValueError(f"bound must be a positive integer, got {bound}")
     key = F.concat_ws(
@@ -390,6 +409,112 @@ def dp_noisy_sum(
     return agg.select(
         *group_cols, (noisy_units * F.lit(int(bound))).alias(alias)
     )
+
+
+def dp_noisy_count_known_domain(
+    df: DataFrame,
+    group_col: str,
+    domain: list,
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_count",
+) -> DataFrame:
+    """:func:`dp_noisy_count` for DATA-DERIVED group keys: densify
+    against a caller-supplied PUBLIC domain list and release a noisy
+    count for EVERY domain key (absent keys get noise around 0), so the
+    released key set carries zero information about the data — this is
+    the known-domain variant the plain release's precondition calls
+    for. Rows whose key falls OUTSIDE the domain are dropped before
+    counting (standard domain clamping; keeping them would re-leak the
+    true key set through the residual). Sensitivity is unchanged (one
+    row still moves one count by 1), so the epsilon accounting is
+    identical.
+
+    Scale shape: the domain is a driver-side literal list (public, by
+    definition small enough to publish) broadcast against the
+    already-aggregated counts — one groupBy shuffle, zero extra
+    exchanges, zero Python."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not domain:
+        raise ValueError("domain must be a non-empty public key list")
+    dtype = df.schema[group_col].dataType
+    dom = df.sparkSession.createDataFrame(
+        [(v,) for v in domain],
+        StructType([StructField(group_col, dtype)]),
+    )
+    counts = (
+        # null-safe semi join: a NULL key listed in the (public) domain
+        # must be counted, mirroring the twin's explicit NULL branch
+        df.join(
+            F.broadcast(dom),
+            df[group_col].eqNullSafe(dom[group_col]),
+            "left_semi",
+        )
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    key = F.coalesce(
+        dom[group_col].cast("string"), F.lit("␀")
+    )
+    noisy = F.greatest(
+        F.lit(0).cast("long"),
+        F.coalesce(F.col("_c"), F.lit(0).cast("long"))
+        + dp_noise_column(key, epsilon, seed),
+    )
+    return (
+        dom.join(
+            counts, dom[group_col].eqNullSafe(counts[group_col]), "left"
+        )
+        .select(dom[group_col], noisy.alias(alias))
+    )
+
+
+def _sql_literal(v) -> str:
+    """Render a Python value as an ANSI SQL literal (the domain lists
+    are caller-supplied public constants, never data)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def duck_dp_noisy_count_known_domain_sql(
+    table: str,
+    group_col: str,
+    domain: list,
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_count",
+) -> str:
+    """DuckDB twin of :func:`dp_noisy_count_known_domain` — same domain
+    densification, same noise table, byte-identical releases."""
+    breaks, k_tail = geometric_inverse_cdf(epsilon)
+    arr = ", ".join(str(b) for b in breaks)
+    vals = ", ".join(f"({_sql_literal(v)})" for v in domain)
+    key = (
+        f"concat(COALESCE(CAST(dom.{group_col} AS VARCHAR), '␀'), "
+        f"':{seed}')"
+    )
+    u = _uniform52_duck(key)
+    return f"""
+    WITH dom({group_col}) AS (VALUES {vals}),
+    cnt AS (
+      SELECT t.{group_col}, CAST(count(*) AS BIGINT) AS _c
+      FROM {table} t
+      WHERE t.{group_col} IN (SELECT {group_col} FROM dom)
+         OR (t.{group_col} IS NULL
+             AND EXISTS (SELECT 1 FROM dom WHERE {group_col} IS NULL))
+      GROUP BY t.{group_col})
+    SELECT dom.{group_col},
+      GREATEST(0, COALESCE(cnt._c, 0)
+        + len(list_filter([{arr}], b -> b <= {u})) - {k_tail}) AS {alias}
+    FROM dom LEFT JOIN cnt
+      ON dom.{group_col} IS NOT DISTINCT FROM cnt.{group_col}
+    """
 
 
 def duck_dp_noisy_sum_sql(
@@ -447,14 +572,24 @@ def dp_noisy_avg(
     cross-engine bit-identical like the integer releases themselves.
     Groups whose noisy count clamps to 0 release NULL (no denominator;
     also the honest signal that the group was too small to survive the
-    noise)."""
+    noise). Same PUBLIC-GROUP-DOMAIN precondition as
+    :func:`dp_noisy_count`: only use with public/fixed group keys."""
     s = dp_noisy_sum(
         df, group_cols, value_col, bound, epsilon, seed + ":sum", "_s"
     )
     c = dp_noisy_count(df, group_cols, epsilon, seed + ":count", "_c")
-    joined = s.join(c, group_cols)
+    # NULL-SAFE join (<=>): groupBy emits NULL group keys as their own
+    # group, and a plain equi-join would silently drop them from the
+    # release while the DuckDB twin (IS NOT DISTINCT FROM) keeps them —
+    # probed, the engines diverged exactly there (the count path's
+    # sentinel protects the noise KEY, not this join).
+    on = None
+    for g in group_cols:
+        clause = s[g].eqNullSafe(c[g])
+        on = clause if on is None else (on & clause)
+    joined = s.join(c, on)
     return joined.select(
-        *group_cols,
+        *[s[g] for g in group_cols],
         F.when(
             F.col("_c") > 0,
             F.col("_s").cast("double") / F.col("_c").cast("double"),
@@ -541,29 +676,38 @@ def t_closeness_stats(
         "m_i",
         "n_total",
     )
-    num = F.abs(
-        F.col("n_i") * F.col("n_total") - F.col("m_i") * F.col("n_class")
-    )
+    # cast the OPERANDS, not just the sum: a BIGINT product n_i*n_total
+    # wraps silently (non-ANSI Spark) above ~3e9 total rows — exactly
+    # the corpus size this audit targets — while the DuckDB twin errors,
+    # so the engines would diverge where the overflow comment claimed
+    # safety. DECIMAL(19,0) x DECIMAL(19,0) -> DECIMAL(38,0) is exact in
+    # BOTH engines (DuckDB rejects wider operand pairs at bind time).
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    num = F.abs(d19("n_i") * d19("n_total") - d19("m_i") * d19("n_class"))
     return (
         joined.groupBy(*quasi_cols)
         .agg(
             F.max("n_class").alias("class_size"),
-            # cast BEFORE the sum (a bigint sum can overflow at extreme
-            # cardinality x corpus products); decimal -> string -> double
-            # keeps the one conversion bit-identical cross-engine
+            # decimal -> string -> double keeps the one conversion
+            # bit-identical cross-engine (native decimal->double casts
+            # differ by 1 ulp between engines)
             F.sum(num.cast("decimal(38,0)"))
             .cast("decimal(38,0)")
             .cast("string")
             .cast("double")
             .alias("_num"),
-            F.max(F.col("n_class") * F.col("n_total")).alias("_den"),
+            F.max(d19("n_class") * d19("n_total"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .cast("double")
+            .alias("_den"),
         )
         .select(
             *quasi_cols,
             F.col("class_size"),
-            (
-                F.lit(0.5) * F.col("_num") / F.col("_den").cast("double")
-            ).alias("tv_distance"),
+            (F.lit(0.5) * F.col("_num") / F.col("_den")).alias(
+                "tv_distance"
+            ),
         )
     )
 

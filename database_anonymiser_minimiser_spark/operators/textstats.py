@@ -325,12 +325,17 @@ _MARKUP_BLOCKS = [
 ]
 _MARKUP_TAGS = r"(?s)<[^>]*>"
 _ENTITY_TABLE = [
-    ("&amp;", "&"),
+    # &amp; LAST (standard decode order): decoding it first would
+    # double-decode nested escapes — '&amp;lt;' means the literal text
+    # '&lt;', not '<'. Both engines share this order (it is part of the
+    # cross-engine contract), so the chain below and the DuckDB twin
+    # stay in lockstep.
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&nbsp;", " "),
+    ("&amp;", "&"),
 ]
 
 

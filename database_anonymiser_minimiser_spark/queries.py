@@ -2097,9 +2097,13 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON cell.c_nationkey IS NOT DISTINCT FROM cls.c_nationkey
        AND cell.c_mktsegment IS NOT DISTINCT FROM gl.c_mktsegment)
     SELECT c_nationkey, CAST(max(n_class) AS BIGINT) AS class_size,
-      0.5 * CAST(CAST(CAST(sum(CAST(abs(n_i * n_total - m_i * n_class)
+      0.5 * CAST(CAST(CAST(sum(CAST(abs(
+                  CAST(n_i AS DECIMAL(19,0)) * CAST(n_total AS DECIMAL(19,0))
+                - CAST(m_i AS DECIMAL(19,0)) * CAST(n_class AS DECIMAL(19,0)))
                 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
-          / CAST(max(n_class * n_total) AS DOUBLE) AS tv_distance
+          / CAST(CAST(CAST(max(
+                  CAST(n_class AS DECIMAL(19,0)) * CAST(n_total AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS tv_distance
     FROM grid GROUP BY c_nationkey
     """,
 )
@@ -6688,69 +6692,73 @@ def q_salted_agg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _PRIORITY_50 = [
-    # ======== ROUND 11 WINDOW ========
-    # (a) the TWENTY-THREE r7-stale grades head the window (r10 verdict
-    # item 1 — the exact set whose latest driver grade is r7, verified
-    # against CORRECTNESS_r01..r10). streaming_stream_join is mandatory
-    # per the builder's own plan-changed policy: its state key moved to
-    # (user_id, time-bucket) in r10 (streaming/events.py) AFTER the r10
-    # window was composed. After a green r11 window no oracle-keyed
-    # grade is older than r8.
-    "streaming_stream_join",
-    "streaming_anonymise_events",
-    "streaming_dedup_events",
-    "streaming_sessions_gap",
-    "ann_ivf_topk",
-    "ann_lsh_multiprobe",
-    "ann_topk_cosine",
-    "approx_distinct_band_events",
-    "mask_all_fakers",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "percentiles_band_orders_by_status",
-    "q10_returned_item_revenue",
-    "q11_important_stock",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "text_fingerprint",
-    "text_language_id",
-    "text_token_count",
-    "text_winnow_fingerprint",
-    "vocab_oov_rate",
-    "zscore_events_exact",
-    # (b) 27 of the 46 r8 grades (now the oldest tier), family-spread.
-    # The NINETEEN r8 grades NOT here are named in COVERAGE.md §r11
-    # with family rationale (each has a same-machinery sibling windowed
-    # now, a continuously-gated exact twin, or an independent sf1
-    # golden) and head r12.
-    "anti_join_customers_without_big_orders",
-    "bpe_merge_pairs",
-    "decontaminate_bloom",
-    "dedup_clusters",
-    "dedup_exact_documents",
-    "dedup_levenshtein_pairs",
-    "dedup_simhash_pairs",
-    "distinct_agg_events",
-    "events_tumbling_hourly",
-    "full_export_customer",
-    "json_extract_props",
-    "multimodal_decode_wav",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "retain_count_orders",
-    "retain_date_events",
-    "rollup_orders_by_status_priority",
-    "row_counts",
-    "sample_hash_10pct",
-    "semantic_dedup_embeddings",
-    "setop_union_intersect_except",
-    "sqldump_tuple_customer",
-    "streaming_events_watermark",
-    "streaming_stateful_user_totals",
-    "truncate_part",
-    "window_top_orders_per_customer",
+    # ======== ROUND 12 WINDOW ========
+    # (a) the NINE oracle-keyed queries never driver-graded (r11 verdict
+    # item 1 — all registered AFTER the r11 window froze; the builder's
+    # "new => windowed that round" policy binds them to r12). Three of
+    # them changed this round per ADVICE (privacy_dp_noisy_avg null-safe
+    # join, privacy_t_closeness decimal operands, text_strip_markup
+    # entity decode order) — the plan-changed policy binds those to this
+    # window too, which they already head.
+    "privacy_dp_noisy_counts",
+    "privacy_dp_user_counts",
+    "privacy_dp_noisy_sum",
+    "privacy_dp_noisy_avg",
+    "privacy_t_closeness",
+    "sample_k_per_lang",
+    "text_strip_markup",
+    "events_interpolate_hourly",
+    "events_locf_hourly",
+    # (b) the NINETEEN r8-stale grades (the exact set whose latest
+    # driver grade is r8, recomputed from CORRECTNESS_r01..r11; named
+    # as r12-mandatory in COVERAGE.md §r11 and the r11 verdict).
+    "ann_lsh_topk",
+    "ann_topk_cosine_numpy",
+    "consistency_mapping",
+    "dedup_simhash",
+    "events_sliding_2h_1h",
+    "mask_password",
+    "mask_static_null",
+    "mask_text",
+    "mask_uuid",
+    "percentiles_tdigest_band_orders",
+    "q14_promo_share",
+    "sample_fixed_per_lang",
+    "semi_join_orders_with_big_items",
+    "sqldump_escape_golden",
+    "streaming_events_tumbling",
+    "text_token_count_bpe",
+    "topo_order",
+    "window_running_totals",
+    "zscore_pandas_band_events",
+    # (c) 22 of the 46 r9 grades (now the oldest tier), family-spread.
+    # corpus_curation_pipeline is mandatory here per the plan-changed
+    # policy: curate's near-dup collapse gained the hot-band cap plumb
+    # this round (default off, but windowed regardless). The 24 r9
+    # grades NOT here are named in COVERAGE.md §r12 with family
+    # rationale and head r13.
+    "ann_int8_topk",
+    "bm25_search_topk",
+    "consistency_fk_integrity",
+    "corpus_curation_pipeline",
+    "corpus_mix_budget",
+    "cube_lineitem_flag_status",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
+    "events_resample_hourly_dense",
+    "funnel_view_click_purchase",
+    "heavy_hitters_sketch_pairs",
+    "hybrid_search_rrf",
+    "pii_profile_tables",
+    "pivot_orders_priority",
+    "privacy_risk_metrics",
+    "privacy_suppress_below_k",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "snapshot_diff_cdc",
+    "subset_export_lines",
+    "tfdf_top_terms",
+    "unpivot_customer_metrics",
 ]
 
 

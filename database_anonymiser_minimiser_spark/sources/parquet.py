@@ -219,17 +219,45 @@ def preflight_parquet_files(spark: SparkSession, root: str | Path):
     damaged-file list explicit and cheap BEFORE the export: footer reads
     only, distributed over the cluster (one task per file batch via
     mapInPandas on a parallelized path list), so the wall is metadata
-    IO, not data volume."""
-    import glob as _glob
-    import os as _os
+    IO, not data volume.
 
-    paths = sorted(
-        p
-        for p in _glob.glob(str(Path(root) / "**" / "*"), recursive=True)
-        if _os.path.isfile(p)
-        and not _os.path.basename(p).startswith(("_", "."))
-        and p.endswith(".parquet")
-    )
+    Files are enumerated through the Hadoop FileSystem API for the
+    path's scheme — a driver-local ``glob`` would find ZERO files under
+    an s3://, hdfs://, or other remote root and the preflight would
+    print nothing and PASS, a silent false-negative from the very
+    feature meant to prevent silent row loss. An empty enumeration is
+    therefore an ERROR, never a pass: a root with no parquet files is
+    either the wrong path or an unreadable store, and both need a
+    human. (On remote stores the executor-side pyarrow probe receives
+    the full URI; if the worker lacks a handler for that scheme the
+    file reports ok=False with the error — loud, not silent.)"""
+    jvm = spark._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(str(root))
+    fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hroot):
+        raise FileNotFoundError(
+            f"preflight root does not exist (checked via Hadoop FS for "
+            f"its scheme): {root}"
+        )
+    it = fs.listFiles(hroot, True)
+    paths = []
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+            continue
+        uri = p.toUri()
+        # local files go to pyarrow as plain paths; remote keep the URI
+        paths.append(
+            uri.getPath() if (uri.getScheme() or "file") == "file"
+            else p.toString()
+        )
+    paths.sort()
+    if not paths:
+        raise FileNotFoundError(
+            f"preflight found no parquet data files under {root} — "
+            f"refusing to report PASS on an empty enumeration"
+        )
 
     def probe(batches):
         import pandas as pd

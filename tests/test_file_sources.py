@@ -202,3 +202,34 @@ def test_audit_preflight_cli(spark, tmp_path, capsys):
     out_dirty = capsys.readouterr().out
     assert f"FAIL  preflight: {bad}" in out_dirty
     assert "PASS  users" not in out_dirty  # relational audit skipped
+
+
+def test_preflight_empty_enumeration_fails_loudly(spark, tmp_path, capsys):
+    """r11 ADVICE: an enumeration that finds zero parquet files must
+    ERROR, never PASS — a driver-local glob over a remote root (or a
+    wrong path) previously printed nothing and passed, a silent false
+    negative from the feature sold as the row-loss defense. Files are
+    now listed via the Hadoop FileSystem for the path's scheme."""
+    import pytest
+
+    from database_anonymiser_minimiser_spark.cli import main
+    from database_anonymiser_minimiser_spark.sources.parquet import (
+        preflight_parquet_files,
+    )
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        preflight_parquet_files(spark, tmp_path / "no_such_root")
+    empty = tmp_path / "empty_lake"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_text("")  # markers alone are not data
+    with pytest.raises(FileNotFoundError, match="no parquet data files"):
+        preflight_parquet_files(spark, empty)
+    # CLI: exit 2 with the error on stderr, not a pass or a traceback
+    cfg = tmp_path / "cfg_empty.yaml"
+    cfg.write_text(
+        f"connection: {{type: parquet, path: {empty}}}\n"
+        "configuration:\n  users: {primary_key: pk}\n"
+    )
+    assert main(["-c", str(cfg), "audit", "--preflight"]) == 2
+    err = capsys.readouterr().err
+    assert "preflight" in err and "no parquet data files" in err

@@ -384,6 +384,97 @@ def test_dp_noisy_avg_null_on_clamped_count(spark):
     assert all(v is None or v >= 0.0 for v in out1.values())
 
 
+def test_dp_null_group_keys_avg_cross_engine(spark):
+    """The AVG path's sum-count join must be null-safe: a plain
+    equi-join drops NULL group keys while the DuckDB twin (IS NOT
+    DISTINCT FROM) keeps them — probed, Spark released [('a', ...)]
+    where DuckDB released the NULL group too (r11 ADVICE)."""
+    import duckdb
+
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        dp_noisy_avg,
+        duck_dp_noisy_avg_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 5), (None, 4), (None, 6), (None, 5)],
+        ["g", "v"],
+    )
+    got = sorted(
+        ((r["g"] or ""), r["noisy_avg"])
+        for r in dp_noisy_avg(df, ["g"], "v", bound=10).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v INTEGER)")
+    con.execute(
+        "INSERT INTO t VALUES ('a',3), ('a',5), (NULL,4), (NULL,6), (NULL,5)"
+    )
+    want = sorted(
+        ((r[0] or ""), r[1])
+        for r in con.execute(
+            duck_dp_noisy_avg_sql("t", ["g"], "v", bound=10)
+        ).fetchall()
+    )
+    assert len(got) == 2  # the NULL group is in the release
+    assert got == want
+
+
+def test_dp_known_domain_cross_engine(spark):
+    """Known-domain release: every caller-supplied domain key appears
+    exactly once (absent keys get noise around 0), out-of-domain rows
+    are clamped away, NULL-in-domain counts, and the two engines are
+    byte-identical."""
+    import duckdb
+
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        dp_noisy_count_known_domain,
+        duck_dp_noisy_count_known_domain_sql,
+    )
+
+    domain = ["a", "b", "ghost", None]
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("intruder",), (None,), (None,)],
+        ["g"],
+    )
+    rows = dp_noisy_count_known_domain(df, "g", domain).collect()
+    got = sorted(((r["g"] or ""), r["noisy_count"]) for r in rows)
+    assert len(rows) == len(domain)  # densified: one row per domain key
+    assert "intruder" not in {r["g"] for r in rows}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR)")
+    con.execute(
+        "INSERT INTO t VALUES ('a'), ('a'), ('b'), ('intruder'), "
+        "(NULL), (NULL)"
+    )
+    want = sorted(
+        ((r[0] or ""), r[1])
+        for r in con.execute(
+            duck_dp_noisy_count_known_domain_sql("t", "g", domain)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_dp_known_domain_presence_is_uninformative(spark):
+    """The property the variant exists for: the released KEY SET is the
+    domain, independent of the data — datasets with disjoint true key
+    sets release the same keys."""
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        dp_noisy_count_known_domain,
+    )
+
+    domain = ["x", "y", "z"]
+    a = spark.createDataFrame([("x",)], ["g"])
+    b = spark.createDataFrame([("q",)], ["g"])  # nothing in-domain
+    keys_a = sorted(
+        r["g"] for r in dp_noisy_count_known_domain(a, "g", domain).collect()
+    )
+    keys_b = sorted(
+        r["g"] for r in dp_noisy_count_known_domain(b, "g", domain).collect()
+    )
+    assert keys_a == keys_b == sorted(domain)
+
+
 def test_t_closeness_math(spark):
     """Pin the TV-distance math on a hand-computed fixture: a perfectly
     representative class scores 0; a fully skewed class scores the

@@ -59,6 +59,39 @@ def test_strip_markup_semantics(spark):
     assert got[5]["clean"] == "across"  # tag spanning newlines
 
 
+def test_strip_markup_nested_escapes_cross_engine(spark):
+    """Doubly-escaped entities decode ONE level (standard order: &amp;
+    last): '&amp;lt;' is the literal text '&lt;', not '<' — the r11
+    ADVICE double-decode. Both engines must agree on the fixed order."""
+    import duckdb
+
+    from database_anonymiser_minimiser_spark.operators.textstats import (
+        duck_strip_markup_sql,
+        strip_markup,
+    )
+
+    rows = [
+        (0, "a &amp;lt; b"),        # -> 'a &lt; b' (NOT 'a < b')
+        (1, "x &amp;amp; y"),       # -> 'x &amp; y'
+        (2, "&amp; &lt; &gt; mix"),  # singles still decode
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["clean"] for r in strip_markup(df).collect()}
+    assert got[0] == "a &lt; b"
+    assert got[1] == "x &amp; y"
+    assert got[2] == "& < > mix"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id INTEGER, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            duck_strip_markup_sql("text", "doc_id") + " FROM d"
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_interpolate_hourly_math(spark, sf_dir):
     """Pin the interpolation semantics on the real corpus: observed
     hours pass through exactly; every interior gap is the straight line
