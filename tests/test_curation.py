@@ -262,6 +262,79 @@ def test_curate_strip_markup_prestep(spark):
     assert len(raw) == 2
 
 
+def test_curate_hot_band_cap_e2e(spark, tmp_path, capsys):
+    """r12 (r11 verdict item 3): the hot-band cap is reachable through
+    curate's near-dup collapse. A planted boilerplate corpus — 40
+    NEAR-identical templated pages (distinct fingerprints, so exact
+    collapse upstream cannot remove them) — must (a) collapse to the
+    same survivor set under the cap as under full pairing (star chains
+    keep cluster connectivity, the only property the collapse
+    consumes), (b) surface HotBandWarning, and (c) run the same way
+    through the CLI flag."""
+    import warnings as W
+
+    from database_anonymiser_minimiser_spark.operators.dedup import (
+        HotBandWarning,
+    )
+
+    # vocabulary disjoint from GOOD so the clique cannot absorb doc 100
+    template = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua enim "
+        "ad minim veniam quis nostrud exercitation ullamco laboris nisi "
+        "aliquip ex ea commodo consequat duis aute irure reprehenderit "
+        "voluptate velit esse cillum fugiat nulla pariatur excepteur "
+        "sint occaecat cupidatat non proident sunt culpa qui officia "
+        "deserunt mollit anim id est laborum"
+    )  # ~65 words: a one-word tail is a ~2% edit, jaccard ~0.95
+    rows = [(i, f"{template} suffix{i}", "en") for i in range(40)]
+    rows += [
+        (100, GOOD, "en"),
+        (101, GOOD.replace("quick", "swift"), "en"),  # genuine near-dup
+        (102, "totally different content about query engines here", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    full = {
+        r["doc_id"]
+        for r in C.curate_documents(
+            df, min_quality=0.0, near_dup_threshold=0.5
+        ).collect()
+    }
+    assert full == {0, 100, 102}  # template clique -> 0; 101 -> 100
+
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        capped = {
+            r["doc_id"]
+            for r in C.curate_documents(
+                df,
+                min_quality=0.0,
+                near_dup_threshold=0.5,
+                near_dup_max_bucket=10,
+            ).collect()
+        }
+    assert capped == full  # same clusters flagged, linear pairing
+    assert any(w.category is HotBandWarning for w in caught), [
+        str(w.message) for w in caught
+    ]
+
+    # CLI: the flag reaches the operator end-to-end
+    from database_anonymiser_minimiser_spark.cli import main
+
+    docs = str(tmp_path / "boiler_docs")
+    out = str(tmp_path / "boiler_out")
+    df.write.parquet(docs)
+    rc = main([
+        "curate", "--docs", docs, "--out", out, "--min-quality", "0",
+        "--near-dup-threshold", "0.5", "--near-dup-max-bucket", "10",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    written = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert written == full
+
+
 def test_curate_refuses_self_overwrite(spark, tmp_path):
     """--out == --landed (or --docs) would destroy the corpus being
     read mid-scan; the CLI entry fails loudly up front."""
