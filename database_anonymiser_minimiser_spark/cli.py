@@ -246,6 +246,22 @@ def build_parser() -> argparse.ArgumentParser:
         "near-copies into single band buckets; default off preserves "
         "exact full pairing",
     )
+    release = sub.add_parser(
+        "release",
+        help="differentially-private aggregate releases: run every entry "
+        "in the config's privacy.releases block, print the released "
+        "(noisy) rows, and emit the epsilon-budget manifest — refuses "
+        "correlated-noise seed reuse, warns when epsilon accumulates on "
+        "a re-released relation",
+    )
+    release.add_argument(
+        "--manifest", default=None, metavar="PATH",
+        help="write the release manifest (per-release epsilon/seed/"
+        "adjacency + per-relation budget totals) as JSON to PATH; "
+        "without it the manifest prints to stdout. The manifest is the "
+        "operator-side audit record — it contains the seeds and must "
+        "never be published with the released data",
+    )
     sub.add_parser("version", help="print version")
     return p
 
@@ -318,6 +334,69 @@ def main(argv: list[str] | None = None) -> int:
     if args.verbose:
         print(f"config: {args.config}", file=sys.stderr)
         print(f"connection: {cfg.connection.type}", file=sys.stderr)
+    if args.command == "release":
+        import json as _json
+        import warnings as _warnings
+        from pathlib import Path as _Path
+
+        from .operators.privacy_ledger import (
+            DPBudgetError,
+            DPLedger,
+            DPReleaseWarning,
+            parse_releases,
+            run_release,
+        )
+
+        if not cfg.privacy:
+            print(
+                "error: release requires a privacy.releases block in the "
+                "config",
+                file=sys.stderr,
+            )
+            return 2
+        specs = parse_releases(cfg.privacy)
+        # account FIRST: a refused combination must fail before any
+        # release is computed or printed (partial output would itself
+        # be a release)
+        ledger = DPLedger()
+        try:
+            with _warnings.catch_warnings(record=True) as caught:
+                _warnings.simplefilter("always")
+                for spec in specs:
+                    ledger.record(spec)
+            for w in caught:
+                if issubclass(w.category, DPReleaseWarning):
+                    print(f"warning: {w.message}", file=sys.stderr)
+        except DPBudgetError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        for spec in specs:
+            df = run_release(engine.source.read(spec.table), spec)
+            cols = df.columns
+            rows = df.collect()  # aggregated: group-cardinality-sized
+            print(
+                f"== {spec.name}: {spec.kind} of {spec.table} "
+                f"by {','.join(spec.group_by)} "
+                f"(epsilon={spec.epsilon:g}, adjacency={spec.adjacency})"
+            )
+            print("\t".join(cols))
+            for r in sorted(
+                rows, key=lambda r: tuple(str(r[c]) for c in cols)
+            ):
+                print("\t".join(str(r[c]) for c in cols))
+        manifest = ledger.manifest()
+        if args.manifest:
+            _Path(args.manifest).write_text(
+                _json.dumps(manifest, indent=2) + "\n"
+            )
+            print(
+                f"manifest written: {args.manifest} "
+                f"(total epsilon {manifest['total_epsilon']:g})",
+                file=sys.stderr,
+            )
+        else:
+            print(_json.dumps(manifest))
+        return 0
     if args.command == "audit":
         failed = 0
         if getattr(args, "preflight", False):

@@ -213,6 +213,11 @@ class Config:
     # key_mode ("hashed" | "oracle", settings.py) — applied by the
     # Engine at construction so every operator in the run shares it
     settings: dict[str, Any] = field(default_factory=dict)
+    # optional DP release block (engine extension): {releases: [...]}
+    # consumed by the `release` CLI verb; validated at load via
+    # operators/privacy_ledger.parse_releases so a bad spec fails before
+    # any Spark work, like every other config error
+    privacy: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, raw: dict[str, Any]) -> "Config":
@@ -236,7 +241,20 @@ class Config:
                 settings_mod._validate(km)
             except ValueError as exc:  # fail at load, not mid-export
                 raise ConfigError(str(exc)) from exc
-        cfg = cls(connection=conn, configuration=tables, settings=settings_raw)
+        privacy_raw = raw.get("privacy") or {}
+        if privacy_raw:
+            from .operators.privacy_ledger import DPBudgetError, parse_releases
+
+            try:
+                parse_releases(privacy_raw)
+            except DPBudgetError as exc:
+                raise ConfigError(str(exc)) from exc
+        cfg = cls(
+            connection=conn,
+            configuration=tables,
+            settings=settings_raw,
+            privacy=privacy_raw,
+        )
         cfg.connection.validate()
         return cfg
 
@@ -247,6 +265,8 @@ class Config:
         }
         if self.settings:
             out["settings"] = dict(self.settings)
+        if self.privacy:
+            out["privacy"] = dict(self.privacy)
         return out
 
     def has_table(self, name: str) -> bool:
