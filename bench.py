@@ -215,6 +215,10 @@ HEADLINE = [
     "text_strip_markup",
     "events_interpolate_hourly",
     "events_locf_hourly",
+    # round-12: DP counts densified against a public key domain (the
+    # known-domain variant; prices like the plain count + a broadcast
+    # literal domain join)
+    "privacy_dp_known_domain",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -2190,6 +2190,34 @@ def q_privacy_dp_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DP_EVENT_DOMAIN = [
+    "click", "error", "purchase", "signup", "view",
+    "refund",  # public key NOT in the data: releases noise around 0
+]
+
+
+@register(
+    "privacy_dp_known_domain",
+    _priv.duck_dp_noisy_count_known_domain_sql(
+        "events", "event_type", _DP_EVENT_DOMAIN, epsilon=1.0
+    ),
+)
+def q_privacy_dp_known_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP counts densified against a PUBLIC key domain (r12, the
+    known-domain variant the plain release's precondition requires for
+    data-derived keys): one noisy row per domain key — including
+    'refund', absent from the data, which releases noise around 0 — so
+    the emitted KEY SET carries zero information about the data.
+    Out-of-domain rows are clamped away. Bit-identical cross-engine via
+    the shared literal noise table. Scale shape: one groupBy shuffle;
+    the public domain is a broadcast literal relation. See
+    operators/privacy.py:dp_noisy_count_known_domain."""
+    ev = load(spark, sf_dir, "events")
+    return _priv.dp_noisy_count_known_domain(
+        ev, "event_type", _DP_EVENT_DOMAIN, epsilon=1.0
+    )
+
+
 # ===========================================================================
 # As-of (point-in-time) join
 # ===========================================================================

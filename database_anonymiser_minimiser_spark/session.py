@@ -39,6 +39,37 @@ def _existing_session() -> SparkSession | None:
     return getattr(SparkSession, "_instantiatedSession", None)
 
 
+def _parse_mem_mb(mem: str) -> int:
+    """JVM memory string ('8g', '512m', '1024k', plain bytes) -> MB."""
+    m = mem.strip().lower()
+    mult = {"k": 1.0 / 1024, "m": 1.0, "g": 1024.0, "t": 1024.0 * 1024}
+    if m and m[-1] in mult:
+        return int(float(m[:-1]) * mult[m[-1]])
+    return int(int(m) // (1024 * 1024))
+
+
+def _local_lowmem_conf(mem: str) -> dict[str, str]:
+    """Local single-JVM twin of ``deployment_profile``'s spill rule.
+
+    r11 (tools/bench_lowmem.py, PERFORMANCE.md §memory envelope): the
+    merge of a heavy spill pass opens a ReadAheadInputStream PER SPILL
+    FILE — multi-MB non-spillable heap buffers that OOM'd
+    HashAggregate.finishAggregate at 1 GB AND 2 GB total heap, while
+    8 GB is clean and keeps read-ahead's merge-throughput win. A local
+    session shares ONE heap across all task slots, so the trigger here
+    is TOTAL heap (<= 2 GB), not the per-task-slot floor the cluster
+    profile uses. Without this, the profile rule existed but the
+    engine's own local constructor never applied it — the r12 zipfian
+    re-probe caught exactly that gap."""
+    try:
+        mb = _parse_mem_mb(mem)
+    except (ValueError, IndexError):
+        return {}
+    if mb <= 2048:
+        return {"spark.unsafe.sorter.spill.read.ahead.enabled": "false"}
+    return {}
+
+
 def get_spark(
     app_name: str = "database-anonymiser-minimiser-spark",
     master: str | None = None,
@@ -95,6 +126,8 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    for k, v in _local_lowmem_conf(mem).items():
+        b = b.config(k, v)
     return b.getOrCreate()
 
 

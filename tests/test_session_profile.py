@@ -119,3 +119,24 @@ def test_profile_disables_spill_readahead_below_1g_per_task():
         10**12, executors=100, cores_per_executor=4, executor_mem_gb=16
     )
     assert "spark.unsafe.sorter.spill.read.ahead.enabled" not in roomy
+
+
+def test_local_session_applies_spill_rule_at_low_total_heap():
+    """r12: the profile rule existed but the LOCAL session constructor
+    never applied it, so a 1 GB bench child still ran with read-ahead
+    on and OOM'd (the zipfian re-probe caught the gap). Local sessions
+    share one heap across all slots, so the trigger is TOTAL heap
+    (r11 measured: OOM at 1 GB and 2 GB, clean at 8 GB)."""
+    from database_anonymiser_minimiser_spark.session import (
+        _local_lowmem_conf,
+        _parse_mem_mb,
+    )
+
+    assert _parse_mem_mb("8g") == 8192
+    assert _parse_mem_mb("512m") == 512
+    assert _parse_mem_mb("1048576k") == 1024
+    key = "spark.unsafe.sorter.spill.read.ahead.enabled"
+    assert _local_lowmem_conf("1g")[key] == "false"
+    assert _local_lowmem_conf("2g")[key] == "false"
+    assert key not in _local_lowmem_conf("8g")
+    assert _local_lowmem_conf("not-a-size") == {}  # never blocks startup

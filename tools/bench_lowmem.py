@@ -70,6 +70,13 @@ def main() -> int:
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated query subset (default: the six "
+        "shuffle-heaviest) — e.g. only dedup_ngram_jaccard for the "
+        "zipfian spill-merge re-probe, where skewed spill-file sizes "
+        "are the harder case for merge-phase memory",
+    )
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -78,7 +85,8 @@ def main() -> int:
         env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=mem)
         if args.cpus is not None:
             env["SPARK_GRAFT_CPUS"] = args.cpus
-        code = _CHILD.format(repo=repo, queries=HEAVY, sf_dir=args.sf_dir)
+        queries = args.queries.split(",") if args.queries else HEAVY
+        code = _CHILD.format(repo=repo, queries=queries, sf_dir=args.sf_dir)
         proc = subprocess.run(
             [sys.executable, "-c", code],
             env=env,
