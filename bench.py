@@ -217,8 +217,14 @@ HEADLINE = [
     "events_locf_hourly",
     # round-12: DP counts densified against a public key domain (the
     # known-domain variant; prices like the plain count + a broadcast
-    # literal domain join)
+    # literal domain join), the DP histogram over public bins, the
+    # trailing range-window moving average, exact-integer weighted
+    # sampling, and the one-pass data-contract expectations gate
     "privacy_dp_known_domain",
+    "privacy_dp_histogram",
+    "events_moving_avg_24h",
+    "sample_weighted_chars",
+    "expectations_events",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -2218,6 +2218,188 @@ def q_privacy_dp_known_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_moving_avg_24h",
+    """
+    SELECT event_id, event_type,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      CAST(count(*) OVER w AS BIGINT) AS n_24h,
+      CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+           AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_24h,
+      CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+           AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+        / (count(*) OVER w) AS avg_24h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_moving_avg_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour moving average of event value per type — the
+    rolling-window smoothing every monitoring/feature pipeline needs,
+    as a RANGE window over MICROSECOND epoch (exact integers in both
+    engines; timestamp-typed range frames are not portable). Exactness:
+    the window SUM runs in DECIMAL and converts via the string idiom;
+    the mean is ONE double division. Scale shape: one shuffle on
+    (event_type) then a single ordered pass per partition — Spark's
+    window RANGE frame is a sliding aggregate, not a self-join, so the
+    cost is sort + linear merge, the same shape at any corpus size
+    (hot types are the skew axis, covered by the salted-agg family)."""
+    w = (
+        Window.partitionBy("event_type")
+        # NTZ -> timestamp under the fixed UTC session zone (identity),
+        # because unix_micros rejects TIMESTAMP_NTZ input
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    ev = load(spark, sf_dir, "events")
+    sum_d = (
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("decimal(38,6)")
+        .cast("string")
+        .cast("double")
+    )
+    n = F.count(F.lit(1)).over(w).cast("long")
+    return ev.select(
+        "event_id",
+        "event_type",
+        _ts("ts"),
+        n.alias("n_24h"),
+        sum_d.alias("sum_24h"),
+        (sum_d / n).alias("avg_24h"),
+    )
+
+
+# public bin edges (width 50 over the stated public value range; 500 is
+# deliberately beyond the data so the histogram release proves the
+# densified ghost-bin path at query scale)
+_DP_VALUE_BINS = list(range(0, 501, 50))
+
+
+@register(
+    "privacy_dp_histogram",
+    _priv.duck_dp_noisy_count_known_domain_sql(
+        "(SELECT CAST(floor(value / 50.0) AS BIGINT) * 50 AS value_bin "
+        "FROM events)",
+        "value_bin",
+        _DP_VALUE_BINS,
+        epsilon=1.0,
+    ),
+)
+def q_privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP histogram: event values binned to a PUBLIC width-50 grid,
+    counts released with geometric noise, densified against the public
+    bin list (one row per bin, absent bins release noise around 0) —
+    the release shape every DP deployment publishes first. Binning is
+    floor(value/width)*width in exact integer bins; the bin domain is
+    public by construction so the known-domain precondition holds.
+    One groupBy shuffle; the bin grid is a broadcast literal."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.floor(F.col("value") / F.lit(50.0)).cast("long") * F.lit(50))
+        .alias("value_bin")
+    )
+    return _priv.dp_noisy_count_known_domain(
+        ev, "value_bin", _DP_VALUE_BINS, epsilon=1.0
+    )
+
+
+@register(
+    "sample_weighted_chars",
+    f"""
+    WITH mx AS (SELECT max(n_chars) AS m FROM documents)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents, mx
+    WHERE CAST({_priv._uniform52_duck(
+        "concat(CAST(doc_id AS VARCHAR), ':wsample')")}
+        AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0))
+      < CAST(n_chars AS DECIMAL(19,0))
+        * CAST(4503599627370496 AS DECIMAL(19,0))
+    """,
+)
+def q_sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling: each document kept with probability
+    proportional to its length (p = n_chars / max_chars) — the
+    size-biased sampling a token-budgeted corpus draw uses. Entirely in
+    EXACT integer arithmetic: a 52-bit md5 uniform u and the inclusion
+    test u * max < n_chars * 2^52 as DECIMAL(19,0) x DECIMAL(19,0)
+    products (exact DECIMAL(38,0) in both engines) — no float
+    probabilities, so the sample is bit-identical cross-engine and
+    deterministic under the seed string. Scale shape: one 1-row max
+    aggregate broadcast back, then a scan-bound filter."""
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("m"))
+    u = (
+        F.conv(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":wsample"))
+            ).substr(1, 13),
+            16,
+            10,
+        )
+        .cast("decimal(19,0)")
+    )
+    lhs = u * F.col("m").cast("decimal(19,0)")
+    rhs = F.col("n_chars").cast("decimal(19,0)") * F.lit(
+        1 << 52
+    ).cast("decimal(19,0)")
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .filter(lhs < rhs)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+@register(
+    "expectations_events",
+    """
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_null_user,
+      CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_null_value,
+      CAST(sum(CASE WHEN value < 0 OR value > 1000000 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_value_range,
+      CAST(sum(CASE WHEN event_type NOT IN
+        ('click','error','purchase','signup','view') THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_bad_type,
+      CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+        OR ts >= TIMESTAMP '2026-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_ts_range
+    FROM events
+    """,
+)
+def q_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectations over the events feed in ONE aggregate
+    pass: null-rate, numeric range, categorical domain, and timestamp
+    bound violations as integer counts — the generic per-batch quality
+    gate an ingest pipeline runs before landing (the relational
+    PK/FK audit verb covers keys; this covers values). All conditional
+    BIGINT sums: map-side combined, one 1-row result, scan-bound."""
+    ev = load(spark, sf_dir, "events")
+    c = lambda cond: F.sum(  # noqa: E731
+        F.when(cond, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        c(F.col("user_id").isNull()).alias("n_null_user"),
+        c(F.col("value").isNull()).alias("n_null_value"),
+        c((F.col("value") < 0) | (F.col("value") > 1_000_000)).alias(
+            "n_value_range"
+        ),
+        c(
+            ~F.col("event_type").isin(
+                "click", "error", "purchase", "signup", "view"
+            )
+        ).alias("n_bad_type"),
+        c(
+            (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2026-01-01").cast("timestamp"))
+        ).alias("n_ts_range"),
+    )
+
+
 # ===========================================================================
 # As-of (point-in-time) join
 # ===========================================================================
