@@ -434,14 +434,18 @@ def dp_noisy_count_known_domain(
     definition small enough to publish) broadcast against the
     already-aggregated counts — one groupBy shuffle, zero extra
     exchanges, zero Python."""
-    from pyspark.sql.types import StructField, StructType
-
     if not domain:
         raise ValueError("domain must be a non-empty public key list")
     dtype = df.schema[group_col].dataType
-    dom = df.sparkSession.createDataFrame(
-        [(v,) for v in domain],
-        StructType([StructField(group_col, dtype)]),
+    # literal-array explode, NOT createDataFrame: the latter ships the
+    # domain through a Python RDD (Scan ExistingRDD, UnknownPartitioning)
+    # which drags a Python stage into an otherwise pure-JVM release plan;
+    # exploding a literal array stays in whole-stage codegen (explode
+    # keeps NULL elements, so a NULL domain key survives)
+    dom = df.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v).cast(dtype) for v in domain])
+        ).alias(group_col)
     )
     counts = (
         # null-safe semi join: a NULL key listed in the (public) domain

@@ -729,3 +729,49 @@ def test_strip_markup_is_scan_bound(spark, sf):
     assert "Exchange" not in tree, tree
     assert "Join" not in tree, tree
     assert "Python" not in plan, plan[:2000]
+
+
+def test_moving_avg_is_one_exchange_one_window(spark, sf):
+    """r12: the trailing RANGE frame is a sliding window aggregate, not
+    a self-join — exactly one shuffle (on event_type) feeding one
+    Window node, no Join, no Python."""
+    plan = plan_of(Q.QUERIES["events_moving_avg_24h"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    assert "Python" not in plan, plan[:2000]
+    assert tree.count(" Exchange (") == 1, tree
+    assert tree.count(" Window (") == 1, tree
+
+
+def test_dp_histogram_domain_is_broadcast(spark, sf):
+    """r12: the known-domain densify joins the aggregated counts against
+    the PUBLIC bin grid as a broadcast literal — no shuffle join, at
+    most the one aggregate Exchange, no Python."""
+    plan = plan_of(Q.QUERIES["privacy_dp_histogram"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "Python" not in plan, plan[:2000]
+
+
+def test_weighted_sample_is_scan_bound_with_one_row_broadcast(spark, sf):
+    """r12: weighted sampling is a scan-bound filter against ONE
+    broadcast 1-row max aggregate — no shuffle join, no Python; the
+    only Exchange is the single-partition max."""
+    plan = plan_of(Q.QUERIES["sample_weighted_chars"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, tree
+    assert "Python" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
+
+
+def test_expectations_is_one_aggregate_pass(spark, sf):
+    """r12: the data-contract gate is ONE map-side-combined aggregate
+    over one scan — a single Exchange (the 1-row final agg), no join,
+    no Python."""
+    plan = plan_of(Q.QUERIES["expectations_events"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    assert "Python" not in plan, plan[:2000]
+    assert tree.count(" Exchange (") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
