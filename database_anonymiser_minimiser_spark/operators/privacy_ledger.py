@@ -54,6 +54,7 @@ class ReleaseSpec:
     bound: int = 0  # sum/avg
     entity: str = ""  # user_count
     domain: tuple | None = None  # count only: public key list (densify)
+    bin_width: int = 0  # count only: histogram over integer-width bins
 
     @classmethod
     def parse(cls, raw: dict[str, Any], index: int = 0) -> "ReleaseSpec":
@@ -132,6 +133,22 @@ class ReleaseSpec:
                 raise DPBudgetError(
                     f"release {name!r}: 'domain' must be a non-empty list"
                 )
+        bin_width = int(raw.get("bin_width", 0) or 0)
+        if bin_width:
+            if kind != "count":
+                raise DPBudgetError(
+                    f"release {name!r}: 'bin_width' (histogram binning) "
+                    "is only supported for kind: count"
+                )
+            if len(gb) != 1:
+                raise DPBudgetError(
+                    f"release {name!r}: 'bin_width' takes exactly one "
+                    "group_by column (the numeric column to bin)"
+                )
+            if bin_width < 0:
+                raise DPBudgetError(
+                    f"release {name!r}: bin_width must be positive"
+                )
         return cls(
             name=name,
             table=table,
@@ -143,6 +160,7 @@ class ReleaseSpec:
             bound=bound,
             entity=entity,
             domain=tuple(domain) if domain is not None else None,
+            bin_width=bin_width,
         )
 
     @property
@@ -156,6 +174,7 @@ class ReleaseSpec:
             self.value,
             self.bound,
             self.entity,
+            self.bin_width,
         )
 
     @property
@@ -276,10 +295,10 @@ class DPLedger:
         releases = []
         for e in self.entries:
             s: ReleaseSpec = e["spec"]
-            rk = "/".join(
-                str(p) for p in (s.table, s.kind, ",".join(s.group_by))
-                if p
-            )
+            gb = ",".join(s.group_by)
+            if s.bin_width:
+                gb = f"{gb}:bin{s.bin_width}"
+            rk = "/".join(str(p) for p in (s.table, s.kind, gb) if p)
             releases.append(
                 {
                     "name": s.name,
@@ -288,6 +307,8 @@ class DPLedger:
                     "group_by": list(s.group_by),
                     **({"value": s.value, "bound": s.bound} if s.value else {}),
                     **({"entity": s.entity} if s.entity else {}),
+                    **({"bin_width": s.bin_width} if s.bin_width else {}),
+                    **({"domain_size": len(s.domain)} if s.domain else {}),
                     "epsilon": s.epsilon,
                     "epsilon_charged": e["charged"],
                     "seed": s.seed,
@@ -299,7 +320,10 @@ class DPLedger:
                 rk, {"epsilon_spent": 0.0, "adjacency": s.adjacency}
             )
             rel["epsilon_spent"] += e["charged"]
+        from .. import __version__
+
         return {
+            "engine_version": __version__,
             "releases": releases,
             "relations": relations,
             "total_epsilon": self.total_epsilon,
@@ -321,19 +345,39 @@ def parse_releases(privacy_raw: dict[str, Any]) -> list[ReleaseSpec]:
 
 def run_release(spark_df, spec: ReleaseSpec):
     """Build the release DataFrame for ``spec`` over its source table."""
+    from pyspark.sql import functions as F
+
     from . import privacy as P
 
     if spec.kind == "count":
+        col = spec.group_by[0]
+        if spec.bin_width:
+            # histogram: bin the numeric column to a public integer grid
+            # BEFORE grouping (the bin identity, not the raw value, is
+            # the released key)
+            binned = f"{col}_bin"
+            spark_df = spark_df.select(
+                (
+                    F.floor(F.col(col) / F.lit(float(spec.bin_width))).cast(
+                        "long"
+                    )
+                    * F.lit(int(spec.bin_width))
+                ).alias(binned)
+            )
+            col = binned
         if spec.domain is not None:
             return P.dp_noisy_count_known_domain(
                 spark_df,
-                spec.group_by[0],
+                col,
                 list(spec.domain),
                 epsilon=spec.epsilon,
                 seed=spec.seed,
             )
         return P.dp_noisy_count(
-            spark_df, list(spec.group_by), epsilon=spec.epsilon, seed=spec.seed
+            spark_df,
+            [col] if spec.bin_width else list(spec.group_by),
+            epsilon=spec.epsilon,
+            seed=spec.seed,
         )
     if spec.kind == "sum":
         return P.dp_noisy_sum(
