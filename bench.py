@@ -225,6 +225,9 @@ HEADLINE = [
     "events_moving_avg_24h",
     "sample_weighted_chars",
     "expectations_events",
+    # round-12: directed containment near-dups (short-doc-inside-long,
+    # shares the jaccard index machinery)
+    "dedup_containment_pairs",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -1179,6 +1179,35 @@ class NgramFallbackWarning(UserWarning):
     or simhash_wide_pairs (both measured flat/sub-linear to sf4)."""
 
 
+def _adaptive_df_cap(
+    dfs: DataFrame, max_df: int, fallback_quantile: float, op_name: str
+) -> float:
+    """The round-6 cliff guard, shared by the Jaccard and containment
+    index builders: the absolute cap, unless even the rarest shingle
+    exceeds it (the rare set would be EMPTY — at sf2 of the fixed-vocab
+    corpus the operator silently returned 0 pairs; ground truth 3,275),
+    in which case the fallback quantile of the df distribution, with
+    the regime change made observable via NgramFallbackWarning. One
+    eagerly-collected 1-row aggregate over the already-persisted df
+    dictionary."""
+    mn, q = dfs.agg(
+        F.min("df_count"),
+        F.expr(f"percentile(df_count, {fallback_quantile}D)"),
+    ).first()
+    if mn is not None and mn > max_df:
+        warnings.warn(
+            f"{op_name}: every shingle has df > max_df="
+            f"{max_df} (min df = {mn}); cap degraded to the "
+            f"{fallback_quantile} df-quantile ({q:.0f}). This "
+            f"regime is Theta(sum df^2) — prefer minhash_lsh_pairs "
+            f"or simhash_wide_pairs at scale.",
+            NgramFallbackWarning,
+            stacklevel=3,
+        )
+        return float(q)
+    return float(max_df)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1285,23 +1314,9 @@ def ngram_jaccard_pairs(
         # time, not discover it on the cluster. MinHash-LSH /
         # SimHash-63 are the at-scale operators for that regime
         # (PERFORMANCE.md "Measured scaling").
-        mn, q = dfs.agg(
-            F.min("df_count"),
-            F.expr(f"percentile(df_count, {fallback_quantile}D)"),
-        ).first()
-        if mn is not None and mn > max_df:
-            warnings.warn(
-                f"ngram_jaccard_pairs: every shingle has df > max_df="
-                f"{max_df} (min df = {mn}); cap degraded to the "
-                f"{fallback_quantile} df-quantile ({q:.0f}). This "
-                f"regime is Theta(sum df^2) — prefer minhash_lsh_pairs "
-                f"or simhash_wide_pairs at scale.",
-                NgramFallbackWarning,
-                stacklevel=2,
-            )
-            capval = float(q)
-        else:
-            capval = float(max_df)
+        capval = _adaptive_df_cap(
+            dfs, max_df, fallback_quantile, "ngram_jaccard_pairs"
+        )
         rare = dfs.filter(F.col("df_count") <= F.lit(capval)).select("sh")
     # per-doc rare-shingle count r rides a window over the index itself:
     # one row per doc would have been broadcast-able at test scale, but
@@ -1369,6 +1384,111 @@ def ngram_jaccard_pairs(
     )
     return verify_jaccard(cands, shingled, threshold)
 
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_df: int = 100,
+    fallback_quantile: float = 0.9,
+) -> DataFrame:
+    """DIRECTED containment near-dup pairs: C(A→B) = |A∩B| / |A| >= t —
+    the "short document embedded in a longer one" relation Jaccard
+    structurally misses (a 50-shingle quote fully inside a 1000-shingle
+    page has J ≈ 0.05 but C = 1.0): the quoting/boilerplate/aggregator
+    case a crawl-curation pipeline must catch before the budget stage
+    spends tokens on wrapped copies.
+
+    (doc_a, doc_b, containment) with doc_a the CONTAINED side; both
+    directions are released independently when both qualify. Candidate
+    generation shares ngram_jaccard_pairs' machinery exactly: rare
+    shingles under the same adaptive df-cap + cliff guard (same
+    documented stop-shingle recall trade), the size necessary condition
+    (containment >= t forces |B| >= t·|A| since |A∩B| <= min), and the
+    count-then-verify upper bound c + min(|A|-r_A, |B|-r_B) >= t·|A| —
+    all necessary conditions, so the verified result equals the full
+    co-occurrence candidate set's (the DuckDB oracle verifies the
+    UNPRUNED candidates). Final containment is an integer ratio with
+    ONE double division — bit-identical cross-engine.
+
+    Scale shape: identical to the Jaccard index — one persisted shingle
+    relation, one df dictionary, the 8-byte hashed-shingle self-join
+    bounded by rare-bucket sizes, verification only on surviving pairs."""
+    shingled = shingles(df, text_col, id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    while _NGRAM_PERSISTS:
+        try:
+            _NGRAM_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    _NGRAM_PERSISTS.append(shingled)
+    inv = shingled.select(
+        "id", F.size("s").alias("n"), F.explode("s").alias("sh")
+    )
+    dfs = (
+        inv.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _NGRAM_PERSISTS.append(dfs)
+    capval = _adaptive_df_cap(
+        dfs, max_df, fallback_quantile, "ngram_containment_pairs"
+    )
+    rare = dfs.filter(F.col("df_count") <= F.lit(capval)).select("sh")
+    from pyspark.sql import Window
+
+    inv_rare = (
+        inv.join(rare, "sh")
+        .withColumn("r", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .withColumn("shh", F.xxhash64("sh"))
+        .drop("sh")
+    )
+    a, b = inv_rare.alias("a"), inv_rare.alias("b")
+    # necessary: |A∩B| >= t·|A| and |A∩B| <= |B|  =>  |B| >= t·|A|
+    size_ok = (
+        F.col("b.n").cast("double")
+        >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9)
+    )
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.shh") == F.col("b.shh"))
+            & (F.col("a.id") != F.col("b.id"))
+            & size_ok,
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            F.col("a.r").alias("ra"),
+            F.col("b.r").alias("rb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    inter_ub = F.col("c") + F.least(
+        F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+    )
+    need = F.lit(threshold) * F.col("na")
+    cands = pair_counts.filter(
+        inter_ub.cast("double") >= need - F.lit(1e-9)
+    ).select("id_a", "id_b")
+    sa = shingled.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = shingled.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            (inter.cast("double") / F.size("sa")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
 
 
 def ngram_jaccard_pairs_prefix(
@@ -1518,6 +1638,37 @@ def duck_ngram_jaccard_sql(
           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
         FROM cand JOIN shf sa ON cand.id_a = sa.id JOIN shf sb ON cand.id_b = sb.id)
     SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {threshold}
+    """
+
+
+def duck_ngram_containment_sql(
+    table: str = "documents",
+    threshold: float = 0.6,
+    max_df: int = 100,
+    fallback_quantile: float = 0.9,
+) -> str:
+    """DuckDB twin of :func:`ngram_containment_pairs`: identical rare-
+    shingle candidate rule (same adaptive cap CASE), DIRECTED pairs,
+    containment verified on the UNPRUNED co-occurrence candidates (the
+    Spark side's size/count prunes are necessary conditions only)."""
+    return f"""
+    WITH {_duck_shingles_cte(table)},
+    inv AS (SELECT id, unnest(s) AS sh FROM shf),
+    dfs AS (SELECT sh, count(*) AS df_count FROM inv GROUP BY sh),
+    cap AS (SELECT CASE WHEN min(df_count) > {max_df}
+                   THEN quantile_cont(df_count, {fallback_quantile})
+                   ELSE CAST({max_df} AS DOUBLE) END AS cap FROM dfs),
+    rare AS (SELECT sh FROM dfs, cap WHERE df_count <= cap.cap),
+    invr AS (SELECT inv.id, inv.sh FROM inv JOIN rare USING (sh)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM invr a JOIN invr b ON a.sh = b.sh AND a.id <> b.id),
+    ver AS (SELECT id_a AS doc_a, id_b AS doc_b,
+        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sa.s)
+          AS containment
+        FROM cand JOIN shf sa ON cand.id_a = sa.id
+                  JOIN shf sb ON cand.id_b = sb.id)
+    SELECT doc_a, doc_b, containment FROM ver
+    WHERE containment >= {threshold}
     """
 
 

@@ -2741,6 +2741,23 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_pairs",
+    _dd.duck_ngram_containment_sql(threshold=0.6, max_df=100),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: DIRECTED containment near-dups — C(A→B) = |A∩B|/|A| >= 0.6,
+    the short-doc-inside-long-doc relation Jaccard misses (quotes,
+    boilerplate wrappers, aggregator pages). Shares the Jaccard index's
+    rare-shingle machinery and cliff guard; the size and
+    count-then-verify prunes are necessary conditions so the verified
+    result equals the oracle's unpruned-candidate verification. See
+    operators/dedup.py:ngram_containment_pairs."""
+    return _dd.ngram_containment_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.6, max_df=100
+    )
+
+
+@register(
     "dedup_ngram_jaccard_prefix", _dd.duck_ngram_jaccard_prefix_sql(threshold=0.5)
 )
 def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:

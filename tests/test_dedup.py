@@ -82,6 +82,46 @@ def test_ngram_jaccard_exact_values(spark, docs_df):
     assert abs(pairs[(0, 1)] - (n - 3) / (n + 3)) < 1e-12
 
 
+def test_ngram_containment_directed_planted(spark):
+    """r12: containment catches the short-doc-inside-long-doc case that
+    Jaccard misses, and the relation is DIRECTED: the short side scores
+    1.0, the long side scores |∩|/|long| (below threshold here). Values
+    brute-force exact; the pruned pipeline equals unpruned ground truth."""
+    long_doc = (
+        BASE + " and then a second paragraph follows with many more words "
+        "about meadows rivers trees and the habits of quiet animals that "
+        "live beside slow water under the old stone bridge every summer"
+    )
+    rows = [
+        (0, BASE),               # fully contained in 1
+        (1, long_doc),
+        (2, "unrelated text about query engines and catalyst planners"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in D.ngram_containment_pairs(df, threshold=0.6).collect()
+    }
+    assert got[(0, 1)] == 1.0  # every shingle of BASE is in long_doc
+    assert (1, 0) not in got   # reverse direction below 0.6
+    assert not any(2 in p for p in got)
+    # jaccard at the same threshold misses the pair entirely
+    j = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(df, threshold=0.6).collect()
+    }
+    assert (0, 1) not in j and (1, 0) not in j
+    # brute-force ground truth over every ordered pair
+    sh = {r["id"]: set(r["s"]) for r in D.shingles(df).collect()}
+    want = {
+        (a, b): len(sh[a] & sh[b]) / len(sh[a])
+        for a in sh
+        for b in sh
+        if a != b and len(sh[a] & sh[b]) / len(sh[a]) >= 0.6
+    }
+    assert got == want
+
+
 def test_simhash_identical_docs_equal(spark, docs_df):
     sims = {r["doc_id"]: r["simhash"] for r in D.simhash(docs_df).collect()}
     assert sims[0] == sims[2]
