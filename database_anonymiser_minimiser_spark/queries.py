@@ -3031,6 +3031,41 @@ def q_streaming_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream.run_streaming_with_watermark(spark, sf_dir)
 
 
+def _streaming_dp_counts_oracle() -> str:
+    breaks, k_tail = _priv.geometric_inverse_cdf(1.0)
+    arr = ", ".join(str(b) for b in breaks)
+    key = (
+        "concat(concat_ws('|', COALESCE(window_start, '␀'), "
+        "COALESCE(event_type, '␀')), ':dbmask-dp-stream')"
+    )
+    u = _priv._uniform52_duck(key)
+    return f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    agg AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        AS window_start, event_type, CAST(count(*) AS BIGINT) AS _n
+      FROM events, mx
+      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+      GROUP BY 1, 2)
+    SELECT window_start, event_type,
+      GREATEST(0, _n + len(list_filter([{arr}], b -> b <= {u}))
+        - {k_tail}) AS noisy_events
+    FROM agg
+    """
+
+
+@register("streaming_dp_counts", _streaming_dp_counts_oracle())
+def q_streaming_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: DP release on a live stream — watermarked tumbling counts
+    with deterministic geometric noise per SEALED window (append mode:
+    one window = one release = one epsilon spend; replays emit
+    byte-identical noise). The oracle is the settled-watermark batch
+    equivalent plus the same literal noise table. See
+    streaming/events.py:run_streaming_dp_counts."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _stream.run_streaming_dp_counts(spark, sf_dir)
+
+
 @register(
     "streaming_sessions_gap",
     """

@@ -37,6 +37,36 @@ def test_streaming_watermark_emits_sealed_subset(spark, sf_dir):
     assert last not in emitted
 
 
+def test_streaming_dp_counts_deterministic_and_sealed(spark, sf_dir):
+    """r12: the streaming DP release emits exactly the sealed windows
+    (same key set as the plain watermark counts), every noisy count is
+    a non-negative bounded perturbation of the exact sealed count, and
+    a REPLAY emits byte-identical releases — the fixed-noise-per-
+    release rule that makes per-window DP sound under restarts."""
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        geometric_inverse_cdf,
+    )
+
+    exact = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in S.run_streaming_with_watermark(spark, sf_dir).collect()
+    }
+    run1 = {
+        (r["window_start"], r["event_type"]): r["noisy_events"]
+        for r in S.run_streaming_dp_counts(spark, sf_dir).collect()
+    }
+    run2 = {
+        (r["window_start"], r["event_type"]): r["noisy_events"]
+        for r in S.run_streaming_dp_counts(spark, sf_dir).collect()
+    }
+    assert run1 == run2  # replay-identical releases
+    assert set(run1) == set(exact)  # same sealed-window key set
+    _, k_tail = geometric_inverse_cdf(1.0)
+    for k, noisy in run1.items():
+        assert noisy >= 0
+        assert abs(noisy - exact[k]) <= k_tail  # bounded geometric noise
+
+
 def test_streaming_sessions_run(spark, sf_dir):
     res = S.run_streaming_sessions(spark, sf_dir)
     rows = res.collect()
