@@ -1,16 +1,22 @@
-"""CLI: export (default) / --dry-run / sync / audit / scan / stream / version.
+"""CLI: export (default) / --dry-run / sync / audit / scan / stream /
+curate / screen / release / version.
 
 Command surface of the reference CLI (``cmd/dbmask/main.go:32-77``):
 ``dbmask -c config.yaml -o dump.sql`` exports; ``--dry-run`` prints the
 plan; ``sync [--truncate] [--dry-run]`` adds missing tables to the
 config; ``version`` prints the build version. Engine extensions:
-``audit`` (PK/FK quality gates over the export-shaped data), ``scan``
-(PII discovery: profile every string column with the content detectors
-and suggest faker masking rules — ``--suggest`` merges them into a
-config, user-authored rules winning) and
-``stream`` (CDC-lite live export: tail a SQLite table by rowid,
-anonymise in flight, checkpointed parquet append — resumes after the
-last committed row on restart).
+``audit`` (PK/FK quality gates over the export-shaped data, plus
+``--preflight`` parquet corruption probing), ``scan`` (PII discovery:
+profile every string column with the content detectors and suggest
+faker masking rules — ``--suggest`` merges them into a config,
+user-authored rules winning), ``stream`` (CDC-lite live export: tail a
+SQLite table by rowid, anonymise in flight, checkpointed parquet
+append — resumes after the last committed row on restart), ``curate``
+(corpus curation: quality gate → dedup → near-dup collapse → token
+budget), ``screen`` (streaming near-dup ingest screen over a persisted
+MinHash index), and ``release`` (differentially-private aggregate
+releases from the config's ``privacy.releases`` block, with the
+epsilon budget ledger and JSON manifest).
 """
 
 from __future__ import annotations
