@@ -438,6 +438,22 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 1
         rows = engine.audit()
+        # configured privacy audits (k-anonymity / l-diversity /
+        # t-closeness over quasi-identifier combinations) merge into the
+        # same PASS/FAIL report: re-identification risk is a data-quality
+        # property of the export exactly like key integrity
+        if cfg.privacy.get("audit"):
+            from .operators.privacy_ledger import (
+                parse_audits,
+                run_privacy_audit,
+            )
+
+            for spec in parse_audits(cfg.privacy):
+                rows.extend(
+                    run_privacy_audit(
+                        engine.source.read(spec.table), spec
+                    )
+                )
         for table, constraint, passed, observed in rows:
             status = "PASS" if passed else "FAIL"
             failed += 0 if passed else 1

@@ -243,10 +243,13 @@ class Config:
                 raise ConfigError(str(exc)) from exc
         privacy_raw = raw.get("privacy") or {}
         if privacy_raw:
-            from .operators.privacy_ledger import DPBudgetError, parse_releases
+            from .operators.privacy_ledger import (
+                DPBudgetError,
+                validate_privacy_block,
+            )
 
             try:
-                parse_releases(privacy_raw)
+                validate_privacy_block(privacy_raw)
             except DPBudgetError as exc:
                 raise ConfigError(str(exc)) from exc
         cfg = cls(

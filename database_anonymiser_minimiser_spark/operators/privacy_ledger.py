@@ -330,6 +330,127 @@ class DPLedger:
         }
 
 
+@dataclass(frozen=True)
+class AuditSpec:
+    """One configured privacy audit (config ``privacy.audit[]`` entry):
+    a re-identification check over a quasi-identifier combination —
+    the linkage-attack surface per-column masking cannot see
+    (operators/privacy.py module docstring)."""
+
+    table: str
+    quasi: tuple[str, ...]
+    k: int = 0  # k-anonymity: min equivalence-class size >= k
+    l: int = 0  # l-diversity: min distinct sensitive per class >= l
+    t: float = 0.0  # t-closeness: max TV distance <= t
+    sensitive: str = ""
+
+    @classmethod
+    def parse(cls, raw: dict[str, Any], index: int = 0) -> "AuditSpec":
+        if not isinstance(raw, dict):
+            raise DPBudgetError(
+                f"privacy.audit[{index}] must be a mapping"
+            )
+        table = str(raw.get("table", "") or "")
+        if not table:
+            raise DPBudgetError(f"privacy.audit[{index}] requires 'table'")
+        quasi = raw.get("quasi") or []
+        if isinstance(quasi, str):
+            quasi = [quasi]
+        if not quasi:
+            raise DPBudgetError(
+                f"privacy.audit[{index}] ({table}) requires 'quasi' "
+                "(the quasi-identifier columns)"
+            )
+        k = int(raw.get("k", 0) or 0)
+        l = int(raw.get("l", 0) or 0)  # noqa: E741 - the standard name
+        t = float(raw.get("t", 0.0) or 0.0)
+        sensitive = str(raw.get("sensitive", "") or "")
+        if not (k or l or t):
+            raise DPBudgetError(
+                f"privacy.audit[{index}] ({table}) requires at least one "
+                "of k (k-anonymity), l (l-diversity), t (t-closeness)"
+            )
+        if (l or t) and not sensitive:
+            raise DPBudgetError(
+                f"privacy.audit[{index}] ({table}): l/t checks require "
+                "'sensitive' (the sensitive column)"
+            )
+        return cls(
+            table=table,
+            quasi=tuple(str(c) for c in quasi),
+            k=k,
+            l=l,
+            t=t,
+            sensitive=sensitive,
+        )
+
+
+def parse_audits(privacy_raw: dict[str, Any]) -> list[AuditSpec]:
+    raw_list = privacy_raw.get("audit") or []
+    if not isinstance(raw_list, list):
+        raise DPBudgetError("privacy.audit must be a list")
+    return [AuditSpec.parse(r, i) for i, r in enumerate(raw_list)]
+
+
+def run_privacy_audit(spark_df, spec: AuditSpec) -> list[tuple]:
+    """(table, constraint, passed, observed) rows for ``spec`` — the
+    same shape as the relational audit, so the CLI merges them into one
+    PASS/FAIL report. Each check is ONE aggregate over the operator's
+    relation (class-count-sized), collected as a single worst-case row."""
+    from pyspark.sql import functions as F
+
+    from . import privacy as P
+
+    quasi = list(spec.quasi)
+    qname = ",".join(quasi)
+    out = []
+    if spec.k:
+        worst = (
+            P.k_anonymity_stats(spark_df, quasi)
+            .agg(F.min("class_size"))
+            .first()[0]
+        )
+        out.append(
+            (
+                spec.table,
+                f"k_anonymity(quasi={qname}, k={spec.k})",
+                worst is not None and worst >= spec.k,
+                float(worst) if worst is not None else None,
+            )
+        )
+    if spec.l:
+        worst = (
+            P.l_diversity_stats(spark_df, quasi, spec.sensitive)
+            .agg(F.min("l_distinct"))
+            .first()[0]
+        )
+        out.append(
+            (
+                spec.table,
+                f"l_diversity(quasi={qname}, sensitive={spec.sensitive}, "
+                f"l={spec.l})",
+                worst is not None and worst >= spec.l,
+                float(worst) if worst is not None else None,
+            )
+        )
+    if spec.t:
+        worst = (
+            P.t_closeness_stats(spark_df, quasi, spec.sensitive)
+            .agg(F.max("tv_distance"))
+            .first()[0]
+        )
+        out.append(
+            (
+                spec.table,
+                f"t_closeness(quasi={qname}, sensitive={spec.sensitive}, "
+                f"t={spec.t})",
+                worst is not None and worst <= spec.t,
+                float(worst) if worst is not None else None,
+            )
+        )
+    return out
+
+
 def parse_releases(privacy_raw: dict[str, Any]) -> list[ReleaseSpec]:
     """Validate a config ``privacy`` block at LOAD time (fail before any
     Spark work, like every other config error)."""
@@ -341,6 +462,22 @@ def parse_releases(privacy_raw: dict[str, Any]) -> list[ReleaseSpec]:
             "privacy requires a non-empty 'releases' list"
         )
     return [ReleaseSpec.parse(r, i) for i, r in enumerate(raw_list)]
+
+
+def validate_privacy_block(privacy_raw: dict[str, Any]) -> None:
+    """Load-time validation of the whole ``privacy`` block: releases
+    and/or audit, each entry fully validated."""
+    if not isinstance(privacy_raw, dict):
+        raise DPBudgetError("privacy must be a mapping")
+    has_releases = bool(privacy_raw.get("releases"))
+    has_audit = bool(privacy_raw.get("audit"))
+    if not has_releases and not has_audit:
+        raise DPBudgetError(
+            "privacy requires a 'releases' list and/or an 'audit' list"
+        )
+    if has_releases:
+        parse_releases(privacy_raw)
+    parse_audits(privacy_raw)
 
 
 def run_release(spark_df, spec: ReleaseSpec):

@@ -283,6 +283,56 @@ def test_release_histogram_bin_width(spark, tmp_path, capsys):
     assert len(got) == 11
 
 
+def test_privacy_audit_cli(tmp_path, capsys):
+    """config privacy.audit entries run inside the audit verb as extra
+    PASS/FAIL rows: k-anonymity over a quasi combination, l-diversity
+    and t-closeness with a sensitive column; an unsatisfiable k fails
+    the audit (exit 1) with the observed worst value."""
+    from database_anonymiser_minimiser_spark.cli import main
+
+    base = (
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration: {}\n"
+    )
+    ok = tmp_path / "aud_ok.yaml"
+    ok.write_text(
+        base
+        + "privacy:\n  audit:\n"
+        "    - {table: customer, quasi: [c_nationkey], k: 1,\n"
+        "       sensitive: c_mktsegment, l: 1, t: 0.999}\n"
+    )
+    assert main(["-c", str(ok), "audit"]) == 0
+    out = capsys.readouterr().out
+    assert "PASS  customer: k_anonymity(quasi=c_nationkey, k=1)" in out
+    assert "l_diversity" in out and "t_closeness" in out
+
+    bad = tmp_path / "aud_bad.yaml"
+    bad.write_text(
+        base
+        + "privacy:\n  audit:\n"
+        "    - {table: customer, quasi: [c_nationkey, c_mktsegment],\n"
+        "       k: 1000}\n"
+    )
+    assert main(["-c", str(bad), "audit"]) == 1
+    out = capsys.readouterr().out
+    assert "FAIL  customer: k_anonymity(quasi=c_nationkey,c_mktsegment, k=1000)" in out
+
+    # load-time validation: l without sensitive is a friendly ConfigError
+    from database_anonymiser_minimiser_spark import config as config_mod
+
+    broken = tmp_path / "aud_broken.yaml"
+    broken.write_text(
+        base + "privacy:\n  audit:\n"
+        "    - {table: customer, quasi: [c_nationkey], l: 2}\n"
+    )
+    with pytest.raises(config_mod.ConfigError, match="sensitive"):
+        config_mod.load(broken)
+    empty = tmp_path / "aud_empty.yaml"
+    empty.write_text(base + "privacy: {audit: []}\n")
+    with pytest.raises(config_mod.ConfigError, match="releases.*audit"):
+        config_mod.load(empty)
+
+
 def test_release_cli_refuses_correlated_noise(tmp_path, capsys):
     """Same relation + same seed + different epsilon: exit 2 with the
     differencing explanation, and NO release rows printed (a partial
