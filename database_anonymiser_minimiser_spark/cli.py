@@ -228,6 +228,13 @@ def build_parser() -> argparse.ArgumentParser:
         "entities decoded) — the crawled-page ingest shape",
     )
     curate.add_argument(
+        "--scrub-pii", action="store_true",
+        help="redact free-text PII (emails, IPv4s, phone numbers -> "
+        "typed placeholders) after markup extraction: the written "
+        "corpus never holds the raw values, and pages differing only "
+        "in embedded addresses dedup as copies",
+    )
+    curate.add_argument(
         "--landed", default=None, metavar="DIR",
         help="previously-curated parquet corpus: run INCREMENTALLY, "
         "excluding delta documents whose normalised fingerprint is "
@@ -294,6 +301,7 @@ def main(argv: list[str] | None = None) -> int:
             near_dup_max_bucket=args.near_dup_max_bucket,
             landed_path=args.landed,
             strip_markup=args.strip_markup,
+            scrub_pii=args.scrub_pii,
         )
         print("lang\tn_docs\ttotal_tokens\tmin_quality\tmax_quality")
         for lang, n_docs, total, qmin, qmax in stats:

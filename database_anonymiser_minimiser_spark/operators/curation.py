@@ -57,6 +57,7 @@ def curate_documents(
     near_dup_max_bucket: int | None = None,
     landed: DataFrame | None = None,
     strip_markup: bool = False,
+    scrub_pii: bool = False,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
@@ -114,11 +115,23 @@ def curate_documents(
     ``strip_markup=True`` runs the HTML/XML extraction expression
     (textstats.strip_markup_expr) over the text FIRST, so quality,
     fingerprints, token counts, shingles and the written corpus all see
-    extracted text, never tag soup — the crawled-page ingest shape."""
+    extracted text, never tag soup — the crawled-page ingest shape.
+
+    ``scrub_pii=True`` additionally redacts free-text PII (emails /
+    IPv4s / phone numbers → typed placeholders, operators/scrub.py)
+    AFTER markup extraction and before everything else — so the
+    written corpus never contains the raw PII AND two pages differing
+    only in embedded addresses collapse as duplicates (the scrubbed
+    text is the fingerprinted text). Both pre-steps are whole-stage-
+    codegen regexp chains: scan-bound, no extra pass."""
     if strip_markup:
         from .textstats import strip_markup_expr
 
         df = df.withColumn(text_col, strip_markup_expr(F.col(text_col)))
+    if scrub_pii:
+        from .scrub import scrub_pii_expr
+
+        df = df.withColumn(text_col, scrub_pii_expr(F.col(text_col)))
     enriched = enrich_documents(df, text_col, id_col, lang_col)
     filtered = enriched.filter(F.col("q") >= F.lit(min_quality))
     if landed is not None:
@@ -209,6 +222,7 @@ def run_curation(
     near_dup_max_bucket: int | None = None,
     landed_path: str | None = None,
     strip_markup: bool = False,
+    scrub_pii: bool = False,
 ) -> list[tuple]:
     """CLI entry: read a documents parquet, curate (incrementally vs
     ``landed_path`` when given), write the surviving corpus as parquet
@@ -241,6 +255,7 @@ def run_curation(
             spark.read.parquet(landed_path) if landed_path is not None else None
         ),
         strip_markup=strip_markup,
+        scrub_pii=scrub_pii,
     )
     survivors.write.mode("overwrite").parquet(out_dir)
     written = spark.read.parquet(out_dir)

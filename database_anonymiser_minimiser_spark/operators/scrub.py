@@ -51,6 +51,16 @@ def scrub_pii(
     return df.select(F.col(id_col), scrubbed.alias("scrubbed"), *counts)
 
 
+def scrub_pii_expr(text: F.Column) -> F.Column:
+    """The scrubbed-text expression alone — for composing into other
+    pipelines (curate --scrub-pii) without restructuring their columns,
+    mirroring textstats.strip_markup_expr."""
+    scrubbed = text
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return scrubbed
+
+
 def duck_scrub_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:
     """DuckDB oracle for :func:`scrub_pii` over the same input expression."""
     counts = ", ".join(

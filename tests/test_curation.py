@@ -335,6 +335,34 @@ def test_curate_hot_band_cap_e2e(spark, tmp_path, capsys):
     assert written == full
 
 
+def test_curate_scrub_pii_prestep(spark):
+    """--scrub-pii: the written text holds typed placeholders, never
+    raw addresses, and two pages differing ONLY in embedded PII
+    collapse as duplicates (scrubbed text is the fingerprinted text).
+    Composes with --strip-markup (markup first, then scrubbing)."""
+    page_a = f"{GOOD} contact alice@example.com or +4915551234567"
+    page_b = f"{GOOD} contact bob@other.org or +12025550000"
+    df = spark.createDataFrame(
+        [(0, page_a, "en"), (1, page_b, "en")], ["doc_id", "text", "lang"]
+    )
+    got = C.curate_documents(df, 0.0, scrub_pii=True).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 0
+    assert "<EMAIL>" in got[0]["text"] and "<PHONE>" in got[0]["text"]
+    assert "alice@example.com" not in got[0]["text"]
+    # without scrubbing the two pages are distinct survivors
+    raw = C.curate_documents(df, 0.0).collect()
+    assert len(raw) == 2
+    # composes with markup stripping: tags removed, then PII scrubbed
+    html = f"<p>{GOOD}</p><script>x()</script> mail: carol@site.net"
+    df2 = spark.createDataFrame([(9, html, "en")], ["doc_id", "text", "lang"])
+    out = C.curate_documents(
+        df2, 0.0, strip_markup=True, scrub_pii=True
+    ).collect()[0]
+    assert out["text"].startswith(GOOD)
+    assert "<EMAIL>" in out["text"] and "carol" not in out["text"]
+    assert "<p>" not in out["text"] and "x()" not in out["text"]
+
+
 def test_curate_refuses_self_overwrite(spark, tmp_path):
     """--out == --landed (or --docs) would destroy the corpus being
     read mid-scan; the CLI entry fails loudly up front."""
