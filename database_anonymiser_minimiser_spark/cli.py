@@ -271,9 +271,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--manifest", default=None, metavar="PATH",
         help="write the release manifest (per-release epsilon/seed/"
         "adjacency + per-relation budget totals) as JSON to PATH; "
-        "without it the manifest prints to stdout. The manifest is the "
-        "operator-side audit record — it contains the seeds and must "
-        "never be published with the released data",
+        "without it the manifest prints to stdout. If PATH already "
+        "exists, prior releases are loaded FIRST so accounting is "
+        "cumulative across invocations (re-running with a fresh seed "
+        "warns and adds to the relation's total; a same-seed "
+        "different-epsilon re-release is refused against history too). "
+        "The manifest is the operator-side audit record — it contains "
+        "the seeds and must never be published with the released data",
     )
     sub.add_parser("version", help="print version")
     return p
@@ -373,6 +377,17 @@ def main(argv: list[str] | None = None) -> int:
         # release is computed or printed (partial output would itself
         # be a release)
         ledger = DPLedger()
+        if args.manifest and _Path(args.manifest).exists():
+            # cumulative accounting: prior runs' releases load from the
+            # existing manifest so cross-INVOCATION seed reuse and
+            # epsilon accumulation are caught, not just intra-config
+            prior = _json.loads(_Path(args.manifest).read_text())
+            n_prior = ledger.preload(prior)
+            print(
+                f"loaded {n_prior} prior release(s) from {args.manifest} "
+                f"(epsilon already spent: {ledger.total_epsilon:g})",
+                file=sys.stderr,
+            )
         try:
             with _warnings.catch_warnings(record=True) as caught:
                 _warnings.simplefilter("always")

@@ -213,6 +213,35 @@ class DPLedger:
     def __init__(self) -> None:
         self.entries: list[dict] = []
 
+    def preload(self, manifest: dict) -> int:
+        """Seed the ledger from a PRIOR run's manifest, so accounting is
+        cumulative across CLI invocations — the actually-dangerous leak
+        is not one config re-listing a relation but an operator
+        re-running `release` weekly with a fresh seed, silently
+        composing epsilon forever. Prior entries are appended as-is
+        (they already happened; no warnings fire between them), and the
+        CURRENT run's records then validate against the full history.
+        Returns the number of entries loaded."""
+        n = 0
+        for r in manifest.get("releases", []):
+            spec = ReleaseSpec(
+                name=str(r.get("name", "")),
+                table=str(r.get("table", "")),
+                kind=str(r.get("kind", "")),
+                group_by=tuple(r.get("group_by", [])),
+                epsilon=float(r.get("epsilon", 0.0)),
+                seed=str(r.get("seed", "")),
+                value=str(r.get("value", "") or ""),
+                bound=int(r.get("bound", 0) or 0),
+                entity=str(r.get("entity", "") or ""),
+                bin_width=int(r.get("bin_width", 0) or 0),
+            )
+            self.entries.append(
+                {"spec": spec, "charged": float(r.get("epsilon_charged", 0.0))}
+            )
+            n += 1
+        return n
+
     def record(self, spec: ReleaseSpec) -> float:
         """Validate ``spec`` against the ledger and append it.
         Returns the epsilon actually charged."""

@@ -283,6 +283,57 @@ def test_release_histogram_bin_width(spark, tmp_path, capsys):
     assert len(got) == 11
 
 
+def test_release_manifest_cumulative_across_runs(tmp_path, capsys):
+    """An existing --manifest is loaded before accounting, so the
+    across-INVOCATION patterns are caught: an identical re-run spends
+    nothing (warned), a fresh-seed re-run accumulates the relation's
+    total, and a same-seed different-epsilon re-run is refused against
+    history."""
+    from database_anonymiser_minimiser_spark.cli import main
+
+    base = (
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration: {}\n"
+        "privacy:\n  releases:\n"
+    )
+    rel = (
+        "    - {{name: r, table: orders, kind: count,\n"
+        "       group_by: [o_orderstatus], epsilon: {eps}, seed: {seed}}}\n"
+    )
+    cfg1 = tmp_path / "run1.yaml"
+    cfg1.write_text(base + rel.format(eps="1.0", seed="week1"))
+    manifest = tmp_path / "cum.json"
+    assert main(["-c", str(cfg1), "release", "--manifest", str(manifest)]) == 0
+    capsys.readouterr()
+    assert json.loads(manifest.read_text())["total_epsilon"] == 1.0
+
+    # identical re-run: free, warned, total unchanged
+    assert main(["-c", str(cfg1), "release", "--manifest", str(manifest)]) == 0
+    err = capsys.readouterr().err
+    assert "loaded 1 prior release(s)" in err
+    assert "spends no additional budget" in err
+    assert json.loads(manifest.read_text())["total_epsilon"] == 1.0
+
+    # fresh seed next week: accumulates with the averaging warning
+    cfg2 = tmp_path / "run2.yaml"
+    cfg2.write_text(base + rel.format(eps="1.0", seed="week2"))
+    assert main(["-c", str(cfg2), "release", "--manifest", str(manifest)]) == 0
+    err = capsys.readouterr().err
+    assert "averaging attack" in err and "totals 2" in err
+    m = json.loads(manifest.read_text())
+    # history: week1 (1.0) + identical re-run (0.0) + week2 (1.0)
+    assert m["total_epsilon"] == 2.0
+    assert m["relations"]["orders/count/o_orderstatus"]["epsilon_spent"] == 2.0
+
+    # same seed, different epsilon vs HISTORY: refused, manifest intact
+    cfg3 = tmp_path / "run3.yaml"
+    cfg3.write_text(base + rel.format(eps="2.0", seed="week1"))
+    assert main(["-c", str(cfg3), "release", "--manifest", str(manifest)]) == 2
+    err = capsys.readouterr().err
+    assert "SAME seed" in err
+    assert json.loads(manifest.read_text()) == m  # not overwritten
+
+
 def test_privacy_audit_cli(tmp_path, capsys):
     """config privacy.audit entries run inside the audit verb as extra
     PASS/FAIL rows: k-anonymity over a quasi combination, l-diversity
