@@ -173,6 +173,40 @@ SHOWCASE = [
         "join as broadcasts, and the IGNORE-NULLS windows shuffle only "
         "grid-sized rows keyed by type.",
     ),
+    (
+        "events_moving_avg_24h",
+        "Per-user trailing 24h features: ONE Exchange on user_id "
+        "feeding ONE Window with a RANGE frame over epoch-micros - a "
+        "sliding aggregate, never a self-join, and parallelism grows "
+        "with entity cardinality (the same frame per 5-value "
+        "event_type measured 7.5x slower and would serialise on 5 "
+        "tasks at any corpus size).",
+    ),
+    (
+        "privacy_dp_histogram",
+        "DP histogram: binning is a scan-side projection, the count is "
+        "one map-side-combined Exchange, and the PUBLIC bin grid "
+        "densifies through a literal-array BroadcastHashJoin - no "
+        "Python anywhere (a createDataFrame domain would drag in a "
+        "Scan ExistingRDD Python stage; the explode-literal form stays "
+        "in whole-stage codegen).",
+    ),
+    (
+        "sample_weighted_chars",
+        "Length-weighted Bernoulli sampling entirely in exact integer "
+        "arithmetic: the 1-row max aggregate broadcasts back and the "
+        "inclusion test u*max < n_chars*2^52 runs as DECIMAL(19,0) "
+        "products inside the scan-bound filter - no float "
+        "probabilities, no shuffle of the corpus.",
+    ),
+    (
+        "dedup_containment_pairs",
+        "Directed containment (short-doc-inside-long): shares the "
+        "Jaccard inverted index - rare-shingle candidates under the "
+        "adaptive df-cap, 8-byte hashed-shingle self-join bounded by "
+        "bucket sizes, size (|B| >= t|A|) and count-then-verify "
+        "prunes, exact verification only on survivors.",
+    ),
 ]
 
 
