@@ -226,8 +226,10 @@ HEADLINE = [
     "sample_weighted_chars",
     "expectations_events",
     # round-12: directed containment near-dups (short-doc-inside-long,
-    # shares the jaccard index machinery)
+    # shares the jaccard index machinery) and token-window chunking
+    # (the RAG/training-sequence slicing shape, scan-bound)
     "dedup_containment_pairs",
+    "chunk_documents_64_48",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -377,6 +377,78 @@ def strip_markup_expr(text: Column) -> Column:
     return F.trim(F.regexp_replace(clean, r"\s+", " "))
 
 
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunks per document — the context-window
+    slicing every RAG indexing / training-sequence pipeline performs:
+    whitespace tokens, chunks of ``window`` tokens starting every
+    ``stride`` (overlap = window - stride), the final chunk short.
+
+    (doc_id, chunk_idx, chunk_start, n_tokens, chunk) — chunk ids are
+    deterministic (position-derived), so re-chunking a corpus is
+    idempotent and chunks are stable join keys for embeddings built on
+    top. Pure JVM sequence/slice/concat expressions over one scan: no
+    shuffle, no Python; output rows ≈ corpus_tokens / stride, linear.
+
+    Exactness: token arithmetic only (integer positions, string
+    joins) — bit-identical cross-engine by construction."""
+    if not (0 < stride <= window):
+        raise ValueError(
+            f"need 0 < stride <= window, got stride={stride} window={window}"
+        )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    piece = F.slice(F.col("_t"), F.col("chunk_start") + 1, window)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk"),
+    )
+
+
+def duck_chunk_sql(
+    table: str = "documents",
+    window: int = 64,
+    stride: int = 48,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (list_slice is inclusive
+    on both ends, hence start+window as the end bound for start+1)."""
+    return f"""
+    WITH t AS (SELECT {id_expr} AS doc_id,
+        regexp_split_to_array(trim({text_expr}), '\\s+') AS toks
+      FROM {table}),
+    s AS (SELECT doc_id, toks,
+        unnest(generate_series(0, greatest(len(toks) - 1, 0), {stride}))
+          AS chunk_start
+      FROM t)
+    SELECT doc_id, CAST(chunk_start // {stride} AS BIGINT) AS chunk_idx,
+      CAST(chunk_start AS BIGINT) AS chunk_start,
+      CAST(len(list_slice(toks, chunk_start + 1, chunk_start + {window}))
+        AS BIGINT) AS n_tokens,
+      array_to_string(list_slice(toks, chunk_start + 1,
+        chunk_start + {window}), ' ') AS chunk
+    FROM s
+    """
+
+
 def duck_strip_markup_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:
     """DuckDB twin of :func:`strip_markup` (same pattern order; DuckDB
     regexp_replace needs the explicit 'g' flag Spark applies always)."""

@@ -3580,6 +3580,28 @@ def q_text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_markup(_markup_docs(spark, sf_dir), "page", "doc_id")
 
 
+def _chunk_oracle() -> str:
+    from .operators.textstats import duck_chunk_sql
+
+    return duck_chunk_sql("documents", window=64, stride=48)
+
+
+@register("chunk_documents_64_48", _chunk_oracle())
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: overlapping token-window chunking (64-token windows every 48
+    tokens, 16-token overlap) — the context-window slicing every RAG
+    index / training-sequence pipeline performs, with deterministic
+    position-derived chunk ids so re-chunking is idempotent and chunks
+    are stable join keys for downstream embeddings. One scan, pure JVM
+    sequence/slice/concat, no shuffle; output rows ~ corpus_tokens /
+    stride. See operators/textstats.py:chunk_documents."""
+    from .operators.textstats import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
 # PII discovery: which columns hold PII, and which faker rule to suggest.
 # Profiled surface: the salted documents text (content detectors fire on
 # every row), customer (name-heuristic regime) and events (clean columns —

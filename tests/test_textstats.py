@@ -92,6 +92,42 @@ def test_strip_markup_nested_escapes_cross_engine(spark):
     assert got == want
 
 
+def test_chunk_documents_boundaries(spark):
+    """Chunk semantics pinned by hand: overlap = window - stride, the
+    final chunk is short (never dropped), a short doc yields one chunk,
+    and concatenating stride-slices of every chunk reconstructs the
+    document exactly."""
+    import pytest as _pytest
+
+    from database_anonymiser_minimiser_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(0, words), (1, "just three tokens")], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(df, window=4, stride=3).collect()
+    }
+    # doc 0: starts 0,3,6,9 -> 4 chunks; last is the 1-token tail
+    assert [got[(0, i)]["chunk_start"] for i in range(4)] == [0, 3, 6, 9]
+    assert got[(0, 0)]["chunk"] == "w0 w1 w2 w3"
+    assert got[(0, 1)]["chunk"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert got[(0, 3)]["chunk"] == "w9" and got[(0, 3)]["n_tokens"] == 1
+    # doc 1: 3 tokens < window -> exactly one (short) chunk
+    assert {k for k in got if k[0] == 1} == {(1, 0)}
+    assert got[(1, 0)]["chunk"] == "just three tokens"
+    # stride-prefix of each chunk reconstructs the document
+    rebuilt = " ".join(
+        " ".join(got[(0, i)]["chunk"].split()[:3]) for i in range(4)
+    )
+    assert rebuilt == words
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, window=4, stride=5)
+
+
 def test_interpolate_hourly_math(spark, sf_dir):
     """Pin the interpolation semantics on the real corpus: observed
     hours pass through exactly; every interior gap is the straight line
