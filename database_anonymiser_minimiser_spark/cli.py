@@ -259,6 +259,27 @@ def build_parser() -> argparse.ArgumentParser:
         "near-copies into single band buckets; default off preserves "
         "exact full pairing",
     )
+    compact = sub.add_parser(
+        "compact",
+        help="compact a fragmented parquet dataset into ~target-sized "
+        "files (streaming appends and per-trigger micro-batches leave "
+        "thousands of tiny files; every file costs a footer read + task "
+        "slot at scan time). Writes to --out (never in place) and "
+        "verifies row counts before reporting — swap directories after",
+    )
+    compact.add_argument(
+        "--path", required=True, help="parquet dataset to compact"
+    )
+    compact.add_argument(
+        "--out", required=True,
+        help="output directory for the compacted dataset (must differ "
+        "from --path; must not already exist)",
+    )
+    compact.add_argument(
+        "--target-mb", type=_positive_int, default=128, metavar="MB",
+        help="target file size (default 128 MB — a comfortable parquet "
+        "row-group/scan-split size)",
+    )
     release = sub.add_parser(
         "release",
         help="differentially-private aggregate releases: run every entry "
@@ -310,6 +331,25 @@ def main(argv: list[str] | None = None) -> int:
         print("lang\tn_docs\ttotal_tokens\tmin_quality\tmax_quality")
         for lang, n_docs, total, qmin, qmax in stats:
             print(f"{lang}\t{n_docs}\t{total}\t{qmin:.4f}\t{qmax:.4f}")
+        return 0
+    if args.command == "compact":
+        # path-based verb: no config/connection involved
+        from .operators.compaction import compact_dataset
+
+        spark = get_spark()
+        spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
+        try:
+            stats = compact_dataset(
+                spark, args.path, args.out, target_mb=args.target_mb
+            )
+        except (FileNotFoundError, ValueError) as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        print(
+            f"compacted {args.path}: {stats['files_before']} -> "
+            f"{stats['files_after']} file(s), {stats['rows']} row(s) "
+            f"verified, {stats['bytes']} bytes"
+        )
         return 0
     if args.command == "screen":
         # path-based verb: no config/connection involved
