@@ -27,6 +27,11 @@ INTERPRETED_LIST_BOUND = {
     "ann_int8_topk", "ann_ivf_topk", "ann_lsh_multiprobe", "ann_lsh_topk",
     "ann_topk_cosine", "ann_topk_cosine_numpy",
     "contamination_ngram_overlap", "contamination_ngram_overlap_oracle",
+    # r12: same list_intersect-over-Theta(sum df^2)-candidates oracle
+    # shape as dedup_ngram_jaccard (the 126 GB case below) — caught
+    # live when the first r12 sf1 sweep ground to 70 GB RSS on it;
+    # sf1 value gate: the containment golden in test_scale_values_sf1
+    "dedup_containment_pairs",
     "dedup_common_spans", "dedup_common_spans_oracle",
     "dedup_levenshtein_pairs", "dedup_minhash_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_jaccard_prefix",

@@ -678,3 +678,90 @@ def test_dedup_minhash_incremental_full_sf1_vs_independent_golden(spark):
     for k, (n, j) in expected.items():
         assert got[k][0] == n, (k, got[k], (n, j))
         assert got[k][1] == pytest.approx(j, abs=1e-12), (k, got[k], (n, j))
+
+
+# ---------------------------------------------------------------------------
+# golden 11 (r12): directed n-gram containment on a 2k-doc sf1 slice
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_containment_sf1_slice_vs_python_golden(spark):
+    """Independent pure-Python golden for the containment operator on a
+    deterministic md5-sampled 2,000-doc slice of the sf1 corpus (40x
+    the grading scale; the FULL fixed-vocab sf1 corpus sits in the
+    quantile-fallback regime where the mirrored candidate set is
+    Theta(sum df^2) in any engine — the same reason its DuckDB oracle
+    is in the sweep deselect list). The golden mirrors only the
+    DECLARED candidate rule (rare shingles under the adaptive cap,
+    ordered co-occurrence) and recomputes everything else from scratch;
+    compared pair-for-pair and value-for-value."""
+    from database_anonymiser_minimiser_spark.operators import dedup as D
+
+    ids, texts = _load_documents()
+    keep = {
+        int(i)
+        for i, t in zip(ids, texts)
+        if int(hashlib.md5(t.encode()).hexdigest().translate(_HEX_TR)[:6])
+        % 25
+        == 0
+    }
+    sliced = [(int(i), t) for i, t in zip(ids, texts) if int(i) in keep]
+    assert len(sliced) > 1500, f"suspicious slice size {len(sliced)}"
+
+    threshold, max_df, fallback_q = 0.6, 100, 0.9
+    shingle_sets: dict[int, frozenset] = {}
+    for i, txt in sliced:
+        ts = _tokens(txt)
+        if len(ts) < SHINGLE_K:
+            continue
+        shingle_sets[i] = frozenset(
+            " ".join(ts[j : j + SHINGLE_K])
+            for j in range(len(ts) - SHINGLE_K + 1)
+        )
+    df_count: dict[str, int] = {}
+    for sh in shingle_sets.values():
+        for s in sh:
+            df_count[s] = df_count.get(s, 0) + 1
+    dfs = sorted(df_count.values())
+    if dfs[0] > max_df:
+        # quantile_cont / Spark percentile: linear interpolation
+        pos = fallback_q * (len(dfs) - 1)
+        lo, hi = int(pos), min(int(pos) + 1, len(dfs) - 1)
+        cap = dfs[lo] + (pos - lo) * (dfs[hi] - dfs[lo])
+    else:
+        cap = float(max_df)
+    rare = {s for s, c in df_count.items() if c <= cap}
+    inv: dict[str, list[int]] = {}
+    for i, sh in shingle_sets.items():
+        for s in sh:
+            if s in rare:
+                inv.setdefault(s, []).append(i)
+    cands: set[tuple[int, int]] = set()
+    for members in inv.values():
+        for a in members:
+            for b in members:
+                if a != b:
+                    cands.add((a, b))
+    golden = {}
+    for a, b in cands:
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        c = len(sa & sb) / len(sa)
+        if c >= threshold:
+            golden[(a, b)] = c
+    assert golden, "slice exercised no containment pairs"
+
+    id_list = ",".join(str(i) for i in sorted(keep))
+    sub = spark.read.parquet(f"{SF1}/documents.parquet").where(
+        f"doc_id IN ({id_list})"
+    )
+    rows = D.ngram_containment_pairs(
+        sub, threshold=threshold, max_df=max_df, fallback_quantile=fallback_q
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in rows}
+    assert set(got) == set(golden), (
+        f"pair-set mismatch: spark-only={sorted(set(got) - set(golden))[:5]} "
+        f"golden-only={sorted(set(golden) - set(got))[:5]}"
+    )
+    for k, v in golden.items():
+        # same two integers through one IEEE double division -> exact
+        assert got[k] == v, (k, got[k], v)
