@@ -223,7 +223,7 @@ def preflight_parquet_files(spark: SparkSession, root: str | Path):
 
     Files are enumerated through the Hadoop FileSystem API for the
     path's scheme — a driver-local ``glob`` would find ZERO files under
-    an s3://, hdfs://, or other remote root and the preflight would
+    an object-store (S3/GCS) or HDFS root and the preflight would
     print nothing and PASS, a silent false-negative from the very
     feature meant to prevent silent row loss. An empty enumeration is
     therefore an ERROR, never a pass: a root with no parquet files is
