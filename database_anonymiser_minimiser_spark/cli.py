@@ -75,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
         "committed (_SUCCESS present) — restart an interrupted export "
         "without recomputing finished tables",
     )
+    p.add_argument(
+        "--sort-keys", action="store_true",
+        help="with --format parquet: write each table with a configured "
+        "primary_key as a KEY-ORDERED dataset (range-partitioned + "
+        "locally sorted) — parquet min/max stats then give readers "
+        "file-level key pruning and merge-joins consume the export "
+        "without re-sorting; tables without a primary_key (or with a "
+        "hive partition_by layout) keep the plain write",
+    )
     sub = p.add_subparsers(dest="command")
     sync = sub.add_parser("sync", help="add missing tables to the config")
     sync.add_argument("--truncate", action="store_true")
@@ -271,9 +280,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--path", required=True, help="parquet dataset to compact"
     )
     compact.add_argument(
-        "--out", required=True,
+        "--out", default=None,
         help="output directory for the compacted dataset (must differ "
-        "from --path; must not already exist)",
+        "from --path; must not already exist). Omit for IN-PLACE "
+        "compaction: hive-partition-aware, crash-safe promotion via a "
+        "tmp dir + rename (dump.compact_parquet — local/HDFS-rename "
+        "stores)",
     )
     compact.add_argument(
         "--target-mb", type=_positive_int, default=128, metavar="MB",
@@ -334,10 +346,30 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.command == "compact":
         # path-based verb: no config/connection involved
-        from .operators.compaction import compact_dataset
-
         spark = get_spark()
         spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
+        if args.out is None:
+            # in-place: hive-aware, crash-safe tmp+rename promotion
+            from .dump import compact_parquet
+            from .operators.compaction import dataset_file_stats
+
+            try:
+                n_before, _ = dataset_file_stats(spark, args.path)
+                n_after = compact_parquet(
+                    spark,
+                    args.path,
+                    target_file_bytes=args.target_mb * 1024 * 1024,
+                )
+            except (FileNotFoundError, ValueError) as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+            print(
+                f"compacted {args.path} in place: {n_before} -> "
+                f"{n_after} file(s)"
+            )
+            return 0
+        from .operators.compaction import compact_dataset
+
         try:
             stats = compact_dataset(
                 spark, args.path, args.out, target_mb=args.target_mb
@@ -583,7 +615,9 @@ def main(argv: list[str] | None = None) -> int:
         if not args.output:
             print("error: --format parquet requires -o <dir>", file=sys.stderr)
             return 2
-        engine.export_parquet(args.output, resume=args.resume)
+        engine.export_parquet(
+            args.output, resume=args.resume, sort_keys=args.sort_keys
+        )
         return 0
     dialect = args.dialect or (
         cfg.connection.type

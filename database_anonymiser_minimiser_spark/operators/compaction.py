@@ -9,12 +9,16 @@ probe). The MinHash index already compacts itself per-bucket
 (operators/dedup.py compact_every); this is the GENERIC form for any
 parquet dataset, exposed as the ``compact`` CLI verb.
 
-Shape: one read of the dataset, one ``repartition(ceil(bytes/target))``
-(a round-robin exchange — the only shuffle, unavoidable: coalesce()
-without a shuffle cannot MERGE across input splits it never co-locates
-and skews when input files are uneven), one write, then a row-count
-verification gate BEFORE the caller swaps directories — a compaction
-that loses rows must fail loudly, never return.
+Two forms share the ``compact`` verb: THIS one writes to a NEW
+directory with a row-count verification gate (object-store friendly —
+no rename dependence), while ``dump.compact_parquet`` compacts IN
+PLACE with hive-partition awareness and a crash-safe tmp+rename
+promotion (local/HDFS-rename stores). Shape here: one read, one
+``repartition(ceil(bytes/target))`` (a round-robin exchange — the only
+shuffle; plain coalesce() skews when input files are uneven), one
+write, then the verification count BEFORE the caller swaps
+directories — a compaction that loses rows must fail loudly, never
+return.
 
 Writes to a NEW directory (never in place): overwriting the dataset
 being read would destroy it mid-scan, the same refusal curate makes.

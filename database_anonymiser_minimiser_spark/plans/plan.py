@@ -212,6 +212,7 @@ class Engine:
         out_dir: str,
         partition_by: dict[str, list[str]] | None = None,
         resume: bool = False,
+        sort_keys: bool = False,
     ) -> dump_mod.ExportStats:
         """Native columnar export: one parquet dataset per table under
         ``out_dir`` (the 100 TB path — splittable, column-pruned,
@@ -249,7 +250,9 @@ class Engine:
         started = time.time()
         stats = dump_mod.ExportStats()
         for p in self.plan_tables():
-            fp = self._table_fingerprint(p, (partition_by or {}).get(p.name))
+            fp = self._table_fingerprint(
+                p, (partition_by or {}).get(p.name), sort_keys=sort_keys
+            )
             if (
                 resume
                 and self._dataset_committed(out_dir, p.name)
@@ -265,12 +268,28 @@ class Engine:
                 continue
             df = self.source.read(p.name)
             df = df.limit(0) if p.config.truncate else p.build(df)
+            table_parts = (partition_by or {}).get(p.name)
             with _wide_codegen(self.spark, len(df.columns)):
-                dump_mod.write_parquet(
-                    df,
-                    f"{out_dir}/{p.name}",
-                    partition_by=(partition_by or {}).get(p.name),
-                )
+                if (
+                    sort_keys
+                    and p.config.primary_key
+                    and not p.config.truncate
+                    and not table_parts
+                ):
+                    # key-ordered layout: range-partition + local sort,
+                    # so parquet min/max stats on the key give readers
+                    # file-level pruning and merge-joins consume the
+                    # export without re-sorting (write_sorted_parquet's
+                    # plan gate: RangePartitioning, never a global Sort)
+                    dump_mod.write_sorted_parquet(
+                        df, f"{out_dir}/{p.name}", [p.config.primary_key]
+                    )
+                else:
+                    dump_mod.write_parquet(
+                        df,
+                        f"{out_dir}/{p.name}",
+                        partition_by=table_parts,
+                    )
             self._write_fingerprint(out_dir, p.name, fp)
             if p.config.truncate:
                 stats.tables_truncated += 1
@@ -284,7 +303,9 @@ class Engine:
 
     @staticmethod
     def _table_fingerprint(
-        plan: TablePlan, partition_by: list[str] | None
+        plan: TablePlan,
+        partition_by: list[str] | None,
+        sort_keys: bool = False,
     ) -> str:
         """sha256 of the table's compiled processing spec — everything
         that determines the dataset's content and layout (truncate flag,
@@ -299,6 +320,13 @@ class Engine:
             {
                 "config": plan.config.to_raw(),
                 "partition_by": partition_by or None,
+                # key-ordered layout is part of the dataset's identity:
+                # a resume under the other flag must re-export, not skip
+                **(
+                    {"sort_keys": True}
+                    if sort_keys and plan.config.primary_key
+                    else {}
+                ),
             },
             sort_keys=True,
             default=str,

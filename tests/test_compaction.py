@@ -60,3 +60,17 @@ def test_compact_cli(spark, tmp_path, capsys):
     # refusal surfaces as exit 2 with the message, not a traceback
     assert main(["compact", "--path", frag, "--out", frag]) == 2
     assert "--out must differ" in capsys.readouterr().err
+
+
+def test_compact_cli_in_place(spark, tmp_path, capsys):
+    """Without --out the verb delegates to the in-place hive-aware
+    crash-safe form (dump.compact_parquet): same path, fewer files,
+    rows preserved."""
+    from database_anonymiser_minimiser_spark.cli import main
+
+    frag = str(tmp_path / "inplace")
+    spark.range(4_000).repartition(16).write.parquet(frag)
+    assert main(["compact", "--path", frag]) == 0
+    printed = capsys.readouterr().out
+    assert "in place: 16 -> 1 file(s)" in printed
+    assert spark.read.parquet(frag).count() == 4_000

@@ -232,6 +232,66 @@ def test_export_parquet_native_sink(spark, sf_dir, tmp_path):
     )
 
 
+def test_export_parquet_sort_keys_layout(spark, sf_dir, tmp_path):
+    """--sort-keys: tables with a primary_key export key-ordered —
+    every data file internally sorted AND file key-ranges disjoint
+    (range partitioning), so parquet min/max stats give readers
+    file-level key pruning. Tables without a primary_key keep the
+    plain layout; re-running with the flag flipped re-exports (the
+    layout is part of the resume fingerprint)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.config import Config
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+    cfg = Config.from_dict(
+        {
+            "connection": {"type": "parquet", "path": sf_dir},
+            "configuration": {
+                "orders": {"primary_key": "o_orderkey"},
+                "customer": {},  # no pk -> plain layout
+            },
+        }
+    )
+    out = str(tmp_path / "sorted_lake")
+    eng = Engine(spark, cfg)
+    eng.export_parquet(out, sort_keys=True)
+    files = sorted(Path(f"{out}/orders").glob("part-*.parquet"))
+    assert len(files) >= 1
+    ranges = []
+    for f in files:
+        keys = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        assert keys == sorted(keys), f"{f} not internally sorted"
+        if keys:
+            ranges.append((keys[0], keys[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file key ranges overlap - no pruning possible"
+    # rows identical to the source
+    assert (
+        spark.read.parquet(f"{out}/orders").count()
+        == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    )
+    # layout flag is part of the dataset identity: resume under the
+    # OTHER flag must re-export, not skip
+    plan = next(p for p in eng.plan_tables() if p.name == "orders")
+    assert eng._table_fingerprint(plan, None, sort_keys=True) != (
+        eng._table_fingerprint(plan, None, sort_keys=False)
+    )
+    # no-pk table is unaffected by the flag
+    assert eng._table_fingerprint(
+        next(p for p in eng.plan_tables() if p.name == "customer"),
+        None,
+        sort_keys=True,
+    ) == eng._table_fingerprint(
+        next(p for p in eng.plan_tables() if p.name == "customer"),
+        None,
+        sort_keys=False,
+    )
+
+
 def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     """Small-file compaction: many part files -> ~target-sized few, same
     rows, shuffle-free (coalesce)."""
