@@ -248,7 +248,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="previously-curated parquet corpus: run INCREMENTALLY, "
         "excluding delta documents whose normalised fingerprint is "
         "already landed (the daily-crawl shape; the landed corpus is "
-        "never reprocessed beyond one fingerprint projection)",
+        "never reprocessed beyond one fingerprint projection). With "
+        "--near-dup-threshold the delta is ALSO screened against the "
+        "landed corpus at that threshold (new-vs-landed bands only) "
+        "before the within-delta collapse",
     )
     curate.add_argument(
         "--near-dup-threshold", type=float, default=None, metavar="J",

@@ -110,7 +110,12 @@ def curate_documents(
     today's crawl against everything already admitted without
     reprocessing it (one fingerprint-projection scan of the landed side;
     at index scale, persist the fingerprints instead of re-deriving —
-    the same trade the MinHash index makes).
+    the same trade the MinHash index makes). When ``near_dup_threshold``
+    is ALSO set, the delta is additionally screened against the landed
+    corpus at that threshold (new-vs-landed bands only, the landed side
+    never re-deduped against itself) BEFORE the within-delta collapse —
+    a near-copy of already-landed content is dropped, not admitted as
+    "new".
 
     ``strip_markup=True`` runs the HTML/XML extraction expression
     (textstats.strip_markup_expr) over the text FIRST, so quality,
@@ -145,6 +150,27 @@ def curate_documents(
     survivors = filtered.join(
         keep_ids.select("doc_id"), "doc_id", "left_semi"
     ).drop("fp")
+    if near_dup_threshold is not None and landed is not None:
+        # screen the delta against the LANDED corpus first (r12): the
+        # exact-fingerprint anti join above only removes IDENTICAL
+        # re-crawls; a near-copy of already-landed content (one-word
+        # template edit) passed it and then only competed within the
+        # delta. new-vs-landed bands only — the landed side is never
+        # re-deduped against itself (dedup.py:minhash_lsh_incremental).
+        # Runs BEFORE the within-delta collapse so a delta cluster whose
+        # representative is already landed does not resurrect a sibling.
+        from .dedup import minhash_lsh_incremental
+
+        landed_docs = landed.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        already = minhash_lsh_incremental(
+            survivors.select("doc_id", "text"),
+            landed_docs,
+            threshold=near_dup_threshold,
+        ).select("doc_id")
+        survivors = survivors.join(already, "doc_id", "left_anti")
     if near_dup_threshold is not None:
         from .dedup import connected_components, minhash_lsh_pairs
 

@@ -220,6 +220,39 @@ def test_curate_incremental_vs_landed(spark, tmp_path):
     assert got == {101}
 
 
+def test_curate_incremental_near_dup_vs_landed(spark):
+    """r12: --landed + --near-dup-threshold screens the delta against
+    the LANDED corpus, not just within the delta — a one-word edit of
+    already-landed content passes the exact-fingerprint anti join but
+    must still be dropped; genuinely new content survives and the
+    within-delta collapse still applies to it."""
+    landed = spark.createDataFrame([(0, GOOD, "en")], ["doc_id", "text", "lang"])
+    fresh = "entirely novel prose about catalyst planners rewriting logical trees into physical operator pipelines"
+    delta = spark.createDataFrame(
+        [
+            (100, GOOD.replace("quick", "swift"), "en"),  # near-dup of landed
+            (101, fresh, "en"),                            # new
+            (102, fresh.replace("novel", "fresh"), "en"),  # near-dup of 101
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {
+        r["doc_id"]
+        for r in C.curate_documents(
+            delta, 0.0, near_dup_threshold=0.6, landed=landed
+        ).collect()
+    }
+    assert got == {101}  # 100 screened vs landed; 102 collapsed into 101
+    # without the landed side, 100 survives (nothing to screen against)
+    solo = {
+        r["doc_id"]
+        for r in C.curate_documents(
+            delta, 0.0, near_dup_threshold=0.6
+        ).collect()
+    }
+    assert solo == {100, 101}
+
+
 def test_curate_cli_incremental(tmp_path, capsys):
     from database_anonymiser_minimiser_spark.cli import main
     from database_anonymiser_minimiser_spark.session import get_spark
