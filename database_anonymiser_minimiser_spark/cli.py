@@ -261,6 +261,13 @@ def build_parser() -> argparse.ArgumentParser:
         "exact-only curation)",
     )
     curate.add_argument(
+        "--near-dup-keep", default="min-id", choices=["min-id", "quality"],
+        help="near-dup cluster representative policy: min-id = lowest "
+        "doc id (deterministic, id-stable); quality = highest quality "
+        "score wins, ties to lowest id (near-copies usually differ in "
+        "exactly the boilerplate the score penalises)",
+    )
+    curate.add_argument(
         "--near-dup-max-bucket", type=_positive_int, default=None,
         metavar="B",
         help="cap LSH band buckets at B members during --near-dup "
@@ -339,6 +346,7 @@ def main(argv: list[str] | None = None) -> int:
             budget_mode=args.budget_mode,
             near_dup_threshold=args.near_dup_threshold,
             near_dup_max_bucket=args.near_dup_max_bucket,
+            near_dup_keep=args.near_dup_keep,
             landed_path=args.landed,
             strip_markup=args.strip_markup,
             scrub_pii=args.scrub_pii,

@@ -55,6 +55,7 @@ def curate_documents(
     budget_mode: str = "prefix",
     near_dup_threshold: float | None = None,
     near_dup_max_bucket: int | None = None,
+    near_dup_keep: str = "min-id",
     landed: DataFrame | None = None,
     strip_markup: bool = False,
     scrub_pii: bool = False,
@@ -84,11 +85,17 @@ def curate_documents(
 
     ``near_dup_threshold`` additionally collapses NEAR duplicates among
     the exact-dedup survivors: MinHash+LSH pairs at that Jaccard
-    threshold, connected components over the match graph, keep the
-    lowest id per cluster (operators/dedup.py machinery; runs BEFORE the
-    token budget so a budget slot is never spent on a near-copy). The
-    LSH self-join prices this stage — leave it unset for exact-only
-    curation at ingest speed.
+    threshold, connected components over the match graph, one survivor
+    per cluster (operators/dedup.py machinery; runs BEFORE the token
+    budget so a budget slot is never spent on a near-copy). The LSH
+    self-join prices this stage — leave it unset for exact-only
+    curation at ingest speed. ``near_dup_keep`` names the
+    representative policy: ``"min-id"`` (default — deterministic,
+    id-stable across runs) or ``"quality"`` (highest quality score
+    wins, ties to lowest id — near-copies usually differ exactly in
+    the boilerplate the quality score penalises, so the cluster's
+    cleanest page survives; one bounded per-cluster window over the
+    cluster relation, not the corpus).
 
     ``near_dup_max_bucket`` caps LSH band-bucket pairing for
     TEMPLATE-HEAVY corpora (the realistic crawl case: thousands of
@@ -182,9 +189,32 @@ def curate_documents(
         clusters = connected_components(
             pairs, survivors.select(F.col("doc_id").alias("id"))
         )
-        losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
-            F.col("id").alias("doc_id")
-        )
+        if near_dup_keep == "quality":
+            ranked = (
+                clusters.join(
+                    survivors.select(F.col("doc_id").alias("id"), "q"), "id"
+                )
+                .withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        Window.partitionBy("cluster_id").orderBy(
+                            F.desc("q"), F.asc("id")
+                        )
+                    ),
+                )
+            )
+            losers = ranked.filter(F.col("_rk") > 1).select(
+                F.col("id").alias("doc_id")
+            )
+        elif near_dup_keep == "min-id":
+            losers = clusters.filter(
+                F.col("id") != F.col("cluster_id")
+            ).select(F.col("id").alias("doc_id"))
+        else:
+            raise ValueError(
+                "near_dup_keep must be 'min-id' or 'quality', got "
+                f"{near_dup_keep!r}"
+            )
         survivors = survivors.join(losers, "doc_id", "left_anti")
     if budget_tokens is not None:
         if budget_mode == "prefix":
@@ -246,6 +276,7 @@ def run_curation(
     budget_mode: str = "prefix",
     near_dup_threshold: float | None = None,
     near_dup_max_bucket: int | None = None,
+    near_dup_keep: str = "min-id",
     landed_path: str | None = None,
     strip_markup: bool = False,
     scrub_pii: bool = False,
@@ -277,6 +308,7 @@ def run_curation(
         budget_mode=budget_mode,
         near_dup_threshold=near_dup_threshold,
         near_dup_max_bucket=near_dup_max_bucket,
+        near_dup_keep=near_dup_keep,
         landed=(
             spark.read.parquet(landed_path) if landed_path is not None else None
         ),

@@ -220,6 +220,38 @@ def test_curate_incremental_vs_landed(spark, tmp_path):
     assert got == {101}
 
 
+def test_curate_near_dup_keep_quality(spark):
+    """near_dup_keep='quality': the cluster's highest-quality member
+    survives instead of the lowest id; 'min-id' keeps the old
+    deterministic policy; an unknown policy fails loudly."""
+    # GOOD is a shingle-subset of BETTER (jaccard ~0.6) and BETTER
+    # scores higher (asserted again here, pinned elsewhere in the suite)
+    rows = [(10, GOOD, "en"), (11, BETTER, "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    enr = {r["doc_id"]: r["q"] for r in C.enrich_documents(df).collect()}
+    assert enr[11] > enr[10]
+    by_min = {
+        r["doc_id"]
+        for r in C.curate_documents(
+            df, 0.0, near_dup_threshold=0.5
+        ).collect()
+    }
+    assert by_min == {10}
+    by_q = {
+        r["doc_id"]
+        for r in C.curate_documents(
+            df, 0.0, near_dup_threshold=0.5, near_dup_keep="quality"
+        ).collect()
+    }
+    assert by_q == {11}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="near_dup_keep"):
+        C.curate_documents(
+            df, 0.0, near_dup_threshold=0.5, near_dup_keep="nope"
+        ).collect()
+
+
 def test_curate_incremental_near_dup_vs_landed(spark):
     """r12: --landed + --near-dup-threshold screens the delta against
     the LANDED corpus, not just within the delta — a one-word edit of
