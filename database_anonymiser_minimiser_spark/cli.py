@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
         "without recomputing finished tables",
     )
     p.add_argument(
+        "--max-records-per-file", type=_positive_int, default=None,
+        metavar="N",
+        help="with --format parquet: cap rows per output file (bounds "
+        "file size under partition skew — a hive partition holding a "
+        "hot key otherwise lands in one giant file)",
+    )
+    p.add_argument(
         "--sort-keys", action="store_true",
         help="with --format parquet: write each table with a configured "
         "primary_key as a KEY-ORDERED dataset (range-partitioned + "
@@ -627,7 +634,10 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --format parquet requires -o <dir>", file=sys.stderr)
             return 2
         engine.export_parquet(
-            args.output, resume=args.resume, sort_keys=args.sort_keys
+            args.output,
+            resume=args.resume,
+            sort_keys=args.sort_keys,
+            max_records_per_file=args.max_records_per_file,
         )
         return 0
     dialect = args.dialect or (

@@ -213,6 +213,7 @@ class Engine:
         partition_by: dict[str, list[str]] | None = None,
         resume: bool = False,
         sort_keys: bool = False,
+        max_records_per_file: int | None = None,
     ) -> dump_mod.ExportStats:
         """Native columnar export: one parquet dataset per table under
         ``out_dir`` (the 100 TB path — splittable, column-pruned,
@@ -289,6 +290,7 @@ class Engine:
                         df,
                         f"{out_dir}/{p.name}",
                         partition_by=table_parts,
+                        max_records_per_file=max_records_per_file,
                     )
             self._write_fingerprint(out_dir, p.name, fp)
             if p.config.truncate:

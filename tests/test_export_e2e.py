@@ -292,6 +292,33 @@ def test_export_parquet_sort_keys_layout(spark, sf_dir, tmp_path):
     )
 
 
+def test_export_parquet_max_records_per_file(spark, sf_dir, tmp_path):
+    """--max-records-per-file bounds file size: the orders table (1,500
+    rows at sf0.001) splits into files of at most N rows each, rows
+    preserved."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.config import Config
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+    cfg = Config.from_dict(
+        {
+            "connection": {"type": "parquet", "path": sf_dir},
+            "configuration": {"orders": {}},
+        }
+    )
+    out = str(tmp_path / "capped_lake")
+    Engine(spark, cfg).export_parquet(out, max_records_per_file=200)
+    files = list(Path(f"{out}/orders").glob("part-*.parquet"))
+    counts = [pq.read_metadata(f).num_rows for f in files]
+    assert all(c <= 200 for c in counts), counts
+    assert sum(counts) == spark.read.parquet(
+        f"{sf_dir}/orders.parquet"
+    ).count()
+
+
 def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     """Small-file compaction: many part files -> ~target-sized few, same
     rows, shuffle-free (coalesce)."""
