@@ -230,6 +230,9 @@ HEADLINE = [
     # (the RAG/training-sequence slicing shape, scan-bound)
     "dedup_containment_pairs",
     "chunk_documents_64_48",
+    # round-12: distributed decimal-exact gram matrix (the PCA /
+    # whitening pre-step; d^2 output regardless of corpus size)
+    "embedding_gram_matrix",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

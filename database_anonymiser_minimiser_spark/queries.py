@@ -5095,6 +5095,17 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_gram_matrix", _sim.duck_embedding_gram_sql())
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: upper-triangle gram matrix of the embedding corpus — the
+    d x d PCA/whitening/covariance input, decimal-exact cross-engine
+    (products in double, sums in DECIMAL(38,12), string conversion).
+    d**2 output rows regardless of corpus size; the exact explode-join
+    form's amplification trade and its float production twin are
+    documented in operators/similarity.py:embedding_gram_upper."""
+    return _sim.embedding_gram_upper(load(spark, sf_dir, "embeddings"))
+
+
 @register("semantic_dedup_embeddings", _sim.duck_semantic_dedup_sql(threshold=0.3))
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup survivors (operators/similarity.py:

@@ -324,3 +324,33 @@ def test_neardup_numpy_prune_byte_identical(spark, sf_dir):
     fast = S.embedding_neardup_pairs(emb, threshold=0.2, mode="numpy_prune")
     key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert key(exact) == key(fast)
+
+
+def test_embedding_gram_matches_numpy_and_feeds_pca(spark, sf_dir):
+    """r12: the distributed decimal-exact gram equals numpy's X^T X
+    (float64) within accumulation noise, is complete upper-triangle
+    (d*(d+1)/2 entries), and reconstructs a symmetric PSD matrix whose
+    eigensolve — the driver-side PCA handoff the operator exists for —
+    yields nonnegative, descending eigenvalues."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        embedding_gram_upper,
+    )
+    from database_anonymiser_minimiser_spark.queries import load
+
+    rows = embedding_gram_upper(load(spark, sf_dir, "embeddings")).collect()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    n, d = X.shape
+    assert len(rows) == d * (d + 1) // 2
+    G = X.T @ X
+    M = np.zeros((d, d))
+    for r in rows:
+        assert r["i"] <= r["j"]
+        M[r["i"], r["j"]] = M[r["j"], r["i"]] = r["g"]
+    assert np.allclose(M, G, rtol=1e-9, atol=1e-9)
+    evals = np.linalg.eigvalsh(M)[::-1]
+    assert evals[0] > 0 and evals[-1] > -1e-6  # PSD up to fp noise
+    assert all(a >= b - 1e-9 for a, b in zip(evals, evals[1:]))
