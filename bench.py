@@ -231,8 +231,10 @@ HEADLINE = [
     "dedup_containment_pairs",
     "chunk_documents_64_48",
     # round-12: distributed decimal-exact gram matrix (the PCA /
-    # whitening pre-step; d^2 output regardless of corpus size)
+    # whitening pre-step; d^2 output regardless of corpus size) and
+    # its zero-amplification float production twin
     "embedding_gram_matrix",
+    "embedding_gram_fast",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -1157,3 +1157,38 @@ def duck_embedding_gram_sql(table: str = "embeddings") -> str:
     FROM ex a JOIN ex b ON a.vid = b.vid AND a.i <= b.i
     GROUP BY 1, 2
     """
+
+
+def embedding_gram_fast(
+    df: "DataFrame", vec_col: str = "embedding"
+) -> "DataFrame":
+    """FLOAT production twin of :func:`embedding_gram_upper` — the
+    100 TB shape: each partition computes its numpy X^T X partial in
+    one Arrow batch pass (no row amplification at all), and the only
+    shuffle is the d*(d+1)/2-row partial reduce. Accumulation is
+    float64, so the result is NOT bit-identical cross-engine or
+    partition-count-invariant in the last bits — its correctness gate
+    is the exact decimal twin (allclose at 1e-9 relative,
+    tests/test_similarity.py), the same exact-vs-fast pairing the
+    percentile and zscore families use."""
+    import numpy as np  # noqa: F401 - imported for the worker closure
+
+    def part(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        G = None
+        for pdf in batches:
+            X = _np.asarray(pdf[vec_col].to_list(), dtype=_np.float64)
+            if len(X):
+                G = X.T @ X if G is None else G + X.T @ X
+        if G is not None:
+            iu, ju = _np.triu_indices(G.shape[0])
+            yield _pd.DataFrame(
+                {"i": iu, "j": ju, "g_part": G[iu, ju]}
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        part, "i long, j long, g_part double"
+    )
+    return parts.groupBy("i", "j").agg(F.sum("g_part").alias("g"))

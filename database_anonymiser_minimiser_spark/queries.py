@@ -5106,6 +5106,17 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_gram_upper(load(spark, sf_dir, "embeddings"))
 
 
+@register("embedding_gram_fast")
+def q_embedding_gram_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the float PRODUCTION gram — per-partition numpy X^T X
+    partials via mapInPandas (zero row amplification; the only shuffle
+    is the d*(d+1)/2-row reduce). Rows-only by design: float64
+    accumulation is not bit-identical cross-engine; the exact gate is
+    the decimal twin embedding_gram_matrix (allclose 1e-9,
+    tests/test_similarity.py) — the established exact-vs-fast pairing."""
+    return _sim.embedding_gram_fast(load(spark, sf_dir, "embeddings"))
+
+
 @register("semantic_dedup_embeddings", _sim.duck_semantic_dedup_sql(threshold=0.3))
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup survivors (operators/similarity.py:

@@ -354,3 +354,29 @@ def test_embedding_gram_matches_numpy_and_feeds_pca(spark, sf_dir):
     evals = np.linalg.eigvalsh(M)[::-1]
     assert evals[0] > 0 and evals[-1] > -1e-6  # PSD up to fp noise
     assert all(a >= b - 1e-9 for a, b in zip(evals, evals[1:]))
+
+
+def test_embedding_gram_fast_matches_exact_twin(spark, sf_dir):
+    """The float production gram (mapInPandas partials) matches the
+    decimal-exact twin at 1e-9 relative — the correctness gate that
+    lets the zero-amplification path run at 100 TB."""
+    import numpy as np
+
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        embedding_gram_fast,
+        embedding_gram_upper,
+    )
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r["i"], r["j"]): r["g"]
+        for r in embedding_gram_upper(emb).collect()
+    }
+    fast = {
+        (r["i"], r["j"]): r["g"] for r in embedding_gram_fast(emb).collect()
+    }
+    assert set(fast) == set(exact)
+    a = np.array([exact[k] for k in sorted(exact)])
+    b = np.array([fast[k] for k in sorted(exact)])
+    assert np.allclose(a, b, rtol=1e-9, atol=1e-9)
