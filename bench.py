@@ -230,10 +230,13 @@ HEADLINE = [
     # (the RAG/training-sequence slicing shape, scan-bound)
     "dedup_containment_pairs",
     "chunk_documents_64_48",
-    # round-12: distributed decimal-exact gram matrix (the PCA /
-    # whitening pre-step; d^2 output regardless of corpus size) and
-    # its zero-amplification float production twin
-    "embedding_gram_matrix",
+    # round-12: the float production gram (zero-amplification
+    # mapInPandas partials; the PCA/whitening pre-step). Its
+    # decimal-exact twin embedding_gram_matrix is correctness-graded in
+    # the oracle suite but excluded here like the other verification
+    # twins (ngram prefix mode): interpreted HOF product generation
+    # prices it ~20x — it is the GATE for this query, not a pipeline
+    # operator.
     "embedding_gram_fast",
 ]
 

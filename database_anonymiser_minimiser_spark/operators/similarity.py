@@ -1107,33 +1107,36 @@ def embedding_gram_upper(
     string idiom — bit-identical cross-engine like every other
     decimal-sum release.
 
-    Scale shape, stated honestly: this EXACT form explodes each vector
-    to d rows and self-joins per vec_id — a d*(d+1)/2 row amplification
-    through one shuffle (~2,080x at d=64). Fine into the tens of
-    millions of vectors; at the 100 TB extreme run the FLOAT production
-    twin instead (per-partition numpy outer-product partials via
-    mapInPandas, one d x d reduce — no amplification) and use this
-    exact form as its verification gate on a sample, the same
-    exact-vs-band pairing the percentile family uses."""
-    ex = df.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.col(vec_col)).alias("i", "x"),
-    ).select("vid", "i", F.col("x").cast("double").alias("x"))
-    a, b = ex.alias("a"), ex.alias("b")
+    Scale shape: every row's d*(d+1)/2 pair products are generated
+    INLINE (no self-join), so the partial aggregation combines them
+    map-side and the single Exchange carries only tasks x d^2 rows —
+    a corpus-size-independent shuffle (the rejected alternative,
+    posexplode + per-id self-join, shuffles n x d rows and cannot
+    partial-aggregate before its join). Local CPU is the honest cost:
+    Catalyst evaluates higher-order-function lambdas interpreted, not
+    codegen'd, so the 2,080 products per row price this ~20x the float
+    twin per row (measured; both shapes, HOF and join, land within
+    noise of each other). That is exactly why the pairing exists: the
+    FLOAT twin (:func:`embedding_gram_fast`) is the production path
+    and THIS form is its exactness verification gate — run it on a
+    sample or a schedule, not per batch. Excluded from the bench sweep
+    like the other verification twins (ngram prefix mode)."""
+    pairs = (
+        "flatten(transform(sequence(0, size(_e) - 1), "
+        "i -> transform(sequence(i, size(_e) - 1), "
+        "j -> struct(i AS i, j AS j, "
+        "CAST(element_at(_e, i + 1) AS DOUBLE) * "
+        "CAST(element_at(_e, j + 1) AS DOUBLE) AS p))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.vid") == F.col("b.vid"))
-            & (F.col("a.i") <= F.col("b.i")),
-        )
+        df.select(F.col(vec_col).alias("_e"))
+        .select(F.explode(F.expr(pairs)).alias("pp"))
         .groupBy(
-            F.col("a.i").cast("long").alias("i"),
-            F.col("b.i").cast("long").alias("j"),
+            F.col("pp.i").cast("long").alias("i"),
+            F.col("pp.j").cast("long").alias("j"),
         )
         .agg(
-            F.sum(
-                (F.col("a.x") * F.col("b.x")).cast("decimal(38,12)")
-            )
+            F.sum(F.col("pp.p").cast("decimal(38,12)"))
             .cast("decimal(38,12)")
             .cast("string")
             .cast("double")
