@@ -481,7 +481,14 @@ def _sql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, int):
+        # bind as BIGINT, not INTEGER: the Spark side casts domain
+        # literals to the (long) group column's type, and the driver
+        # hash-compares Arrow BYTES — an int32 domain column would
+        # diverge physically even with identical values (the same
+        # defect class as the r12 HUGEINT noisy_sum red row)
+        return f"CAST({v!r} AS BIGINT)"
+    if isinstance(v, float):
         return repr(v)
     return "'" + str(v).replace("'", "''") + "'"
 
@@ -549,9 +556,9 @@ def duck_dp_noisy_sum_sql(
         sum(LEAST(GREATEST(CAST({value_col} AS BIGINT), 0), {bound})) AS s
       FROM {table} GROUP BY {cols})
     SELECT {cols},
-      GREATEST(0, (s + {bound // 2}) // {bound}
+      CAST(GREATEST(0, (s + {bound // 2}) // {bound}
         + len(list_filter([{arr}], b -> b <= {u})) - {k_tail})
-        * {bound} AS {alias}
+        * {bound} AS BIGINT) AS {alias}
     FROM agg
     """
 

@@ -7003,73 +7003,74 @@ def q_salted_agg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _PRIORITY_50 = [
-    # ======== ROUND 12 WINDOW ========
-    # (a) the NINE oracle-keyed queries never driver-graded (r11 verdict
-    # item 1 — all registered AFTER the r11 window froze; the builder's
-    # "new => windowed that round" policy binds them to r12). Three of
-    # them changed this round per ADVICE (privacy_dp_noisy_avg null-safe
-    # join, privacy_t_closeness decimal operands, text_strip_markup
-    # entity decode order) — the plan-changed policy binds those to this
-    # window too, which they already head.
-    "privacy_dp_noisy_counts",
-    "privacy_dp_user_counts",
+    # ======== ROUND 13 WINDOW ========
+    # (a) the TEN never-driver-graded / must-regrade queries mandated by
+    # the r12 verdict (item 2): the r12 red row privacy_dp_noisy_sum
+    # (oracle HUGEINT type artifact — values verified identical by the
+    # judge at three scales; twin now CASTs AS BIGINT and the whole
+    # class is locked out by test_oracle_output_types_canonical) plus
+    # the NINE r12 post-freeze registrations.
     "privacy_dp_noisy_sum",
-    "privacy_dp_noisy_avg",
-    "privacy_t_closeness",
-    "sample_k_per_lang",
-    "text_strip_markup",
-    "events_interpolate_hourly",
-    "events_locf_hourly",
-    # (b) the NINETEEN r8-stale grades (the exact set whose latest
-    # driver grade is r8, recomputed from CORRECTNESS_r01..r11; named
-    # as r12-mandatory in COVERAGE.md §r11 and the r11 verdict).
-    "ann_lsh_topk",
-    "ann_topk_cosine_numpy",
-    "consistency_mapping",
-    "dedup_simhash",
-    "events_sliding_2h_1h",
-    "mask_password",
-    "mask_static_null",
-    "mask_text",
-    "mask_uuid",
-    "percentiles_tdigest_band_orders",
-    "q14_promo_share",
-    "sample_fixed_per_lang",
-    "semi_join_orders_with_big_items",
-    "sqldump_escape_golden",
-    "streaming_events_tumbling",
-    "text_token_count_bpe",
-    "topo_order",
-    "window_running_totals",
-    "zscore_pandas_band_events",
-    # (c) 22 of the 46 r9 grades (now the oldest tier), family-spread.
-    # corpus_curation_pipeline is mandatory here per the plan-changed
-    # policy: curate's near-dup collapse gained the hot-band cap plumb
-    # this round (default off, but windowed regardless). The 24 r9
-    # grades NOT here are named in COVERAGE.md §r12 with family
-    # rationale and head r13.
-    "ann_int8_topk",
-    "bm25_search_topk",
-    "consistency_fk_integrity",
-    "corpus_curation_pipeline",
-    "corpus_mix_budget",
-    "cube_lineitem_flag_status",
-    "dedup_ngram_jaccard",
-    "embedding_neardup",
-    "events_resample_hourly_dense",
-    "funnel_view_click_purchase",
-    "heavy_hitters_sketch_pairs",
-    "hybrid_search_rrf",
-    "pii_profile_tables",
-    "pivot_orders_priority",
-    "privacy_risk_metrics",
-    "privacy_suppress_below_k",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "snapshot_diff_cdc",
-    "subset_export_lines",
-    "tfdf_top_terms",
-    "unpivot_customer_metrics",
+    "privacy_dp_known_domain",
+    "privacy_dp_histogram",
+    "streaming_dp_counts",
+    "events_moving_avg_24h",
+    "sample_weighted_chars",
+    "expectations_events",
+    "chunk_documents_64_48",
+    "dedup_containment_pairs",
+    "embedding_gram_matrix",
+    # (b) the TWENTY-FOUR r9-stale grades (the exact set whose latest
+    # driver grade is r9, recomputed from CORRECTNESS_r01..r12; named
+    # as r13-mandatory in COVERAGE.md §r12 and the r12 verdict).
+    "mask_address",
+    "mask_date",
+    "mask_email",
+    "mask_firstName",
+    "mask_ipv4",
+    "mask_lastName",
+    "mask_name",
+    "mask_number",
+    "mask_phone",
+    "mask_username",
+    "pii_suggest_rules",
+    "pii_suggest_rules_typed",
+    "privacy_perturb_numeric",
+    "privacy_shift_dates",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q20_excess_supply",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "quality_quantile_filter",
+    "shard_assignment_stats",
+    "streaming_heavy_hitters_users",
+    "text_bigram_novelty",
+    "text_repetition_quality",
+    # (c) 16 of the 49 r10 grades (now the oldest tier), family-spread:
+    # one representative per machinery family (anonymise projection,
+    # as-of join, bucketed join, CDC apply, cohort windows, consistency
+    # broadcast, decontamination, exact dedup, MinHash LSH,
+    # sessionization, JSON schema agg, sequence packing, k-anonymity,
+    # TPC-H scan/agg, range join, PII scrub). The 33 r10 grades NOT
+    # here are named in COVERAGE.md §r13 with family rationale and head
+    # r14.
+    "anonymise_customer_full",
+    "asof_join_events_orders",
+    "bucketed_join_segment_revenue",
+    "cdc_apply_orders",
+    "cohort_retention_weekly",
+    "consistency_broadcast_apply",
+    "contamination_check",
+    "dedup_exact_keep_best",
+    "dedup_minhash_lsh",
+    "events_sessionize",
+    "json_schema_agg",
+    "pack_sequences_2048",
+    "privacy_k_anonymity_stats",
+    "q4_order_priority_check",
+    "range_join_events_windows",
+    "scrub_text_pii",
 ]
 
 

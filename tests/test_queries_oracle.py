@@ -211,3 +211,51 @@ def test_key_mode_variants_match(spark, sf_dir, default, oracle_shape):
     a = sorted(tuple(r) for r in QUERIES[default](spark, sf_dir).collect())
     b = sorted(tuple(r) for r in QUERIES[oracle_shape](spark, sf_dir).collect())
     assert a == b
+
+
+# r12 verdict item 1(b): the driver hash-compares Arrow BYTES, so a
+# value-identical release still reds the window if the oracle's physical
+# type diverges (privacy_dp_noisy_sum r12: DuckDB promoted sum(BIGINT)
+# to HUGEINT -> Arrow decimal128(38,0) vs Spark's int64; values were
+# byte-identical at three scales). The local replica compared VALUES and
+# passed while the driver failed on bytes — so the replica must be at
+# least as strict: assert per-column PHYSICAL-TYPE EQUALITY between the
+# Spark result schema and the DuckDB oracle's bound output types.
+# DESCRIBE binds without executing, so this covers ALL oracles — the
+# interpreted-list-bound ones included — at any corpus size.
+_SPARK_TO_DUCK_TYPE = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_canonical(spark, duck, sf_dir, name):
+    duck_types = {
+        r[0]: r[1]
+        for r in duck.sql(f"DESCRIBE ({ORACLES[name]})").fetchall()
+    }
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    assert sorted(duck_types) == sorted(spark_types), (
+        f"{name}: column sets differ {sorted(spark_types)} vs "
+        f"{sorted(duck_types)}"
+    )
+    bad = []
+    for col, styp in spark_types.items():
+        want = _SPARK_TO_DUCK_TYPE.get(styp)
+        if want is None:
+            bad.append(f"{col}: Spark type {styp} is not driver-canonical")
+        elif duck_types[col] != want:
+            bad.append(
+                f"{col}: Spark {styp} (expects DuckDB {want}) but oracle "
+                f"binds {duck_types[col]} — Arrow bytes would diverge"
+            )
+    assert not bad, f"{name}: {bad} (cast the oracle expression explicitly)"
