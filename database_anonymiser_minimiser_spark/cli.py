@@ -462,7 +462,14 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        specs = parse_releases(cfg.privacy)
+        try:
+            specs = parse_releases(cfg.privacy)
+        except DPBudgetError as exc:
+            # a privacy block that validates at load (e.g. audit-only)
+            # but has no releases must take the clean error path, not
+            # an uncaught traceback
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
         # account FIRST: a refused combination must fail before any
         # release is computed or printed (partial output would itself
         # be a release)
@@ -489,6 +496,24 @@ def main(argv: list[str] | None = None) -> int:
         except DPBudgetError as exc:
             print(f"error: {exc}", file=sys.stderr)
             return 2
+        # persist the manifest BEFORE any release is computed or
+        # printed: every accounted spec's epsilon is committed even if a
+        # later spec fails mid-loop (bad table/column name -> Spark
+        # AnalysisException). Printing a release whose budget was never
+        # recorded is exactly the blind spot the ledger closes; erring
+        # the other way (epsilon recorded for a release that then failed
+        # to print) only over-counts, which is privacy-safe.
+        manifest = ledger.manifest()
+        if args.manifest:
+            _Path(args.manifest).write_text(
+                _json.dumps(manifest, indent=2) + "\n"
+            )
+            print(
+                f"manifest written: {args.manifest} "
+                f"(total epsilon {manifest['total_epsilon']:g}; "
+                "committed before release output)",
+                file=sys.stderr,
+            )
         for spec in specs:
             df = run_release(engine.source.read(spec.table), spec)
             cols = df.columns
@@ -503,17 +528,7 @@ def main(argv: list[str] | None = None) -> int:
                 rows, key=lambda r: tuple(str(r[c]) for c in cols)
             ):
                 print("\t".join(str(r[c]) for c in cols))
-        manifest = ledger.manifest()
-        if args.manifest:
-            _Path(args.manifest).write_text(
-                _json.dumps(manifest, indent=2) + "\n"
-            )
-            print(
-                f"manifest written: {args.manifest} "
-                f"(total epsilon {manifest['total_epsilon']:g})",
-                file=sys.stderr,
-            )
-        else:
+        if not args.manifest:
             print(_json.dumps(manifest))
         return 0
     if args.command == "audit":

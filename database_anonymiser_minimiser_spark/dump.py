@@ -461,6 +461,7 @@ def write_sorted_parquet(
     sort_by: list[str],
     num_partitions: int | None = None,
     mode: str = "overwrite",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Globally-ordered parquet: range-partition on the sort key, sort
     within each partition. File k's keys all precede file k+1's, and each
@@ -481,7 +482,13 @@ def write_sorted_parquet(
         ranged = df.repartitionByRange(num_partitions, *cols)
     else:
         ranged = df.repartitionByRange(*cols)
-    ranged.sortWithinPartitions(*cols).write.mode(mode).parquet(str(path))
+    writer = ranged.sortWithinPartitions(*cols).write.mode(mode)
+    if max_records_per_file:
+        # the cap applies inside each range partition; splitting a
+        # sorted partition keeps global key order across the resulting
+        # files, so the layout guarantee above survives the cap
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(str(path))
 
 
 _Z_BITS = 16  # per-dimension resolution of the interleaved key

@@ -69,10 +69,17 @@ def compact_dataset(
     if target_mb <= 0:
         raise ValueError(f"target_mb must be positive, got {target_mb}")
     norm = lambda p: os.path.normpath(os.path.abspath(p))  # noqa: E731
-    if norm(path) == norm(out):
+    np_, no_ = norm(path), norm(out)
+    # reject nesting in EITHER direction, not just equality: an out dir
+    # under the dataset makes every later read of path double-count rows
+    # (and the row-count gate below would still pass, since it counts
+    # out separately); a path under out would be clobbered by the write
+    if os.path.commonpath([np_, no_]) in (np_, no_):
         raise ValueError(
-            "compact: --out must differ from --path (writing over the "
-            "dataset being read); write to a new directory and swap after"
+            "compact: --out must not equal, contain, or be contained by "
+            "--path (writing into the dataset being read double-counts "
+            "every later read); write to a disjoint directory and swap "
+            "after"
         )
     n_before, total_bytes = dataset_file_stats(spark, path)
     if n_before == 0:

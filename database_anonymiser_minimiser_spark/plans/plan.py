@@ -283,7 +283,10 @@ class Engine:
                     # export without re-sorting (write_sorted_parquet's
                     # plan gate: RangePartitioning, never a global Sort)
                     dump_mod.write_sorted_parquet(
-                        df, f"{out_dir}/{p.name}", [p.config.primary_key]
+                        df,
+                        f"{out_dir}/{p.name}",
+                        [p.config.primary_key],
+                        max_records_per_file=max_records_per_file,
                     )
                 else:
                     dump_mod.write_parquet(
@@ -323,10 +326,20 @@ class Engine:
                 "config": plan.config.to_raw(),
                 "partition_by": partition_by or None,
                 # key-ordered layout is part of the dataset's identity:
-                # a resume under the other flag must re-export, not skip
+                # a resume under the other flag must re-export, not
+                # skip. The predicate must mirror the write branch
+                # EXACTLY (primary key AND not truncated AND not
+                # hive-partitioned) — a fingerprint claiming key order
+                # for a table the writer laid out plain would force
+                # spurious full re-exports when --sort-keys toggles
                 **(
                     {"sort_keys": True}
-                    if sort_keys and plan.config.primary_key
+                    if (
+                        sort_keys
+                        and plan.config.primary_key
+                        and not plan.config.truncate
+                        and not partition_by
+                    )
                     else {}
                 ),
             },

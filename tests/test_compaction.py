@@ -31,8 +31,15 @@ def test_compact_reduces_files_and_verifies_rows(spark, tmp_path):
 def test_compact_refusals(spark, tmp_path):
     d = str(tmp_path / "data")
     spark.range(10).write.parquet(d)
-    with pytest.raises(ValueError, match="--out must differ"):
+    with pytest.raises(ValueError, match="must not equal"):
         compact_dataset(spark, d, d + "/")
+    # r12 ADVICE: nesting in EITHER direction is rejected too — an out
+    # dir UNDER the dataset would double-count every later read of d
+    # (while the row-count gate still passes, since it counts out alone)
+    with pytest.raises(ValueError, match="must not equal"):
+        compact_dataset(spark, d, d + "/compacted")
+    with pytest.raises(ValueError, match="must not equal"):
+        compact_dataset(spark, str(tmp_path), d)
     with pytest.raises(FileNotFoundError, match="does not exist"):
         compact_dataset(spark, str(tmp_path / "nope"), str(tmp_path / "o"))
     empty = tmp_path / "empty"
@@ -59,7 +66,7 @@ def test_compact_cli(spark, tmp_path, capsys):
     assert spark.read.parquet(out).count() == 5_000
     # refusal surfaces as exit 2 with the message, not a traceback
     assert main(["compact", "--path", frag, "--out", frag]) == 2
-    assert "--out must differ" in capsys.readouterr().err
+    assert "must not equal" in capsys.readouterr().err
 
 
 def test_compact_cli_in_place(spark, tmp_path, capsys):

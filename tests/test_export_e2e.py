@@ -1038,3 +1038,82 @@ def test_register_index_missing_manifest_is_friendly(spark, tmp_path):
         D.register_minhash_index_bucketed(
             spark, "t_nope", str(tmp_path / "empty")
         )
+
+
+def test_sort_keys_fingerprint_matches_write_branch(spark, sf_dir):
+    """r12 ADVICE: the fingerprint's sort_keys entry must use EXACTLY
+    the write branch's predicate — a truncated or hive-partitioned
+    table writes the plain layout, so its fingerprint must not claim
+    key order (else toggling --sort-keys forces spurious re-exports of
+    byte-identical datasets under --resume)."""
+    from database_anonymiser_minimiser_spark.config import Config
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+    cfg = Config.from_dict(
+        {
+            "connection": {"type": "parquet", "path": sf_dir},
+            "configuration": {
+                "orders": {"primary_key": "o_orderkey", "truncate": True},
+                "customer": {"primary_key": "c_custkey"},
+            },
+        }
+    )
+    eng = Engine(spark, cfg)
+    trunc = next(p for p in eng.plan_tables() if p.name == "orders")
+    # truncated: writer takes the plain branch -> flag-invariant
+    assert eng._table_fingerprint(trunc, None, sort_keys=True) == (
+        eng._table_fingerprint(trunc, None, sort_keys=False)
+    )
+    # hive-partitioned: writer takes the plain branch -> flag-invariant
+    part = next(p for p in eng.plan_tables() if p.name == "customer")
+    assert eng._table_fingerprint(
+        part, ["c_mktsegment"], sort_keys=True
+    ) == eng._table_fingerprint(part, ["c_mktsegment"], sort_keys=False)
+    # plain keyed table still distinguishes the layouts
+    assert eng._table_fingerprint(part, None, sort_keys=True) != (
+        eng._table_fingerprint(part, None, sort_keys=False)
+    )
+
+
+def test_sort_keys_respects_max_records_per_file(spark, sf_dir, tmp_path):
+    """r12 ADVICE: --sort-keys + --max-records-per-file compose — the
+    key-ordered path previously dropped the cap, leaving exactly the
+    LARGE key-ordered tables with unbounded file sizes. The cap splits
+    within range partitions, so the disjoint-key-range layout
+    guarantee survives it."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.config import Config
+    from database_anonymiser_minimiser_spark.plans.plan import Engine
+
+    cfg = Config.from_dict(
+        {
+            "connection": {"type": "parquet", "path": sf_dir},
+            "configuration": {"orders": {"primary_key": "o_orderkey"}},
+        }
+    )
+    out = str(tmp_path / "sorted_capped")
+    Engine(spark, cfg).export_parquet(
+        out, sort_keys=True, max_records_per_file=200
+    )
+    files = sorted(Path(f"{out}/orders").glob("part-*.parquet"))
+    counts = [pq.read_metadata(f).num_rows for f in files]
+    assert all(c <= 200 for c in counts), counts
+    assert sum(counts) == spark.read.parquet(
+        f"{sf_dir}/orders.parquet"
+    ).count()
+    # the layout guarantees hold THROUGH the cap: internally sorted
+    # files with globally disjoint key ranges
+    ranges = []
+    for f in files:
+        keys = pq.read_table(f, columns=["o_orderkey"])[
+            "o_orderkey"
+        ].to_pylist()
+        assert keys == sorted(keys), f"{f} not internally sorted"
+        if keys:
+            ranges.append((keys[0], keys[-1]))
+    ranges.sort()
+    for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file key ranges overlap"

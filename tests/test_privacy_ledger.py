@@ -405,3 +405,67 @@ def test_release_cli_refuses_correlated_noise(tmp_path, capsys):
     assert rc == 2
     assert "SAME seed" in err
     assert "==" not in out  # nothing released
+
+
+def test_release_manifest_committed_before_failing_release(tmp_path, capsys):
+    """r12 ADVICE (medium): a typo'd column in a LATER spec raises
+    AnalysisException mid-loop AFTER earlier releases were printed —
+    their epsilon must already be persisted, or the next invocation
+    silently undercounts spent budget. The manifest is now written
+    BEFORE any release output; a failed print over-counts (privacy-safe
+    direction), never the reverse."""
+    from database_anonymiser_minimiser_spark.cli import main
+
+    cfg = tmp_path / "rel.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration: {}\n"
+        "privacy:\n  releases:\n"
+        "    - {name: ok, table: orders, kind: count,\n"
+        "       group_by: [o_orderstatus], epsilon: 1.0, seed: pre-a}\n"
+        "    - {name: typo, table: orders, kind: count,\n"
+        "       group_by: [no_such_column], epsilon: 2.0, seed: pre-b}\n"
+    )
+    manifest_path = tmp_path / "manifest.json"
+    with pytest.raises(Exception):  # AnalysisException mid-loop
+        main(["-c", str(cfg), "release", "--manifest", str(manifest_path)])
+    out, err = capsys.readouterr()
+    assert "== ok:" in out  # first release WAS printed before the crash
+    assert manifest_path.exists(), "manifest must pre-commit the budget"
+    m = json.loads(manifest_path.read_text())
+    # BOTH specs' epsilon recorded, including the one that failed to run
+    assert m["total_epsilon"] == 3.0
+    assert [r["seed"] for r in m["releases"]] == ["pre-a", "pre-b"]
+    # and a follow-up invocation preloads the full 3.0
+    cfg2 = tmp_path / "rel2.yaml"
+    cfg2.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration: {}\n"
+        "privacy:\n  releases:\n"
+        "    - {name: again, table: orders, kind: count,\n"
+        "       group_by: [o_orderstatus], epsilon: 1.0, seed: pre-c}\n"
+    )
+    rc = main(["-c", str(cfg2), "release", "--manifest", str(manifest_path)])
+    out, err = capsys.readouterr()
+    assert rc == 0
+    assert "epsilon already spent: 3" in err
+    assert json.loads(manifest_path.read_text())["total_epsilon"] == 4.0
+
+
+def test_release_audit_only_privacy_block_clean_error(tmp_path, capsys):
+    """r12 ADVICE (low): a privacy block with only an 'audit' list is
+    valid at load, but the release verb must take the clean error /
+    return-2 path, not an uncaught DPBudgetError traceback."""
+    from database_anonymiser_minimiser_spark.cli import main
+
+    cfg = tmp_path / "auditonly.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration: {}\n"
+        "privacy:\n  audit:\n"
+        "    - {table: orders, quasi: [o_orderstatus], k: 2}\n"
+    )
+    rc = main(["-c", str(cfg), "release"])
+    out, err = capsys.readouterr()
+    assert rc == 2
+    assert "error:" in err and "releases" in err
