@@ -91,6 +91,16 @@ def build_parser() -> argparse.ArgumentParser:
         "without re-sorting; tables without a primary_key (or with a "
         "hive partition_by layout) keep the plain write",
     )
+    p.add_argument(
+        "--manifest", default=None, metavar="PATH",
+        help="export runs with a privacy.releases block in the config: "
+        "REQUIRED path for the combined manifest (export stats + DP "
+        "release ledger). If PATH exists, prior releases preload so "
+        "epsilon accounting is cumulative across invocations. The "
+        "manifest records the seeds and must never be published with "
+        "the released data. (The standalone 'release' verb takes its "
+        "own --manifest after the verb.)",
+    )
     sub = p.add_subparsers(dest="command")
     sync = sub.add_parser("sync", help="add missing tables to the config")
     sync.add_argument("--truncate", action="store_true")
@@ -333,6 +343,84 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _account_releases(privacy_raw: dict, manifest_path: str | None):
+    """Parse the config's ``privacy.releases`` block and pre-commit the
+    epsilon accounting — FIRST, before any export or release work, so a
+    refused combination fails before anything is computed or printed
+    (partial output would itself be a release). If ``manifest_path``
+    exists, prior runs' releases preload so cross-INVOCATION seed reuse
+    and epsilon accumulation are caught, not just intra-config.
+    Returns ``(specs, ledger)``; raises ``DPBudgetError`` on refusal."""
+    import json as _json
+    import warnings as _warnings
+    from pathlib import Path as _Path
+
+    from .operators.privacy_ledger import (
+        DPLedger,
+        DPReleaseWarning,
+        parse_releases,
+    )
+
+    specs = parse_releases(privacy_raw)
+    ledger = DPLedger()
+    if manifest_path and _Path(manifest_path).exists():
+        prior = _json.loads(_Path(manifest_path).read_text())
+        n_prior = ledger.preload(prior)
+        print(
+            f"loaded {n_prior} prior release(s) from {manifest_path} "
+            f"(epsilon already spent: {ledger.total_epsilon:g})",
+            file=sys.stderr,
+        )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        for spec in specs:
+            ledger.record(spec)
+    for w in caught:
+        if issubclass(w.category, DPReleaseWarning):
+            print(f"warning: {w.message}", file=sys.stderr)
+    return specs, ledger
+
+
+def _write_manifest(manifest: dict, manifest_path: str) -> None:
+    """Persist the manifest BEFORE any release is computed or printed:
+    every accounted spec's epsilon is committed even if a later spec
+    fails mid-loop (bad table/column name -> Spark AnalysisException).
+    Printing a release whose budget was never recorded is exactly the
+    blind spot the ledger closes; erring the other way (epsilon recorded
+    for a release that then failed to print) only over-counts, which is
+    privacy-safe."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    _Path(manifest_path).write_text(_json.dumps(manifest, indent=2) + "\n")
+    print(
+        f"manifest written: {manifest_path} "
+        f"(total epsilon {manifest['total_epsilon']:g}; "
+        "committed before release output)",
+        file=sys.stderr,
+    )
+
+
+def _print_releases(engine: Engine, specs) -> None:
+    """Compute and print each release (stdout — the released values are
+    the publication; the manifest stays the operator-side audit record
+    and is never interleaved with them)."""
+    from .operators.privacy_ledger import run_release
+
+    for spec in specs:
+        df = run_release(engine.source.read(spec.table), spec)
+        cols = df.columns
+        rows = df.collect()  # aggregated: group-cardinality-sized
+        print(
+            f"== {spec.name}: {spec.kind} of {spec.table} "
+            f"by {','.join(spec.group_by)} "
+            f"(epsilon={spec.epsilon:g}, adjacency={spec.adjacency})"
+        )
+        print("\t".join(cols))
+        for r in sorted(rows, key=lambda r: tuple(str(r[c]) for c in cols)):
+            print("\t".join(str(r[c]) for c in cols))
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "version":
@@ -444,16 +532,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"connection: {cfg.connection.type}", file=sys.stderr)
     if args.command == "release":
         import json as _json
-        import warnings as _warnings
-        from pathlib import Path as _Path
 
-        from .operators.privacy_ledger import (
-            DPBudgetError,
-            DPLedger,
-            DPReleaseWarning,
-            parse_releases,
-            run_release,
-        )
+        from .operators.privacy_ledger import DPBudgetError
 
         if not cfg.privacy:
             print(
@@ -463,71 +543,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         try:
-            specs = parse_releases(cfg.privacy)
+            specs, ledger = _account_releases(cfg.privacy, args.manifest)
         except DPBudgetError as exc:
-            # a privacy block that validates at load (e.g. audit-only)
-            # but has no releases must take the clean error path, not
-            # an uncaught traceback
+            # accounting refusals AND a privacy block that validates at
+            # load (e.g. audit-only) but has no releases both take the
+            # clean error path, not an uncaught traceback
             print(f"error: {exc}", file=sys.stderr)
             return 2
-        # account FIRST: a refused combination must fail before any
-        # release is computed or printed (partial output would itself
-        # be a release)
-        ledger = DPLedger()
-        if args.manifest and _Path(args.manifest).exists():
-            # cumulative accounting: prior runs' releases load from the
-            # existing manifest so cross-INVOCATION seed reuse and
-            # epsilon accumulation are caught, not just intra-config
-            prior = _json.loads(_Path(args.manifest).read_text())
-            n_prior = ledger.preload(prior)
-            print(
-                f"loaded {n_prior} prior release(s) from {args.manifest} "
-                f"(epsilon already spent: {ledger.total_epsilon:g})",
-                file=sys.stderr,
-            )
-        try:
-            with _warnings.catch_warnings(record=True) as caught:
-                _warnings.simplefilter("always")
-                for spec in specs:
-                    ledger.record(spec)
-            for w in caught:
-                if issubclass(w.category, DPReleaseWarning):
-                    print(f"warning: {w.message}", file=sys.stderr)
-        except DPBudgetError as exc:
-            print(f"error: {exc}", file=sys.stderr)
-            return 2
-        # persist the manifest BEFORE any release is computed or
-        # printed: every accounted spec's epsilon is committed even if a
-        # later spec fails mid-loop (bad table/column name -> Spark
-        # AnalysisException). Printing a release whose budget was never
-        # recorded is exactly the blind spot the ledger closes; erring
-        # the other way (epsilon recorded for a release that then failed
-        # to print) only over-counts, which is privacy-safe.
         manifest = ledger.manifest()
         if args.manifest:
-            _Path(args.manifest).write_text(
-                _json.dumps(manifest, indent=2) + "\n"
-            )
-            print(
-                f"manifest written: {args.manifest} "
-                f"(total epsilon {manifest['total_epsilon']:g}; "
-                "committed before release output)",
-                file=sys.stderr,
-            )
-        for spec in specs:
-            df = run_release(engine.source.read(spec.table), spec)
-            cols = df.columns
-            rows = df.collect()  # aggregated: group-cardinality-sized
-            print(
-                f"== {spec.name}: {spec.kind} of {spec.table} "
-                f"by {','.join(spec.group_by)} "
-                f"(epsilon={spec.epsilon:g}, adjacency={spec.adjacency})"
-            )
-            print("\t".join(cols))
-            for r in sorted(
-                rows, key=lambda r: tuple(str(r[c]) for c in cols)
-            ):
-                print("\t".join(str(r[c]) for c in cols))
+            _write_manifest(manifest, args.manifest)
+        _print_releases(engine, specs)
         if not args.manifest:
             print(_json.dumps(manifest))
         return 0
@@ -644,23 +670,72 @@ def main(argv: list[str] | None = None) -> int:
     if args.dry_run:
         engine.dry_run()
         return 0
+    # export + release in ONE run (the reference's single export entry
+    # point, main.go:80-199, extended with the privacy counterpart): a
+    # config that both masks tables AND lists privacy.releases drives
+    # the masked export and the DP statistic releases together, under
+    # one ledger-enforced manifest covering both. Accounting runs FIRST
+    # so a refused release combination fails before hours of export.
+    release_specs = release_ledger = None
+    if cfg.privacy and cfg.privacy.get("releases"):
+        from .operators.privacy_ledger import DPBudgetError
+
+        if not args.manifest:
+            print(
+                "error: this config lists privacy.releases — export "
+                "requires --manifest PATH so the spent epsilon is "
+                "recorded (run the 'release' verb instead to release "
+                "without exporting)",
+                file=sys.stderr,
+            )
+            return 2
+        if not args.output:
+            print(
+                "error: export with privacy.releases requires -o so the "
+                "released statistics do not interleave with the dump on "
+                "stdout",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            release_specs, release_ledger = _account_releases(
+                cfg.privacy, args.manifest
+            )
+        except DPBudgetError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
     if args.format == "parquet":
         if not args.output:
             print("error: --format parquet requires -o <dir>", file=sys.stderr)
             return 2
-        engine.export_parquet(
+        stats = engine.export_parquet(
             args.output,
             resume=args.resume,
             sort_keys=args.sort_keys,
             max_records_per_file=args.max_records_per_file,
         )
-        return 0
-    dialect = args.dialect or (
-        cfg.connection.type
-        if cfg.connection.type in ("mysql", "postgres", "sqlite")
-        else "mysql"
-    )
-    engine.export(args.output, db_type=dialect, parallel=args.parallel)
+    else:
+        dialect = args.dialect or (
+            cfg.connection.type
+            if cfg.connection.type in ("mysql", "postgres", "sqlite")
+            else "mysql"
+        )
+        stats = engine.export(args.output, db_type=dialect, parallel=args.parallel)
+    if release_ledger is not None:
+        manifest = release_ledger.manifest()
+        # ONE manifest covering both halves of the run: what microdata
+        # shipped (masked export stats) and what aggregate statistics
+        # were released against which epsilon
+        manifest["export"] = {
+            "output": args.output,
+            "format": args.format,
+            "tables_exported": stats.tables_exported,
+            "tables_truncated": stats.tables_truncated,
+            "rows_exported": stats.rows_exported,
+            "per_table_rows": stats.per_table_rows,
+        }
+        _write_manifest(manifest, args.manifest)
+        _print_releases(engine, release_specs)
     return 0
 
 

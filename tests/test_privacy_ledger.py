@@ -469,3 +469,93 @@ def test_release_audit_only_privacy_block_clean_error(tmp_path, capsys):
     out, err = capsys.readouterr()
     assert rc == 2
     assert "error:" in err and "releases" in err
+
+
+def test_export_plus_release_one_run_one_manifest(spark, tmp_path, capsys):
+    """r12 verdict item 4: ONE config drives the masked export AND the
+    DP releases in ONE run, under ONE ledger-enforced manifest covering
+    both (the reference's single export entry point, main.go:80-199,
+    extended with the privacy counterpart)."""
+    from database_anonymiser_minimiser_spark.cli import main
+
+    cfg = tmp_path / "both.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration:\n"
+        "  customer:\n"
+        "    primary_key: c_custkey\n"
+        "    columns: {c_name: '{{faker.name}}'}\n"
+        "  orders: {primary_key: o_orderkey}\n"
+        "privacy:\n  releases:\n"
+        "    - {name: status_counts, table: orders, kind: count,\n"
+        "       group_by: [o_orderstatus], epsilon: 1.0, seed: xr-a}\n"
+    )
+    dump = tmp_path / "dump.sql"
+    manifest_path = tmp_path / "manifest.json"
+    rc = main(
+        ["-c", str(cfg), "-o", str(dump), "--manifest", str(manifest_path)]
+    )
+    out, err = capsys.readouterr()
+    assert rc == 0
+    # the masked export happened
+    text = dump.read_text()
+    assert "INSERT INTO `customer`" in text
+    assert "INSERT INTO `orders`" in text
+    # the release was printed to stdout (the dump went to the file)
+    assert "== status_counts: count of orders" in out
+    # ONE manifest covering both halves
+    m = json.loads(manifest_path.read_text())
+    assert m["total_epsilon"] == 1.0
+    assert m["releases"][0]["seed"] == "xr-a"
+    assert m["export"]["format"] == "sql"
+    # all 10 source tables export (unconfigured ones pass through,
+    # reference behaviour)
+    assert m["export"]["tables_exported"] == 10
+    assert m["export"]["per_table_rows"]["orders"] == 1500
+    # a SECOND combined run preloads the history: identical re-release
+    # is free and warned, cumulative total unchanged
+    rc = main(
+        ["-c", str(cfg), "-o", str(dump), "--manifest", str(manifest_path)]
+    )
+    out, err = capsys.readouterr()
+    assert rc == 0
+    assert "identical re-release" in err
+    m2 = json.loads(manifest_path.read_text())
+    assert m2["total_epsilon"] == 1.0
+    assert len(m2["releases"]) == 2  # history + the free re-release
+
+
+def test_export_with_releases_requires_manifest_and_output(tmp_path, capsys):
+    """Gates: a releases-bearing config refuses to export without
+    --manifest (unrecorded epsilon) or without -o (released statistics
+    would interleave with the dump on stdout). Accounting refusals fail
+    BEFORE the export runs."""
+    from database_anonymiser_minimiser_spark.cli import main
+
+    cfg = tmp_path / "both.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration: {orders: {}}\n"
+        "privacy:\n  releases:\n"
+        "    - {name: a, table: orders, kind: count,\n"
+        "       group_by: [o_orderstatus], epsilon: 1.0, seed: g-a}\n"
+        "    - {name: b, table: orders, kind: count,\n"
+        "       group_by: [o_orderstatus], epsilon: 2.0, seed: g-a}\n"
+    )
+    dump = tmp_path / "dump.sql"
+    rc = main(["-c", str(cfg), "-o", str(dump)])
+    _, err = capsys.readouterr()
+    assert rc == 2 and "requires --manifest" in err
+    manifest_path = tmp_path / "m.json"
+    rc = main(["-c", str(cfg), "--manifest", str(manifest_path)])
+    _, err = capsys.readouterr()
+    assert rc == 2 and "requires -o" in err
+    # same-seed different-epsilon is REFUSED at accounting time:
+    # nothing exported, no manifest written
+    rc = main(
+        ["-c", str(cfg), "-o", str(dump), "--manifest", str(manifest_path)]
+    )
+    _, err = capsys.readouterr()
+    assert rc == 2 and "SAME seed" in err
+    assert not dump.exists(), "export must not run after a refusal"
+    assert not manifest_path.exists()
