@@ -1195,3 +1195,217 @@ def embedding_gram_fast(
         part, "i long, j long, g_part double"
     )
     return parts.groupBy("i", "j").agg(F.sum("g_part").alias("g"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index with incremental ingest + screen-delta (r13).
+#
+# The embedding counterpart of the persisted MinHash index
+# (dedup.py:save_minhash_index / minhash_incremental_vs_index) — the
+# reference's incremental `sync` concept (cmd/dbmask/main.go:230-315)
+# lifted to the vector domain: land a corpus' IVF state ONCE, then each
+# day's delta screens against it and appends back, without ever
+# re-assigning or re-shuffling the landed 100 TB.
+#
+# Layout under <path>:
+#   centroids/              (cid, cv) — the k x dim routing table, written
+#                           at seed time and NEVER rewritten by appends
+#                           (append-time re-training would silently move
+#                           cell boundaries under landed vectors).
+#   vectors/batch=<label>/cid=<c>/   (nid, nv, nrm) — every landed vector
+#                           pre-assigned to its cell with its norm
+#                           precomputed. Hive-partitioned by cid: the
+#                           IVF "inverted lists" are literally the file
+#                           layout, so a screen probing nprobe cells
+#                           reads only those directories (static or
+#                           dynamic partition pruning). batch=<label>
+#                           partitions make appends replay-idempotent
+#                           exactly like the MinHash index: a retried
+#                           micro-batch overwrites its OWN partition
+#                           instead of appending duplicates.
+# ---------------------------------------------------------------------------
+
+
+def save_ann_index(
+    emb: DataFrame,
+    path: str,
+    num_centroids: int = 8,
+    centroids: DataFrame | None = None,
+    append: bool = False,
+    batch: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the landed corpus' ANN state (see layout above).
+
+    Seed (``append=False``): clears ``path``, writes the centroid table
+    (``centroids`` or the deterministic first-``num_centroids``-by-id
+    stand-in, the same default as :func:`ann_ivf_topk` — pass
+    :func:`train_ivf_centroids` output for k-means cells), then assigns
+    and writes every vector. Append (``append=True``): loads the
+    PERSISTED centroids — never retrains — assigns only the new batch
+    (map-side literal projection, no join, no shuffle of anything
+    landed) and writes it under its own ``batch=<label>`` partition as
+    a targeted overwrite, so a replayed epoch rewrites itself instead
+    of double-landing."""
+    from .dedup import _hfs_delete
+
+    spark = emb.sparkSession
+    if batch is None:
+        if append:
+            import uuid
+
+            batch = f"b{uuid.uuid4().hex[:12]}"
+        else:
+            batch = "seed"
+    if append:
+        cent = load_centroids(spark, f"{path}/centroids")
+    else:
+        _hfs_delete(spark, path)
+        if centroids is None:
+            centroids = emb.filter(F.col(id_col) < num_centroids).select(
+                F.col(id_col).cast("int").alias("cid"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            )
+        save_centroids(centroids, f"{path}/centroids")
+        cent = centroids
+    cent_rows = [
+        {"cid": int(r["cid"]), "cv": list(r["cv"])} for r in cent.collect()
+    ]
+    assigned = assign_to_centroids(emb, cent_rows, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/vectors/batch={batch}"
+    )
+
+
+def ann_screen_vs_index(
+    new_emb: DataFrame,
+    path: str,
+    threshold: float = 0.9,
+    nprobe: int = 1,
+    exclude_batch: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Screen a delta of NEW embeddings against a persisted ANN index:
+    per new vector, (query_id, n_close, best_cosine, is_neardup) over
+    the landed vectors in its ``nprobe`` nearest cells — the semantic
+    near-dup gate of a daily embedding ingest (new-vs-landed only; the
+    landed corpus never pairs with itself).
+
+    Scale shape — ZERO index-side Exchange per batch (plan-gated in
+    tests/test_similarity.py): the delta is assigned to its probe cells
+    by the same literal-centroid projection the index writer used, then
+    BROADCAST against the landed vectors, so the corpus-sized side
+    streams through a BroadcastHashJoin unshuffled; the only Exchange
+    in the plan carries batch-keyed aggregates (query_id partials). The
+    join key is the hive partition column ``cid``, so Spark's dynamic
+    partition pruning reads ONLY the probed cells' directories — the
+    inverted-list seek, expressed as file layout. Norms ride in
+    precomputed on both sides (landed at index-write time, delta in its
+    projection): one dot fold per candidate pair.
+
+    ``exclude_batch`` drops one ``batch=<label>`` partition from the
+    landed side — a retried micro-batch whose own append already landed
+    must not screen against itself. A delta id that re-uses a landed id
+    (re-crawl) is NOT excluded: new content compares against landed
+    content, the sided semantics the MinHash screen established.
+    Probing all cells (``nprobe >= num_centroids``) makes the screen
+    EXHAUSTIVE — equality-tested against brute-force cosine in
+    tests/test_similarity.py; smaller nprobe trades recall at cell
+    boundaries for reading fewer lists, the IVF contract."""
+    spark = new_emb.sparkSession
+    cent_rows = [
+        {"cid": int(r["cid"]), "cv": list(r["cv"])}
+        for r in load_centroids(spark, f"{path}/centroids").collect()
+    ]
+    landed = spark.read.parquet(f"{path}/vectors")
+    if exclude_batch is not None:
+        landed = landed.filter(F.col("batch") != exclude_batch)
+    scored_arr = _centroid_scored_array(cent_rows, "qv", "_qnrm")
+    nprobe = min(int(nprobe), len(cent_rows))
+    probe = f"slice(reverse(array_sort({scored_arr})), 1, {nprobe})"
+    queries = (
+        new_emb.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.expr(_spark_norm(vec_col)).alias("_qnrm"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "_qnrm",
+            F.expr(f"transform({probe}, s -> s.cid)").alias("qcids"),
+        )
+        .select("query_id", "qv", "_qnrm", F.explode("qcids").alias("qcid"))
+    )
+    cos = F.expr(_spark_dot("qv", "nv")) / (F.col("_qnrm") * F.col("nrm"))
+    return (
+        landed.join(F.broadcast(queries), F.col("cid") == F.col("qcid"))
+        .select("query_id", cos.alias("cosine"))
+        .groupBy("query_id")
+        .agg(
+            F.count(
+                F.when(F.col("cosine") >= F.lit(float(threshold)), 1)
+            ).alias("n_close"),
+            F.max("cosine").alias("best_cosine"),
+        )
+        .select(
+            "query_id",
+            "n_close",
+            "best_cosine",
+            (F.col("best_cosine") >= F.lit(float(threshold))).alias(
+                "is_neardup"
+            ),
+        )
+    )
+
+
+def duck_ann_screen_delta_sql(
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    num_centroids: int = 8,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of the registered ``ann_screen_delta`` query: the
+    delta is the deterministic ``vec_id % 10 = 0`` tenth, the landed
+    corpus the rest, centroids the first ``num_centroids`` landed
+    vectors by id — same argmax (ccos DESC, cid ASC) assignment, same
+    top-``nprobe`` probe, same fold order, byte-identical cosines."""
+    cos_c = (
+        f"{_duck_dot('e.embedding', 'c.cv')} / "
+        f"({_duck_norm('e.embedding')} * {_duck_norm('c.cv')})"
+    )
+    qcos_c = (
+        f"{_duck_dot('d.embedding', 'c.cv')} / "
+        f"({_duck_norm('d.embedding')} * {_duck_norm('c.cv')})"
+    )
+    cos_q = (
+        f"{_duck_dot('q.qv', 'a.nv')} / "
+        f"({_duck_norm('q.qv')} * {_duck_norm('a.nv')})"
+    )
+    return f"""
+    WITH landed AS (SELECT vec_id, embedding FROM {table}
+                    WHERE vec_id % 10 <> 0),
+    delta AS (SELECT vec_id, embedding FROM {table} WHERE vec_id % 10 = 0),
+    cent AS (SELECT vec_id AS cid, embedding AS cv FROM (
+        SELECT vec_id, embedding FROM landed ORDER BY vec_id
+        LIMIT {num_centroids})),
+    assigned AS (SELECT nid, nv, cid FROM (
+        SELECT e.vec_id AS nid, e.embedding AS nv, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY {cos_c} DESC, c.cid) AS rn
+        FROM landed e CROSS JOIN cent c) t WHERE rn = 1),
+    q AS (SELECT query_id, qv, qcid FROM (
+        SELECT d.vec_id AS query_id, d.embedding AS qv, c.cid AS qcid,
+          row_number() OVER (PARTITION BY d.vec_id
+            ORDER BY {qcos_c} DESC, c.cid) AS rn
+        FROM delta d CROSS JOIN cent c) t WHERE rn <= {nprobe}),
+    cand AS (SELECT q.query_id, {cos_q} AS cosine
+             FROM assigned a JOIN q ON a.cid = q.qcid)
+    SELECT query_id,
+      count(*) FILTER (WHERE cosine >= {threshold}) AS n_close,
+      max(cosine) AS best_cosine,
+      max(cosine) >= {threshold} AS is_neardup
+    FROM cand GROUP BY query_id
+    """

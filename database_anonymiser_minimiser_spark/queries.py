@@ -2907,6 +2907,52 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_ivf_topk(load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5)
 
 
+@register(
+    "ann_screen_delta",
+    _sim.duck_ann_screen_delta_sql(threshold=0.35, nprobe=2, num_centroids=8),
+)
+def q_ann_screen_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily semantic-dedup ingest against a PERSISTED ANN index (r13 —
+    the embedding counterpart of the MinHash streaming screen; the
+    reference's incremental sync concept, cmd/dbmask/main.go:230-315,
+    lifted to the vector domain): the deterministic vec_id % 10 tenth
+    plays the arriving delta, the rest is the landed corpus. This query
+    exercises the REAL product path — it seeds the on-disk index
+    (operators/similarity.py:save_ann_index: centroids + per-cell
+    hive-partitioned vectors with precomputed norms) at a deterministic
+    scratch location, then screens the delta with
+    ann_screen_vs_index (nprobe=2): per new vector, how many landed
+    vectors in its probed cells clear the threshold and the best
+    cosine found.
+
+    Scale shape: zero index-side Exchange (delta broadcast against the
+    landed cells, plan-gated in tests/test_similarity.py); the cid
+    partition layout makes the probe a directory seek. The index build
+    included here is the ONE-TIME seed cost a real deployment pays once
+    per corpus, not per screen."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    emb = load(spark, sf_dir, "embeddings")
+    landed = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    centroids = (
+        landed.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    # deterministic per-corpus scratch path: overwritten on every call
+    # (replay-idempotent), never grows with repeated runs
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), "dbmask_ann_index", tag)
+    _sim.save_ann_index(landed, path, centroids=centroids)
+    return _sim.ann_screen_vs_index(delta, path, threshold=0.35, nprobe=2)
+
+
 # ===========================================================================
 # Structured Streaming (same transforms, streaming runner)
 # ===========================================================================

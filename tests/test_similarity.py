@@ -380,3 +380,191 @@ def test_embedding_gram_fast_matches_exact_twin(spark, sf_dir):
     a = np.array([exact[k] for k in sorted(exact)])
     b = np.array([fast[k] for k in sorted(exact)])
     assert np.allclose(a, b, rtol=1e-9, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index + screen-delta (r13 — similarity.py:save_ann_index /
+# ann_screen_vs_index, the vector counterpart of the MinHash index)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ann_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.sources.parquet import (
+        read_parquet_table,
+    )
+
+    emb = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    landed = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    return landed, delta
+
+
+def _brute_best(landed_rows, delta_rows):
+    """Strict left-to-right IEEE-double folds (the engines' op order):
+    per delta vector, the max cosine over ALL landed vectors."""
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def norm(a):
+        return math.sqrt(dot(a, a))
+
+    out = {}
+    for qid, qv in delta_rows:
+        qn = norm(qv)
+        best = None
+        for _nid, nv in landed_rows:
+            c = dot(qv, nv) / (qn * norm(nv))
+            best = c if best is None or c > best else best
+        out[qid] = best
+    return out
+
+
+def test_ann_screen_exhaustive_equals_brute_force(
+    spark, tmp_path, ann_corpus
+):
+    """nprobe >= num_centroids probes every cell — the screen is then
+    EXHAUSTIVE and best_cosine must equal brute force over the landed
+    corpus BIT-FOR-BIT (same fold order). This is the exact gate the
+    smaller-nprobe production screen is an approximation of."""
+    landed, delta = ann_corpus
+    path = str(tmp_path / "annidx")
+    S.save_ann_index(landed, path, num_centroids=8)
+    got = {
+        r["query_id"]: r["best_cosine"]
+        for r in S.ann_screen_vs_index(
+            delta, path, threshold=0.35, nprobe=8
+        ).collect()
+    }
+    landed_rows = [
+        (r["vec_id"], list(r["embedding"])) for r in landed.collect()
+    ]
+    delta_rows = [
+        (r["vec_id"], list(r["embedding"])) for r in delta.collect()
+    ]
+    want = _brute_best(landed_rows, delta_rows)
+    assert got == want  # exact float equality: same fold, same order
+
+
+def test_ann_screen_recall_grows_with_nprobe(spark, tmp_path, ann_corpus):
+    """The IVF contract: per-query best_cosine is monotonically
+    non-decreasing in nprobe (more cells probed => superset of
+    candidates), and every nprobe's result is a lower bound of the
+    exhaustive screen."""
+    landed, delta = ann_corpus
+    path = str(tmp_path / "annidx")
+    S.save_ann_index(landed, path, num_centroids=8)
+
+    def best(nprobe):
+        return {
+            r["query_id"]: r["best_cosine"]
+            for r in S.ann_screen_vs_index(
+                delta, path, threshold=0.35, nprobe=nprobe
+            ).collect()
+        }
+
+    b1, b2, b8 = best(1), best(2), best(8)
+    for qid, full in b8.items():
+        assert b1.get(qid, float("-inf")) <= b2.get(qid, float("-inf")) + 1e-18
+        assert b2.get(qid, float("-inf")) <= full + 1e-18
+
+
+def test_ann_index_append_and_replay_idempotence(spark, tmp_path):
+    """The ingest loop's maintenance step: append lands a batch under
+    its own batch=<label> partition (replaying the SAME label rewrites
+    it — n_close never double-counts); exclude_batch screens as if the
+    batch never landed; appends NEVER move the persisted centroids."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    base = spark.createDataFrame(
+        [(0, vec(1, 0, 0, 0)), (1, vec(0, 1, 0, 0)), (2, vec(0, 0, 1, 0))],
+        schema,
+    )
+    newbatch = spark.createDataFrame([(10, vec(1, 0.05, 0, 0))], schema)
+    probe = spark.createDataFrame([(100, vec(1, 0.05, 0, 0))], schema)
+    path = str(tmp_path / "annidx")
+    S.save_ann_index(base, path, num_centroids=2)
+
+    def screen(**kw):
+        return {
+            r["query_id"]: (r["n_close"], r["best_cosine"])
+            for r in S.ann_screen_vs_index(
+                probe, path, threshold=0.9, nprobe=2, **kw
+            ).collect()
+        }
+
+    before = screen()
+    cents_before = sorted(
+        tuple(r) for r in S.load_centroids(spark, f"{path}/centroids")
+        .selectExpr("cid", "cast(cv as string)").collect()
+    )
+    S.save_ann_index(newbatch, path, append=True, batch="e1")
+    after = screen()
+    # the appended near-parallel vector raises the probe's best cosine
+    assert after[100][1] > before[100][1]
+    assert after[100][0] == before[100][0] + 1
+    # REPLAY the same epoch: its partition is overwritten, not doubled
+    S.save_ann_index(newbatch, path, append=True, batch="e1")
+    assert screen() == after
+    # a retrying micro-batch excludes its own landed append
+    assert screen(exclude_batch="e1") == before
+    # centroids are immutable under append
+    cents_after = sorted(
+        tuple(r) for r in S.load_centroids(spark, f"{path}/centroids")
+        .selectExpr("cid", "cast(cv as string)").collect()
+    )
+    assert cents_after == cents_before
+
+
+def test_ann_screen_zero_index_side_exchange(spark, tmp_path, ann_corpus):
+    """Plan gate (the r12 verdict's 'done' bar): the landed index side
+    streams through a BroadcastHashJoin with ZERO Exchange — the only
+    shuffle in the plan carries batch-keyed aggregate partials — and the
+    scan is dynamically partition-pruned on cid (the inverted-list
+    directory seek, expressed as file layout)."""
+    import re
+
+    landed, delta = ann_corpus
+    path = str(tmp_path / "annidx")
+    S.save_ann_index(landed, path, num_centroids=8)
+    scr = S.ann_screen_vs_index(delta, path, threshold=0.35, nprobe=2)
+    plan = scr._sc._jvm.PythonSQLUtils.explainString(
+        scr._jdf.queryExecution(), "formatted"
+    )
+    # the delta side is the broadcast build side
+    assert "BroadcastHashJoin" in plan, plan
+    # the index scan is partition-pruned on cid at runtime
+    m = re.search(
+        r"Scan parquet [^\n]*\n(?:.*\n)*?Location[^\n]*annidx/vectors"
+        r"[\s\S]*?PartitionFilters: \[([^\]]*)\]",
+        plan,
+    )
+    assert m and "dynamicpruning" in m.group(1), plan
+    # no hashpartitioning references the index scan's columns: collect
+    # the scan's expr-ids and assert every Exchange keys on other ids
+    scan_ids = set()
+    sm = re.search(
+        r"Scan parquet [^\n]*\n\s*Output \[\d+\]: \[([^\]]+)\]"
+        r"[\s\S]*?annidx/vectors",
+        plan,
+    )
+    assert sm, plan
+    for col in sm.group(1).split(","):
+        col = col.strip()
+        if col.startswith(("nv#", "nrm#", "cid#")):
+            scan_ids.add(col.split("#")[1].rstrip("L"))
+    assert scan_ids, plan
+    for ex in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        for ref in re.findall(r"#(\d+)L?", ex):
+            assert ref not in scan_ids, f"index side shuffled: {ex}"
