@@ -1263,15 +1263,28 @@ def save_ann_index(
     else:
         _hfs_delete(spark, path)
         if centroids is None:
-            centroids = emb.filter(F.col(id_col) < num_centroids).select(
-                F.col(id_col).cast("int").alias("cid"),
-                F.col(vec_col).cast("array<double>").alias("cv"),
+            # deterministic stand-in: the num_centroids SMALLEST ids
+            # (not `id < k`, which silently selects nothing when the
+            # corpus' ids do not start at 0) — pass train_ivf_centroids
+            # output for k-means cells
+            centroids = (
+                emb.orderBy(id_col)
+                .limit(num_centroids)
+                .select(
+                    F.col(id_col).cast("int").alias("cid"),
+                    F.col(vec_col).cast("array<double>").alias("cv"),
+                )
             )
         save_centroids(centroids, f"{path}/centroids")
         cent = centroids
     cent_rows = [
         {"cid": int(r["cid"]), "cv": list(r["cv"])} for r in cent.collect()
     ]
+    if not cent_rows:
+        raise ValueError(
+            "ann index has an empty centroid table — seed it from a "
+            "non-empty corpus (or pass centroids explicitly)"
+        )
     assigned = assign_to_centroids(emb, cent_rows, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
         f"{path}/vectors/batch={batch}"
@@ -1319,6 +1332,11 @@ def ann_screen_vs_index(
         {"cid": int(r["cid"]), "cv": list(r["cv"])}
         for r in load_centroids(spark, f"{path}/centroids").collect()
     ]
+    if not cent_rows:
+        raise ValueError(
+            f"ann index at {path} has an empty centroid table — it was "
+            "never seeded (or seeded from an empty corpus)"
+        )
     landed = spark.read.parquet(f"{path}/vectors")
     if exclude_batch is not None:
         landed = landed.filter(F.col("batch") != exclude_batch)
@@ -1409,3 +1427,84 @@ def duck_ann_screen_delta_sql(
       max(cosine) >= {threshold} AS is_neardup
     FROM cand GROUP BY query_id
     """
+
+
+def ann_index_batches(spark, path: str) -> list:
+    """The ``batch=<label>`` partitions currently in the index's vectors
+    relation, sorted — the epoch ledger the streaming screen's replay
+    and compaction hooks read."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/vectors")
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            out.append(name[len("batch="):])
+    return sorted(out)
+
+
+def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
+    """Collapse the ANN index's per-epoch ``batch=`` partitions into one
+    ``batch=seed`` — the maintenance half of the streaming embedding
+    ingest loop's small-file problem (every appended epoch writes up to
+    |cells| files, so after E epochs each cell directory spans ~E files
+    and the screen's scan cost grows with ingest HISTORY instead of
+    corpus size; the same failure mode compact_minhash_index_bucketed
+    closes for the MinHash index, measured 2.1-5.2x in
+    SCALING_smallfiles_r12.json). Index CONTENT and screen results are
+    unchanged — gated in tests/test_similarity.py. Centroids are not
+    touched (they are epoch-independent by construction).
+
+    ``keep_batches`` names partitions carried over UNFOLDED — the
+    streaming loop compacts from inside an epoch's own sink call and
+    must keep THAT epoch separate (fold it and a replay would screen
+    against a partition holding the whole corpus while excluding it).
+
+    Crash-safety: the consolidated partition is fully written and
+    row-count-verified BEFORE any old partition moves; the window
+    between moving the old partitions aside and promoting the new one
+    is non-atomic, so (like the MinHash compaction) run this where
+    foreachBatch runs — between micro-batches; moved-aside data lives
+    under ``<path>/_compact_trash`` until the swap completes."""
+    from .dedup import _hfs_delete
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(f"{path}/vectors")
+    fs = root.getFileSystem(hconf)
+    batches = ann_index_batches(spark, path)
+    fold = [b for b in batches if b not in tuple(keep_batches)]
+    if len(fold) <= 1:
+        return {"folded": 0, "rows": 0}
+    src_paths = [f"{path}/vectors/batch={b}" for b in fold]
+    src = (
+        spark.read.option("basePath", f"{path}/vectors")
+        .parquet(*src_paths)
+        .select("nid", "nv", "nrm", "cid")
+    )
+    rows_in = src.count()
+    tmp = f"{path}/_compact_tmp/batch=seed"
+    _hfs_delete(spark, f"{path}/_compact_tmp")
+    src.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    rows_out = spark.read.parquet(tmp).count()
+    if rows_in != rows_out:
+        raise RuntimeError(
+            f"ann index compaction row-count mismatch: {rows_in} in, "
+            f"{rows_out} out — staged output left at {tmp}, index untouched"
+        )
+    trash = HPath(f"{path}/_compact_trash")
+    _hfs_delete(spark, f"{path}/_compact_trash")
+    fs.mkdirs(trash)
+    for b in fold:
+        fs.rename(
+            HPath(f"{path}/vectors/batch={b}"), HPath(f"{path}/_compact_trash/batch={b}")
+        )
+    fs.rename(HPath(tmp), HPath(f"{path}/vectors/batch=seed"))
+    _hfs_delete(spark, f"{path}/_compact_trash")
+    _hfs_delete(spark, f"{path}/_compact_tmp")
+    return {"folded": len(fold), "rows": rows_out}

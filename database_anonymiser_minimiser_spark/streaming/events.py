@@ -801,3 +801,111 @@ def run_streaming_neardup_ingest(
     q = writer.start()
     q.awaitTermination()
     return flagged
+
+
+def run_streaming_ann_screen(
+    spark,
+    landed_path: str,
+    new_spool_dir: str,
+    index_path: str,
+    threshold: float = 0.35,
+    nprobe: int = 2,
+    num_centroids: int = 8,
+    compact_every: int | None = None,
+    checkpoint: str | None = None,
+    resume: bool = False,
+) -> "list[tuple[int, int, int, float, bool]]":
+    """STREAMING semantic near-dup ingest screen: each arriving
+    micro-batch of embeddings is screened against the persisted ANN
+    index (operators/similarity.py: save_ann_index /
+    ann_screen_vs_index) and then APPENDED to it — later batches screen
+    against everything that arrived before them, the arrival-order
+    semantics of a real embedding ingest. This is the vector
+    counterpart of :func:`run_streaming_ingest_screen`; state lives in
+    the on-disk index (corpus-bound), executor state is zero.
+
+    ``landed_path`` seeds the index (a parquet dataset of
+    vec_id/embedding rows); ``new_spool_dir`` is consumed one file per
+    trigger. Returns (epoch, query_id, n_close, best_cosine,
+    is_neardup) rows accumulated in arrival order. foreachBatch runs
+    sequentially per trigger, so screen-then-append never races.
+
+    Replay-idempotent by the same contract as the MinHash screen: a
+    re-run epoch's append is a targeted overwrite of its own
+    ``batch=e<epoch>`` partition, the screen excludes that partition
+    (a batch must not screen against itself), and the failed attempt's
+    flags are dropped before the deterministic re-emit. The screen's
+    per-micro-batch plan keeps ZERO Exchange on the index side (the
+    batch is broadcast; dynamic partition pruning reads only probed
+    cells — plan-gated in tests/test_similarity.py).
+
+    ``compact_every``: when the index holds more than this many batch
+    partitions, the sink folds them into ``batch=seed`` after the
+    epoch's append (:func:`operators.similarity.compact_ann_index`),
+    keeping the current epoch's partition separate so the replay
+    contract survives — without it, E epochs leave ~E files per cell
+    and scan cost grows with ingest history instead of corpus size.
+
+    ``checkpoint`` + ``resume=True`` restart a checkpointed screen
+    without re-seeding (re-assigning the landed corpus is the cost the
+    persisted index exists to avoid); the checkpoint makes Structured
+    Streaming consume only uncommitted files, epochs continuing where
+    they stopped."""
+    from ..operators.similarity import (
+        ann_index_batches,
+        ann_screen_vs_index,
+        compact_ann_index,
+        save_ann_index,
+    )
+
+    if resume and checkpoint is None:
+        raise ValueError("resume=True requires a checkpoint directory")
+    if not resume:
+        save_ann_index(
+            spark.read.parquet(landed_path),
+            index_path,
+            num_centroids=num_centroids,
+        )
+    schema = spark.read.parquet(new_spool_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(new_spool_dir)
+    )
+    flagged: "list[tuple[int, int, int, float, bool]]" = []
+
+    def sink(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        label = f"e{int(epoch_id)}"
+        flagged[:] = [t for t in flagged if t[0] != int(epoch_id)]
+        res = ann_screen_vs_index(
+            batch_df,
+            index_path,
+            threshold=threshold,
+            nprobe=nprobe,
+            exclude_batch=label,
+        )
+        for r in res.collect():
+            flagged.append(
+                (
+                    int(epoch_id),
+                    r["query_id"],
+                    r["n_close"],
+                    r["best_cosine"],
+                    r["is_neardup"],
+                )
+            )
+        # admit the whole batch (audit semantics, like the MinHash
+        # screen); an enforcing pipeline would append survivors only
+        save_ann_index(batch_df, index_path, append=True, batch=label)
+        if compact_every is not None:
+            if len(ann_index_batches(spark, index_path)) > compact_every:
+                compact_ann_index(spark, index_path, keep_batches=(label,))
+
+    writer = stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return flagged

@@ -568,3 +568,125 @@ def test_ann_screen_zero_index_side_exchange(spark, tmp_path, ann_corpus):
     for ex in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         for ref in re.findall(r"#(\d+)L?", ex):
             assert ref not in scan_ids, f"index side shuffled: {ex}"
+
+
+def test_compact_ann_index_folds_batches_content_unchanged(spark, tmp_path):
+    """compact_ann_index: E appended epochs fold into one batch=seed
+    partition — screen results identical, strictly fewer files, the
+    epoch ledger resets, keep_batches partitions survive unfolded."""
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    base = spark.createDataFrame(
+        [(0, vec(1, 0, 0, 0)), (1, vec(0, 1, 0, 0)), (2, vec(0, 0, 1, 0))],
+        schema,
+    )
+    path = str(tmp_path / "annidx")
+    S.save_ann_index(base, path, num_centroids=2)
+    for i, v in enumerate(
+        [vec(0.9, 0.1, 0, 0), vec(0, 0.9, 0.1, 0), vec(0.1, 0, 0.9, 0)]
+    ):
+        S.save_ann_index(
+            spark.createDataFrame([(10 + i, v)], schema),
+            path, append=True, batch=f"e{i}",
+        )
+    probe = spark.createDataFrame([(100, vec(1, 0.05, 0, 0))], schema)
+
+    def screen():
+        return sorted(
+            tuple(r)
+            for r in S.ann_screen_vs_index(
+                probe, path, threshold=0.9, nprobe=2
+            ).collect()
+        )
+
+    before = screen()
+    files_before = len(list(Path(path).glob("vectors/batch=*/cid=*/*.parquet")))
+    assert S.ann_index_batches(spark, path) == ["e0", "e1", "e2", "seed"]
+    stats = S.compact_ann_index(spark, path, keep_batches=("e2",))
+    assert stats["folded"] == 3 and stats["rows"] == 5  # 3 base + e0 + e1
+    assert S.ann_index_batches(spark, path) == ["e2", "seed"]
+    assert screen() == before
+    files_after = len(list(Path(path).glob("vectors/batch=*/cid=*/*.parquet")))
+    assert files_after < files_before
+    # no stray staging dirs survive
+    assert not (Path(path) / "_compact_tmp").exists()
+    assert not (Path(path) / "_compact_trash").exists()
+    # idempotent second call: nothing left to fold (seed + kept epoch)
+    assert S.compact_ann_index(spark, path, keep_batches=("e2",))["folded"] == 0
+
+
+def test_streaming_ann_screen_arrival_order(spark, tmp_path):
+    """The streaming embedding screen: batch 1 screens against the
+    LANDED corpus only; batch 2 must also flag against batch 1's
+    vectors (which exist only through the appended index) —
+    arrival-order semantics, plus compact_every folding the ledger
+    mid-stream without changing verdicts."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.streaming.events import (
+        run_streaming_ann_screen,
+    )
+
+    def pq_write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            path,
+        )
+
+    landed_rows = [
+        (100, vec(1, 0, 0, 0)),
+        (101, vec(0, 1, 0, 0)),
+        (102, vec(0, 0, 1, 0)),
+    ]
+    b1_rows = [(0, vec(0.99, 0.05, 0, 0)), (1, vec(0.5, 0.5, 0.7, 0))]
+    b2_rows = [(7, vec(0.5, 0.5, 0.7, 0)), (8, vec(0, 0, 0, 1))]
+
+    landed = str(tmp_path / "landed.parquet")
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    pq_write(landed, landed_rows)
+    for i, rows in enumerate([b1_rows, b2_rows]):
+        f = spool / f"part{i}.parquet"
+        pq_write(str(f), rows)
+        os.utime(f, (1700000000 + i, 1700000000 + i))  # arrival order
+
+    got = run_streaming_ann_screen(
+        spark, landed, str(spool), str(tmp_path / "idx"),
+        threshold=0.95, nprobe=3, num_centroids=3, compact_every=2,
+    )
+    by_id = {q: (e, n, bool(d)) for e, q, n, c, d in got}
+    # batch 1: vec 0 near-parallels landed 100; vec 1 matches nothing
+    assert by_id[0] == (0, 1, True)
+    assert by_id[1][2] is False
+    # batch 2: vec 7 EXACTLY matches vec 1, which arrived in batch 1
+    # and exists only through the appended index; vec 8 is orthogonal
+    # to everything
+    assert by_id[7] == (1, 1, True)
+    assert by_id[8][2] is False
+    # compact_every=2 folded history mid-stream; the index still holds
+    # every arrival (landed + both batches)
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        ann_index_batches,
+    )
+
+    assert len(ann_index_batches(spark, str(tmp_path / "idx"))) <= 3
+    n_vecs = spark.read.parquet(str(tmp_path / "idx") + "/vectors").count()
+    assert n_vecs == 7
