@@ -238,6 +238,13 @@ HEADLINE = [
     # prices it ~20x — it is the GATE for this query, not a pipeline
     # operator.
     "embedding_gram_fast",
+    # round-13: the persisted-ANN-index daily screen (seed + delta
+    # screen against the on-disk inverted lists — the measured figure
+    # includes the one-time index seed, which a deployment amortises;
+    # the screen itself is broadcast + DPP directory seek).
+    # streaming_dp_counts remains correctness-gated in the oracle suite
+    # and excluded here with the other micro-batch-harness canaries.
+    "ann_screen_delta",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -188,8 +188,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="directory for the persisted MinHash index",
     )
     screen.add_argument(
-        "--threshold", type=float, default=0.5,
-        help="Jaccard threshold for flagging (default 0.5)",
+        "--threshold", type=float, default=None,
+        help="flagging threshold: Jaccard in text mode (default 0.5), "
+        "cosine with --semantic (default 0.9)",
     )
     screen.add_argument(
         "--table-prefix", default="neardup_index",
@@ -215,6 +216,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="exact-deduplicate the landed corpus before seeding the "
         "index (hot-band fix for template-heavy corpora; verdicts "
         "unchanged, n_dups counts distinct contents instead of copies)",
+    )
+    screen.add_argument(
+        "--semantic", action="store_true",
+        help="screen EMBEDDINGS instead of text: --landed/--spool hold "
+        "(vec_id, embedding) parquet, the index is the persisted ANN "
+        "index (centroids + per-cell inverted lists), and a document is "
+        "flagged when its best cosine against anything landed before it "
+        "clears --threshold (default 0.9 in this mode)",
+    )
+    screen.add_argument(
+        "--nprobe", type=_positive_int, default=2,
+        help="--semantic: probe the N nearest cells per arriving vector "
+        "(recall/read trade-off; default 2)",
+    )
+    screen.add_argument(
+        "--num-centroids", type=_positive_int, default=8,
+        help="--semantic: number of IVF cells when seeding (default 8)",
     )
     curate = sub.add_parser(
         "curate",
@@ -491,19 +509,52 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.command == "screen":
         # path-based verb: no config/connection involved
-        from .streaming.events import run_streaming_neardup_ingest
+        from .streaming.events import (
+            run_streaming_ann_screen,
+            run_streaming_neardup_ingest,
+        )
 
         if args.resume and not args.checkpoint:
             print("error: --resume requires --checkpoint", file=sys.stderr)
             return 2
         spark = get_spark()
         spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
+        if args.semantic:
+            if args.dedup_seed:
+                print(
+                    "error: --dedup-seed applies to the text screen only",
+                    file=sys.stderr,
+                )
+                return 2
+            threshold = 0.9 if args.threshold is None else args.threshold
+            flags = run_streaming_ann_screen(
+                spark,
+                args.landed,
+                args.spool,
+                args.index,
+                threshold=threshold,
+                nprobe=args.nprobe,
+                num_centroids=args.num_centroids,
+                compact_every=args.compact_every,
+                checkpoint=args.checkpoint,
+                resume=args.resume,
+            )
+            n_flagged = 0
+            for epoch, qid, n_close, best_cos, is_dup in flags:
+                if is_dup:
+                    n_flagged += 1
+                    print(f"{epoch}\t{qid}\t{n_close}\t{best_cos:.6f}")
+            print(
+                f"\n{n_flagged} of {len(flags)} vector(s) flagged",
+                file=sys.stderr,
+            )
+            return 0
         flagged = run_streaming_neardup_ingest(
             spark,
             args.landed,
             args.spool,
             args.index,
-            threshold=args.threshold,
+            threshold=0.5 if args.threshold is None else args.threshold,
             table_prefix=args.table_prefix,
             compact_every=args.compact_every,
             checkpoint=args.checkpoint,

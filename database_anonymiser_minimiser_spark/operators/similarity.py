@@ -1490,7 +1490,13 @@ def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
     rows_in = src.count()
     tmp = f"{path}/_compact_tmp/batch=seed"
     _hfs_delete(spark, f"{path}/_compact_tmp")
-    src.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    # repartition ON the partition column: each cell's rows land in one
+    # task => ONE file per cid directory — without it every shuffle task
+    # touching a cell writes its own file and the compaction barely
+    # shrinks the count it exists to bound
+    src.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(tmp)
     rows_out = spark.read.parquet(tmp).count()
     if rows_in != rows_out:
         raise RuntimeError(

@@ -1117,3 +1117,69 @@ def test_sort_keys_respects_max_records_per_file(spark, sf_dir, tmp_path):
     ranges.sort()
     for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file key ranges overlap"
+
+
+def test_cli_screen_semantic_flags_embedding_neardups(spark, tmp_path, capsys):
+    """r13: `screen --semantic` runs the streaming ANN ingest screen
+    from the CLI — (epoch, vec_id, n_close, best_cosine) TSV for flagged
+    vectors only, arrival-order semantics through the persisted index."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark import cli
+
+    def pq_write(path, ids, vecs):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                }
+            ),
+            path,
+        )
+
+    landed = str(tmp_path / "landed.parquet")
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    pq_write(
+        landed,
+        [100, 101, 102],
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]],
+    )
+    f = spool / "part0.parquet"
+    pq_write(str(f), [0, 1], [[0.99, 0.05, 0, 0], [0.5, 0.5, 0.7, 0]])
+    os.utime(f, (1700000000, 1700000000))
+    f2 = spool / "part1.parquet"
+    pq_write(str(f2), [7], [[0.5, 0.5, 0.7, 0]])  # exact-dups vec 1
+    os.utime(f2, (1700000001, 1700000001))
+
+    rc = cli.main([
+        "screen", "--semantic",
+        "--landed", landed,
+        "--spool", str(spool),
+        "--index", str(tmp_path / "annidx"),
+        "--threshold", "0.95",
+        "--nprobe", "3",
+        "--num-centroids", "3",
+    ])
+    assert rc == 0
+    out = capsys.readouterr()
+    rows = [ln.split("\t") for ln in out.out.splitlines() if ln.strip()]
+    by_id = {r[1]: r for r in rows}
+    # epoch 0: vec 0 near-parallels landed 100; vec 1 is clean (no line)
+    assert by_id["0"][0] == "0" and by_id["0"][2] == "1"
+    # epoch 1: vec 7 matches vec 1, which arrived in epoch 0
+    assert by_id["7"][0] == "1" and float(by_id["7"][3]) > 0.999
+    assert set(by_id) == {"0", "7"}
+    assert "2 of 3 vector(s) flagged" in out.err
+    # --dedup-seed is a text-mode flag
+    rc = cli.main([
+        "screen", "--semantic", "--dedup-seed",
+        "--landed", landed, "--spool", str(spool),
+        "--index", str(tmp_path / "annidx2"),
+    ])
+    assert rc == 2
+    assert "text screen only" in capsys.readouterr().err
