@@ -245,6 +245,11 @@ HEADLINE = [
     # streaming_dp_counts remains correctness-gated in the oracle suite
     # and excluded here with the other micro-batch-harness canaries.
     "ann_screen_delta",
+    # round-13: temperature-mixed source sampling (one groupBy + quota
+    # broadcast + per-source window) and mutual-top-1 bitext mining
+    # (shared-cell blocked candidates, two id-keyed windows)
+    "sample_temperature_by_source",
+    "bitext_mutual_top1",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -1514,3 +1514,99 @@ def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
     _hfs_delete(spark, f"{path}/_compact_trash")
     _hfs_delete(spark, f"{path}/_compact_tmp")
     return {"folded": len(fold), "rows": rows_out}
+
+
+def mutual_top1_pairs(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    cent_rows,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-nearest-neighbour pairs across two embedding corpora: the
+    (a, b) pairs where b is a's best cosine match in B AND a is b's best
+    in A — the "intersection" criterion bitext mining uses to align
+    parallel sentences across languages (Artetxe & Schwenk's margin
+    family; mutual-top-1 is its exact, margin-free member). Returns
+    (a_id, b_id, cosine).
+
+    Scale shape: both sides are assigned to shared IVF cells by the
+    literal-centroid projection (map-side, no shuffle of either corpus
+    beyond the one cell-keyed exchange), candidates are generated
+    WITHIN cells only — sum(cell_a x cell_b) work, never |A| x |B| —
+    and the two top-1 windows key on a_id / b_id (cardinality grows
+    with the corpora, so task parallelism scales; the CELL join's key
+    cardinality is k, so pick k to spread the corpus, or feed a finer
+    pre-clustering as cent_rows — the same block-sizing discipline as
+    embedding_neardup_pairs). Mutuality is cell-local by construction:
+    a cross-cell true-best pair is missed exactly like any IVF recall
+    loss — raise k quality (trained centroids) to recover it. Ties
+    break (cosine DESC, id ASC) on both sides, so the pair set is
+    deterministic and cross-engine exact (the oracle mirrors the
+    assignment, the fold order, and the tie-break)."""
+    a = assign_to_centroids(a_df, cent_rows, id_col, vec_col).select(
+        F.col("nid").alias("a_id"),
+        F.col("nv").alias("av"),
+        F.col("nrm").alias("anrm"),
+        "cid",
+    )
+    b = assign_to_centroids(b_df, cent_rows, id_col, vec_col).select(
+        F.col("nid").alias("b_id"),
+        F.col("nv").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+        "cid",
+    )
+    cos = F.expr(_spark_dot("av", "bv")) / (F.col("anrm") * F.col("bnrm"))
+    cand = a.join(b, "cid").select("a_id", "b_id", cos.alias("cosine"))
+    w_a = Window.partitionBy("a_id").orderBy(
+        F.col("cosine").desc(), F.col("b_id")
+    )
+    w_b = Window.partitionBy("b_id").orderBy(
+        F.col("cosine").desc(), F.col("a_id")
+    )
+    best_b = cand.withColumn("rn", F.row_number().over(w_a)).filter(
+        F.col("rn") == 1
+    ).drop("rn")
+    best_a = cand.withColumn("rn", F.row_number().over(w_b)).filter(
+        F.col("rn") == 1
+    ).select("a_id", "b_id")
+    return best_b.join(best_a, ["a_id", "b_id"]).select(
+        "a_id", "b_id", "cosine"
+    )
+
+
+def duck_bitext_mutual_top1_sql(
+    num_centroids: int = 8, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of the registered ``bitext_mutual_top1`` query: side
+    A = even labels, side B = odd labels, shared centroids = the first
+    ``num_centroids`` vectors by id over the whole table."""
+    cos_c = (
+        f"{_duck_dot('e.embedding', 'c.cv')} / "
+        f"({_duck_norm('e.embedding')} * {_duck_norm('c.cv')})"
+    )
+    cos_ab = (
+        f"{_duck_dot('a.nv', 'b.nv')} / "
+        f"({_duck_norm('a.nv')} * {_duck_norm('b.nv')})"
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM {table}
+                  WHERE vec_id < {num_centroids}),
+    assigned AS (SELECT nid, nv, lbl, cid FROM (
+        SELECT e.vec_id AS nid, e.embedding AS nv, e.label AS lbl, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY {cos_c} DESC, c.cid) AS rn
+        FROM {table} e CROSS JOIN cent c) t WHERE rn = 1),
+    cand AS (SELECT a.nid AS a_id, b.nid AS b_id, {cos_ab} AS cosine
+             FROM assigned a JOIN assigned b ON a.cid = b.cid
+             WHERE a.lbl % 2 = 0 AND b.lbl % 2 = 1),
+    best_b AS (SELECT a_id, b_id, cosine FROM (
+        SELECT a_id, b_id, cosine, row_number() OVER (PARTITION BY a_id
+          ORDER BY cosine DESC, b_id) AS rn FROM cand) t WHERE rn = 1),
+    best_a AS (SELECT a_id, b_id FROM (
+        SELECT a_id, b_id, row_number() OVER (PARTITION BY b_id
+          ORDER BY cosine DESC, a_id) AS rn FROM cand) t WHERE rn = 1)
+    SELECT bb.a_id, bb.b_id, bb.cosine
+    FROM best_b bb JOIN best_a ba
+      ON bb.a_id = ba.a_id AND bb.b_id = ba.b_id
+    """

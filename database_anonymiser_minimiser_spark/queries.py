@@ -2356,6 +2356,86 @@ def q_sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_temperature_by_source",
+    f"""
+    WITH tot AS (
+      SELECT source, sum(n_chars) AS n FROM documents GROUP BY source),
+    s AS (SELECT list_reduce(
+        list(sqrt(CAST(n AS DOUBLE)) ORDER BY source),
+        (a, v) -> a + v) AS sig FROM tot),
+    quota AS (
+      SELECT t.source,
+        CAST(floor(100.0 * sqrt(CAST(t.n AS DOUBLE)) / s.sig + 0.5)
+          AS BIGINT) AS q
+      FROM tot t, s),
+    ranked AS (
+      SELECT d.doc_id, d.lang, d.source,
+        row_number() OVER (PARTITION BY d.source
+          ORDER BY {_priv._uniform52_duck(
+              "concat(CAST(d.doc_id AS VARCHAR), ':tsample')"
+          )}, d.doc_id) AS rn
+      FROM documents d)
+    SELECT r.doc_id, r.lang, r.source
+    FROM ranked r JOIN quota ON r.source = quota.source
+    WHERE r.rn <= quota.q
+    """,
+)
+def q_sample_temperature_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (r13): each source's share of a
+    100-document budget is proportional to sqrt(its total characters) —
+    the T=2 temperature-sampling recipe multilingual/multi-source
+    training mixes use (upweight small sources, cap dominant ones)
+    restricted to alpha=1/2 because sqrt is the one power both engines
+    round identically (IEEE-correct), unlike a general pow. Quotas are
+    floor(budget * w_s / sum(w) + 0.5); the per-source winners are the
+    quota-first documents under a seeded 52-bit md5 draw, so the sample
+    is deterministic and bit-identical cross-engine.
+
+    Cross-engine exactness: sum(w) folds the per-source sqrt doubles in
+    SOURCE ORDER on both sides (Spark: aggregate over the array_sort'd
+    collect_list; DuckDB: list_reduce over list(... ORDER BY source)) —
+    an unordered double sum would diverge by ulps. Scale shape: one
+    groupBy(source) aggregate, a 1-row broadcast of the fold, one
+    broadcast quota join, and a per-source row_number window; if one
+    source dominates the corpus, the same cap can run as a two-phase
+    top-N (the established TakeOrdered pattern, see corpus_mix_budget's
+    docstring)."""
+    docs = load(spark, sf_dir, "documents")
+    tot = docs.groupBy("source").agg(F.sum("n_chars").alias("n"))
+    sig = tot.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, n)))"
+            ", x -> sqrt(CAST(x.n AS DOUBLE))), CAST(0.0 AS DOUBLE), "
+            "(a, v) -> a + v)"
+        ).alias("sig")
+    )
+    quota = tot.crossJoin(F.broadcast(sig)).select(
+        "source",
+        F.floor(
+            F.lit(100.0) * F.sqrt(F.col("n").cast("double")) / F.col("sig")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    u = F.conv(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tsample")))
+        .substr(1, 13),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(u.asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id", "lang", "source", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("q"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
     "expectations_events",
     """
     SELECT
@@ -2951,6 +3031,31 @@ def q_ann_screen_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(_tf.gettempdir(), "dbmask_ann_index", tag)
     _sim.save_ann_index(landed, path, centroids=centroids)
     return _sim.ann_screen_vs_index(delta, path, threshold=0.35, nprobe=2)
+
+
+@register("bitext_mutual_top1", _sim.duck_bitext_mutual_top1_sql())
+def q_bitext_mutual_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext / cross-corpus alignment mining (r13): mutual-top-1 pairs
+    between two embedding corpora (side A = even labels, side B = odd —
+    standing in for two languages of an embedding-aligned crawl). A pair
+    survives only if each member is the other's best cosine match — the
+    exact, margin-free member of the Artetxe & Schwenk mining family
+    the parallel-corpus half of a multilingual training set is built
+    with. Candidates come from shared IVF cells
+    (operators/similarity.py:mutual_top1_pairs): sum(cell_a x cell_b)
+    work, never |A| x |B|."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = [
+        {"cid": int(r["vec_id"]), "cv": list(r["embedding"])}
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return _sim.mutual_top1_pairs(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        cent_rows,
+    )
 
 
 # ===========================================================================

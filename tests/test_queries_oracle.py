@@ -32,6 +32,10 @@ INTERPRETED_LIST_BOUND = {
     # live when the first r12 sf1 sweep ground to 70 GB RSS on it;
     # sf1 value gate: the containment golden in test_scale_values_sf1
     "dedup_containment_pairs",
+    # r13: cell-blocked pairwise list dots in the oracle (sum(cell^2)
+    # interpreted lambdas); sf1+ value gate = planted mutual pairs in
+    # tests/test_similarity.py
+    "bitext_mutual_top1",
     "dedup_common_spans", "dedup_common_spans_oracle",
     "dedup_levenshtein_pairs", "dedup_minhash_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_jaccard_prefix",

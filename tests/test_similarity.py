@@ -690,3 +690,32 @@ def test_streaming_ann_screen_arrival_order(spark, tmp_path):
     assert len(ann_index_batches(spark, str(tmp_path / "idx"))) <= 3
     n_vecs = spark.read.parquet(str(tmp_path / "idx") + "/vectors").count()
     assert n_vecs == 7
+
+
+def test_mutual_top1_pairs_planted(spark):
+    """Planted bitext: (0<->10) and (2<->12) are mutual best matches and
+    must both survive; vector 4 (side A) has its best match in b=10,
+    but 10's best is 0 — NOT mutual, excluded. Brute-force mutual-top-1
+    over the planted corpus equals the cell-blocked operator when every
+    vector shares one cell (one centroid => exhaustive)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    a = spark.createDataFrame(
+        [(0, vec(1, 0, 0, 0)), (2, vec(0, 1, 0, 0)), (4, vec(0.9, 0.4, 0, 0))],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [(10, vec(0.99, 0.1, 0, 0)), (12, vec(0.1, 0.99, 0, 0))], schema
+    )
+    # ONE centroid: everything lands in a single cell -> exhaustive
+    cent = [{"cid": 0, "cv": [1.0, 1.0, 1.0, 1.0]}]
+    got = {
+        (r["a_id"], r["b_id"]) for r in S.mutual_top1_pairs(a, b, cent).collect()
+    }
+    assert got == {(0, 10), (2, 12)}
