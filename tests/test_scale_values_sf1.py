@@ -765,3 +765,65 @@ def test_dedup_containment_sf1_slice_vs_python_golden(spark):
     for k, v in golden.items():
         # same two integers through one IEEE double division -> exact
         assert got[k] == v, (k, got[k], v)
+
+
+# ---------------------------------------------------------------------------
+# golden 12 (r13): mutual-top-1 bitext mining (cell-blocked, both sides)
+# ---------------------------------------------------------------------------
+
+
+def test_bitext_mutual_top1_full_sf1_vs_numpy_golden(spark):
+    """Independent numpy golden over the FULL sf1 embeddings (20k
+    vectors): shared-centroid cell assignment, per-cell A x B cosine
+    matrices, mutual argmax intersection — pair-for-pair equal to the
+    Spark operator, with explicit margin checks so no ranking depends
+    on BLAS-vs-fold low-bit summation order."""
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    ids, mat, labels = _load_embeddings()
+    order = np.argsort(ids)
+    ids, mat, labels = ids[order], mat[order], labels[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    unit = mat / norms[:, None]
+    cent_rows = np.nonzero(ids < 8)[0]
+    assert len(cent_rows) == 8
+    ccos = unit @ unit[cent_rows].T  # argmax col = lowest cid on ties
+    top2 = np.sort(ccos, axis=1)[:, -2:]
+    assert float((top2[:, 1] - top2[:, 0]).min()) > 1e-9, "assignment tie"
+    cell = np.argmax(ccos, axis=1)
+
+    golden: dict[tuple, float] = {}
+    min_margin = np.inf
+    for c in range(8):
+        rows_ = np.nonzero(cell == c)[0]
+        a_rows = rows_[labels[rows_] % 2 == 0]
+        b_rows = rows_[labels[rows_] % 2 == 1]
+        if not len(a_rows) or not len(b_rows):
+            continue
+        cos = unit[a_rows] @ unit[b_rows].T
+        # ranking-stability margins: per-row and per-column top-2 gap
+        if cos.shape[1] >= 2:
+            t2 = np.sort(cos, axis=1)[:, -2:]
+            min_margin = min(min_margin, float((t2[:, 1] - t2[:, 0]).min()))
+        if cos.shape[0] >= 2:
+            t2 = np.sort(cos, axis=0)[-2:, :]
+            min_margin = min(min_margin, float((t2[1, :] - t2[0, :]).min()))
+        best_b = np.argmax(cos, axis=1)  # first max = lowest b_id
+        best_a = np.argmax(cos, axis=0)
+        for i, j in enumerate(best_b):
+            if best_a[j] == i:  # mutual
+                golden[(int(ids[a_rows[i]]), int(ids[b_rows[j]]))] = float(
+                    cos[i, j]
+                )
+    assert min_margin > 1e-9, f"top-1 tie within float drift ({min_margin})"
+    assert len(golden) > 100, f"suspicious golden size {len(golden)}"
+
+    rows = Q.QUERIES["bitext_mutual_top1"](spark, SF1).collect()
+    got = {(r["a_id"], r["b_id"]): r["cosine"] for r in rows}
+    assert set(got) == set(golden), (
+        f"pair set mismatch: {len(got)} vs {len(golden)}; "
+        f"spark-only={sorted(set(got) - set(golden))[:3]} "
+        f"golden-only={sorted(set(golden) - set(got))[:3]}"
+    )
+    for k, v in golden.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
