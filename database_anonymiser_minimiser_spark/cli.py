@@ -14,9 +14,12 @@ SQLite table by rowid, anonymise in flight, checkpointed parquet
 append — resumes after the last committed row on restart), ``curate``
 (corpus curation: quality gate → dedup → near-dup collapse → token
 budget), ``screen`` (streaming near-dup ingest screen over a persisted
-MinHash index), and ``release`` (differentially-private aggregate
+MinHash index; ``--semantic`` screens embeddings over a persisted ANN
+index instead), and ``release`` (differentially-private aggregate
 releases from the config's ``privacy.releases`` block, with the
-epsilon budget ledger and JSON manifest).
+epsilon budget ledger and JSON manifest). A config that lists
+``privacy.releases`` AND masks tables runs both from the plain export
+verb in one invocation under one manifest (``--manifest`` required).
 """
 
 from __future__ import annotations

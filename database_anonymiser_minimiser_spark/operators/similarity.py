@@ -1259,7 +1259,13 @@ def save_ann_index(
         else:
             batch = "seed"
     if append:
-        cent = load_centroids(spark, f"{path}/centroids")
+        try:
+            cent = load_centroids(spark, f"{path}/centroids")
+        except Exception as exc:  # AnalysisException: PATH_NOT_FOUND
+            raise FileNotFoundError(
+                f"no ANN index at {path} — append=True cannot create "
+                "one; seed the index first (append=False)"
+            ) from exc
     else:
         _hfs_delete(spark, path)
         if centroids is None:
@@ -1506,11 +1512,22 @@ def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
     trash = HPath(f"{path}/_compact_trash")
     _hfs_delete(spark, f"{path}/_compact_trash")
     fs.mkdirs(trash)
+
+    def _rename(src: str, dst: str) -> None:
+        # the Hadoop FS rename contract REPORTS failure as a boolean,
+        # it does not throw — an unchecked rename here would silently
+        # drop index partitions
+        if not fs.rename(HPath(src), HPath(dst)):
+            raise RuntimeError(
+                f"ann index compaction: rename {src} -> {dst} failed; "
+                f"moved-aside partitions remain under {path}/_compact_trash"
+            )
+
     for b in fold:
-        fs.rename(
-            HPath(f"{path}/vectors/batch={b}"), HPath(f"{path}/_compact_trash/batch={b}")
+        _rename(
+            f"{path}/vectors/batch={b}", f"{path}/_compact_trash/batch={b}"
         )
-    fs.rename(HPath(tmp), HPath(f"{path}/vectors/batch=seed"))
+    _rename(tmp, f"{path}/vectors/batch=seed")
     _hfs_delete(spark, f"{path}/_compact_trash")
     _hfs_delete(spark, f"{path}/_compact_tmp")
     return {"folded": len(fold), "rows": rows_out}

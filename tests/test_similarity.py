@@ -719,3 +719,17 @@ def test_mutual_top1_pairs_planted(spark):
         (r["a_id"], r["b_id"]) for r in S.mutual_top1_pairs(a, b, cent).collect()
     }
     assert got == {(0, 10), (2, 12)}
+
+
+def test_ann_index_append_to_missing_index_is_friendly(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame([(0, vec(1, 0))], schema)
+    with pytest.raises(FileNotFoundError, match="seed the index first"):
+        S.save_ann_index(df, str(tmp_path / "nope"), append=True, batch="e0")
