@@ -1103,9 +1103,16 @@ def embedding_gram_upper(
 
     Exactness discipline: per-row products are computed in DOUBLE (one
     exactly-rounded multiply; elements cast float -> double losslessly
-    first), accumulated in DECIMAL(38,12), and converted via the
-    string idiom — bit-identical cross-engine like every other
-    decimal-sum release.
+    first), fixed-pointed as ``floor(p * 1e15)`` — every step
+    (multiply, floor, integral-double -> BIGINT) is exactly defined and
+    engine-identical, unlike a double -> DECIMAL cast, whose rounding
+    the engines implement with different slop (found live: the r13 sf1
+    sweep caught last-digit divergence in a DECIMAL(38,12) per-product
+    cast that sf0.01 never exercised) — accumulated exactly in
+    DECIMAL(38,0), and converted back via the string idiom with ONE
+    final double division by 1e15. The operator is therefore DEFINED at
+    1e-15 per-product resolution: bias < n * 1e-15 (2e-11 at sf1),
+    far inside the float twin's 1e-9 equality gate.
 
     Scale shape: every row's d*(d+1)/2 pair products are generated
     INLINE (no self-join), so the partial aggregation combines them
@@ -1125,8 +1132,9 @@ def embedding_gram_upper(
         "flatten(transform(sequence(0, size(_e) - 1), "
         "i -> transform(sequence(i, size(_e) - 1), "
         "j -> struct(i AS i, j AS j, "
-        "CAST(element_at(_e, i + 1) AS DOUBLE) * "
-        "CAST(element_at(_e, j + 1) AS DOUBLE) AS p))))"
+        "CAST(floor((CAST(element_at(_e, i + 1) AS DOUBLE) * "
+        "CAST(element_at(_e, j + 1) AS DOUBLE)) * 1e15) AS BIGINT) "
+        "AS p))))"
     )
     return (
         df.select(F.col(vec_col).alias("_e"))
@@ -1136,11 +1144,13 @@ def embedding_gram_upper(
             F.col("pp.j").cast("long").alias("j"),
         )
         .agg(
-            F.sum(F.col("pp.p").cast("decimal(38,12)"))
-            .cast("decimal(38,12)")
-            .cast("string")
-            .cast("double")
-            .alias("g")
+            (
+                F.sum(F.col("pp.p").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .cast("double")
+                / F.lit(1e15)
+            ).alias("g")
         )
     )
 
@@ -1155,8 +1165,9 @@ def duck_embedding_gram_sql(table: str = "embeddings") -> str:
         CAST(unnest(embedding) AS DOUBLE) AS x
       FROM {table})
     SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
-      CAST(CAST(CAST(sum(CAST(a.x * b.x AS DECIMAL(38,12)))
-        AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS g
+      CAST(CAST(CAST(sum(CAST(CAST(floor((a.x * b.x) * 1e15) AS BIGINT)
+        AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+        / 1e15 AS g
     FROM ex a JOIN ex b ON a.vid = b.vid AND a.i <= b.i
     GROUP BY 1, 2
     """

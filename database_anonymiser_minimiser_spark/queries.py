@@ -3025,9 +3025,11 @@ def q_ann_screen_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("cv"),
         )
     )
-    # deterministic per-corpus scratch path: overwritten on every call
-    # (replay-idempotent), never grows with repeated runs
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    # deterministic per-corpus-per-process scratch path: overwritten on
+    # every call in this process (replay-idempotent, no growth across
+    # repeated runs), and isolated from CONCURRENT processes grading
+    # the same corpus (a shared path would race seed-delete vs read)
+    tag = _hl.md5(f"{sf_dir}:{_os.getpid()}".encode()).hexdigest()[:10]
     path = _os.path.join(_tf.gettempdir(), "dbmask_ann_index", tag)
     _sim.save_ann_index(landed, path, centroids=centroids)
     return _sim.ann_screen_vs_index(delta, path, threshold=0.35, nprobe=2)
