@@ -207,6 +207,30 @@ SHOWCASE = [
         "bucket sizes, size (|B| >= t|A|) and count-then-verify "
         "prunes, exact verification only on survivors.",
     ),
+    (
+        "ann_screen_delta",
+        "Persisted-ANN-index screen (r13): the landed index side is a "
+        "parquet scan with DYNAMIC PARTITION PRUNING on cid (the "
+        "inverted-list directory seek) feeding a BroadcastHashJoin "
+        "whose build side is the day's delta - ZERO Exchange ever "
+        "touches the corpus-sized index; the plan's only shuffle "
+        "carries batch-keyed aggregate partials (query_id).",
+    ),
+    (
+        "bitext_mutual_top1",
+        "Cross-corpus mutual-top-1 (r13): both sides cell-assigned by "
+        "one literal-centroid projection (map-side), candidates join "
+        "WITHIN cells only (sum(cell_a x cell_b), never |A| x |B|); "
+        "the two ranking windows key on a_id / b_id, whose cardinality "
+        "grows with the corpora, so task parallelism scales.",
+    ),
+    (
+        "sample_temperature_by_source",
+        "Temperature source mixing (r13): one groupBy(source) "
+        "aggregate, a 1-row broadcast of the ordered sqrt-share fold, "
+        "a broadcast quota join, and a per-source ranking window - "
+        "the corpus is scanned once and shuffled once (on source).",
+    ),
 ]
 
 
