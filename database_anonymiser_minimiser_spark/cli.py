@@ -662,6 +662,18 @@ def main(argv: list[str] | None = None) -> int:
                         engine.source.read(spec.table), spec
                     )
                 )
+        # configured data contracts (config quality block): per table,
+        # ALL contracts verify in ONE aggregation pass — completeness,
+        # uniqueness, ranges, set membership and row floors merge into
+        # the same PASS/FAIL report
+        if cfg.quality:
+            from .operators.expectations import check, parse_quality_block
+
+            for table, exps in parse_quality_block(cfg.quality).items():
+                for r in check(engine.source.read(table), exps).collect():
+                    rows.append(
+                        (table, r["constraint"], r["passed"], r["observed"])
+                    )
         for table, constraint, passed, observed in rows:
             status = "PASS" if passed else "FAIL"
             failed += 0 if passed else 1

@@ -218,6 +218,10 @@ class Config:
     # operators/privacy_ledger.parse_releases so a bad spec fails before
     # any Spark work, like every other config error
     privacy: dict[str, Any] = field(default_factory=dict)
+    # optional data-contract block (engine extension): per-table
+    # expectation lists run by the `audit` verb as PASS/FAIL rows;
+    # validated at load via operators/expectations.parse_quality_block
+    quality: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, raw: dict[str, Any]) -> "Config":
@@ -252,11 +256,23 @@ class Config:
                 validate_privacy_block(privacy_raw)
             except DPBudgetError as exc:
                 raise ConfigError(str(exc)) from exc
+        quality_raw = raw.get("quality") or {}
+        if quality_raw:
+            from .operators.expectations import (
+                QualityConfigError,
+                parse_quality_block,
+            )
+
+            try:
+                parse_quality_block(quality_raw, build=False)
+            except QualityConfigError as exc:
+                raise ConfigError(str(exc)) from exc
         cfg = cls(
             connection=conn,
             configuration=tables,
             settings=settings_raw,
             privacy=privacy_raw,
+            quality=quality_raw,
         )
         cfg.connection.validate()
         return cfg
@@ -270,6 +286,8 @@ class Config:
             out["settings"] = dict(self.settings)
         if self.privacy:
             out["privacy"] = dict(self.privacy)
+        if self.quality:
+            out["quality"] = dict(self.quality)
         return out
 
     def has_table(self, name: str) -> bool:

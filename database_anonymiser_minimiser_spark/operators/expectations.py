@@ -156,3 +156,100 @@ def fk_contained(child: DataFrame, child_col: str, parent: DataFrame, parent_col
         (F.col("observed") == 0.0).alias("passed"),
         "observed",
     )
+
+
+class QualityConfigError(ValueError):
+    """A malformed config ``quality`` block — raised at LOAD time so a
+    typo'd contract fails before any Spark work, like every other
+    config mistake."""
+
+
+_CHECKS = ("complete", "unique", "in_range", "member_of", "min_rows")
+
+
+def parse_quality_block(raw, build: bool = True):
+    """Validate a config ``quality`` block; with ``build=True`` compile
+    it to per-table expectation lists for the audit verb::
+
+        quality:
+          orders:
+            - {check: complete, column: o_orderkey}
+            - {check: unique, column: o_orderkey}
+            - {check: in_range, column: o_totalprice, lo: 0, hi: 600000}
+            - {check: member_of, column: o_orderstatus, allowed: [O, F, P]}
+            - {check: min_rows, n: 100}
+
+    The reference validates config SHAPE only (config.go); this is the
+    data-contract counterpart its users run before trusting an export —
+    all of a table's contracts verify in ONE aggregation pass
+    (:func:`check`).
+
+    ``build=False`` performs the FULL validation without constructing
+    any pyspark Column — config load runs before a SparkSession exists,
+    and the expectation constructors need an active context. The audit
+    verb re-parses with ``build=True`` once the session is up."""
+    if not isinstance(raw, dict) or not raw:
+        raise QualityConfigError(
+            "quality must be a non-empty mapping of table -> contract list"
+        )
+    out: dict = {}
+    for table, entries in raw.items():
+        if not isinstance(entries, list) or not entries:
+            raise QualityConfigError(
+                f"quality.{table} must be a non-empty list of contracts"
+            )
+        names: list = []
+        builders: list = []
+        for i, e in enumerate(entries):
+            where = f"quality.{table}[{i}]"
+            if not isinstance(e, dict):
+                raise QualityConfigError(f"{where} must be a mapping")
+            kind = str(e.get("check", "") or "")
+            if kind not in _CHECKS:
+                raise QualityConfigError(
+                    f"{where}: check must be one of {', '.join(_CHECKS)} "
+                    f"(got {kind!r})"
+                )
+            col = e.get("column")
+            if kind != "min_rows" and not col:
+                raise QualityConfigError(f"{where} ({kind}) requires 'column'")
+            col = str(col)
+            if kind == "complete":
+                names.append(f"complete({col})")
+                builders.append(lambda c=col: complete(c))
+            elif kind == "unique":
+                names.append(f"unique({col})")
+                builders.append(lambda c=col: unique(c))
+            elif kind == "in_range":
+                if e.get("lo") is None or e.get("hi") is None:
+                    raise QualityConfigError(
+                        f"{where} (in_range) requires 'lo' and 'hi'"
+                    )
+                lo, hi = float(e["lo"]), float(e["hi"])
+                names.append(f"in_range({col},{lo},{hi})")
+                builders.append(lambda c=col, a=lo, b=hi: in_range(c, a, b))
+            elif kind == "member_of":
+                allowed = e.get("allowed")
+                if not isinstance(allowed, list) or not allowed:
+                    raise QualityConfigError(
+                        f"{where} (member_of) requires a non-empty "
+                        "'allowed' list"
+                    )
+                vals = [str(a) for a in allowed]
+                names.append(f"member_of({col})")
+                builders.append(lambda c=col, v=vals: member_of(c, v))
+            elif kind == "min_rows":
+                n = e.get("n")
+                if not isinstance(n, int) or n < 1:
+                    raise QualityConfigError(
+                        f"{where} (min_rows) requires integer n >= 1"
+                    )
+                names.append(f"min_rows({n})")
+                builders.append(lambda k=n: min_rows(k))
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            raise QualityConfigError(
+                f"quality.{table}: duplicate contracts {dupes}"
+            )
+        out[table] = [b() for b in builders] if build else names
+    return out

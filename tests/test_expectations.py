@@ -159,3 +159,98 @@ def test_check_quote_safe_names_and_duplicate_rejection(spark):
 
     with pytest.raises(ValueError, match="duplicate"):
         check(df, [quoted, quoted])
+
+
+def test_quality_block_parse_validation():
+    """Load-time validation of the config quality block: friendly
+    errors for every malformed shape, compiled Expectation lists for
+    the valid one."""
+    import pytest
+
+    from database_anonymiser_minimiser_spark.operators.expectations import (
+        QualityConfigError,
+        parse_quality_block,
+    )
+
+    # build=False: the FULL validation with zero Spark involvement —
+    # the exact path config load takes before any session exists
+    ok = parse_quality_block(
+        {
+            "orders": [
+                {"check": "complete", "column": "o_orderkey"},
+                {"check": "unique", "column": "o_orderkey"},
+                {"check": "in_range", "column": "o_totalprice",
+                 "lo": 0, "hi": 600000},
+                {"check": "member_of", "column": "o_orderstatus",
+                 "allowed": ["O", "F", "P"]},
+                {"check": "min_rows", "n": 100},
+            ]
+        },
+        build=False,
+    )
+    assert ok["orders"] == [
+        "complete(o_orderkey)", "unique(o_orderkey)",
+        "in_range(o_totalprice,0.0,600000.0)",
+        "member_of(o_orderstatus)",
+        "min_rows(100)",
+    ]
+    for bad, match in [
+        ({}, "non-empty mapping"),
+        ({"t": []}, "non-empty list"),
+        ({"t": ["x"]}, "must be a mapping"),
+        ({"t": [{"check": "nope"}]}, "check must be one of"),
+        ({"t": [{"check": "complete"}]}, "requires 'column'"),
+        ({"t": [{"check": "in_range", "column": "c"}]}, "'lo' and 'hi'"),
+        ({"t": [{"check": "member_of", "column": "c"}]}, "'allowed'"),
+        ({"t": [{"check": "min_rows", "n": 0}]}, "n >= 1"),
+        ({"t": [{"check": "complete", "column": "c"},
+                {"check": "complete", "column": "c"}]}, "duplicate"),
+    ]:
+        with pytest.raises(QualityConfigError, match=match):
+            parse_quality_block(bad, build=False)
+
+
+def test_audit_verb_runs_quality_contracts(tmp_path, capsys):
+    """r13: a config quality block runs inside the audit verb as extra
+    PASS/FAIL rows — passing contracts PASS, a violated range FAILs
+    with the observed count, and the verb exits 1."""
+    from database_anonymiser_minimiser_spark import config as config_mod
+    from database_anonymiser_minimiser_spark.cli import main
+
+    cfg = tmp_path / "q.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration: {orders: {primary_key: o_orderkey}}\n"
+        "quality:\n"
+        "  orders:\n"
+        "    - {check: complete, column: o_orderkey}\n"
+        "    - {check: unique, column: o_orderkey}\n"
+        "    - {check: in_range, column: o_totalprice, lo: 0, hi: 1}\n"
+        "    - {check: member_of, column: o_orderstatus,\n"
+        "       allowed: [O, F, P]}\n"
+        "    - {check: min_rows, n: 100}\n"
+    )
+    rc = main(["-c", str(cfg), "audit"])
+    out, err = capsys.readouterr()
+    assert rc == 1  # the absurd range fails
+    assert "PASS  orders: complete(o_orderkey) (observed=0)" in out
+    assert "PASS  orders: unique(o_orderkey) (observed=0)" in out
+    assert "FAIL  orders: in_range(o_totalprice,0.0,1.0) (observed=1500)" in out
+    assert "PASS  orders: member_of(o_orderstatus) (observed=0)" in out
+    assert "PASS  orders: min_rows(100) (observed=1500)" in out
+    # a typo'd contract fails at LOAD with a friendly ConfigError
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration: {}\n"
+        "quality:\n  orders:\n    - {check: nope, column: c}\n"
+    )
+    import pytest
+
+    with pytest.raises(config_mod.ConfigError, match="check must be"):
+        config_mod.load(bad)
+    # round-trips through save
+    loaded = config_mod.load(cfg)
+    out_path = tmp_path / "rt.yaml"
+    loaded.save(out_path)
+    assert config_mod.load(out_path).quality == loaded.quality
