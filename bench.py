@@ -250,6 +250,9 @@ HEADLINE = [
     # (shared-cell blocked candidates, two id-keyed windows)
     "sample_temperature_by_source",
     "bitext_mutual_top1",
+    # round-13: PQ+ADC approximate top-k (one literal-codebook encode
+    # projection; the ADC scan reads m codes per vector, not d floats)
+    "ann_pq_adc_topk",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -1638,3 +1638,227 @@ def duck_bitext_mutual_top1_sql(
     FROM best_b bb JOIN best_a ba
       ON bb.a_id = ba.a_id AND bb.b_id = ba.b_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (r13).
+# ---------------------------------------------------------------------------
+
+
+def _pq_sub(cv: "list[float]", s: int, dsub: int) -> "list[float]":
+    return [float(v) for v in cv[s * dsub : (s + 1) * dsub]]
+
+
+def _pq_dist_expr(vec_slice: str, cv: "list[float]") -> str:
+    """SQL text: squared L2 distance of ``vec_slice`` to the literal
+    centroid — zip_with evaluates in index order, so the fold matches
+    the oracle's ascending-i list_reduce (0 + v1 == v1 exactly)."""
+    arr = _centroid_literal(cv)
+    return (
+        f"aggregate(zip_with({vec_slice}, {arr}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _py_sq_dist(a: "list[float]", b: "list[float]") -> float:
+    """Driver-side squared L2 with the SAME strict left-to-right IEEE
+    fold as the SQL expressions (Python floats ARE doubles), so the
+    embedded ADC tables are bit-identical to what either engine would
+    compute from the stored values."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+    return acc
+
+
+def pq_encode(
+    emb: DataFrame,
+    code_rows,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(nid, c0..c{m-1}): every vector compressed to ``m`` subspace
+    codes — product quantization. ``code_rows`` is the K-entry codebook
+    [(cid, full_vector), ...]; each subspace's centroid is that entry's
+    subvector (the deterministic shared-codebook stand-in; k-means per
+    subspace drops in the same way trained IVF centroids do). ONE
+    narrow projection, no join, no shuffle: the codebook rides into the
+    executors as literals, exactly the assign_to_centroids play, m
+    times. At 100 TB the win is the ENCODED relation: m bytes per
+    vector instead of 4*d — the scan an ADC query pays drops ~32x (the
+    codes relation is what you persist next to the IVF index for the
+    classic IVF-PQ layout)."""
+    rows = sorted(
+        ({"cid": int(r[0]), "cv": list(r[1])} for r in code_rows),
+        key=lambda r: r["cid"],
+    )
+    if not rows:
+        raise ValueError("pq_encode: empty codebook")
+    d = len(rows[0]["cv"])
+    if d % m:
+        raise ValueError(f"pq_encode: dim {d} not divisible by m={m}")
+    dsub = d // m
+    out = emb.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("_e")
+    )
+    code_cols = []
+    for s in range(m):
+        elems = []
+        for r in rows:
+            sub = _pq_sub(r["cv"], s, dsub)
+            negd = f"-({_pq_dist_expr(f'slice(_e, {s * dsub + 1}, {dsub})', sub)})"
+            elems.append(
+                f"struct({negd} AS negd, {-r['cid']} AS negcid, "
+                f"{r['cid']} AS cid)"
+            )
+        scored = "array(" + ", ".join(elems) + ")"
+        code_cols.append(
+            F.expr(f"array_max({scored}).cid").alias(f"c{s}")
+        )
+    return out.select("nid", *code_cols)
+
+
+def ann_pq_adc_topk(
+    emb: DataFrame,
+    query_ids: "list[int]",
+    k: int = 5,
+    num_codes: int = 16,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ + ADC approximate top-k: vectors are PQ-encoded against a
+    shared codebook (first ``num_codes`` vectors by id — the
+    deterministic stand-in, same convention as IVF), each query
+    precomputes one (m x K) table of subspace distances driver-side,
+    and every corpus vector is scored as the SUM of m table lookups —
+    asymmetric distance computation (Jegou, Douze, Schmid 2011,
+    public literature). Returns (query_id, neighbor_id, rank).
+
+    Scale shape: encoding is one literal projection; the ADC scan
+    touches m CODES per vector, not d floats — the memory-bandwidth
+    win PQ exists for; the bounded query side (ids + their m x K
+    tables, a few KB) broadcasts, and the only exchange ranks
+    candidates per query. Approximation error comes from quantization
+    only — recall against exact brute force is asserted in
+    tests/test_similarity.py, and the oracle re-derives codebook,
+    codes, tables, and fold order in SQL so the ranking is
+    cross-engine exact (ADC sums fold in subspace order on both
+    sides; ties break on neighbor id)."""
+    code_rows = [
+        (int(r[id_col]), list(r[vec_col]))
+        for r in emb.filter(F.col(id_col) < num_codes)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    codes = pq_encode(emb, code_rows, m=m, id_col=id_col, vec_col=vec_col)
+    rows = sorted(code_rows)
+    d = len(rows[0][1])
+    dsub = d // m
+    q_rows = [
+        (int(r[id_col]), [float(v) for v in r[vec_col]])
+        for r in emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    # one struct literal per query: its id + the m ADC lookup tables
+    q_elems = []
+    for qid, qv in sorted(q_rows):
+        tables = []
+        for s in range(m):
+            qsub = _pq_sub(qv, s, dsub)
+            tab = [
+                _py_sq_dist(qsub, _pq_sub(cv, s, dsub)) for _cid, cv in rows
+            ]
+            tables.append(
+                "array("
+                + ", ".join(f"CAST({t!r} AS DOUBLE)" for t in tab)
+                + f") AS t{s}"
+            )
+        q_elems.append(
+            # BIGINT, matching the id column the oracle surfaces — a
+            # bare int literal would bind INT and diverge in Arrow bytes
+            f"struct(CAST({qid} AS BIGINT) AS query_id, "
+            + ", ".join(tables)
+            + ")"
+        )
+    queries = emb.sparkSession.range(1).select(
+        F.explode(F.expr("array(" + ", ".join(q_elems) + ")")).alias("q")
+    ).select("q.*")
+    # ADC score: m table lookups summed LEFT-ASSOCIATIVELY in subspace
+    # order — the oracle folds list(d ORDER BY s) the same way. Codes
+    # are positional: centroid j (ascending cid order) is table slot
+    # j+1, valid because the codebook is embedded sorted by cid and
+    # cids are 0..K-1 (asserted below).
+    if [c for c, _ in rows] != list(range(len(rows))):
+        raise ValueError("pq codebook ids must be 0..K-1 for table lookup")
+    score = " + ".join(
+        f"element_at(t{s}, c{s} + 1)" for s in range(m)
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.expr(score).alias("_adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("neighbor_id").asc()
+    )
+    return cand.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+
+
+def duck_ann_pq_adc_sql(
+    query_ids: "list[int]",
+    k: int = 5,
+    num_codes: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ann_pq_adc_topk`: codebook, codes, ADC
+    tables and fold order all re-derived in SQL — same squared-L2
+    ascending-index fold, same (negd, lowest-cid) argmin tie-break,
+    same subspace-ordered ADC sum, same (score, neighbor) ranking."""
+    dsub = dim // m
+    ids = ", ".join(str(i) for i in query_ids)
+    sub_dist = (
+        f"list_reduce(list_transform(generate_series(1, {dsub}), "
+        f"i -> (CAST(v.embedding[s.s * {dsub} + i] AS DOUBLE) - "
+        f"CAST(c.embedding[s.s * {dsub} + i] AS DOUBLE)) * "
+        f"(CAST(v.embedding[s.s * {dsub} + i] AS DOUBLE) - "
+        f"CAST(c.embedding[s.s * {dsub} + i] AS DOUBLE))), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding FROM {table}
+                  WHERE vec_id < {num_codes}),
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+    codes AS (SELECT vid, s, cid FROM (
+        SELECT v.vec_id AS vid, s.s AS s, c.cid,
+          row_number() OVER (PARTITION BY v.vec_id, s.s
+            ORDER BY {sub_dist}, c.cid) AS rn
+        FROM {table} v CROSS JOIN subs s CROSS JOIN cent c) t
+      WHERE rn = 1),
+    qd AS (
+        SELECT v.vec_id AS qid, s.s AS s, c.cid, {sub_dist} AS d
+        FROM {table} v CROSS JOIN subs s CROSS JOIN cent c
+        WHERE v.vec_id IN ({ids})),
+    adc AS (
+        SELECT qd.qid AS query_id, co.vid AS neighbor_id,
+          list_reduce(list(qd.d ORDER BY qd.s), (a, b) -> a + b) AS score
+        FROM codes co JOIN qd ON qd.s = co.s AND qd.cid = co.cid
+        WHERE co.vid <> qd.qid
+        GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score, neighbor_id) AS rank
+        FROM adc) t WHERE rank <= {k}
+    """

@@ -3035,6 +3035,23 @@ def q_ann_screen_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_screen_vs_index(delta, path, threshold=0.35, nprobe=2)
 
 
+@register(
+    "ann_pq_adc_topk",
+    _sim.duck_ann_pq_adc_sql(_QUERY_VEC_IDS, k=5, num_codes=16, m=8),
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC approximate top-k (r13 — similarity.py:ann_pq_adc_topk):
+    vectors compressed to 8 subspace codes against a shared 16-entry
+    codebook, queries scored as 8 table lookups per vector (asymmetric
+    distance computation) — the memory-bandwidth ANN shape (scan m
+    bytes per vector, not 4*d). Codebook, codes, tables and fold order
+    re-derived in SQL by the oracle; recall vs exact brute force gated
+    in tests/test_similarity.py."""
+    return _sim.ann_pq_adc_topk(
+        load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5
+    )
+
+
 @register("bitext_mutual_top1", _sim.duck_bitext_mutual_top1_sql())
 def q_bitext_mutual_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitext / cross-corpus alignment mining (r13): mutual-top-1 pairs

@@ -733,3 +733,95 @@ def test_ann_index_append_to_missing_index_is_friendly(spark, tmp_path):
     df = spark.createDataFrame([(0, vec(1, 0))], schema)
     with pytest.raises(FileNotFoundError, match="seed the index first"):
         S.save_ann_index(df, str(tmp_path / "nope"), append=True, batch="e0")
+
+
+def test_pq_encode_shape_and_code_domain(spark, sf_dir):
+    """pq_encode: one row per vector, m code columns, every code a
+    valid codebook id; identical vectors get identical codes."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    code_rows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    ]
+    codes = S.pq_encode(emb, code_rows, m=8)
+    assert codes.columns == ["nid"] + [f"c{s}" for s in range(8)]
+    n = emb.count()
+    assert codes.count() == n
+    stats = codes.agg(
+        *[F.min(f"c{s}").alias(f"lo{s}") for s in range(8)],
+        *[F.max(f"c{s}").alias(f"hi{s}") for s in range(8)],
+    ).collect()[0]
+    for s in range(8):
+        assert 0 <= stats[f"lo{s}"] and stats[f"hi{s}"] <= 15
+    # a codebook vector encodes to ITSELF in every subspace (distance 0)
+    self_codes = {
+        r["nid"]: [r[f"c{s}"] for s in range(8)]
+        for r in codes.filter(F.col("nid") < 16).collect()
+    }
+    for cid, cs in self_codes.items():
+        assert cs == [cid] * 8, (cid, cs)
+
+
+def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
+    """PQ+ADC recall floor against exact cosine top-k, and the ADC
+    ranking must equal an independent numpy recomputation of the same
+    quantized scoring (codes -> tables -> sums) — separating 'is the
+    approximation acceptable' from 'is the computation right'."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    k = 5
+    got = {}
+    for r in S.ann_pq_adc_topk(emb, qids, k=k).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    # independent numpy golden of the SAME quantized ranking
+    rows = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([i for i, _ in rows])
+    mat = np.array([v for _, v in rows], dtype=np.float64)
+    m, K = 8, 16
+    dsub = mat.shape[1] // m
+    cents = mat[ids < K]
+    codes = np.empty((len(ids), m), dtype=int)
+    for s in range(m):
+        d2 = (
+            ((mat[:, None, s * dsub:(s + 1) * dsub]
+              - cents[None, :, s * dsub:(s + 1) * dsub]) ** 2).sum(axis=2)
+        )
+        codes[:, s] = np.argmin(d2, axis=1)  # first min = lowest cid
+    for qid in qids:
+        qrow = mat[ids == qid][0]
+        score = np.zeros(len(ids))
+        for s in range(m):
+            tab = (
+                ((qrow[s * dsub:(s + 1) * dsub]
+                  - cents[:, s * dsub:(s + 1) * dsub]) ** 2).sum(axis=1)
+            )
+            score += tab[codes[:, s]]
+        order = sorted(
+            (float(sc), int(i)) for sc, i in zip(score, ids) if i != qid
+        )
+        want = [i for _sc, i in order[:k]]
+        assert [nb for _rk, nb in sorted(got[qid])] == want, qid
+    # recall floor vs EXACT cosine brute force (quantization loss only)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_cosine(emb, qids, k=k).collect()
+    }
+    approx = {
+        (q, nb) for q, lst in got.items() for _rk, nb in lst
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"PQ recall@5 collapsed: {recall}"
