@@ -253,6 +253,7 @@ HEADLINE = [
     # round-13: PQ+ADC approximate top-k (one literal-codebook encode
     # projection; the ADC scan reads m codes per vector, not d floats)
     "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

@@ -1703,12 +1703,22 @@ def pq_encode(
     out = emb.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("_e")
     )
+    return out.select(
+        "nid", *_pq_code_cols(rows, m, dsub, "_e")
+    )
+
+
+def _pq_code_cols(rows, m: int, dsub: int, vec_expr: str):
+    """The m per-subspace code Columns (argmin squared-L2 against the
+    sorted codebook literals, ties to the lowest cid) over ``vec_expr``
+    — shared by :func:`pq_encode` and the IVF-PQ composition."""
     code_cols = []
     for s in range(m):
         elems = []
         for r in rows:
             sub = _pq_sub(r["cv"], s, dsub)
-            negd = f"-({_pq_dist_expr(f'slice(_e, {s * dsub + 1}, {dsub})', sub)})"
+            sl = f"slice({vec_expr}, {s * dsub + 1}, {dsub})"
+            negd = f"-({_pq_dist_expr(sl, sub)})"
             elems.append(
                 f"struct({negd} AS negd, {-r['cid']} AS negcid, "
                 f"{r['cid']} AS cid)"
@@ -1717,7 +1727,7 @@ def pq_encode(
         code_cols.append(
             F.expr(f"array_max({scored}).cid").alias(f"c{s}")
         )
-    return out.select("nid", *code_cols)
+    return code_cols
 
 
 def ann_pq_adc_topk(
@@ -1855,6 +1865,198 @@ def duck_ann_pq_adc_sql(
           list_reduce(list(qd.d ORDER BY qd.s), (a, b) -> a + b) AS score
         FROM codes co JOIN qd ON qd.s = co.s AND qd.cid = co.cid
         WHERE co.vid <> qd.qid
+        GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score, neighbor_id) AS rank
+        FROM adc) t WHERE rank <= {k}
+    """
+
+
+def _py_cos(a: "list[float]", b: "list[float]") -> float:
+    """Driver-side cosine with the engines' exact fold order (dot and
+    both norms are strict left-to-right IEEE folds)."""
+    import math
+
+    def dot(x, y):
+        acc = 0.0
+        for u, v in zip(x, y):
+            acc = acc + float(u) * float(v)
+        return acc
+
+    return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+
+def ann_ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: "list[int]",
+    k: int = 5,
+    num_centroids: int = 8,
+    num_codes: int = 16,
+    m: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-vector ANN layout, composed from
+    this round's two halves — vectors are IVF-assigned to cells AND
+    PQ-encoded in ONE literal projection; a query probes its ``nprobe``
+    nearest cells and ranks ONLY those cells' vectors by ADC table
+    lookups. Returns (query_id, neighbor_id, rank).
+
+    Scale shape: the corpus-side pass is a single map-side projection
+    (cell id + m codes — the relation you persist under the ANN index's
+    cid partitions, m bytes + 4 per vector); the query side is entirely
+    driver-side literals (probe cells by centroid cosine, m x K ADC
+    tables — a few KB, broadcast); the candidate join keys on the cell
+    id with the bounded side broadcast, so the corpus never shuffles;
+    the sole exchange ranks nprobe/num_centroids of the corpus per
+    query. Work per query: |corpus| * nprobe / num_centroids table
+    lookups of m adds each — versus |corpus| * d multiplies for brute
+    force. Approximation = IVF recall loss at cell boundaries x PQ
+    quantization; both gated in tests/test_similarity.py, and the
+    oracle re-derives cells, codes, probes, tables and fold order in
+    SQL (cross-engine exact ranking, ties on neighbor id)."""
+    cent_rows = [
+        {"cid": int(r[id_col]), "cv": list(r[vec_col])}
+        for r in emb.filter(F.col(id_col) < num_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    code_rows = sorted(
+        (int(r[id_col]), [float(v) for v in r[vec_col]])
+        for r in emb.filter(F.col(id_col) < num_codes)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if [c for c, _ in code_rows] != list(range(len(code_rows))):
+        raise ValueError("pq codebook ids must be 0..K-1 for table lookup")
+    rows = [{"cid": c, "cv": v} for c, v in code_rows]
+    d = len(code_rows[0][1])
+    dsub = d // m
+    # corpus pass: cell id + m codes in one projection (assign keeps nv)
+    assigned = assign_to_centroids(emb, cent_rows, id_col, vec_col)
+    coded = assigned.select(
+        "nid", "cid", *_pq_code_cols(rows, m, dsub, "nv")
+    )
+    # query side: probe cells AND ADC tables computed driver-side with
+    # the engines' exact folds, embedded as one bounded literal relation
+    q_rows = [
+        (int(r[id_col]), [float(v) for v in r[vec_col]])
+        for r in emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    nprobe = min(int(nprobe), len(cent_rows))
+    q_elems = []
+    for qid, qv in sorted(q_rows):
+        scored = sorted(
+            ((_py_cos(qv, c["cv"]), -c["cid"]) for c in cent_rows),
+            reverse=True,
+        )
+        probes = [-negcid for _cc, negcid in scored[:nprobe]]
+        tables = []
+        for s in range(m):
+            qsub = _pq_sub(qv, s, dsub)
+            tab = [
+                _py_sq_dist(qsub, _pq_sub(cv, s, dsub)) for _c, cv in code_rows
+            ]
+            tables.append(
+                "array("
+                + ", ".join(f"CAST({t!r} AS DOUBLE)" for t in tab)
+                + f") AS t{s}"
+            )
+        for cell in probes:
+            q_elems.append(
+                f"struct(CAST({qid} AS BIGINT) AS query_id, "
+                f"{cell} AS qcid, " + ", ".join(tables) + ")"
+            )
+    queries = emb.sparkSession.range(1).select(
+        F.explode(F.expr("array(" + ", ".join(q_elems) + ")")).alias("q")
+    ).select("q.*")
+    score = " + ".join(f"element_at(t{s}, c{s} + 1)" for s in range(m))
+    cand = (
+        coded.join(F.broadcast(queries), F.col("cid") == F.col("qcid"))
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.expr(score).alias("_adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("neighbor_id").asc()
+    )
+    return cand.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+
+
+def duck_ann_ivf_pq_sql(
+    query_ids: "list[int]",
+    k: int = 5,
+    num_centroids: int = 8,
+    num_codes: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    nprobe: int = 2,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ann_ivf_pq_topk`: cells, codes, probe
+    order, ADC tables and fold order all re-derived in SQL."""
+    dsub = dim // m
+    ids = ", ".join(str(i) for i in query_ids)
+    cos_c = (
+        f"{_duck_dot('e.embedding', 'c.cv')} / "
+        f"({_duck_norm('e.embedding')} * {_duck_norm('c.cv')})"
+    )
+    sub_dist = (
+        f"list_reduce(list_transform(generate_series(1, {dsub}), "
+        f"i -> (CAST(v.embedding[s.s * {dsub} + i] AS DOUBLE) - "
+        f"CAST(c.embedding[s.s * {dsub} + i] AS DOUBLE)) * "
+        f"(CAST(v.embedding[s.s * {dsub} + i] AS DOUBLE) - "
+        f"CAST(c.embedding[s.s * {dsub} + i] AS DOUBLE))), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM {table}
+                  WHERE vec_id < {num_centroids}),
+    cb AS (SELECT vec_id AS cid, embedding FROM {table}
+           WHERE vec_id < {num_codes}),
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+    assigned AS (SELECT nid, cid FROM (
+        SELECT e.vec_id AS nid, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY {cos_c} DESC, c.cid) AS rn
+        FROM {table} e CROSS JOIN cent c) t WHERE rn = 1),
+    codes AS (SELECT vid, s, cid FROM (
+        SELECT v.vec_id AS vid, s.s AS s, c.cid,
+          row_number() OVER (PARTITION BY v.vec_id, s.s
+            ORDER BY {sub_dist}, c.cid) AS rn
+        FROM {table} v CROSS JOIN subs s
+        CROSS JOIN cb c) t WHERE rn = 1),
+    q AS (SELECT query_id, qcid FROM (
+        SELECT e.vec_id AS query_id, c.cid AS qcid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY {cos_c} DESC, c.cid) AS rn
+        FROM {table} e CROSS JOIN cent c
+        WHERE e.vec_id IN ({ids})) t WHERE rn <= {nprobe}),
+    qd AS (
+        SELECT v.vec_id AS qid, s.s AS s, c.cid, {sub_dist} AS d
+        FROM {table} v CROSS JOIN subs s CROSS JOIN cb c
+        WHERE v.vec_id IN ({ids})),
+    cand AS (
+        SELECT q.query_id, a.nid
+        FROM assigned a JOIN q ON a.cid = q.qcid
+        WHERE a.nid <> q.query_id),
+    adc AS (
+        SELECT cand.query_id, cand.nid AS neighbor_id,
+          list_reduce(list(qd.d ORDER BY qd.s), (a, b) -> a + b) AS score
+        FROM cand
+        JOIN codes co ON co.vid = cand.nid
+        JOIN qd ON qd.qid = cand.query_id AND qd.s = co.s
+               AND qd.cid = co.cid
         GROUP BY 1, 2)
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
         SELECT query_id, neighbor_id,

@@ -3052,6 +3052,24 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_pq_topk",
+    _sim.duck_ann_ivf_pq_sql(
+        _QUERY_VEC_IDS, k=5, num_centroids=8, num_codes=16, m=8, nprobe=2
+    ),
+)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (r13 — similarity.py:ann_ivf_pq_topk): the canonical
+    billion-vector layout composed from the round's two halves — one
+    map-side projection labels every vector with its IVF cell AND its m
+    PQ codes; queries probe nprobe cells and rank only those cells'
+    vectors by ADC table lookups. Work per query: |corpus|*nprobe/cells
+    lookups of m adds, vs |corpus|*d multiplies brute-force."""
+    return _sim.ann_ivf_pq_topk(
+        load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5, nprobe=2
+    )
+
+
 @register("bitext_mutual_top1", _sim.duck_bitext_mutual_top1_sql())
 def q_bitext_mutual_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitext / cross-corpus alignment mining (r13): mutual-top-1 pairs

@@ -825,3 +825,31 @@ def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"PQ recall@5 collapsed: {recall}"
+
+
+def test_ivf_pq_full_probe_equals_plain_pq(spark, sf_dir):
+    """nprobe = num_centroids probes every cell, so IVF filtering
+    vanishes and IVF-PQ must equal the plain PQ-ADC ranking EXACTLY;
+    a partial probe's results are a subset of each query's cells."""
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    full = sorted(
+        tuple(r)
+        for r in S.ann_ivf_pq_topk(emb, qids, k=5, nprobe=8).collect()
+    )
+    plain = sorted(
+        tuple(r) for r in S.ann_pq_adc_topk(emb, qids, k=5).collect()
+    )
+    assert full == plain and len(full) == 15
+    # recall floor at the production probe width
+    got2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_ivf_pq_topk(emb, qids, k=5, nprobe=2).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_cosine(emb, qids, k=5).collect()
+    }
+    assert len(got2 & exact) / len(exact) >= 0.15
