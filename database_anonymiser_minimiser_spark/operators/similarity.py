@@ -1246,6 +1246,9 @@ def save_ann_index(
     batch: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_m: int | None = None,
+    pq_codebook: DataFrame | None = None,
+    num_codes: int = 16,
 ) -> None:
     """Persist the landed corpus' ANN state (see layout above).
 
@@ -1258,7 +1261,17 @@ def save_ann_index(
     (map-side literal projection, no join, no shuffle of anything
     landed) and writes it under its own ``batch=<label>`` partition as
     a targeted overwrite, so a replayed epoch rewrites itself instead
-    of double-landing."""
+    of double-landing.
+
+    ``pq_m`` (optional) makes this the persisted IVF-PQ layout: every
+    vector additionally carries its ``pq_m`` product-quantization codes
+    (columns c0..c{m-1}), encoded against ``pq_codebook`` (or the
+    deterministic first-``num_codes``-by-id stand-in) — the codebook is
+    written to ``<path>/pq_codebook`` at seed time and, like the
+    centroids, is NEVER rewritten by appends (an epoch that re-trained
+    it would silently re-meaning every landed code). ADC queries then
+    read m bytes + a norm per vector instead of the full float array
+    (:func:`ann_ivf_pq_topk_vs_index`)."""
     from .dedup import _hfs_delete
 
     spark = emb.sparkSession
@@ -1303,6 +1316,38 @@ def save_ann_index(
             "non-empty corpus (or pass centroids explicitly)"
         )
     assigned = assign_to_centroids(emb, cent_rows, id_col, vec_col)
+    if pq_m is not None:
+        if append:
+            cb = spark.read.parquet(f"{path}/pq_codebook")
+        else:
+            if pq_codebook is None:
+                pq_codebook = (
+                    emb.orderBy(id_col)
+                    .limit(num_codes)
+                    .select(
+                        F.col(id_col).cast("int").alias("cid"),
+                        F.col(vec_col).cast("array<double>").alias("cv"),
+                    )
+                )
+            pq_codebook.write.mode("overwrite").parquet(
+                f"{path}/pq_codebook"
+            )
+            cb = pq_codebook
+        rows = sorted(
+            ({"cid": int(r["cid"]), "cv": list(r["cv"])} for r in cb.collect()),
+            key=lambda r: r["cid"],
+        )
+        if not rows:
+            raise ValueError("ann index has an empty PQ codebook")
+        d = len(rows[0]["cv"])
+        if d % pq_m:
+            raise ValueError(f"dim {d} not divisible by pq_m={pq_m}")
+        assigned = assigned.select(
+            "nid", "nv", "nrm", "cid",
+            *_pq_code_cols(rows, pq_m, d // pq_m, "nv"),
+        ).select(
+            "nid", *[f"c{s}" for s in range(pq_m)], "nv", "nrm", "cid"
+        )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
         f"{path}/vectors/batch={batch}"
     )
@@ -1499,11 +1544,13 @@ def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
     if len(fold) <= 1:
         return {"folded": 0, "rows": 0}
     src_paths = [f"{path}/vectors/batch={b}" for b in fold]
-    src = (
-        spark.read.option("basePath", f"{path}/vectors")
-        .parquet(*src_paths)
-        .select("nid", "nv", "nrm", "cid")
+    src = spark.read.option("basePath", f"{path}/vectors").parquet(
+        *src_paths
     )
+    # keep EVERY data column (the IVF-PQ layout adds c0..c{m-1} code
+    # columns — a fixed select here would silently strip them from the
+    # compacted index); only the batch partition label folds away
+    src = src.select([c for c in src.columns if c != "batch"])
     rows_in = src.count()
     tmp = f"{path}/_compact_tmp/batch=seed"
     _hfs_delete(spark, f"{path}/_compact_tmp")
@@ -2064,3 +2111,121 @@ def duck_ann_ivf_pq_sql(
             ORDER BY score, neighbor_id) AS rank
         FROM adc) t WHERE rank <= {k}
     """
+
+
+def ann_ivf_pq_topk_vs_index(
+    new_emb: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    exclude_batch: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ann_ivf_pq_topk` served from a PERSISTED IVF-PQ index
+    (:func:`save_ann_index` with ``pq_m``): per query vector, the top-k
+    landed neighbours in its ``nprobe`` nearest cells ranked by ADC
+    table lookups over the STORED codes — the daily retrieval shape of
+    the billion-vector layout. Returns (query_id, neighbor_id, rank).
+
+    Scale shape mirrors the screen: the query side (ids + probe cells +
+    m x K ADC tables, driver-computed with the engines' exact fold) is
+    a bounded broadcast literal; the index scan reads only the probed
+    cells' directories (dynamic partition pruning on cid) and only the
+    code columns (m bytes per vector — the full float arrays stay on
+    disk, column-pruned away); ZERO Exchange ever touches the index.
+    ``exclude_batch`` as in :func:`ann_screen_vs_index`."""
+    spark = new_emb.sparkSession
+    cent_rows = [
+        {"cid": int(r["cid"]), "cv": list(r["cv"])}
+        for r in load_centroids(spark, f"{path}/centroids").collect()
+    ]
+    try:
+        cb = spark.read.parquet(f"{path}/pq_codebook")
+    except Exception as exc:
+        raise FileNotFoundError(
+            f"no PQ codebook at {path} — seed the index with "
+            "save_ann_index(..., pq_m=...) to serve ADC queries"
+        ) from exc
+    code_rows = sorted(
+        (int(r["cid"]), [float(v) for v in r["cv"]]) for r in cb.collect()
+    )
+    if [c for c, _ in code_rows] != list(range(len(code_rows))):
+        raise ValueError("pq codebook ids must be 0..K-1 for table lookup")
+    d = len(code_rows[0][1])
+    m = 0
+    landed = spark.read.parquet(f"{path}/vectors")
+    while f"c{m}" in landed.columns:
+        m += 1
+    if not m:
+        raise ValueError(
+            f"index at {path} holds no PQ code columns — re-seed with pq_m"
+        )
+    dsub = d // m
+    if exclude_batch is not None:
+        landed = landed.filter(F.col("batch") != exclude_batch)
+    q_rows = [
+        (int(r[id_col]), [float(v) for v in r[vec_col]])
+        for r in new_emb.select(id_col, vec_col).collect()
+    ]
+    if len(q_rows) > 1000:
+        # each query embeds m x K doubles of literal table — a corpus
+        # passed as the query side would blow the plan; batch the
+        # retrieval loop caller-side (the screen covers corpus-vs-index)
+        raise ValueError(
+            f"{len(q_rows)} query vectors: ADC retrieval takes a BOUNDED "
+            "query batch (<=1000); chunk the callers' loop"
+        )
+    nprobe = min(int(nprobe), len(cent_rows))
+    q_elems = []
+    probed_cells: set = set()
+    for qid, qv in sorted(q_rows):
+        scored = sorted(
+            ((_py_cos(qv, c["cv"]), -c["cid"]) for c in cent_rows),
+            reverse=True,
+        )
+        probes = [-negcid for _cc, negcid in scored[:nprobe]]
+        probed_cells.update(probes)
+        tables = []
+        for s in range(m):
+            qsub = _pq_sub(qv, s, dsub)
+            tab = [
+                _py_sq_dist(qsub, _pq_sub(cv, s, dsub))
+                for _c, cv in code_rows
+            ]
+            tables.append(
+                "array("
+                + ", ".join(f"CAST({t!r} AS DOUBLE)" for t in tab)
+                + f") AS t{s}"
+            )
+        for cell in probes:
+            q_elems.append(
+                f"struct(CAST({qid} AS BIGINT) AS query_id, "
+                f"{cell} AS qcid, " + ", ".join(tables) + ")"
+            )
+    queries = spark.range(1).select(
+        F.explode(F.expr("array(" + ", ".join(q_elems) + ")")).alias("q")
+    ).select("q.*")
+    score = " + ".join(f"element_at(t{s}, c{s} + 1)" for s in range(m))
+    # the probed cells are known DRIVER-side here (unlike the screen,
+    # whose delta-derived cells need dynamic pruning), so prune the
+    # index scan STATICALLY — PartitionFilters carries the literal cid
+    # set and unprobed directories are never even listed
+    probed_cells = sorted(probed_cells)
+    cand = (
+        landed.select("nid", "cid", *[f"c{s}" for s in range(m)])
+        .filter(F.col("cid").isin(probed_cells))
+        .join(F.broadcast(queries), F.col("cid") == F.col("qcid"))
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.expr(score).alias("_adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("neighbor_id").asc()
+    )
+    return cand.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)

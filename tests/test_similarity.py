@@ -853,3 +853,108 @@ def test_ivf_pq_full_probe_equals_plain_pq(spark, sf_dir):
         for r in S.topk_cosine(emb, qids, k=5).collect()
     }
     assert len(got2 & exact) / len(exact) >= 0.15
+
+
+def test_ivf_pq_index_serving_matches_inline(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ layout: an index seeded with pq_m over the
+    full corpus serves the IDENTICAL top-k as the inline ann_ivf_pq_topk
+    (same centroids, same codebook, same probes, same ADC fold) — and
+    the serving plan reads ONLY the code columns of the probed cells
+    (column pruning drops the float arrays; dynamic partition pruning
+    drops the unprobed cells; no index-side Exchange)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    path = str(tmp_path / "ivfpq")
+    S.save_ann_index(emb, path, num_centroids=8, pq_m=8, num_codes=16)
+    delta = emb.filter(F.col("vec_id").isin(qids))
+    served = S.ann_ivf_pq_topk_vs_index(delta, path, k=5, nprobe=2)
+    inline = S.ann_ivf_pq_topk(emb, qids, k=5, nprobe=2)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    plan = served._sc._jvm.PythonSQLUtils.explainString(
+        served._jdf.queryExecution(), "formatted"
+    )
+    mm = re.search(
+        r"Scan parquet [^\n]*\n(?:.*\n)*?Location[^\n]*ivfpq/vectors"
+        r"[\s\S]*?ReadSchema: ([^\n]*)",
+        plan,
+    )
+    assert mm, plan
+    assert "nv" not in mm.group(1) and "nrm" not in mm.group(1), mm.group(1)
+    assert "c0" in mm.group(1)
+    pf = re.search(
+        r"Location[^\n]*ivfpq/vectors[\s\S]*?PartitionFilters: \[([^\]]*)\]",
+        plan,
+    )
+    # probe cells are driver-known => STATIC partition pruning (a
+    # literal cid IN-set, stronger than the screen's dynamic pruning)
+    assert pf and re.search(r"cid#\d+ IN ", pf.group(1)), plan
+    # bounded-query guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="BOUNDED"):
+        S.ann_ivf_pq_topk_vs_index(emb.union(emb).union(emb), path, k=5)
+    # friendly error without a codebook
+    S.save_ann_index(emb, str(tmp_path / "plain"), num_centroids=8)
+    with _pytest.raises(FileNotFoundError, match="pq_m"):
+        S.ann_ivf_pq_topk_vs_index(delta, str(tmp_path / "plain"), k=5)
+
+
+def test_ivf_pq_index_codes_survive_append_and_compaction(spark, tmp_path):
+    """Appends encode against the PERSISTED codebook (never re-trained)
+    and compaction preserves the code columns — the served ranking is
+    unchanged across both maintenance operations."""
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, schema)
+
+    base = vecs(
+        [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)])
+         for i in range(12)]
+    )
+    path = str(tmp_path / "ivfpq")
+    S.save_ann_index(base, path, num_centroids=2, pq_m=4, num_codes=4)
+    probe = vecs([(100, [1.0, -2.0, 1.0, 0.0, 2.0, -1.0, 0.0, 1.0])])
+
+    def serve():
+        # k above the corpus size: the full probed-cell ranking, so a
+        # coarse-codebook ADC tie can never hide the appended vector
+        return sorted(
+            tuple(r)
+            for r in S.ann_ivf_pq_topk_vs_index(
+                probe, path, k=50, nprobe=2
+            ).collect()
+        )
+
+    before = serve()
+    assert len(before) == 12  # every seeded vector (nprobe=2 = all cells)
+    extra = vecs([(50, [1.0, -2.0, 1.0, 0.0, 2.0, -1.0, 0.0, 1.0])])
+    S.save_ann_index(extra, path, append=True, batch="e1", pq_m=4)
+    after_append = serve()
+    assert len(after_append) == 13 and any(t[1] == 50 for t in after_append)
+    cb_before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/pq_codebook")
+        .selectExpr("cid", "cast(cv as string)").collect()
+    )
+    S.compact_ann_index(spark, path)
+    assert serve() == after_append
+    cb_after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/pq_codebook")
+        .selectExpr("cid", "cast(cv as string)").collect()
+    )
+    assert cb_after == cb_before
