@@ -254,6 +254,9 @@ HEADLINE = [
     # projection; the ADC scan reads m codes per vector, not d floats)
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
+    # round-13: DP quantiles (post-processing of the histogram release
+    # — prices like the histogram + a bounded public-grid window)
+    "privacy_dp_quantiles",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

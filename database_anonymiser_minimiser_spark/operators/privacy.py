@@ -25,7 +25,7 @@ class count is modest, AQE otherwise). No row-level Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -771,3 +771,89 @@ def duck_dp_noisy_count_entities_sql(
         f"FROM {table} GROUP BY {entity_col})"
     )
     return duck_dp_noisy_count_sql(inner, [group_col], epsilon, seed, alias)
+
+
+def dp_quantiles_from_histogram(
+    df: DataFrame,
+    group_col: str,
+    domain: list,
+    percentiles: "list[int]",
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+) -> DataFrame:
+    """DP quantiles by POST-PROCESSING the densified histogram release
+    (:func:`dp_noisy_count_known_domain`): the released quantile for
+    percentile p is the first public bin whose cumulative noisy count
+    reaches p% of the noisy total. Post-processing of a DP release is
+    free (no additional epsilon beyond the histogram's), the published
+    values are drawn from the PUBLIC bin grid, and the arithmetic is
+    all integer (cum * 100 >= p * total) — so the release is exact
+    cross-engine and the privacy accounting is exactly the histogram's.
+    Returns (pct, quantile_bin), one row per requested percentile.
+
+    Scale shape: the histogram is one groupBy shuffle; the cumulative
+    sum is a window over the PUBLIC bin grid — a bounded, published
+    domain (tens to thousands of rows), so the single-partition window
+    is a driver-sized footnote, not a data-sized sort. Degenerate case:
+    a noisy total of 0 (every count clamped) releases the FIRST bin for
+    every percentile — deterministic and honest (the data was too small
+    to survive the noise)."""
+    if not percentiles or any(
+        not isinstance(p, int) or not (0 < p <= 100) for p in percentiles
+    ):
+        raise ValueError("percentiles must be integers in (0, 100]")
+    hist = dp_noisy_count_known_domain(
+        df, group_col, domain, epsilon=epsilon, seed=seed
+    )
+    w_cum = (
+        Window.orderBy(group_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        F.col(group_col),
+        F.sum("noisy_count").over(w_cum).alias("_cum"),
+    )
+    tot = hist.agg(F.sum("noisy_count").alias("_tot"))
+    pcts = hist.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in sorted(percentiles)])
+        ).alias("pct")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("_cum") * F.lit(100) >= F.col("pct") * F.col("_tot"))
+        .groupBy("pct")
+        .agg(F.min(group_col).alias("quantile_bin"))
+    )
+
+
+def duck_dp_quantiles_sql(
+    table: str,
+    group_col: str,
+    domain: list,
+    percentiles: "list[int]",
+    epsilon: float = 1.0,
+    seed: str = "dbmask-dp",
+) -> str:
+    """DuckDB twin of :func:`dp_quantiles_from_histogram` — the inner
+    histogram is the settled known-domain twin, the post-processing the
+    same integer comparisons."""
+    inner = duck_dp_noisy_count_known_domain_sql(
+        table, group_col, domain, epsilon=epsilon, seed=seed
+    )
+    pcts = ", ".join(f"({int(p)})" for p in sorted(percentiles))
+    return f"""
+    WITH hist AS ({inner}),
+    cum AS (SELECT {group_col},
+              sum(noisy_count) OVER (ORDER BY {group_col}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+            FROM hist),
+    tot AS (SELECT sum(noisy_count) AS _tot FROM hist),
+    pcts(pct) AS (VALUES {pcts})
+    SELECT CAST(pcts.pct AS BIGINT) AS pct,
+           CAST(min({group_col}) AS BIGINT) AS quantile_bin
+    FROM cum, tot, pcts
+    WHERE _cum * 100 >= pcts.pct * _tot
+    GROUP BY 1
+    """

@@ -2310,6 +2310,36 @@ def q_privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "privacy_dp_quantiles",
+    _priv.duck_dp_quantiles_sql(
+        "(SELECT CAST(floor(value / 50.0) AS BIGINT) * 50 AS value_bin "
+        "FROM events)",
+        "value_bin",
+        _DP_VALUE_BINS,
+        percentiles=[25, 50, 75, 90],
+        epsilon=1.0,
+    ),
+)
+def q_privacy_dp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP quantiles (r13): p25/p50/p75/p90 of the event values released
+    as PUBLIC histogram bins — post-processing of the densified DP
+    histogram (privacy.py:dp_quantiles_from_histogram), so the epsilon
+    cost is exactly the histogram's and the quantile step adds ZERO
+    privacy loss (post-processing theorem). All-integer arithmetic
+    (cum * 100 >= p * total) on the noisy counts; the cumulative window
+    runs over the public bin grid — a bounded published domain, not the
+    data."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.floor(F.col("value") / F.lit(50.0)).cast("long") * F.lit(50))
+        .alias("value_bin")
+    )
+    return _priv.dp_quantiles_from_histogram(
+        ev, "value_bin", _DP_VALUE_BINS, percentiles=[25, 50, 75, 90],
+        epsilon=1.0,
+    )
+
+
+@register(
     "sample_weighted_chars",
     f"""
     WITH mx AS (SELECT max(n_chars) AS m FROM documents)

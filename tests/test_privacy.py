@@ -525,3 +525,45 @@ def test_dp_user_counts_invariant_to_row_duplication(spark):
     assert rel(noisy_input) == out
     # a genuinely NEW entity does change it (sanity that the gate bites)
     assert rel(base.union(spark.createDataFrame([(9, "a")], ["u", "g"]))) != out
+
+
+def test_dp_quantiles_postprocessing_properties(spark):
+    """DP quantiles are post-processing of the histogram release:
+    monotone in the percentile, drawn from the PUBLIC bin grid, and the
+    degenerate all-clamped release (empty relation) returns the first
+    bin for every percentile — deterministic, never an error."""
+    import pytest as _pytest
+
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        dp_quantiles_from_histogram,
+    )
+
+    bins = list(range(0, 101, 10))
+    df = spark.range(0, 1000).selectExpr(
+        "CAST((id % 100) / 10 AS BIGINT) * 10 AS b"
+    )
+    got = {
+        r["pct"]: r["quantile_bin"]
+        for r in dp_quantiles_from_histogram(
+            df, "b", bins, [10, 25, 50, 75, 90, 100], epsilon=2.0,
+            seed="qtest",
+        ).collect()
+    }
+    assert set(got) == {10, 25, 50, 75, 90, 100}
+    ordered = [got[p] for p in (10, 25, 50, 75, 90, 100)]
+    assert ordered == sorted(ordered), ordered  # monotone in pct
+    assert all(b in bins for b in ordered)  # public grid only
+    # roughly uniform data over 0..90: the median lands mid-grid
+    assert 30 <= got[50] <= 70
+    # degenerate: empty relation -> noisy counts clamp around 0; the
+    # release is the first bin everywhere (honest too-small signal)
+    empty = df.filter("b < 0")
+    got0 = {
+        r["pct"]: r["quantile_bin"]
+        for r in dp_quantiles_from_histogram(
+            empty, "b", bins, [50], epsilon=1000.0, seed="qtest"
+        ).collect()
+    }
+    assert got0 == {50: 0}
+    with _pytest.raises(ValueError, match="percentiles"):
+        dp_quantiles_from_histogram(df, "b", bins, [0], epsilon=1.0)
