@@ -1316,6 +1316,36 @@ def save_ann_index(
             "non-empty corpus (or pass centroids explicitly)"
         )
     assigned = assign_to_centroids(emb, cent_rows, id_col, vec_col)
+    if append:
+        # the PQ shape is a property of the INDEX, not the call: an
+        # append that silently skipped encoding would land code-less
+        # rows (NULL codes -> NULL ADC scores downstream), and one that
+        # added codes to a plain index would drift the schema. Infer
+        # from what is on disk; reject contradictions loudly.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/pq_codebook"
+        )
+        has_cb = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        ).exists(jvm_path)
+        if has_cb:
+            existing = spark.read.parquet(f"{path}/vectors")
+            disk_m = 0
+            while f"c{disk_m}" in existing.columns:
+                disk_m += 1
+            if pq_m is not None and pq_m != disk_m:
+                raise ValueError(
+                    f"index at {path} holds {disk_m} PQ code columns; "
+                    f"append requested pq_m={pq_m} — the shape is fixed "
+                    "at seed time"
+                )
+            pq_m = disk_m
+        elif not has_cb and pq_m is not None:
+            raise ValueError(
+                f"index at {path} was seeded WITHOUT PQ codes — adding "
+                "them mid-life would leave earlier batches code-less; "
+                "re-seed with pq_m"
+            )
     if pq_m is not None:
         if append:
             cb = spark.read.parquet(f"{path}/pq_codebook")

@@ -958,3 +958,35 @@ def test_ivf_pq_index_codes_survive_append_and_compaction(spark, tmp_path):
         .selectExpr("cid", "cast(cv as string)").collect()
     )
     assert cb_after == cb_before
+
+
+def test_ann_index_append_infers_pq_shape(spark, tmp_path):
+    """The PQ shape is a property of the INDEX: an append WITHOUT pq_m
+    to a PQ-seeded index auto-encodes against the persisted codebook (a
+    code-less batch would serve NULL ADC scores); a mismatched pq_m and
+    adding codes to a plain index both fail loudly."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    base = spark.createDataFrame(
+        [(i, [float((i + j) % 3) for j in range(8)]) for i in range(6)],
+        schema,
+    )
+    path = str(tmp_path / "idx")
+    S.save_ann_index(base, path, num_centroids=2, pq_m=4, num_codes=4)
+    extra = spark.createDataFrame([(40, [1.0] * 8)], schema)
+    S.save_ann_index(extra, path, append=True, batch="e1")  # no pq_m
+    landed = spark.read.parquet(f"{path}/vectors")
+    row = landed.filter("nid = 40").collect()[0]
+    assert all(row[f"c{s}"] is not None for s in range(4))
+    with pytest.raises(ValueError, match="fixed at seed"):
+        S.save_ann_index(extra, path, append=True, batch="e2", pq_m=2)
+    plain = str(tmp_path / "plain")
+    S.save_ann_index(base, plain, num_centroids=2)
+    with pytest.raises(ValueError, match="re-seed"):
+        S.save_ann_index(extra, plain, append=True, batch="e1", pq_m=4)
