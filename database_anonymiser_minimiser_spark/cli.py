@@ -670,7 +670,27 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.expectations import check, parse_quality_block
 
             for table, exps in parse_quality_block(cfg.quality).items():
-                for r in check(engine.source.read(table), exps).collect():
+                try:
+                    df = engine.source.read(table)
+                except Exception as exc:
+                    # a typo'd table name is a config mistake, not a
+                    # traceback; missing COLUMNS surface the same way
+                    # through the aggregate below
+                    print(
+                        f"error: quality.{table}: cannot read table: "
+                        f"{str(exc).splitlines()[0]}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                try:
+                    contract_rows = check(df, exps).collect()
+                except Exception as exc:
+                    print(
+                        f"error: quality.{table}: {str(exc).splitlines()[0]}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                for r in contract_rows:
                     rows.append(
                         (table, r["constraint"], r["passed"], r["observed"])
                     )

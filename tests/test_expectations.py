@@ -254,3 +254,31 @@ def test_audit_verb_runs_quality_contracts(tmp_path, capsys):
     out_path = tmp_path / "rt.yaml"
     loaded.save(out_path)
     assert config_mod.load(out_path).quality == loaded.quality
+
+
+def test_audit_quality_bad_table_or_column_is_friendly(tmp_path, capsys):
+    """A typo'd table or column in the quality block takes the clean
+    error/exit-2 path, never a traceback."""
+    from database_anonymiser_minimiser_spark.cli import main
+
+    cfg = tmp_path / "q.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration: {}\n"
+        "quality:\n  no_such_table:\n"
+        "    - {check: min_rows, n: 1}\n"
+    )
+    rc = main(["-c", str(cfg), "audit"])
+    _, err = capsys.readouterr()
+    assert rc == 2 and "error: quality.no_such_table" in err
+    assert "Traceback" not in err
+    cfg.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration: {}\n"
+        "quality:\n  orders:\n"
+        "    - {check: complete, column: no_such_column}\n"
+    )
+    rc = main(["-c", str(cfg), "audit"])
+    _, err = capsys.readouterr()
+    assert rc == 2 and "error: quality.orders" in err
+    assert "Traceback" not in err
