@@ -225,6 +225,13 @@ SHOWCASE = [
         "grows with the corpora, so task parallelism scales.",
     ),
     (
+        "ann_ivf_pq_topk",
+        "IVF-PQ (r13): ONE map-side projection labels every vector "
+        "with its cell and its m PQ codes; the bounded query side "
+        "(probe cells + ADC tables as literals) broadcasts; the sole "
+        "exchange ranks nprobe/cells of the corpus per query.",
+    ),
+    (
         "sample_temperature_by_source",
         "Temperature source mixing (r13): one groupBy(source) "
         "aggregate, a 1-row broadcast of the ordered sqrt-share fold, "
