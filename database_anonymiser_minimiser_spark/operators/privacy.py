@@ -805,6 +805,12 @@ def dp_quantiles_from_histogram(
     hist = dp_noisy_count_known_domain(
         df, group_col, domain, epsilon=epsilon, seed=seed
     )
+    # the histogram feeds BOTH the cumulative window and the total, and
+    # Catalyst reuses neither scan nor exchange across two consumers
+    # (the q15 plan-audit class) — without this persist the CORPUS
+    # aggregates twice; the cached relation is grid-sized (|domain|
+    # rows), so the footprint is a published constant
+    hist = hist.persist()
     w_cum = (
         Window.orderBy(group_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -775,3 +775,53 @@ def test_expectations_is_one_aggregate_pass(spark, sf):
     assert "Python" not in plan, plan[:2000]
     assert tree.count(" Exchange (") == 1, tree
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_temperature_sample_one_corpus_shuffle(spark, sf):
+    """r13: temperature source mixing scans the corpus once for the
+    totals and once for the ranking window, shuffles only on source,
+    and the quota side rides in broadcast — never a shuffle join of the
+    corpus against its own aggregate."""
+    plan = plan_of(Q.QUERIES["sample_temperature_by_source"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, tree
+    assert "Python" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree, tree
+
+
+def test_pq_adc_corpus_never_shuffles_before_ranking(spark, sf):
+    """r13: PQ encode + ADC is one projection chain over the scan; the
+    bounded query side broadcasts; the only Exchange in the plan is the
+    per-query ranking window."""
+    plan = plan_of(Q.QUERIES["ann_pq_adc_topk"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, tree
+    assert "Python" not in plan, plan[:2000]
+    # corpus scan -> codes projection -> broadcast join: exactly one
+    # shuffle (the rank window)
+    assert tree.count(" Exchange (") == 1, tree
+
+
+def test_ivf_pq_single_exchange_and_broadcast(spark, sf):
+    """r13: IVF-PQ keeps the same single-Exchange shape with the cell
+    filter riding the broadcast join."""
+    plan = plan_of(Q.QUERIES["ann_ivf_pq_topk"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, tree
+    assert "Python" not in plan, plan[:2000]
+    assert tree.count(" Exchange (") == 1, tree
+
+
+def test_dp_quantiles_window_is_public_grid_sized(spark, sf):
+    """r13: the DP quantile post-processing windows over the PUBLIC bin
+    grid (the densified histogram), never the corpus — one corpus-side
+    aggregate Exchange; everything after it is broadcast/grid-sized."""
+    plan = plan_of(Q.QUERIES["privacy_dp_quantiles"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, tree
+    assert "Python" not in plan, plan[:2000]
+    # the histogram is persisted (two consumers: cum + total — without
+    # it the corpus aggregates twice, the q15 class); BOTH consumers
+    # must read the InMemoryRelation (the parquet scan inside its
+    # definition renders per consumer but executes once)
+    assert tree.count("InMemoryTableScan") >= 2, tree
