@@ -1359,6 +1359,19 @@ def save_ann_index(
                         F.col(vec_col).cast("array<double>").alias("cv"),
                     )
                 )
+            # cid is a CODE SLOT, not a corpus id: ADC tables index it
+            # positionally (element_at(t, code+1)), so the persisted
+            # codebook MUST be labelled 0..K-1 — a corpus whose
+            # smallest ids are not contiguous (found live: even-id
+            # landed corpora) would otherwise seed an unservable index.
+            # Relabel deterministically in ascending original-cid order
+            # (a K-row window — the codebook is bytes).
+            pq_codebook = pq_codebook.select(
+                (
+                    F.row_number().over(Window.orderBy("cid")) - 1
+                ).alias("cid"),
+                "cv",
+            )
             pq_codebook.write.mode("overwrite").parquet(
                 f"{path}/pq_codebook"
             )
