@@ -7221,74 +7221,69 @@ def q_salted_agg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _PRIORITY_50 = [
-    # ======== ROUND 13 WINDOW ========
-    # (a) the TEN never-driver-graded / must-regrade queries mandated by
-    # the r12 verdict (item 2): the r12 red row privacy_dp_noisy_sum
-    # (oracle HUGEINT type artifact — values verified identical by the
-    # judge at three scales; twin now CASTs AS BIGINT and the whole
-    # class is locked out by test_oracle_output_types_canonical) plus
-    # the NINE r12 post-freeze registrations.
-    "privacy_dp_noisy_sum",
-    "privacy_dp_known_domain",
-    "privacy_dp_histogram",
-    "streaming_dp_counts",
-    "events_moving_avg_24h",
-    "sample_weighted_chars",
-    "expectations_events",
-    "chunk_documents_64_48",
-    "dedup_containment_pairs",
-    "embedding_gram_matrix",
-    # (b) the TWENTY-FOUR r9-stale grades (the exact set whose latest
-    # driver grade is r9, recomputed from CORRECTNESS_r01..r12; named
-    # as r13-mandatory in COVERAGE.md §r12 and the r12 verdict).
-    "mask_address",
-    "mask_date",
-    "mask_email",
-    "mask_firstName",
-    "mask_ipv4",
-    "mask_lastName",
-    "mask_name",
-    "mask_number",
-    "mask_phone",
-    "mask_username",
-    "pii_suggest_rules",
-    "pii_suggest_rules_typed",
-    "privacy_perturb_numeric",
-    "privacy_shift_dates",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q20_excess_supply",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "quality_quantile_filter",
-    "shard_assignment_stats",
-    "streaming_heavy_hitters_users",
-    "text_bigram_novelty",
-    "text_repetition_quality",
-    # (c) 16 of the 49 r10 grades (now the oldest tier), family-spread:
-    # one representative per machinery family (anonymise projection,
-    # as-of join, bucketed join, CDC apply, cohort windows, consistency
-    # broadcast, decontamination, exact dedup, MinHash LSH,
-    # sessionization, JSON schema agg, sequence packing, k-anonymity,
-    # TPC-H scan/agg, range join, PII scrub). The 33 r10 grades NOT
-    # here are named in COVERAGE.md §r13 with family rationale and head
-    # r14.
-    "anonymise_customer_full",
-    "asof_join_events_orders",
-    "bucketed_join_segment_revenue",
-    "cdc_apply_orders",
-    "cohort_retention_weekly",
-    "consistency_broadcast_apply",
-    "contamination_check",
-    "dedup_exact_keep_best",
-    "dedup_minhash_lsh",
-    "events_sessionize",
-    "json_schema_agg",
-    "pack_sequences_2048",
-    "privacy_k_anonymity_stats",
-    "q4_order_priority_check",
-    "range_join_events_windows",
-    "scrub_text_pii",
+    # ======== ROUND 14 WINDOW ========
+    # (a) the SIX r13 post-freeze registrations — never driver-graded,
+    # mandated to head this window by the r13 verdict (item 1) and the
+    # standing "new => windowed next round" policy.
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "ann_screen_delta",
+    "bitext_mutual_top1",
+    "sample_temperature_by_source",
+    "privacy_dp_quantiles",
+    # (b) the THIRTY-THREE r10-stale deferrals named exactly in
+    # COVERAGE.md SS Round 13 (each deferred last round with a
+    # same-machinery sibling windowed then); after a green r14 window
+    # no oracle-keyed grade is older than r11.
+    "contamination_ngram_overlap",
+    "contamination_ngram_overlap_oracle",
+    "source_overlap_matrix",
+    "corpus_vocab_top100",
+    "text_quality_score",
+    "string_suite_part",
+    "dedup_common_spans",
+    "dedup_common_spans_oracle",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_incremental_ingest",
+    "dedup_minhash_incremental",
+    "dedup_simhash_wide_pairs",
+    "doc_chunks_128_64",
+    "events_multires_rollup",
+    "funnel_windowed_24h",
+    "mask_city",
+    "mask_company",
+    "mask_country",
+    "percentiles_orders_by_status",
+    "privacy_generalize_customer",
+    "privacy_l_diversity",
+    "profile_customer",
+    "q12_priority_shipping",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q6_forecast_revenue",
+    "salted_agg_user_value",
+    "sample_stratified_by_lang",
+    "sample_weighted_by_length",
+    "streaming_percentiles_tdigest",
+    "subset_fk_closed_counts",
+    # (c) 11 of the 50 r11 grades (now the oldest tier), oldest-first
+    # family-spread: core export, TPC-H agg, faker composite, ANN base,
+    # dedup connected-components, text lang-id, multimodal metadata,
+    # streaming watermark, BPE tokenizer, ranking window, set ops. The
+    # 39 r11 grades NOT here rotate through r15+ oldest-first.
+    "full_export_customer",
+    "q1_pricing_summary",
+    "mask_all_fakers",
+    "ann_topk_cosine",
+    "dedup_clusters",
+    "text_language_id",
+    "multimodal_meta",
+    "streaming_events_watermark",
+    "bpe_merge_pairs",
+    "window_top_orders_per_customer",
+    "setop_union_intersect_except",
 ]
 
 
