@@ -101,8 +101,8 @@ def build_parser() -> argparse.ArgumentParser:
         "release ledger). If PATH exists, prior releases preload so "
         "epsilon accounting is cumulative across invocations. The "
         "manifest records the seeds and must never be published with "
-        "the released data. (The standalone 'release' verb takes its "
-        "own --manifest after the verb.)",
+        "the released data. The 'release' verb honours this pre-verb "
+        "flag too (a post-verb --manifest overrides it).",
     )
     sub = p.add_subparsers(dest="command")
     sync = sub.add_parser("sync", help="add missing tables to the config")
@@ -349,7 +349,13 @@ def build_parser() -> argparse.ArgumentParser:
         "a re-released relation",
     )
     release.add_argument(
-        "--manifest", default=None, metavar="PATH",
+        # SUPPRESS, not None: subparsers copy their parsed namespace —
+        # defaults included — over the parent's, so a None default here
+        # would silently discard a pre-verb `--manifest X release`
+        # (the manifest then never written, prior-epsilon preload
+        # skipped — a privacy-accounting footgun). With SUPPRESS the
+        # pre-verb value survives; a post-verb --manifest still wins.
+        "--manifest", default=argparse.SUPPRESS, metavar="PATH",
         help="write the release manifest (per-release epsilon/seed/"
         "adjacency + per-relation budget totals) as JSON to PATH; "
         "without it the manifest prints to stdout. If PATH already "

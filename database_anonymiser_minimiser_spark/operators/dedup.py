@@ -1049,6 +1049,15 @@ def compact_minhash_index_bucketed(
     # per-bucket file merge. The repartition stays as the belt for the
     # re-bucketing case (n_buckets != the table's current bucket count),
     # where the scan no longer satisfies it and the Exchange runs.
+    if batch in tuple(keep_batches):
+        # the fold label colliding with a kept epoch would silently
+        # MERGE the epoch that must stay separate (its replay
+        # self-exclusion would then prune the whole folded corpus)
+        raise ValueError(
+            f"compact_minhash_index_bucketed: fold label {batch!r} is in "
+            f"keep_batches — a kept epoch cannot double as the fold "
+            f"target; pass a different batch label"
+        )
     auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     prev_auto = spark.conf.get(auto_key)
     spark.conf.set(auto_key, "false")

@@ -807,10 +807,40 @@ def dp_quantiles_from_histogram(
     )
     # the histogram feeds BOTH the cumulative window and the total, and
     # Catalyst reuses neither scan nor exchange across two consumers
-    # (the q15 plan-audit class) — without this persist the CORPUS
-    # aggregates twice; the cached relation is grid-sized (|domain|
-    # rows), so the footprint is a published constant
-    hist = hist.persist()
+    # (the q15 plan-audit class). A persist() would also stop the
+    # double aggregation, but the result is consumed lazily so there is
+    # no sound unpersist point — a long-lived serving session would
+    # leak one cached relation per call. Instead the release is
+    # collected EAGERLY: it is grid-sized (|domain| rows, a published
+    # constant) and it IS the DP release, so driver residency is by
+    # definition public; the corpus aggregates exactly once, here, and
+    # both consumers read the local relation.
+    hist_schema = hist.schema
+    hist_rows = hist.collect()
+    # rebuilt as CATALYST LITERALS (not createDataFrame, which plans a
+    # Python-RDD conversion): the released grid becomes a JVM-side
+    # literal relation, keeping the post-processing plan Python-free
+    hist = (
+        df.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            *[
+                                F.lit(r[f.name])
+                                .cast(f.dataType)
+                                .alias(f.name)
+                                for f in hist_schema.fields
+                            ]
+                        )
+                        for r in hist_rows
+                    ]
+                )
+            ).alias("_h")
+        )
+        .select("_h.*")
+    )
     w_cum = (
         Window.orderBy(group_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

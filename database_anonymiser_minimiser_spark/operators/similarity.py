@@ -1114,6 +1114,16 @@ def embedding_gram_upper(
     1e-15 per-product resolution: bias < n * 1e-15 (2e-11 at sf1),
     far inside the float twin's 1e-9 equality gate.
 
+    PRECONDITION — bounded element magnitudes: the fixed-point step
+    ``CAST(floor(p * 1e15) AS BIGINT)`` requires every per-row product
+    ``|x_i * x_j| <= ~9.2e3`` (BIGINT holds ~9.22e18; Spark's non-ANSI
+    cast SATURATES silently past it while DuckDB's raises), and the
+    1e-15 resolution claim itself degrades once ``|p| > ~9`` (p * 1e15
+    beyond 2^53 loses integer exactness in the double multiply). Both
+    bounds hold with huge margin for unit-ish embedding vectors (the
+    corpus this gate verifies); feeding unnormalised vectors with
+    elements beyond ~95 is out of contract and is guarded below.
+
     Scale shape: every row's d*(d+1)/2 pair products are generated
     INLINE (no self-join), so the partial aggregation combines them
     map-side and the single Exchange carries only tasks x d^2 rows —
@@ -1128,13 +1138,27 @@ def embedding_gram_upper(
     and THIS form is its exactness verification gate — run it on a
     sample or a schedule, not per batch. Excluded from the bench sweep
     like the other verification twins (ngram prefix mode)."""
+    # the guard: Spark's non-ANSI double->BIGINT cast saturates
+    # silently, so an out-of-contract product would corrupt the sum
+    # instead of failing — raise instead (DuckDB's twin needs no guard;
+    # its overflowing cast raises natively)
+    fixed = (
+        "CASE WHEN abs(_p) > 9.0e3 THEN "
+        "CAST(raise_error('embedding_gram_upper: |x_i*x_j| exceeds the "
+        "fixed-point contract (~9e3) — normalise the vectors') "
+        "AS BIGINT) "
+        "ELSE CAST(floor(_p * 1e15) AS BIGINT) END"
+    )
+    prod = (
+        "(CAST(element_at(_e, i + 1) AS DOUBLE) * "
+        "CAST(element_at(_e, j + 1) AS DOUBLE))"
+    )
     pairs = (
         "flatten(transform(sequence(0, size(_e) - 1), "
         "i -> transform(sequence(i, size(_e) - 1), "
         "j -> struct(i AS i, j AS j, "
-        "CAST(floor((CAST(element_at(_e, i + 1) AS DOUBLE) * "
-        "CAST(element_at(_e, j + 1) AS DOUBLE)) * 1e15) AS BIGINT) "
-        "AS p))))"
+        + fixed.replace("_p", prod)
+        + " AS p))))"
     )
     return (
         df.select(F.col(vec_col).alias("_e"))
@@ -1291,7 +1315,6 @@ def save_ann_index(
                 "one; seed the index first (append=False)"
             ) from exc
     else:
-        _hfs_delete(spark, path)
         if centroids is None:
             # deterministic stand-in: the num_centroids SMALLEST ids
             # (not `id < k`, which silently selects nothing when the
@@ -1305,7 +1328,6 @@ def save_ann_index(
                     F.col(vec_col).cast("array<double>").alias("cv"),
                 )
             )
-        save_centroids(centroids, f"{path}/centroids")
         cent = centroids
     cent_rows = [
         {"cid": int(r["cid"]), "cv": list(r["cv"])} for r in cent.collect()
@@ -1346,6 +1368,7 @@ def save_ann_index(
                 "them mid-life would leave earlier batches code-less; "
                 "re-seed with pq_m"
             )
+    rows = None
     if pq_m is not None:
         if append:
             cb = spark.read.parquet(f"{path}/pq_codebook")
@@ -1366,16 +1389,12 @@ def save_ann_index(
             # landed corpora) would otherwise seed an unservable index.
             # Relabel deterministically in ascending original-cid order
             # (a K-row window — the codebook is bytes).
-            pq_codebook = pq_codebook.select(
+            cb = pq_codebook.select(
                 (
                     F.row_number().over(Window.orderBy("cid")) - 1
                 ).alias("cid"),
                 "cv",
             )
-            pq_codebook.write.mode("overwrite").parquet(
-                f"{path}/pq_codebook"
-            )
-            cb = pq_codebook
         rows = sorted(
             ({"cid": int(r["cid"]), "cv": list(r["cv"])} for r in cb.collect()),
             key=lambda r: r["cid"],
@@ -1385,6 +1404,24 @@ def save_ann_index(
         d = len(rows[0]["cv"])
         if d % pq_m:
             raise ValueError(f"dim {d} not divisible by pq_m={pq_m}")
+    if not append:
+        # every input is now collected and validated (non-empty
+        # centroids, non-empty codebook, divisible dim) — only past
+        # this point is it safe to clear the previous index, so a
+        # re-seed from a bad/empty source fails BEFORE it can clobber
+        # a landed index. The persisted relations are rebuilt from the
+        # validated rows, so exactly what was checked is what lands.
+        _hfs_delete(spark, path)
+        spark.createDataFrame(
+            [(r["cid"], r["cv"]) for r in cent_rows],
+            "cid int, cv array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        if pq_m is not None:
+            spark.createDataFrame(
+                [(r["cid"], r["cv"]) for r in rows],
+                "cid int, cv array<double>",
+            ).write.mode("overwrite").parquet(f"{path}/pq_codebook")
+    if pq_m is not None:
         assigned = assigned.select(
             "nid", "nv", "nrm", "cid",
             *_pq_code_cols(rows, pq_m, d // pq_m, "nv"),
@@ -1586,6 +1623,21 @@ def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
     fold = [b for b in batches if b not in tuple(keep_batches)]
     if len(fold) <= 1:
         return {"folded": 0, "rows": 0}
+    # the consolidated partition promotes under batch=seed; if the
+    # CALLER kept 'seed' unfolded (plausible: fold >=2 epochs while the
+    # seed stays), that destination already exists and Hadoop rename
+    # would NOT fail — it moves the source INTO the existing directory
+    # (vectors/batch=seed/batch=seed/...), the boolean guard never
+    # fires, and the trash delete then loses the folded rows. Promote
+    # under the first seed<N> label that collides with nothing instead.
+    dest = "seed"
+    # folded partitions move aside before the promotion, so only KEPT
+    # labels can collide with the destination
+    taken = set(keep_batches)
+    n = 2
+    while dest in taken:
+        dest = f"seed{n}"
+        n += 1
     src_paths = [f"{path}/vectors/batch={b}" for b in fold]
     src = spark.read.option("basePath", f"{path}/vectors").parquet(
         *src_paths
@@ -1595,7 +1647,7 @@ def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
     # compacted index); only the batch partition label folds away
     src = src.select([c for c in src.columns if c != "batch"])
     rows_in = src.count()
-    tmp = f"{path}/_compact_tmp/batch=seed"
+    tmp = f"{path}/_compact_tmp/batch={dest}"
     _hfs_delete(spark, f"{path}/_compact_tmp")
     # repartition ON the partition column: each cell's rows land in one
     # task => ONE file per cid directory — without it every shuffle task
@@ -1628,10 +1680,19 @@ def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
         _rename(
             f"{path}/vectors/batch={b}", f"{path}/_compact_trash/batch={b}"
         )
-    _rename(tmp, f"{path}/vectors/batch=seed")
+    dest_dir = f"{path}/vectors/batch={dest}"
+    if fs.exists(HPath(dest_dir)):
+        # rename into an EXISTING directory nests the source inside it
+        # instead of failing — refuse before any data can be mislaid
+        raise RuntimeError(
+            f"ann index compaction: destination {dest_dir} already "
+            f"exists; moved-aside partitions remain under "
+            f"{path}/_compact_trash"
+        )
+    _rename(tmp, dest_dir)
     _hfs_delete(spark, f"{path}/_compact_trash")
     _hfs_delete(spark, f"{path}/_compact_tmp")
-    return {"folded": len(fold), "rows": rows_out}
+    return {"folded": len(fold), "rows": rows_out, "dest": dest}
 
 
 def mutual_top1_pairs(

@@ -937,6 +937,29 @@ def test_cli_rejects_nonpositive_batch_rows(capsys):
     assert ns.batch_rows == 7
 
 
+def test_cli_manifest_before_release_verb_survives():
+    """ADVICE r13 (cli.py): the top-level --manifest and the release
+    subparser's --manifest share a dest, and argparse copies the
+    subparser's namespace — defaults INCLUDED — over the parent's, so
+    'dbmask -c cfg --manifest X release' silently discarded X (manifest
+    never written, prior-epsilon preload skipped). With SUPPRESS as the
+    subparser default the pre-verb value survives; a post-verb value
+    still wins; no flag still yields None."""
+    from database_anonymiser_minimiser_spark import cli
+
+    p = cli.build_parser()
+    assert p.parse_args(
+        ["-c", "x.yaml", "--manifest", "X", "release"]
+    ).manifest == "X"
+    assert p.parse_args(
+        ["-c", "x.yaml", "release", "--manifest", "Y"]
+    ).manifest == "Y"
+    assert p.parse_args(
+        ["-c", "x.yaml", "--manifest", "X", "release", "--manifest", "Y"]
+    ).manifest == "Y"
+    assert p.parse_args(["-c", "x.yaml", "release"]).manifest is None
+
+
 def test_cli_config_error_is_message_not_traceback(tmp_path, capsys):
     """A bad config (unknown connection type, invalid settings.key_mode)
     must exit nonzero with an `error:` line, not a traceback — reference

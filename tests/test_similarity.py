@@ -356,6 +356,33 @@ def test_embedding_gram_matches_numpy_and_feeds_pca(spark, sf_dir):
     assert all(a >= b - 1e-9 for a, b in zip(evals, evals[1:]))
 
 
+def test_embedding_gram_out_of_contract_raises(spark):
+    """An out-of-contract product (|x_i*x_j| > ~9e3) must RAISE, not
+    silently saturate the fixed-point BIGINT (Spark's non-ANSI cast
+    would otherwise corrupt the sum where DuckDB's raises)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import types as T
+
+    from database_anonymiser_minimiser_spark.operators.similarity import (
+        embedding_gram_upper,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    bad = spark.createDataFrame([(0, [200.0, 200.0])], schema)
+    with pytest.raises(SparkRuntimeException, match="fixed-point contract"):
+        embedding_gram_upper(bad).collect()
+    # in-contract magnitudes well beyond unit vectors still pass
+    ok = spark.createDataFrame([(0, [9.0, 9.0])], schema)
+    got = {(r["i"], r["j"]): r["g"] for r in embedding_gram_upper(ok).collect()}
+    assert abs(got[(0, 1)] - 81.0) < 1e-9
+
+
 def test_embedding_gram_fast_matches_exact_twin(spark, sf_dir):
     """The float production gram (mapInPandas partials) matches the
     decimal-exact twin at 1e-9 relative — the correctness gate that
@@ -621,6 +648,105 @@ def test_compact_ann_index_folds_batches_content_unchanged(spark, tmp_path):
     assert not (Path(path) / "_compact_trash").exists()
     # idempotent second call: nothing left to fold (seed + kept epoch)
     assert S.compact_ann_index(spark, path, keep_batches=("e2",))["folded"] == 0
+
+
+def test_compact_ann_index_keep_seed_no_collision(spark, tmp_path):
+    """keep_batches=('seed',) must NOT promote onto the existing
+    batch=seed directory (Hadoop rename would nest the source INSIDE
+    it and the trash delete would lose the folded rows) — the
+    consolidated partition lands under a non-colliding label and every
+    row stays readable."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    base = spark.createDataFrame(
+        [(0, vec(1, 0, 0, 0)), (1, vec(0, 1, 0, 0)), (2, vec(0, 0, 1, 0))],
+        schema,
+    )
+    path = str(tmp_path / "annidx")
+    S.save_ann_index(base, path, num_centroids=2)
+    for i, v in enumerate(
+        [vec(0.9, 0.1, 0, 0), vec(0, 0.9, 0.1, 0), vec(0.1, 0, 0.9, 0)]
+    ):
+        S.save_ann_index(
+            spark.createDataFrame([(10 + i, v)], schema),
+            path, append=True, batch=f"e{i}",
+        )
+    probe = spark.createDataFrame([(100, vec(1, 0.05, 0, 0))], schema)
+
+    def screen():
+        return sorted(
+            tuple(r)
+            for r in S.ann_screen_vs_index(
+                probe, path, threshold=0.9, nprobe=2
+            ).collect()
+        )
+
+    before = screen()
+    total_before = spark.read.parquet(f"{path}/vectors").count()
+    stats = S.compact_ann_index(spark, path, keep_batches=("seed",))
+    assert stats["folded"] == 3 and stats["dest"] != "seed"
+    # seed survives unfolded; the three epochs folded under the new label
+    assert S.ann_index_batches(spark, path) == sorted(["seed", stats["dest"]])
+    assert spark.read.parquet(f"{path}/vectors").count() == total_before
+    assert screen() == before
+
+
+def test_save_ann_index_failed_reseed_leaves_index_intact(spark, tmp_path):
+    """A re-seed from an empty source must fail BEFORE the previous
+    index is deleted — validation precedes the clear, so a bad seed
+    leaves the landed index fully servable."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    base = spark.createDataFrame(
+        [(0, vec(1, 0, 0, 0)), (1, vec(0, 1, 0, 0)), (2, vec(0, 0, 1, 0))],
+        schema,
+    )
+    path = str(tmp_path / "annidx")
+    S.save_ann_index(base, path, num_centroids=2, pq_m=2, num_codes=2)
+    probe = spark.createDataFrame([(100, vec(1, 0.05, 0, 0))], schema)
+
+    def screen():
+        return sorted(
+            tuple(r)
+            for r in S.ann_screen_vs_index(
+                probe, path, threshold=0.9, nprobe=2
+            ).collect()
+        )
+
+    before = screen()
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="empty centroid table"):
+        S.save_ann_index(empty, path, num_centroids=2)
+    # explicit empty centroids over a non-empty corpus: same guarantee
+    with pytest.raises(ValueError, match="empty centroid table"):
+        S.save_ann_index(
+            base, path,
+            centroids=spark.createDataFrame(
+                [], "cid int, cv array<double>"
+            ),
+        )
+    # empty PQ codebook: same guarantee
+    with pytest.raises(ValueError, match="empty PQ codebook"):
+        S.save_ann_index(
+            base, path, num_centroids=2, pq_m=2,
+            pq_codebook=spark.createDataFrame(
+                [], "cid int, cv array<double>"
+            ),
+        )
+    assert screen() == before  # the landed index survived every bad seed
 
 
 def test_streaming_ann_screen_arrival_order(spark, tmp_path):
