@@ -1823,6 +1823,84 @@ def _py_sq_dist(a: "list[float]", b: "list[float]") -> float:
     return acc
 
 
+def train_pq_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    num_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace k-means PQ codebook — the TRAINED form of product
+    quantization (Jegou, Douze, Schmid 2011: each subspace gets its own
+    K centroids fitted by Lloyd's over that subspace's slices). Returns
+    (cid int, cv array<double>) with cid = code slot 0..K-1 and cv the
+    CONCATENATION of the m per-subspace centroids for that slot — the
+    exact shape :func:`pq_encode`, :func:`ann_pq_adc_topk` and
+    :func:`save_ann_index(pq_codebook=...)` consume, so trained codes
+    drop in wherever the seeded stand-in (first K vectors by id, the
+    cross-engine-exact oracle twin) does. Trained-beats-seeded
+    recall@k is gated in tests/test_similarity.py and at sf1 in
+    tests/test_scale_values_sf1.py.
+
+    Scale shape, per iteration: encoding is the one literal projection
+    _pq_code_cols already is (no join, no shuffle); the re-centering
+    posexplodes n x d cells but partial-aggregates map-side, so the
+    single Exchange carries tasks x (K*d) cells — corpus-size-
+    independent, the same discipline as :func:`train_ivf_centroids`.
+    The K x d codebook syncs through the driver between iterations
+    (bytes, not data). Deterministic: seeded init by ascending id,
+    argmin ties to the lowest code, empty cells keep their previous
+    centroid."""
+    spark = emb.sparkSession
+    seed = sorted(
+        (int(r[id_col]), [float(v) for v in r[vec_col]])
+        for r in emb.orderBy(id_col)
+        .limit(num_codes)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not seed:
+        raise ValueError("train_pq_codebook: empty corpus")
+    rows = [{"cid": j, "cv": cv} for j, (_orig, cv) in enumerate(seed)]
+    d = len(rows[0]["cv"])
+    if d % m:
+        raise ValueError(
+            f"train_pq_codebook: dim {d} not divisible by m={m}"
+        )
+    dsub = d // m
+    src = emb.select(F.col(vec_col).cast("array<double>").alias("_e"))
+    for _ in range(iters):
+        coded = src.select(
+            "_e", *_pq_code_cols(rows, m, dsub, "_e")
+        )
+        cells = (
+            coded.select(
+                F.array(*[F.col(f"c{s}") for s in range(m)]).alias("_c"),
+                F.posexplode("_e").alias("pos", "v"),
+            )
+            .select(
+                # pos fixes the subspace, so (code-at-that-subspace,
+                # pos) is the full cell key
+                F.element_at(
+                    "_c", (F.col("pos") / dsub).cast("int") + 1
+                ).alias("code"),
+                "pos",
+                "v",
+            )
+            .groupBy("code", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .collect()
+        )
+        new = {r["cid"]: list(r["cv"]) for r in rows}
+        for rec in cells:
+            new[int(rec["code"])][int(rec["pos"])] = float(rec["mv"])
+        rows = [{"cid": j, "cv": new[j]} for j in sorted(new)]
+    return spark.createDataFrame(
+        [(r["cid"], r["cv"]) for r in rows], "cid int, cv array<double>"
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     code_rows,
@@ -1889,6 +1967,7 @@ def ann_pq_adc_topk(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """PQ + ADC approximate top-k: vectors are PQ-encoded against a
     shared codebook (first ``num_codes`` vectors by id — the
@@ -1908,12 +1987,20 @@ def ann_pq_adc_topk(
     codes, tables, and fold order in SQL so the ranking is
     cross-engine exact (ADC sums fold in subspace order on both
     sides; ties break on neighbor id)."""
-    code_rows = [
-        (int(r[id_col]), list(r[vec_col]))
-        for r in emb.filter(F.col(id_col) < num_codes)
-        .select(id_col, vec_col)
-        .collect()
-    ]
+    if codebook is not None:
+        # a trained codebook (train_pq_codebook output or any
+        # (cid, cv) relation labelled 0..K-1) replaces the stand-in
+        code_rows = [
+            (int(r["cid"]), [float(v) for v in r["cv"]])
+            for r in codebook.collect()
+        ]
+    else:
+        code_rows = [
+            (int(r[id_col]), list(r[vec_col]))
+            for r in emb.filter(F.col(id_col) < num_codes)
+            .select(id_col, vec_col)
+            .collect()
+        ]
     codes = pq_encode(emb, code_rows, m=m, id_col=id_col, vec_col=vec_col)
     rows = sorted(code_rows)
     d = len(rows[0][1])

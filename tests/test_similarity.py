@@ -953,6 +953,65 @@ def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"PQ recall@5 collapsed: {recall}"
 
 
+def test_trained_pq_codebook_beats_seeded_recall(spark):
+    """r14 (r13 verdict item 3): per-subspace k-means PQ codebook —
+    trained codes must beat the seeded (first-K) stand-in on recall@k
+    vs exact brute force, the codebook keeps the 0..K-1 slot contract
+    (what save_ann_index/ADC lookup require), and one Lloyd's step
+    strictly reduces mean quantization distortion. Pinned to the
+    sf0.1 corpus (2,000 vectors): a recall comparison over 500 vectors
+    is a coin flip, and the improvement claim is the point."""
+    import numpy as np
+
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, "/root/testdata/sf0.1", "embeddings")
+    m, K, k = 8, 16, 5
+    qids = list(range(20, 220, 10))  # 20 queries, 100 graded pairs
+    cb = S.train_pq_codebook(emb, m=m, num_codes=K, iters=3)
+    rows = sorted(
+        (int(r["cid"]), list(r["cv"])) for r in cb.collect()
+    )
+    assert [c for c, _ in rows] == list(range(K))  # slot contract
+    assert all(len(cv) == 64 for _c, cv in rows)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_cosine(emb, qids, k=k).collect()
+    }
+
+    def recall(codebook):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ann_pq_adc_topk(
+                emb, qids, k=k, num_codes=K, m=m, codebook=codebook
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_seed, r_train = recall(None), recall(cb)
+    assert r_train > r_seed, f"trained {r_train} <= seeded {r_seed}"
+    # distortion: mean squared quantization error must drop (the
+    # k-means objective itself — robust where recall@k is granular)
+    data = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    mat = np.array([v for _i, v in data], dtype=np.float64)
+    dsub = mat.shape[1] // m
+
+    def distortion(cents):
+        tot = 0.0
+        for s in range(m):
+            sl = slice(s * dsub, (s + 1) * dsub)
+            d2 = ((mat[:, None, sl] - cents[None, :, sl]) ** 2).sum(axis=2)
+            tot += d2.min(axis=1).sum()
+        return tot / len(mat)
+
+    seeded = mat[:K]  # ids 0..K-1 are the seeded codebook
+    trained = np.array([cv for _c, cv in rows])
+    assert distortion(trained) < distortion(seeded)
+
+
 def test_ivf_pq_full_probe_equals_plain_pq(spark, sf_dir):
     """nprobe = num_centroids probes every cell, so IVF filtering
     vanishes and IVF-PQ must equal the plain PQ-ADC ranking EXACTLY;
@@ -979,6 +1038,39 @@ def test_ivf_pq_full_probe_equals_plain_pq(spark, sf_dir):
         for r in S.topk_cosine(emb, qids, k=5).collect()
     }
     assert len(got2 & exact) / len(exact) >= 0.15
+
+
+def test_trained_codebook_index_serves_same_ranking(spark, sf_dir, tmp_path):
+    """An index SEEDED with a trained codebook serves exactly what
+    inline ADC computes against that same codebook at full probe (the
+    IVF filter vanishes, leaving pure PQ-ADC) — trained codebooks are
+    first-class citizens of the persisted layout, not a train-time-only
+    artifact."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    cb = S.train_pq_codebook(emb, m=8, num_codes=16, iters=2)
+    path = str(tmp_path / "ivfpq_trained")
+    S.save_ann_index(emb, path, num_centroids=8, pq_m=8, pq_codebook=cb)
+    delta = emb.filter(F.col("vec_id").isin(qids))
+    served = sorted(
+        map(
+            tuple,
+            S.ann_ivf_pq_topk_vs_index(
+                delta, path, k=5, nprobe=8
+            ).collect(),
+        )
+    )
+    inline = sorted(
+        map(
+            tuple,
+            S.ann_pq_adc_topk(emb, qids, k=5, codebook=cb).collect(),
+        )
+    )
+    assert served == inline and len(served) == 15
 
 
 def test_ivf_pq_index_serving_matches_inline(spark, sf_dir, tmp_path):
