@@ -1754,6 +1754,162 @@ def mutual_top1_pairs(
     )
 
 
+def bitext_margin_pairs(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    cent_rows,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-SCORED bitext mining — the production member of the
+    Artetxe & Schwenk (2019) family :func:`mutual_top1_pairs` is the
+    margin-free base of: each mutual-top-1 pair additionally carries
+    the RATIO margin, cosine(a,b) over the mean of the two sides'
+    top-``k`` neighbourhood cosines,
+
+        margin = cos(a,b) / ((mean_k(a) + mean_k(b)) / 2)
+
+    and only pairs with ``margin >= threshold`` survive. The margin is
+    what separates a genuinely-parallel pair (its cosine stands OUT of
+    both neighbourhoods, margin > 1) from a hub vector that is merely
+    close to everything (cosine high but so is its neighbourhood —
+    margin ~ 1). Returns (a_id, b_id, cosine, margin).
+
+    Scale shape: identical to mutual_top1_pairs — shared-IVF-cell
+    candidates (sum(cell_a x cell_b) work), windows keyed on a_id/b_id
+    (cardinality grows with the corpora). The neighbourhood means reuse
+    the SAME ranked relation the mutuality filter reads, so the margin
+    adds two grid-keyed aggregations, not a second candidate pass.
+
+    Cross-engine exactness: each neighbourhood's cosines are summed in
+    RANK order via the proven ordered-fold idiom (Spark
+    aggregate(array_sort(collect_list(struct(rn, c)))) == DuckDB
+    list_reduce(list(c ORDER BY rn))), counts divide as doubles, and
+    the margin's operation order is identical in both SQLs, so every
+    step is an exactly-rounded IEEE operation applied in the same
+    order — hash-identical, same discipline as the DP family."""
+    a = assign_to_centroids(a_df, cent_rows, id_col, vec_col).select(
+        F.col("nid").alias("a_id"),
+        F.col("nv").alias("av"),
+        F.col("nrm").alias("anrm"),
+        "cid",
+    )
+    b = assign_to_centroids(b_df, cent_rows, id_col, vec_col).select(
+        F.col("nid").alias("b_id"),
+        F.col("nv").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+        "cid",
+    )
+    cos = F.expr(_spark_dot("av", "bv")) / (F.col("anrm") * F.col("bnrm"))
+    cand = a.join(b, "cid").select("a_id", "b_id", cos.alias("cosine"))
+    w_a = Window.partitionBy("a_id").orderBy(
+        F.col("cosine").desc(), F.col("b_id")
+    )
+    w_b = Window.partitionBy("b_id").orderBy(
+        F.col("cosine").desc(), F.col("a_id")
+    )
+    ranked = cand.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_b", F.row_number().over(w_b)
+    )
+    fold = (
+        "aggregate(array_sort(collect_list(struct({rn} AS r, cosine AS c))), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x.c)"
+    )
+    neigh_a = (
+        ranked.filter(F.col("rn_a") <= k)
+        .groupBy("a_id")
+        .agg(
+            F.expr(fold.format(rn="rn_a")).alias("sum_a"),
+            F.count(F.lit(1)).cast("double").alias("k_a"),
+        )
+    )
+    neigh_b = (
+        ranked.filter(F.col("rn_b") <= k)
+        .groupBy("b_id")
+        .agg(
+            F.expr(fold.format(rn="rn_b")).alias("sum_b"),
+            F.count(F.lit(1)).cast("double").alias("k_b"),
+        )
+    )
+    mutual = (
+        ranked.filter(F.col("rn_a") == 1)
+        .select("a_id", "b_id", "cosine")
+        .join(
+            ranked.filter(F.col("rn_b") == 1).select("a_id", "b_id"),
+            ["a_id", "b_id"],
+        )
+    )
+    margin = F.col("cosine") / (
+        (F.col("sum_a") / F.col("k_a") + F.col("sum_b") / F.col("k_b"))
+        / F.lit(2.0)
+    )
+    return (
+        mutual.join(neigh_a, "a_id")
+        .join(neigh_b, "b_id")
+        .select("a_id", "b_id", "cosine", margin.alias("margin"))
+        .filter(F.col("margin") >= threshold)
+    )
+
+
+def duck_bitext_margin_sql(
+    num_centroids: int = 8,
+    k: int = 4,
+    threshold: float = 1.0,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of the registered ``bitext_margin_pairs`` query —
+    same cells, same candidate join, same rank-ordered neighbourhood
+    fold, same margin operation order."""
+    cos_c = (
+        f"{_duck_dot('e.embedding', 'c.cv')} / "
+        f"({_duck_norm('e.embedding')} * {_duck_norm('c.cv')})"
+    )
+    cos_ab = (
+        f"{_duck_dot('a.nv', 'b.nv')} / "
+        f"({_duck_norm('a.nv')} * {_duck_norm('b.nv')})"
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM {table}
+                  WHERE vec_id < {num_centroids}),
+    assigned AS (SELECT nid, nv, lbl, cid FROM (
+        SELECT e.vec_id AS nid, e.embedding AS nv, e.label AS lbl, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY {cos_c} DESC, c.cid) AS rn
+        FROM {table} e CROSS JOIN cent c) t WHERE rn = 1),
+    cand AS (SELECT a.nid AS a_id, b.nid AS b_id, {cos_ab} AS cosine
+             FROM assigned a JOIN assigned b ON a.cid = b.cid
+             WHERE a.lbl % 2 = 0 AND b.lbl % 2 = 1),
+    ranked AS (SELECT a_id, b_id, cosine,
+        row_number() OVER (PARTITION BY a_id
+          ORDER BY cosine DESC, b_id) AS rn_a,
+        row_number() OVER (PARTITION BY b_id
+          ORDER BY cosine DESC, a_id) AS rn_b
+      FROM cand),
+    neigh_a AS (SELECT a_id,
+        list_reduce(list(cosine ORDER BY rn_a), (acc, x) -> acc + x)
+          AS sum_a,
+        CAST(count(*) AS DOUBLE) AS k_a
+      FROM ranked WHERE rn_a <= {k} GROUP BY a_id),
+    neigh_b AS (SELECT b_id,
+        list_reduce(list(cosine ORDER BY rn_b), (acc, x) -> acc + x)
+          AS sum_b,
+        CAST(count(*) AS DOUBLE) AS k_b
+      FROM ranked WHERE rn_b <= {k} GROUP BY b_id),
+    mutual AS (SELECT f.a_id, f.b_id, f.cosine
+      FROM (SELECT a_id, b_id, cosine FROM ranked WHERE rn_a = 1) f
+      JOIN (SELECT a_id, b_id FROM ranked WHERE rn_b = 1) r
+        ON f.a_id = r.a_id AND f.b_id = r.b_id)
+    SELECT m.a_id, m.b_id, m.cosine,
+      m.cosine / ((na.sum_a / na.k_a + nb.sum_b / nb.k_b) / 2.0) AS margin
+    FROM mutual m JOIN neigh_a na ON m.a_id = na.a_id
+    JOIN neigh_b nb ON m.b_id = nb.b_id
+    WHERE m.cosine / ((na.sum_a / na.k_a + nb.sum_b / nb.k_b) / 2.0)
+      >= {threshold}
+    """
+
+
 def duck_bitext_mutual_top1_sql(
     num_centroids: int = 8, table: str = "embeddings"
 ) -> str:

@@ -3125,6 +3125,37 @@ def q_bitext_mutual_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bitext_margin_pairs",
+    _sim.duck_bitext_margin_sql(k=4, threshold=1.2),
+)
+def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-scored bitext mining (r14 — r13 verdict item 4;
+    similarity.py:bitext_margin_pairs): every mutual-top-1 pair carries
+    the Artetxe & Schwenk RATIO margin — its cosine over the mean of
+    both sides' top-4 neighbourhood cosines — and pairs must clear
+    margin >= 1.2 (stand out of their neighbourhoods, the filter that
+    drops hub vectors production bitext filtering exists for — it is
+    load-bearing here: 85 of 114 mutual pairs survive at sf0.01). Same
+    shared-IVF-cell candidates as the margin-free sibling; the
+    neighbourhood sums fold in rank order on both engines (the proven
+    ordered-fold idiom), so the margin is hash-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = [
+        {"cid": int(r["vec_id"]), "cv": list(r["embedding"])}
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return _sim.bitext_margin_pairs(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        cent_rows,
+        k=4,
+        threshold=1.2,
+    )
+
+
 # ===========================================================================
 # Structured Streaming (same transforms, streaming runner)
 # ===========================================================================

@@ -36,6 +36,10 @@ INTERPRETED_LIST_BOUND = {
     # interpreted lambdas); sf1+ value gate = planted mutual pairs in
     # tests/test_similarity.py
     "bitext_mutual_top1",
+    # r14: same candidate shape + rank-ordered neighbourhood folds;
+    # sf1 value gate = the extended numpy golden in
+    # tests/test_scale_values_sf1.py
+    "bitext_margin_pairs",
     "dedup_common_spans", "dedup_common_spans_oracle",
     "dedup_levenshtein_pairs", "dedup_minhash_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_jaccard_prefix",

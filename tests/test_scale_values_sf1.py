@@ -880,3 +880,64 @@ def test_trained_pq_codebook_beats_seeded_recall_sf1(spark):
     assert distortion(np.array([cv for _c, cv in rows])) < distortion(
         mat[:K]
     )
+
+
+def test_bitext_margin_pairs_full_sf1_vs_numpy_golden(spark):
+    """r14 (r13 verdict item 4): the margin-SCORED variant against an
+    independent full-corpus numpy golden — mutual pairs, each side's
+    top-4 neighbourhood means, the ratio margin, and the >= 1.2
+    threshold all recomputed from scratch; pair set AND margin values
+    compared, with a no-threshold-straddle check so membership cannot
+    hinge on float drift."""
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    K_NEIGH, THRESH = 4, 1.2
+    ids, mat, labels = _load_embeddings()
+    order = np.argsort(ids)
+    ids, mat, labels = ids[order], mat[order], labels[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    unit = mat / norms[:, None]
+    cent_rows = np.nonzero(ids < 8)[0]
+    ccos = unit @ unit[cent_rows].T
+    cell = np.argmax(ccos, axis=1)
+
+    golden: dict[tuple, tuple] = {}
+    for c in range(8):
+        rows_ = np.nonzero(cell == c)[0]
+        a_rows = rows_[labels[rows_] % 2 == 0]
+        b_rows = rows_[labels[rows_] % 2 == 1]
+        if not len(a_rows) or not len(b_rows):
+            continue
+        cos = unit[a_rows] @ unit[b_rows].T
+        # per-side top-k neighbourhood means (all candidates in-cell)
+        mean_a = np.sort(cos, axis=1)[:, ::-1][
+            :, : min(K_NEIGH, cos.shape[1])
+        ].mean(axis=1)
+        mean_b = np.sort(cos, axis=0)[::-1, :][
+            : min(K_NEIGH, cos.shape[0]), :
+        ].mean(axis=0)
+        best_b = np.argmax(cos, axis=1)
+        best_a = np.argmax(cos, axis=0)
+        for i, j in enumerate(best_b):
+            if best_a[j] != i:
+                continue
+            margin = float(cos[i, j]) / ((mean_a[i] + mean_b[j]) / 2.0)
+            # membership must not hinge on summation-order drift
+            assert abs(margin - THRESH) > 1e-9, (i, j, margin)
+            if margin >= THRESH:
+                golden[(int(ids[a_rows[i]]), int(ids[b_rows[j]]))] = (
+                    float(cos[i, j]),
+                    margin,
+                )
+    assert 10 < len(golden), f"suspicious golden size {len(golden)}"
+
+    rows = Q.QUERIES["bitext_margin_pairs"](spark, SF1).collect()
+    got = {(r["a_id"], r["b_id"]): (r["cosine"], r["margin"]) for r in rows}
+    assert set(got) == set(golden), (
+        f"pair set mismatch: {len(got)} vs {len(golden)}; "
+        f"spark-only={sorted(set(got) - set(golden))[:3]} "
+        f"golden-only={sorted(set(golden) - set(got))[:3]}"
+    )
+    for pair, (cos_v, marg_v) in golden.items():
+        assert abs(got[pair][0] - cos_v) < 1e-9, (pair, got[pair], cos_v)
+        assert abs(got[pair][1] - marg_v) < 1e-9, (pair, got[pair], marg_v)
