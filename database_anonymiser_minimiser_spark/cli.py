@@ -340,6 +340,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="target file size (default 128 MB — a comfortable parquet "
         "row-group/scan-split size)",
     )
+    compact.add_argument(
+        "--index", choices=["minhash", "ann"], default=None,
+        help="compact a PERSISTED dedup index instead of a plain "
+        "parquet dataset: fold its per-epoch batch= partitions into "
+        "one (minhash = the bucketed MinHash/LSH index whose manifest "
+        "lives at --path; ann = the ANN vector index at --path). The "
+        "offline maintenance path for an index grown by many appends "
+        "with no stream running — screen results are unchanged, scan "
+        "cost stops growing with ingest history. In place; "
+        "incompatible with --out",
+    )
+    compact.add_argument(
+        "--keep-batches", default=None, metavar="A,B",
+        help="with --index: comma-separated batch labels carried over "
+        "UNFOLDED (e.g. an epoch a paused stream will replay)",
+    )
     release = sub.add_parser(
         "release",
         help="differentially-private aggregate releases: run every entry "
@@ -481,6 +497,89 @@ def main(argv: list[str] | None = None) -> int:
         # path-based verb: no config/connection involved
         spark = get_spark()
         spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
+        if args.index is not None:
+            if args.out is not None:
+                print(
+                    "error: --index compaction is in place; --out does "
+                    "not apply",
+                    file=sys.stderr,
+                )
+                return 2
+            keep = tuple(
+                s.strip()
+                for s in (args.keep_batches or "").split(",")
+                if s.strip()
+            )
+            try:
+                if args.index == "ann":
+                    from .operators.similarity import (
+                        ann_index_batches,
+                        compact_ann_index,
+                    )
+
+                    before = ann_index_batches(spark, args.path)
+                    if not before:
+                        print(
+                            f"error: no ANN index at {args.path} "
+                            "(vectors/batch=* not found)",
+                            file=sys.stderr,
+                        )
+                        return 2
+                    stats = compact_ann_index(
+                        spark, args.path, keep_batches=keep
+                    )
+                    if stats["folded"] == 0:
+                        print(
+                            f"nothing to fold at {args.path} "
+                            f"(batch partitions: {len(before)})"
+                        )
+                    else:
+                        print(
+                            f"compacted ann index {args.path}: folded "
+                            f"{stats['folded']} of {len(before)} batch "
+                            f"partition(s) into batch={stats['dest']}, "
+                            f"{stats['rows']} row(s) verified"
+                        )
+                else:
+                    from .operators.dedup import (
+                        _read_index_manifest,
+                        compact_minhash_index_bucketed,
+                        register_minhash_index_bucketed,
+                    )
+
+                    manifest = _read_index_manifest(spark, args.path)
+                    # fresh-session maintenance: catalog entries are
+                    # session-local, rebuild them from the manifest
+                    prefix = "dbmask_maint"
+                    register_minhash_index_bucketed(
+                        spark, prefix, args.path
+                    )
+                    n_parts = len(
+                        spark.sql(
+                            f"SHOW PARTITIONS {prefix}_bands"
+                        ).collect()
+                    )
+                    compact_minhash_index_bucketed(
+                        spark,
+                        prefix,
+                        n_buckets=manifest["n_buckets"],
+                        path=args.path,
+                        keep_batches=keep,
+                    )
+                    n_after = len(
+                        spark.sql(
+                            f"SHOW PARTITIONS {prefix}_bands"
+                        ).collect()
+                    )
+                    print(
+                        f"compacted minhash index {args.path}: "
+                        f"{n_parts} -> {n_after} batch partition(s) "
+                        f"({manifest['n_buckets']} buckets preserved)"
+                    )
+            except (FileNotFoundError, ValueError) as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+            return 0
         if args.out is None:
             # in-place: hive-aware, crash-safe tmp+rename promotion
             from .dump import compact_parquet

@@ -81,3 +81,133 @@ def test_compact_cli_in_place(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "in place: 16 -> 1 file(s)" in printed
     assert spark.read.parquet(frag).count() == 4_000
+
+
+def test_cli_compact_index_minhash_e2e(spark, tmp_path, capsys):
+    """r14 (r13 verdict item 5): `compact --index minhash --path P` —
+    offline maintenance of a LANDED bucketed MinHash index with no
+    stream running. The verb rebuilds the catalog from the manifest,
+    folds the epoch partitions, and the screen results are unchanged."""
+    import database_anonymiser_minimiser_spark.operators.dedup as D
+    from database_anonymiser_minimiser_spark import cli
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the quiet evening field"
+    )
+    seed_prefix = "t_cli_mh"
+    for p in (seed_prefix, "dbmask_maint"):
+        for t in (f"{p}_bands", f"{p}_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    wh = str(tmp_path / "wh")
+    landed = spark.createDataFrame(
+        [(100, base), (101, "unrelated landed content about engines")],
+        ["doc_id", "text"],
+    )
+    D.save_minhash_index_bucketed(
+        landed, seed_prefix, n_buckets=4, mode="md5", path=wh, batch="seed"
+    )
+    for e, text in enumerate(["fresh words one", "fresh words two"]):
+        D.save_minhash_index_bucketed(
+            spark.createDataFrame([(200 + e, text)], ["doc_id", "text"]),
+            seed_prefix, n_buckets=4, mode="md5", path=wh, append=True,
+            batch=f"e{e}",
+        )
+    probe = spark.createDataFrame(
+        [(9, base.replace("jumps", "leaps"))], ["doc_id", "text"]
+    )
+
+    def screen(prefix):
+        res = D.minhash_incremental_vs_bucketed_index(
+            probe, prefix, threshold=0.4, mode="md5"
+        )
+        got = sorted(tuple(r) for r in res.collect())
+        res.unpersist()
+        return got
+
+    before = screen(seed_prefix)
+    assert before
+    # simulate the weekend-maintenance shape: catalog gone, data landed
+    for t in (f"{seed_prefix}_bands", f"{seed_prefix}_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    rc = cli.main(["compact", "--index", "minhash", "--path", wh])
+    out = capsys.readouterr().out
+    assert rc == 0 and "compacted minhash index" in out
+    assert "3 -> 1 batch partition(s)" in out
+    parts = [
+        r[0]
+        for r in spark.sql("SHOW PARTITIONS dbmask_maint_bands").collect()
+    ]
+    assert parts == ["batch=seed"]
+    assert screen("dbmask_maint") == before
+    for p in (seed_prefix, "dbmask_maint"):
+        for t in (f"{p}_bands", f"{p}_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cli_compact_index_ann_e2e(spark, tmp_path, capsys):
+    """`compact --index ann --path P --keep-batches e1`: folds the ANN
+    index's epoch partitions in place, honours keep-batches, screens
+    identically afterwards, and is a friendly no-op when re-run."""
+    import database_anonymiser_minimiser_spark.operators.similarity as S
+    from database_anonymiser_minimiser_spark import cli
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    base = spark.createDataFrame(
+        [(0, vec(1, 0, 0, 0)), (1, vec(0, 1, 0, 0)), (2, vec(0, 0, 1, 0))],
+        schema,
+    )
+    path = str(tmp_path / "annidx")
+    S.save_ann_index(base, path, num_centroids=2)
+    for i, v in enumerate(
+        [vec(0.9, 0.1, 0, 0), vec(0, 0.9, 0.1, 0)]
+    ):
+        S.save_ann_index(
+            spark.createDataFrame([(10 + i, v)], schema),
+            path, append=True, batch=f"e{i}",
+        )
+    probe = spark.createDataFrame([(100, vec(1, 0.05, 0, 0))], schema)
+
+    def screen():
+        return sorted(
+            tuple(r)
+            for r in S.ann_screen_vs_index(
+                probe, path, threshold=0.9, nprobe=2
+            ).collect()
+        )
+
+    before = screen()
+    rc = cli.main(
+        ["compact", "--index", "ann", "--path", path,
+         "--keep-batches", "e1"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "folded 2 of 3 batch partition(s)" in out
+    assert S.ann_index_batches(spark, path) == ["e1", "seed"]
+    assert screen() == before
+    # idempotent re-run: nothing left to fold
+    rc = cli.main(
+        ["compact", "--index", "ann", "--path", path,
+         "--keep-batches", "e1"]
+    )
+    assert rc == 0 and "nothing to fold" in capsys.readouterr().out
+    # refusals: missing index; --out combination
+    rc = cli.main(
+        ["compact", "--index", "ann", "--path", str(tmp_path / "nope")]
+    )
+    assert rc == 2 and "no ANN index" in capsys.readouterr().err
+    rc = cli.main(
+        ["compact", "--index", "ann", "--path", path, "--out", "x"]
+    )
+    assert rc == 2 and "--out" in capsys.readouterr().err
