@@ -98,8 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--manifest", default=None, metavar="PATH",
         help="export runs with a privacy.releases block in the config: "
         "REQUIRED path for the combined manifest (export stats + DP "
-        "release ledger). If PATH exists, prior releases preload so "
-        "epsilon accounting is cumulative across invocations. The "
+        "release ledger). Configs with a quality: block additionally "
+        "record every contract's PASS/FAIL in the same manifest (the "
+        "audit verb appends its outcomes too), so the gate ships with "
+        "the artifact it gated. If PATH exists, prior releases preload "
+        "so epsilon accounting is cumulative across invocations. The "
         "manifest records the seeds and must never be published with "
         "the released data. The 'release' verb honours this pre-verb "
         "flag too (a post-verb --manifest overrides it).",
@@ -422,6 +425,48 @@ def _account_releases(privacy_raw: dict, manifest_path: str | None):
         if issubclass(w.category, DPReleaseWarning):
             print(f"warning: {w.message}", file=sys.stderr)
     return specs, ledger
+
+
+def _run_contract_rows(engine, quality_raw: dict):
+    """Run every config-declared data contract (ONE aggregation pass
+    per table, operators/expectations.py:check) and return
+    ``(rows, error)``: rows = [(table, constraint, passed, observed)],
+    error = a printable config-mistake message (typo'd table/column).
+    Shared by the audit verb's PASS/FAIL report and the export verb's
+    manifest recording — the same gate, wherever it runs."""
+    from .operators.expectations import check, parse_quality_block
+
+    rows = []
+    for table, exps in parse_quality_block(quality_raw).items():
+        try:
+            df = engine.source.read(table)
+        except Exception as exc:
+            return None, (
+                f"quality.{table}: cannot read table: "
+                f"{str(exc).splitlines()[0]}"
+            )
+        try:
+            contract_rows = check(df, exps).collect()
+        except Exception as exc:
+            return None, f"quality.{table}: {str(exc).splitlines()[0]}"
+        for r in contract_rows:
+            rows.append(
+                (table, r["constraint"], r["passed"], r["observed"])
+            )
+    return rows, None
+
+
+def _contracts_json(rows) -> list:
+    """Contract outcome rows as the JSON shape the manifest records."""
+    return [
+        {
+            "table": t,
+            "constraint": c,
+            "passed": bool(ok),
+            "observed": obs,
+        }
+        for t, c, ok, obs in rows
+    ]
 
 
 def _write_manifest(manifest: dict, manifest_path: str) -> None:
@@ -772,38 +817,35 @@ def main(argv: list[str] | None = None) -> int:
         # uniqueness, ranges, set membership and row floors merge into
         # the same PASS/FAIL report
         if cfg.quality:
-            from .operators.expectations import check, parse_quality_block
-
-            for table, exps in parse_quality_block(cfg.quality).items():
-                try:
-                    df = engine.source.read(table)
-                except Exception as exc:
-                    # a typo'd table name is a config mistake, not a
-                    # traceback; missing COLUMNS surface the same way
-                    # through the aggregate below
-                    print(
-                        f"error: quality.{table}: cannot read table: "
-                        f"{str(exc).splitlines()[0]}",
-                        file=sys.stderr,
-                    )
-                    return 2
-                try:
-                    contract_rows = check(df, exps).collect()
-                except Exception as exc:
-                    print(
-                        f"error: quality.{table}: {str(exc).splitlines()[0]}",
-                        file=sys.stderr,
-                    )
-                    return 2
-                for r in contract_rows:
-                    rows.append(
-                        (table, r["constraint"], r["passed"], r["observed"])
-                    )
+            # a typo'd table name is a config mistake, not a traceback;
+            # missing COLUMNS surface the same way through the aggregate
+            contract_rows, err = _run_contract_rows(engine, cfg.quality)
+            if err is not None:
+                print(f"error: {err}", file=sys.stderr)
+                return 2
+            rows.extend(contract_rows)
         for table, constraint, passed, observed in rows:
             status = "PASS" if passed else "FAIL"
             failed += 0 if passed else 1
             obs = "n/a" if observed is None else f"{observed:g}"
             print(f"{status}  {table}: {constraint} (observed={obs})")
+        if args.manifest:
+            # record the gate's outcome WITH the artifact ledger it
+            # gates: merge into the existing manifest (the export/
+            # release record) rather than clobbering it
+            import json as _json
+            from pathlib import Path as _Path
+
+            mp = _Path(args.manifest)
+            doc = _json.loads(mp.read_text()) if mp.exists() else {}
+            doc["contracts"] = _contracts_json(rows)
+            doc["contracts_passed"] = failed == 0
+            mp.write_text(_json.dumps(doc, indent=2) + "\n")
+            print(
+                f"audit outcomes recorded: {args.manifest} "
+                f"({len(rows) - failed}/{len(rows)} passed)",
+                file=sys.stderr,
+            )
         print(
             f"\n{len(rows) - failed}/{len(rows)} checks passed",
             file=sys.stderr,
@@ -895,6 +937,29 @@ def main(argv: list[str] | None = None) -> int:
         except DPBudgetError as exc:
             print(f"error: {exc}", file=sys.stderr)
             return 2
+    # config-declared data contracts run BEFORE the export (the gate
+    # describes the data about to ship) and their outcomes land in the
+    # same manifest — a 100 TB pipeline wants the quality gate RECORDED
+    # with the artifact it gated, not in a scrollback buffer
+    contract_rows = None
+    if cfg.quality and args.manifest:
+        contract_rows, err = _run_contract_rows(engine, cfg.quality)
+        if err is not None:
+            print(f"error: {err}", file=sys.stderr)
+            return 2
+        n_fail = sum(1 for _t, _c, ok, _o in contract_rows if not ok)
+        for t, c, ok, obs in contract_rows:
+            if not ok:
+                o = "n/a" if obs is None else f"{obs:g}"
+                print(
+                    f"contract FAIL  {t}: {c} (observed={o})",
+                    file=sys.stderr,
+                )
+        print(
+            f"contracts: {len(contract_rows) - n_fail}/"
+            f"{len(contract_rows)} passed (recorded in manifest)",
+            file=sys.stderr,
+        )
     if args.format == "parquet":
         if not args.output:
             print("error: --format parquet requires -o <dir>", file=sys.stderr)
@@ -912,11 +977,19 @@ def main(argv: list[str] | None = None) -> int:
             else "mysql"
         )
         stats = engine.export(args.output, db_type=dialect, parallel=args.parallel)
-    if release_ledger is not None:
-        manifest = release_ledger.manifest()
-        # ONE manifest covering both halves of the run: what microdata
-        # shipped (masked export stats) and what aggregate statistics
-        # were released against which epsilon
+    if release_ledger is not None or contract_rows is not None:
+        if release_ledger is not None:
+            manifest = release_ledger.manifest()
+        else:
+            # contracts without releases: a zero-epsilon ledger shell
+            # keeps the manifest shape uniform for downstream readers
+            from .operators.privacy_ledger import DPLedger
+
+            manifest = DPLedger().manifest()
+        # ONE manifest covering every half of the run: what microdata
+        # shipped (masked export stats), what aggregate statistics were
+        # released against which epsilon, and which quality contracts
+        # the shipped data passed
         manifest["export"] = {
             "output": args.output,
             "format": args.format,
@@ -925,8 +998,14 @@ def main(argv: list[str] | None = None) -> int:
             "rows_exported": stats.rows_exported,
             "per_table_rows": stats.per_table_rows,
         }
+        if contract_rows is not None:
+            manifest["contracts"] = _contracts_json(contract_rows)
+            manifest["contracts_passed"] = all(
+                ok for _t, _c, ok, _o in contract_rows
+            )
         _write_manifest(manifest, args.manifest)
-        _print_releases(engine, release_specs)
+        if release_specs is not None:
+            _print_releases(engine, release_specs)
     return 0
 
 

@@ -559,3 +559,85 @@ def test_export_with_releases_requires_manifest_and_output(tmp_path, capsys):
     assert rc == 2 and "SAME seed" in err
     assert not dump.exists(), "export must not run after a refusal"
     assert not manifest_path.exists()
+
+
+def test_contracts_recorded_in_export_manifest(spark, tmp_path, capsys):
+    """r14 (r13 verdict item 7): a config with BOTH privacy.releases and
+    a quality block records contract outcomes in the SAME manifest as
+    export stats and DP accounting — the quality gate ships with the
+    artifact it gated. A contracts-only config (no releases) still gets
+    a manifest (zero-epsilon ledger shell), and the audit verb appends
+    its outcomes to an existing manifest without clobbering it."""
+    from database_anonymiser_minimiser_spark.cli import main
+
+    cfg = tmp_path / "all.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration:\n"
+        "  customer:\n"
+        "    primary_key: c_custkey\n"
+        "    columns: {c_name: '{{faker.name}}'}\n"
+        "  orders: {primary_key: o_orderkey}\n"
+        "privacy:\n  releases:\n"
+        "    - {name: status_counts, table: orders, kind: count,\n"
+        "       group_by: [o_orderstatus], epsilon: 1.0, seed: qc-a}\n"
+        "quality:\n"
+        "  orders:\n"
+        "    - {check: complete, column: o_orderkey}\n"
+        "    - {check: in_range, column: o_totalprice, lo: 0, hi: 1}\n"
+    )
+    dump = tmp_path / "dump.sql"
+    manifest_path = tmp_path / "manifest.json"
+    rc = main(
+        ["-c", str(cfg), "-o", str(dump), "--manifest", str(manifest_path)]
+    )
+    out, err = capsys.readouterr()
+    assert rc == 0
+    assert "contract FAIL  orders: in_range" in err  # surfaced, not fatal
+    assert "contracts: 1/2 passed (recorded in manifest)" in err
+    m = json.loads(manifest_path.read_text())
+    # one manifest, three ledgers: epsilon, export, contracts
+    assert m["total_epsilon"] == 1.0
+    assert m["export"]["tables_exported"] == 10
+    assert m["contracts_passed"] is False
+    by_c = {c["constraint"]: c for c in m["contracts"]}
+    assert by_c["complete(o_orderkey)"]["passed"] is True
+    assert by_c["in_range(o_totalprice,0.0,1.0)"]["passed"] is False
+    assert by_c["in_range(o_totalprice,0.0,1.0)"]["observed"] == 1500
+
+    # contracts-only config: manifest still written (epsilon 0 shell)
+    cfg2 = tmp_path / "conly.yaml"
+    cfg2.write_text(
+        "connection: {type: parquet, path: /root/testdata/sf0.001}\n"
+        "configuration: {orders: {primary_key: o_orderkey}}\n"
+        "quality:\n"
+        "  orders:\n"
+        "    - {check: min_rows, n: 100}\n"
+    )
+    m2_path = tmp_path / "m2.json"
+    rc = main(
+        ["-c", str(cfg2), "-o", str(tmp_path / "d2.sql"),
+         "--manifest", str(m2_path)]
+    )
+    capsys.readouterr()
+    assert rc == 0
+    m2 = json.loads(m2_path.read_text())
+    assert m2["total_epsilon"] == 0
+    assert m2["contracts_passed"] is True
+    assert m2["export"]["per_table_rows"]["orders"] == 1500
+
+    # audit verb appends to the EXISTING combined manifest
+    rc = main(
+        ["-c", str(cfg), "--manifest", str(manifest_path), "audit"]
+    )
+    out, err = capsys.readouterr()
+    assert rc == 1  # the absurd range still fails
+    assert "audit outcomes recorded" in err
+    m3 = json.loads(manifest_path.read_text())
+    assert m3["total_epsilon"] == 1.0  # release record survived
+    assert m3["export"]["tables_exported"] == 10  # export record survived
+    assert m3["contracts_passed"] is False
+    # audit's rows include PK/FK audit AND the contract rows
+    cons = {c["constraint"] for c in m3["contracts"]}
+    assert "in_range(o_totalprice,0.0,1.0)" in cons
+    assert any("complete" in c or "unique" in c for c in cons)
