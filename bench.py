@@ -257,6 +257,10 @@ HEADLINE = [
     # round-13: DP quantiles (post-processing of the histogram release
     # — prices like the histogram + a bounded public-grid window)
     "privacy_dp_quantiles",
+    # round-14: margin-scored bitext mining (same cell-blocked
+    # candidates as mutual-top-1 plus two grid-keyed neighbourhood
+    # aggregations feeding the ratio margin)
+    "bitext_margin_pairs",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one
