@@ -238,6 +238,22 @@ SHOWCASE = [
         "a broadcast quota join, and a per-source ranking window - "
         "the corpus is scanned once and shuffled once (on source).",
     ),
+    (
+        "bitext_margin_pairs",
+        "Margin-scored bitext (r14): the ratio margin reuses the SAME "
+        "ranked candidate relation the mutuality filter reads - the "
+        "two neighbourhood aggregations key on a_id / b_id (grid-"
+        "sized groups that grow with the corpora), so scoring adds "
+        "no second candidate pass and no corpus-sized shuffle.",
+    ),
+    (
+        "privacy_dp_quantiles",
+        "DP quantiles (r14 reshape): the histogram release is "
+        "collected eagerly (grid-sized, it IS the public release) and "
+        "rebuilt as Catalyst literals - the post-processing plan "
+        "touches NO corpus scan at all, aggregates the corpus exactly "
+        "once at call time, and leaves no session-lifetime cache.",
+    ),
 ]
 
 
