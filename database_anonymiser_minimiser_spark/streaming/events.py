@@ -811,6 +811,8 @@ def run_streaming_ann_screen(
     threshold: float = 0.35,
     nprobe: int = 2,
     num_centroids: int = 8,
+    train_centroids: bool = False,
+    train_iters: int = 3,
     compact_every: int | None = None,
     checkpoint: str | None = None,
     resume: bool = False,
@@ -861,10 +863,24 @@ def run_streaming_ann_screen(
     if resume and checkpoint is None:
         raise ValueError("resume=True requires a checkpoint directory")
     if not resume:
+        landed = spark.read.parquet(landed_path)
+        cents = None
+        if train_centroids:
+            # k-means cells instead of the first-K stand-in: better
+            # cell balance => better recall at the same nprobe; seeded
+            # ONCE here and persisted — appends never retrain (the
+            # save_ann_index contract), so every epoch screens against
+            # the same cell geometry
+            from ..operators.similarity import train_ivf_centroids
+
+            cents = train_ivf_centroids(
+                landed, num_centroids=num_centroids, iters=train_iters
+            )
         save_ann_index(
-            spark.read.parquet(landed_path),
+            landed,
             index_path,
             num_centroids=num_centroids,
+            centroids=cents,
         )
     schema = spark.read.parquet(new_spool_dir).schema
     stream = (

@@ -818,6 +818,72 @@ def test_streaming_ann_screen_arrival_order(spark, tmp_path):
     assert n_vecs == 7
 
 
+def test_streaming_ann_screen_trained_centroids(spark, tmp_path):
+    """r14: `screen --semantic --train-centroids` seeds the index with
+    k-means cells. At FULL probe the screen is exhaustive regardless of
+    cell geometry, so verdicts must equal the stand-in-seeded run
+    exactly — and the persisted centroids must actually be trained
+    (different from the first-K stand-in)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.streaming.events import (
+        run_streaming_ann_screen,
+    )
+
+    def pq_write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            path,
+        )
+
+    landed_rows = [
+        (0, vec(1, 0.1, 0, 0)),
+        (1, vec(0.9, 0, 0.1, 0)),
+        (2, vec(0, 1, 0, 0.1)),
+        (3, vec(0, 0.9, 0.1, 0)),
+        (4, vec(0, 0, 1, 0)),
+    ]
+    b1_rows = [(10, vec(0.99, 0.05, 0, 0)), (11, vec(0, 0, 0, 1))]
+    landed = str(tmp_path / "landed.parquet")
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    pq_write(landed, landed_rows)
+    f = spool / "part0.parquet"
+    pq_write(str(f), b1_rows)
+    os.utime(f, (1700000000, 1700000000))
+
+    def run(train, idx):
+        got = run_streaming_ann_screen(
+            spark, landed, str(spool), str(tmp_path / idx),
+            threshold=0.9, nprobe=2, num_centroids=2,
+            train_centroids=train,
+        )
+        return sorted(got)
+
+    plain = run(False, "idx_plain")
+    trained = run(True, "idx_trained")
+    assert trained == plain and len(trained) == 2  # full probe: 2 cells
+    c_plain = sorted(
+        map(tuple, spark.read.parquet(
+            str(tmp_path / "idx_plain/centroids")).collect())
+    )
+    c_trained = sorted(
+        map(tuple, spark.read.parquet(
+            str(tmp_path / "idx_trained/centroids")).collect())
+    )
+    assert c_trained != c_plain  # training actually moved the cells
+
+
 def test_mutual_top1_pairs_planted(spark):
     """Planted bitext: (0<->10) and (2<->12) are mutual best matches and
     must both survive; vector 4 (side A) has its best match in b=10,
