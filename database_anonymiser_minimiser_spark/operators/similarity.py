@@ -1804,41 +1804,50 @@ def bitext_margin_pairs(
     )
     cos = F.expr(_spark_dot("av", "bv")) / (F.col("anrm") * F.col("bnrm"))
     cand = a.join(b, "cid").select("a_id", "b_id", cos.alias("cosine"))
+    # the candidate relation feeds the per-a AND per-b views; naively
+    # expressing mutuality + neighbourhoods as four consumers of one
+    # ranked relation recomputes the corpus-sized candidate join FOUR
+    # times (zero exchange reuse — the q15 class, measured 8 scans).
+    # Instead each side's ONE window pass extracts its top-1 pair AND
+    # its neighbourhood sum in the same aggregation, so the candidates
+    # compute exactly twice — the same pass count as mutual_top1_pairs
+    # — and the mutuality check becomes a key join of the two
+    # grid-sized aggregates. Plan-gated in tests/test_plans.py.
     w_a = Window.partitionBy("a_id").orderBy(
         F.col("cosine").desc(), F.col("b_id")
     )
     w_b = Window.partitionBy("b_id").orderBy(
         F.col("cosine").desc(), F.col("a_id")
     )
-    ranked = cand.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
-        "rn_b", F.row_number().over(w_b)
-    )
     fold = (
         "aggregate(array_sort(collect_list(struct({rn} AS r, cosine AS c))), "
         "CAST(0 AS DOUBLE), (acc, x) -> acc + x.c)"
     )
-    neigh_a = (
-        ranked.filter(F.col("rn_a") <= k)
+    agg_a = (
+        cand.withColumn("rn_a", F.row_number().over(w_a))
+        .filter(F.col("rn_a") <= k)
         .groupBy("a_id")
         .agg(
             F.expr(fold.format(rn="rn_a")).alias("sum_a"),
             F.count(F.lit(1)).cast("double").alias("k_a"),
+            # rn_a == 1 is unique per group, so max() just selects it
+            F.max(
+                F.when(
+                    F.col("rn_a") == 1, F.struct("b_id", "cosine")
+                )
+            ).alias("best"),
         )
     )
-    neigh_b = (
-        ranked.filter(F.col("rn_b") <= k)
+    agg_b = (
+        cand.withColumn("rn_b", F.row_number().over(w_b))
+        .filter(F.col("rn_b") <= k)
         .groupBy("b_id")
         .agg(
             F.expr(fold.format(rn="rn_b")).alias("sum_b"),
             F.count(F.lit(1)).cast("double").alias("k_b"),
-        )
-    )
-    mutual = (
-        ranked.filter(F.col("rn_a") == 1)
-        .select("a_id", "b_id", "cosine")
-        .join(
-            ranked.filter(F.col("rn_b") == 1).select("a_id", "b_id"),
-            ["a_id", "b_id"],
+            F.max(
+                F.when(F.col("rn_b") == 1, F.col("a_id"))
+            ).alias("best_a"),
         )
     )
     margin = F.col("cosine") / (
@@ -1846,8 +1855,15 @@ def bitext_margin_pairs(
         / F.lit(2.0)
     )
     return (
-        mutual.join(neigh_a, "a_id")
-        .join(neigh_b, "b_id")
+        agg_a.select(
+            "a_id",
+            F.col("best.b_id").alias("b_id"),
+            F.col("best.cosine").alias("cosine"),
+            "sum_a",
+            "k_a",
+        )
+        .join(agg_b, "b_id")
+        .filter(F.col("best_a") == F.col("a_id"))  # mutual top-1
         .select("a_id", "b_id", "cosine", margin.alias("margin"))
         .filter(F.col("margin") >= threshold)
     )

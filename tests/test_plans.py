@@ -812,6 +812,20 @@ def test_ivf_pq_single_exchange_and_broadcast(spark, sf):
     assert tree.count(" Exchange (") == 1, tree
 
 
+def test_bitext_margin_two_candidate_passes(spark, sf):
+    """r14: the margin variant must compute the corpus-sized candidate
+    join exactly TWICE (one window pass per side, each extracting its
+    top-1 pair AND its neighbourhood fold in the same aggregation) —
+    the naive four-consumer shape recomputed it 4x (8 scans, the q15
+    class, caught by plan inspection before it shipped)."""
+    plan = plan_of(Q.QUERIES["bitext_margin_pairs"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "Python" not in plan, plan[:2000]
+    assert tree.count("Scan parquet") <= 4, tree  # 2 passes x 2 sides
+    assert tree.count("Window (") == 2, tree  # one ranking per side
+    assert "CartesianProduct" not in tree, tree
+
+
 def test_dp_quantiles_window_is_public_grid_sized(spark, sf):
     """r13: the DP quantile post-processing windows over the PUBLIC bin
     grid (the densified histogram), never the corpus — one corpus-side
