@@ -261,6 +261,10 @@ HEADLINE = [
     # candidates as mutual-top-1 plus two grid-keyed neighbourhood
     # aggregations feeding the ratio margin)
     "bitext_margin_pairs",
+    # round-14: IVFADC+R — the ADC shortlist re-ranked by exact cosine
+    # (grid-sized shortlist broadcast for the vector fetch; prices like
+    # ivf_pq + one broadcast-join pass over the corpus)
+    "ann_pq_rescore_topk",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

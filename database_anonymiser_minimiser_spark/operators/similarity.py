@@ -2592,3 +2592,200 @@ def ann_ivf_pq_topk_vs_index(
     return cand.select(
         "query_id", "neighbor_id", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= k)
+
+
+def ann_pq_rescore_topk(
+    emb: DataFrame,
+    query_ids: "list[int]",
+    k: int = 5,
+    num_centroids: int = 8,
+    num_codes: int = 16,
+    m: int = 8,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC+R: the ADC shortlist re-ranked by EXACT cosine — the
+    refine stage of Jegou, Douze, Schmid's "searching in one billion
+    vectors: re-rank with source coding" (public literature), and the
+    standard production serve: quantized codes pick ``shortlist``
+    candidates per query cheaply, then the true vectors of ONLY those
+    candidates are fetched and exactly re-scored, so quantization
+    error can reorder but no longer wrongly EXCLUDE near-boundary
+    neighbours. Returns (query_id, neighbor_id, cosine, rank) — the
+    top-``k`` of the shortlist by exact cosine (ties to the lower
+    neighbor id).
+
+    Scale shape: the shortlist relation is grid-sized (|queries| x
+    shortlist) and BROADCASTS against the corpus for the vector fetch
+    (the corpus streams through a BroadcastHashJoin unshuffled — no
+    code columns read in the refine, no second quantized pass); query
+    vectors are a bounded broadcast too; the final ranking window is
+    grid-keyed. Exactness: the rescore cosine uses the proven
+    ascending-index dot/norm folds, so the refined ranking is
+    hash-identical cross-engine given the same shortlist (which the
+    IVF-PQ oracle already guarantees)."""
+    if shortlist < k:
+        raise ValueError(
+            f"shortlist={shortlist} must be >= k={k} — the refine stage "
+            "ranks within the shortlist"
+        )
+    short = ann_ivf_pq_topk(
+        emb, query_ids, k=shortlist, num_centroids=num_centroids,
+        num_codes=num_codes, m=m, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    nvec = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    qvec = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cos = F.expr(_spark_dot("_nv", "_qv")) / (
+        F.expr(_spark_norm("_nv")) * F.expr(_spark_norm("_qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        nvec.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def duck_ann_pq_rescore_sql(
+    query_ids: "list[int]",
+    k: int = 5,
+    num_centroids: int = 8,
+    num_codes: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ann_pq_rescore_topk`: the settled IVF-PQ
+    oracle produces the shortlist, the refine re-scores it with the
+    same exact dot/norm folds and the same (cosine DESC, id) ranking."""
+    inner = duck_ann_ivf_pq_sql(
+        query_ids, k=shortlist, num_centroids=num_centroids,
+        num_codes=num_codes, m=m, dim=dim, nprobe=nprobe, table=table,
+    )
+    cos = (
+        f"{_duck_dot('e.embedding', 'q.embedding')} / "
+        f"({_duck_norm('e.embedding')} * {_duck_norm('q.embedding')})"
+    )
+    return f"""
+    WITH short AS ({inner}),
+    resc AS (SELECT s.query_id, s.neighbor_id, {cos} AS cosine
+             FROM short s
+             JOIN {table} e ON e.vec_id = s.neighbor_id
+             JOIN {table} q ON q.vec_id = s.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM resc) t WHERE rank <= {k}
+    """
+
+
+def ann_ivf_pq_topk_rescored_vs_index(
+    new_emb: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    exclude_batch: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ann_pq_rescore_topk` served from the PERSISTED IVF-PQ
+    index: stage 1 ranks the probed cells' STORED codes by ADC
+    (:func:`ann_ivf_pq_topk_vs_index` — m bytes per vector, static cid
+    pruning, zero index-side Exchange); stage 2 collects the
+    grid-sized shortlist (bounded: <=1000 queries x shortlist, the
+    same guard as stage 1) and re-reads ONLY those rows' float
+    vectors via a pushed ``nid IN`` filter — at a billion vectors the
+    refine touches |shortlist| rows of the nv column, not the corpus.
+    Returns (query_id, neighbor_id, cosine, rank), identical to the
+    inline twin on the same corpus (unit-gated)."""
+    spark = new_emb.sparkSession
+    short = ann_ivf_pq_topk_vs_index(
+        new_emb, path, k=shortlist, nprobe=nprobe,
+        exclude_batch=exclude_batch, id_col=id_col, vec_col=vec_col,
+    )
+    pairs = sorted(
+        (int(r["query_id"]), int(r["neighbor_id"])) for r in short.collect()
+    )
+    q_rows = sorted(
+        (int(r[id_col]), [float(v) for v in r[vec_col]])
+        for r in new_emb.select(id_col, vec_col).collect()
+    )
+    empty = (
+        spark.range(0)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            F.col("id").cast("double").alias("cosine"),
+            F.col("id").cast("int").alias("rank"),
+        )
+    )
+    if not pairs:
+        return empty
+    cand_ids = sorted({n for _q, n in pairs})
+    pair_elems = ", ".join(
+        f"struct(CAST({q} AS BIGINT) AS query_id, "
+        f"CAST({n} AS BIGINT) AS neighbor_id)"
+        for q, n in pairs
+    )
+    pairs_df = (
+        spark.range(1)
+        .select(F.explode(F.expr(f"array({pair_elems})")).alias("p"))
+        .select("p.*")
+    )
+    qids_in_pairs = {q for q, _n in pairs}
+    q_elems = ", ".join(
+        f"struct(CAST({qid} AS BIGINT) AS query_id, "
+        f"{_centroid_literal(qv)} AS _qv)"
+        for qid, qv in q_rows
+        if qid in qids_in_pairs
+    )
+    qdf = (
+        spark.range(1)
+        .select(F.explode(F.expr(f"array({q_elems})")).alias("q"))
+        .select("q.*")
+    )
+    landed = spark.read.parquet(f"{path}/vectors")
+    if exclude_batch is not None:
+        landed = landed.filter(F.col("batch") != exclude_batch)
+    # the refine read: nv for the shortlist rows ONLY — the IN filter
+    # pushes to the parquet scan (PushedFilters, plan-gated) and the
+    # code columns are pruned away entirely
+    vec = landed.filter(F.col("nid").isin(cand_ids)).select(
+        "nid", F.col("nv").alias("_nv"), "nrm"
+    )
+    cos = F.expr(_spark_dot("_nv", "_qv")) / (
+        F.col("nrm") * F.expr(_spark_norm("_qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        vec.join(
+            F.broadcast(pairs_df), F.col("nid") == F.col("neighbor_id")
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -3156,6 +3156,30 @@ def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_pq_rescore_topk",
+    _sim.duck_ann_pq_rescore_sql(
+        _QUERY_VEC_IDS, k=5, num_centroids=8, num_codes=16, m=8,
+        nprobe=2, shortlist=20,
+    ),
+)
+def q_ann_pq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R (r14 — similarity.py:ann_pq_rescore_topk): the refine
+    stage of Jegou et al.'s billion-vector pipeline — the IVF-PQ ADC
+    shortlist (20 per query) is re-ranked by EXACT cosine over only
+    those candidates' true vectors, so quantization error can reorder
+    but never wrongly exclude a near-boundary neighbour. The shortlist
+    broadcasts against the corpus for the vector fetch (no code
+    columns read in the refine, grid-keyed final window); the
+    index-served twin (ann_ivf_pq_topk_rescored_vs_index) re-reads
+    ONLY the shortlist rows via a pushed nid IN filter, unit-gated
+    equal to this inline member."""
+    return _sim.ann_pq_rescore_topk(
+        load(spark, sf_dir, "embeddings"), _QUERY_VEC_IDS, k=5,
+        nprobe=2, shortlist=20,
+    )
+
+
 # ===========================================================================
 # Structured Streaming (same transforms, streaming runner)
 # ===========================================================================

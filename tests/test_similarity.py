@@ -1139,6 +1139,91 @@ def test_trained_codebook_index_serves_same_ranking(spark, sf_dir, tmp_path):
     assert served == inline and len(served) == 15
 
 
+def test_pq_rescore_refines_adc_and_converges_to_exact(spark, sf_dir):
+    """r14 IVFADC+R: (a) the rescored top-k's recall vs exact brute
+    force is >= plain ADC's (re-ranking true vectors can only help),
+    (b) with a full probe and a corpus-sized shortlist the refine IS
+    brute force (exact equality with topk_cosine), (c) shortlist < k
+    is refused."""
+    import pytest
+
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    qids = [0, 1, 2, 57, 111]
+    k = 5
+    exact_df = S.topk_cosine(emb, qids, k=k)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in exact_df.collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    r_adc = recall(S.ann_ivf_pq_topk(emb, qids, k=k, nprobe=2))
+    r_res = recall(
+        S.ann_pq_rescore_topk(emb, qids, k=k, nprobe=2, shortlist=20)
+    )
+    assert r_res >= r_adc, (r_res, r_adc)
+    # full probe + corpus-wide shortlist: the refine equals brute force
+    full = S.ann_pq_rescore_topk(
+        emb, qids, k=k, nprobe=8, shortlist=n
+    )
+    assert sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in full.collect()
+    ) == sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in exact_df.collect()
+    )
+    with pytest.raises(ValueError, match="shortlist"):
+        S.ann_pq_rescore_topk(emb, qids, k=5, shortlist=3)
+
+
+def test_pq_rescore_index_twin_equal_and_reads_shortlist_only(
+    spark, sf_dir, tmp_path
+):
+    """The index-served IVFADC+R twin equals the inline member on the
+    same corpus, and its refine stage reads ONLY the shortlist rows:
+    the parquet scan carries a pushed nid IN filter and NO code
+    columns — at a billion vectors the refine touches |shortlist|
+    rows of nv, not the corpus."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    path = str(tmp_path / "ivfpqr")
+    S.save_ann_index(emb, path, num_centroids=8, pq_m=8, num_codes=16)
+    delta = emb.filter(F.col("vec_id").isin(qids))
+    served = S.ann_ivf_pq_topk_rescored_vs_index(
+        delta, path, k=5, nprobe=2, shortlist=20
+    )
+    inline = S.ann_pq_rescore_topk(
+        emb, qids, k=5, nprobe=2, shortlist=20
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    plan = served._sc._jvm.PythonSQLUtils.explainString(
+        served._jdf.queryExecution(), "formatted"
+    )
+    mm = re.search(
+        r"Scan parquet [^\n]*\n(?:.*\n)*?Location[^\n]*ivfpqr/vectors"
+        r"[\s\S]*?PushedFilters: \[([^\]]*)\][\s\S]*?ReadSchema: ([^\n]*)",
+        plan,
+    )
+    assert mm, plan
+    assert re.search(r"In\(nid", mm.group(1)), mm.group(1)  # pushed IN
+    assert "c0" not in mm.group(2), mm.group(2)  # codes pruned away
+    assert "nv" in mm.group(2), mm.group(2)  # the refine reads vectors
+
+
 def test_ivf_pq_index_serving_matches_inline(spark, sf_dir, tmp_path):
     """The persisted IVF-PQ layout: an index seeded with pq_m over the
     full corpus serves the IDENTICAL top-k as the inline ann_ivf_pq_topk
