@@ -372,6 +372,45 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --index: comma-separated batch labels carried over "
         "UNFOLDED (e.g. an epoch a paused stream will replay)",
     )
+    retrieve = sub.add_parser(
+        "retrieve",
+        help="serve top-k ANN retrieval from a persisted PQ-coded index "
+        "(the third leg of the index lifecycle: seed it with 'screen "
+        "--semantic', maintain it with 'compact --index ann', SERVE it "
+        "here): each query vector gets its k nearest landed neighbours "
+        "by ADC over the stored codes, optionally exact-rescored "
+        "(IVFADC+R). Runs without -c/--config — operates on paths",
+    )
+    retrieve.add_argument(
+        "--index", required=True,
+        help="persisted ANN index path (save_ann_index with pq_m / "
+        "a PQ-seeded screen); a code-less index is refused with a "
+        "pointer to re-seed",
+    )
+    retrieve.add_argument(
+        "--queries", required=True,
+        help="parquet of (vec_id, embedding) query vectors; batches of "
+        "1000 are served per plan (the bounded-literal ADC guard), any "
+        "total count works",
+    )
+    retrieve.add_argument(
+        "-k", type=_positive_int, default=5,
+        help="neighbours per query (default 5)",
+    )
+    retrieve.add_argument(
+        "--nprobe", type=_positive_int, default=2,
+        help="probe the N nearest cells per query (default 2)",
+    )
+    retrieve.add_argument(
+        "--rescore", type=_positive_int, default=None, metavar="MULT",
+        help="IVFADC+R: re-rank the top k*MULT ADC shortlist by EXACT "
+        "cosine over only those rows' true vectors (pushed nid IN "
+        "read) — output gains a cosine column",
+    )
+    retrieve.add_argument(
+        "--out", default=None,
+        help="write results as parquet here instead of TSV to stdout",
+    )
     release = sub.add_parser(
         "release",
         help="differentially-private aggregate releases: run every entry "
@@ -672,6 +711,85 @@ def main(argv: list[str] | None = None) -> int:
             f"{stats['files_after']} file(s), {stats['rows']} row(s) "
             f"verified, {stats['bytes']} bytes"
         )
+        return 0
+    if args.command == "retrieve":
+        # path-based verb: no config/connection involved
+        from .operators.similarity import (
+            ann_ivf_pq_topk_rescored_vs_index,
+            ann_ivf_pq_topk_vs_index,
+        )
+
+        spark = get_spark()
+        spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
+        try:
+            q_all = spark.read.parquet(args.queries).select(
+                "vec_id", "embedding"
+            ).collect()
+        except Exception as exc:
+            print(
+                f"error: cannot read queries: {str(exc).splitlines()[0]}",
+                file=sys.stderr,
+            )
+            return 2
+        if not q_all:
+            print("error: --queries holds no rows", file=sys.stderr)
+            return 2
+        schema = spark.read.parquet(args.queries).select(
+            "vec_id", "embedding"
+        ).schema
+        results = []
+        try:
+            # the ADC query side embeds m x K literal tables per query,
+            # so serve in bounded batches (the same <=1000 guard the
+            # operator enforces); any total query count works
+            for i in range(0, len(q_all), 1000):
+                chunk = spark.createDataFrame(q_all[i:i + 1000], schema)
+                if args.rescore is not None:
+                    df = ann_ivf_pq_topk_rescored_vs_index(
+                        chunk, args.index, k=args.k, nprobe=args.nprobe,
+                        shortlist=args.k * args.rescore,
+                    )
+                else:
+                    df = ann_ivf_pq_topk_vs_index(
+                        chunk, args.index, k=args.k, nprobe=args.nprobe
+                    )
+                results.extend(tuple(r) for r in df.collect())
+        except (FileNotFoundError, ValueError) as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        except Exception as exc:  # no index at path -> AnalysisException
+            msg = str(exc).splitlines()[0]
+            if "PATH_NOT_FOUND" not in msg:
+                raise
+            print(
+                f"error: no ANN index at {args.index}: {msg}",
+                file=sys.stderr,
+            )
+            return 2
+        results.sort(key=lambda row: (row[0], row[-1]))  # (query, rank)
+        cols = (
+            ["query_id", "neighbor_id", "cosine", "rank"]
+            if args.rescore is not None
+            else ["query_id", "neighbor_id", "rank"]
+        )
+        if args.out is not None:
+            spark.createDataFrame(results, ", ".join(
+                f"{c} {'double' if c == 'cosine' else 'bigint' if c != 'rank' else 'int'}"
+                for c in cols
+            )).write.mode("error").parquet(args.out)
+            print(
+                f"wrote {len(results)} result row(s) for "
+                f"{len(q_all)} query vector(s): {args.out}"
+            )
+        else:
+            print("\t".join(cols))
+            for row in results:
+                print("\t".join(str(v) for v in row))
+            print(
+                f"{len(results)} result row(s) for {len(q_all)} "
+                f"query vector(s)",
+                file=sys.stderr,
+            )
         return 0
     if args.command == "screen":
         # path-based verb: no config/connection involved

@@ -1359,3 +1359,81 @@ def test_ann_index_append_infers_pq_shape(spark, tmp_path):
     S.save_ann_index(base, plain, num_centroids=2)
     with pytest.raises(ValueError, match="re-seed"):
         S.save_ann_index(extra, plain, append=True, batch="e1", pq_m=4)
+
+
+def test_cli_retrieve_e2e(spark, sf_dir, tmp_path, capsys):
+    """r14: the `retrieve` verb — the serve leg of the index lifecycle.
+    TSV output matches the operator's results exactly (plain ADC and
+    --rescore IVFADC+R), --out writes parquet, and the refusal paths
+    (no index, code-less index, empty queries) are friendly."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_minimiser_spark import cli
+    from database_anonymiser_minimiser_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    S.save_ann_index(emb, path, num_centroids=8, pq_m=8, num_codes=16)
+    qpath = str(tmp_path / "queries.parquet")
+    emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        "vec_id", "embedding"
+    ).write.parquet(qpath)
+
+    rc = cli.main(["retrieve", "--index", path, "--queries", qpath, "-k", "3"])
+    out, err = capsys.readouterr()
+    assert rc == 0 and "9 result row(s) for 3 query vector(s)" in err
+    got = [
+        tuple(line.split("\t"))
+        for line in out.strip().splitlines()[1:]  # drop header
+    ]
+    delta = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    want = sorted(
+        ((str(r["query_id"]), str(r["neighbor_id"]), str(r["rank"])))
+        for r in S.ann_ivf_pq_topk_vs_index(
+            delta, path, k=3, nprobe=2
+        ).collect()
+    )
+    assert sorted(got) == want
+
+    # rescored: 4 columns, values match the operator
+    rc = cli.main(
+        ["retrieve", "--index", path, "--queries", qpath, "-k", "3",
+         "--rescore", "4"]
+    )
+    out, err = capsys.readouterr()
+    assert rc == 0
+    lines = out.strip().splitlines()
+    assert lines[0].split("\t") == [
+        "query_id", "neighbor_id", "cosine", "rank"
+    ]
+    want_r = sorted(
+        (str(r["query_id"]), str(r["neighbor_id"]), str(r["cosine"]),
+         str(r["rank"]))
+        for r in S.ann_ivf_pq_topk_rescored_vs_index(
+            delta, path, k=3, nprobe=2, shortlist=12
+        ).collect()
+    )
+    assert sorted(tuple(ln.split("\t")) for ln in lines[1:]) == want_r
+
+    # --out parquet round-trips
+    outp = str(tmp_path / "res.parquet")
+    rc = cli.main(
+        ["retrieve", "--index", path, "--queries", qpath, "--out", outp]
+    )
+    capsys.readouterr()
+    assert rc == 0
+    assert spark.read.parquet(outp).count() == 15  # 3 queries x k=5
+
+    # refusals: code-less index, missing index, empty queries
+    plain = str(tmp_path / "plain")
+    S.save_ann_index(emb, plain, num_centroids=8)
+    rc = cli.main(["retrieve", "--index", plain, "--queries", qpath])
+    assert rc == 2 and "pq_m" in capsys.readouterr().err
+    rc = cli.main(
+        ["retrieve", "--index", str(tmp_path / "nope"), "--queries", qpath]
+    )
+    assert rc == 2
+    empty_q = str(tmp_path / "noq.parquet")
+    emb.limit(0).select("vec_id", "embedding").write.parquet(empty_q)
+    rc = cli.main(["retrieve", "--index", path, "--queries", empty_q])
+    assert rc == 2 and "no rows" in capsys.readouterr().err
