@@ -411,6 +411,32 @@ def build_parser() -> argparse.ArgumentParser:
         "--out", default=None,
         help="write results as parquet here instead of TSV to stdout",
     )
+    forget = sub.add_parser(
+        "forget",
+        help="right-to-erasure for a persisted dedup/ANN index: record "
+        "the given ids as tombstones so every screen/retrieve stops "
+        "matching them immediately (a pushed scan filter — no index "
+        "rewrite), then 'compact --index' removes the rows physically "
+        "and closes the ledger. Idempotent; runs without -c/--config",
+    )
+    forget.add_argument(
+        "--index", required=True, choices=["minhash", "ann"],
+        help="which index kind lives at --path (minhash = bucketed "
+        "manifest index, falling back to the plain bands/shingles "
+        "layout; ann = vector index)",
+    )
+    forget.add_argument(
+        "--path", required=True, help="persisted index path"
+    )
+    forget.add_argument(
+        "--ids", default=None, metavar="A,B",
+        help="comma-separated ids to forget (doc ids for minhash, "
+        "vector ids for ann)",
+    )
+    forget.add_argument(
+        "--ids-file", default=None, metavar="FILE",
+        help="file with one id per line (takedown lists)",
+    )
     release = sub.add_parser(
         "release",
         help="differentially-private aggregate releases: run every entry "
@@ -710,6 +736,70 @@ def main(argv: list[str] | None = None) -> int:
             f"compacted {args.path}: {stats['files_before']} -> "
             f"{stats['files_after']} file(s), {stats['rows']} row(s) "
             f"verified, {stats['bytes']} bytes"
+        )
+        return 0
+    if args.command == "forget":
+        # path-based verb: no config/connection involved
+        raw: list[str] = []
+        if args.ids:
+            raw.extend(
+                s.strip() for s in args.ids.split(",") if s.strip()
+            )
+        if args.ids_file:
+            try:
+                with open(args.ids_file) as fh:
+                    raw.extend(s.strip() for s in fh if s.strip())
+            except OSError as exc:
+                print(f"error: cannot read --ids-file: {exc}",
+                      file=sys.stderr)
+                return 2
+        if not raw:
+            print("error: pass --ids and/or --ids-file",
+                  file=sys.stderr)
+            return 2
+        ids: list = (
+            [int(s) for s in raw]
+            if all(s.lstrip("-").isdigit() for s in raw)
+            else raw
+        )
+        spark = get_spark()
+        spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
+        try:
+            if args.index == "ann":
+                from .operators.similarity import forget_from_ann_index
+
+                stats = forget_from_ann_index(spark, args.path, ids)
+                hidden = f"{stats['landed']} landed vector row(s) hidden"
+            else:
+                from .operators.dedup import (
+                    _read_index_manifest,
+                    forget_from_minhash_index,
+                    register_minhash_index_bucketed,
+                )
+
+                try:
+                    _read_index_manifest(spark, args.path)
+                    prefix = "dbmask_maint"
+                    register_minhash_index_bucketed(
+                        spark, prefix, args.path
+                    )
+                    stats = forget_from_minhash_index(
+                        spark, ids, path=args.path, table_prefix=prefix
+                    )
+                except FileNotFoundError:
+                    # no manifest -> the plain bands/shingles layout
+                    stats = forget_from_minhash_index(
+                        spark, ids, path=args.path
+                    )
+                hidden = f"{stats['landed_docs']} landed doc(s) hidden"
+        except (FileNotFoundError, ValueError) as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        print(
+            f"forgot {stats['new']} new id(s) from {args.index} index "
+            f"{args.path} ({stats['already']} already tombstoned); "
+            f"{hidden} — run 'compact --index {args.index} --path "
+            f"{args.path}' to remove them physically"
         )
         return 0
     if args.command == "retrieve":

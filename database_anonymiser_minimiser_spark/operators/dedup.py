@@ -700,6 +700,12 @@ def minhash_incremental_vs_index(
                 F.col("batch") != exclude_batch
             )
             sh_landed = sh_landed.filter(F.col("batch") != exclude_batch)
+        # forgotten docs never match (logical erasure — pushed filter /
+        # broadcast anti-join, the landed side still never shuffles)
+        ts = minhash_tombstone_ids(spark, path=path)
+        if ts:
+            banded_landed = _without_tombstoned_ids(banded_landed, ts)
+            sh_landed = _without_tombstoned_ids(sh_landed, ts)
         return _screen_new_vs_landed(
             sh_new, banded_landed, sh_landed, threshold, mode
         )
@@ -812,7 +818,13 @@ def save_minhash_index_bucketed(
             # external tables keep their files across DROP, so delete
             # any previous (possibly relocated-by-compaction) location
             # first or a re-seed leaks the old directory forever
-            for t in (f"{table_prefix}_bands", f"{table_prefix}_shingles"):
+            for t in (
+                f"{table_prefix}_bands",
+                f"{table_prefix}_shingles",
+                # a fresh seed is a new corpus: a previous life's
+                # erasure ledger must not hide the new corpus' rows
+                f"{table_prefix}_tombstones",
+            ):
                 old_loc = _table_location(spark, t)
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
                 if old_loc is not None:
@@ -885,7 +897,7 @@ def _index_manifest(
     bands_ddl: str,
     shingles_ddl: str,
 ) -> dict:
-    return {
+    out = {
         "n_buckets": n_buckets,
         "tables": {
             "bands": {
@@ -902,6 +914,19 @@ def _index_manifest(
             },
         },
     }
+    # the erasure ledger is part of the index: a restart that rebuilt
+    # bands+shingles but lost the tombstones would silently resurrect
+    # forgotten subjects in every screen
+    if spark.catalog.tableExists(f"{table_prefix}_tombstones"):
+        out["tombstones"] = {
+            "location": _table_location(
+                spark, f"{table_prefix}_tombstones"
+            ),
+            "schema_ddl": spark.table(
+                f"{table_prefix}_tombstones"
+            )._jdf.schema().toDDL(),
+        }
+    return out
 
 
 def register_minhash_index_bucketed(
@@ -933,6 +958,15 @@ def register_minhash_index_bucketed(
             f"LOCATION '{spec['location']}'"
         )
         spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
+    ts_spec = manifest.get("tombstones")
+    if ts_spec is not None and not spark.catalog.tableExists(
+        f"{table_prefix}_tombstones"
+    ):
+        spark.sql(
+            f"CREATE TABLE {table_prefix}_tombstones "
+            f"({ts_spec['schema_ddl']}) USING parquet "
+            f"LOCATION '{ts_spec['location']}'"
+        )
 
 
 def bucketed_index_has_batch(spark, table_prefix: str, batch: str) -> bool:
@@ -981,6 +1015,12 @@ def minhash_incremental_vs_bucketed_index(
                 F.col("batch") != exclude_batch
             )
             sh_landed = sh_landed.filter(F.col("batch") != exclude_batch)
+        # forgotten docs never match (logical erasure — pushed filter /
+        # broadcast anti-join, bucket-join co-location preserved)
+        ts = minhash_tombstone_ids(spark, table_prefix=table_prefix)
+        if ts:
+            banded_landed = _without_tombstoned_ids(banded_landed, ts)
+            sh_landed = _without_tombstoned_ids(sh_landed, ts)
         return _screen_new_vs_landed(
             sh_new,
             banded_landed,
@@ -1071,11 +1111,15 @@ def compact_minhash_index_bucketed(
             if keep
             else F.lit(batch)
         )
+        # physical erasure: the rewrite is the moment tombstoned docs'
+        # band/shingle rows actually leave the files (the screens have
+        # hidden them since the forget call)
+        ts_vals = minhash_tombstone_ids(spark, table_prefix=table_prefix)
         for table, keys, leaf in specs:
             tmp = f"{table}__compacting"
             spark.sql(f"DROP TABLE IF EXISTS {tmp}")
             w = (
-                spark.table(table)
+                _without_tombstoned_ids(spark.table(table), ts_vals)
                 .withColumn("batch", new_batch)
                 .repartition(n_buckets, *[F.col(k) for k in keys])
                 .write.partitionBy("batch")
@@ -1103,6 +1147,16 @@ def compact_minhash_index_bucketed(
         new_loc = _table_location(spark, table)
         if old_loc is not None and old_loc != new_loc:
             _hfs_delete(spark, old_loc)
+    if ts_vals and not tuple(keep_batches):
+        # every row passed the tombstone filter, so the forgotten docs
+        # are physically gone — close the erasure ledger (before the
+        # manifest rewrite, which records only live tables). A kept
+        # (replayable) epoch keeps the ledger: its replay would re-land
+        # the forgotten docs' rows and they must stay hidden.
+        ts_loc = _table_location(spark, f"{table_prefix}_tombstones")
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_tombstones")
+        if ts_loc is not None:
+            _hfs_delete(spark, ts_loc)
     if path is not None:
         bands_t = spark.table(f"{table_prefix}_bands")
         sh_t = spark.table(f"{table_prefix}_shingles")
@@ -1115,6 +1169,214 @@ def compact_minhash_index_bucketed(
                 shingles_ddl=sh_t.drop("batch")._jdf.schema().toDDL(),
             ),
         )
+
+
+# ---------------------------------------------------------------------------
+# right-to-erasure: tombstones on the persisted MinHash indexes
+# ---------------------------------------------------------------------------
+
+# above this many forgotten ids the screen-side exclusion switches from a
+# pushed Not(In(id, ...)) scan filter to a broadcast anti-join (the same
+# trade as the ANN ledger, similarity._TOMBSTONE_ISIN_CAP)
+_TS_ISIN_CAP = 4096
+
+
+def _coerce_forget_ids(ids) -> "tuple[list, str]":
+    """Deduplicate + sort a forget request and derive its ledger schema
+    (doc ids are bigint in the driver corpus but string ids are legal)."""
+    vals = set(ids)
+    if not vals:
+        raise ValueError("forget: no ids given")
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+        return sorted(int(v) for v in vals), "bigint"
+    if all(isinstance(v, str) for v in vals):
+        return sorted(vals), "string"
+    raise ValueError("forget: ids must be all-int or all-string")
+
+
+def _without_tombstoned_ids(
+    df: DataFrame, ts_vals: list, col: str = "id", invert: bool = False
+) -> DataFrame:
+    """Exclude (or with ``invert`` select) ledgered ids from an
+    index-side relation without shuffling it: small ledgers push as a
+    ``Not(In(...))`` scan filter, large ones broadcast-anti-join — the
+    bucketed screens' no-index-Exchange plans hold either way."""
+    if not ts_vals:
+        return df.filter(F.lit(False)) if invert else df
+    if len(ts_vals) <= _TS_ISIN_CAP:
+        cond = F.col(col).isin(ts_vals)
+        return df.filter(cond if invert else ~cond)
+    typ = "bigint" if isinstance(ts_vals[0], int) else "string"
+    tsdf = df.sparkSession.createDataFrame(
+        [(v,) for v in ts_vals], f"{col} {typ}"
+    )
+    return df.join(
+        F.broadcast(tsdf), col, "left_semi" if invert else "left_anti"
+    )
+
+
+def minhash_tombstone_ids(
+    spark, path: str | None = None, table_prefix: str | None = None
+) -> list:
+    """The sorted forgotten doc ids of a persisted MinHash index —
+    catalog-table ledger for the bucketed layout (``table_prefix``),
+    path-rooted parquet for the plain layout (``path``); empty when
+    nothing was ever forgotten or the ledger was cleared."""
+    if table_prefix is not None:
+        if not spark.catalog.tableExists(f"{table_prefix}_tombstones"):
+            return []
+        rows = spark.table(f"{table_prefix}_tombstones").collect()
+    elif path is not None:
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/tombstones"
+        )
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            return []
+        rows = spark.read.parquet(f"{path}/tombstones").collect()
+    else:
+        raise ValueError("pass path or table_prefix")
+    return sorted(r["id"] for r in rows)
+
+
+def forget_from_minhash_index(
+    spark,
+    ids,
+    path: str | None = None,
+    table_prefix: str | None = None,
+) -> dict:
+    """Right-to-erasure for the persisted MinHash index: record ``ids``
+    in the index's tombstone ledger so every incremental screen stops
+    matching against them immediately (logical erasure — a pushed scan
+    filter, the index never shuffles); the bucketed layout's compaction
+    (:func:`compact_minhash_index_bucketed`) then drops their band and
+    shingle rows physically and clears the ledger once no replayable
+    epoch is kept back. The plain (non-bucketed) layout stays
+    logical-only until its next re-seed — its maintenance story has no
+    in-place rewrite by design.
+
+    ``table_prefix`` targets the bucketed catalog-table index (ledger =
+    ``<prefix>_tombstones``, recorded in the ``path`` manifest when
+    given, so :func:`register_minhash_index_bucketed` restores it after
+    a driver restart); ``path`` alone targets the plain parquet index
+    (ledger = ``<path>/tombstones``). Idempotent: re-forgetting is a
+    no-op. Returns ``{"requested", "new", "already", "landed_docs"}``."""
+    want, typ = _coerce_forget_ids(ids)
+    if table_prefix is not None:
+        if not spark.catalog.tableExists(f"{table_prefix}_bands"):
+            raise FileNotFoundError(
+                f"no bucketed MinHash index under prefix "
+                f"{table_prefix!r} — seed it (save_minhash_index_"
+                f"bucketed) or rebuild the catalog "
+                f"(register_minhash_index_bucketed) first"
+            )
+        existing = set(
+            minhash_tombstone_ids(spark, table_prefix=table_prefix)
+        )
+        new = [v for v in want if v not in existing]
+        merged = sorted(existing.union(want))
+        if new:
+            staging = f"{table_prefix}_tombstones__staging"
+            spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            w = (
+                spark.createDataFrame(
+                    [(v,) for v in merged], f"id {typ}"
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .format("parquet")
+            )
+            if path is not None:
+                import uuid
+
+                w = w.option(
+                    "path", f"{path}/tombstones_c{uuid.uuid4().hex[:8]}"
+                )
+            w.saveAsTable(staging)
+            live = f"{table_prefix}_tombstones"
+            old_loc = _table_location(spark, live)
+            spark.sql(f"DROP TABLE IF EXISTS {live}")
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {live}")
+            new_loc = _table_location(spark, live)
+            if old_loc is not None and old_loc != new_loc:
+                _hfs_delete(spark, old_loc)
+            if path is not None:
+                manifest = _read_index_manifest(spark, path)
+                bands_t = spark.table(f"{table_prefix}_bands")
+                sh_t = spark.table(f"{table_prefix}_shingles")
+                _write_index_manifest(
+                    spark,
+                    path,
+                    _index_manifest(
+                        spark, table_prefix, manifest["n_buckets"],
+                        bands_ddl=bands_t.drop("batch")
+                        ._jdf.schema().toDDL(),
+                        shingles_ddl=sh_t.drop("batch")
+                        ._jdf.schema().toDDL(),
+                    ),
+                )
+        landed = (
+            _without_tombstoned_ids(
+                spark.table(f"{table_prefix}_shingles"), merged,
+                invert=True,
+            )
+            .select("id").distinct().count()
+        )
+    else:
+        if path is None:
+            raise ValueError("pass path or table_prefix")
+        jvm = spark._jvm
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(HPath(f"{path}/bands")):
+            raise FileNotFoundError(
+                f"no MinHash index at {path} — nothing to forget from"
+            )
+        existing = set(minhash_tombstone_ids(spark, path=path))
+        new = [v for v in want if v not in existing]
+        merged = sorted(existing.union(want))
+        if new:
+            tmp = f"{path}/_tombstones_tmp"
+            _hfs_delete(spark, tmp)
+            spark.createDataFrame(
+                [(v,) for v in merged], f"id {typ}"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            n_out = spark.read.parquet(tmp).count()
+            if n_out != len(merged):
+                raise RuntimeError(
+                    f"tombstone write verification failed: "
+                    f"{len(merged)} in, {n_out} out — staged at {tmp}, "
+                    f"ledger untouched"
+                )
+            trash = f"{path}/_tombstones_trash"
+            _hfs_delete(spark, trash)
+            live = f"{path}/tombstones"
+            if fs.exists(HPath(live)) and not fs.rename(
+                HPath(live), HPath(trash)
+            ):
+                raise RuntimeError(
+                    f"forget_from_minhash_index: rename {live} -> "
+                    f"{trash} failed"
+                )
+            if not fs.rename(HPath(tmp), HPath(live)):
+                raise RuntimeError(
+                    f"forget_from_minhash_index: rename {tmp} -> {live} "
+                    f"failed; previous ledger preserved at {trash}"
+                )
+            _hfs_delete(spark, trash)
+        landed = (
+            _without_tombstoned_ids(
+                spark.read.parquet(f"{path}/shingles"), merged,
+                invert=True,
+            )
+            .select("id").distinct().count()
+        )
+    return {
+        "requested": len(want),
+        "new": len(new),
+        "already": len(want) - len(new),
+        "landed_docs": landed,
+    }
 
 
 def duck_minhash_incremental_sql(

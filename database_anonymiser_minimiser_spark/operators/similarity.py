@@ -1338,6 +1338,11 @@ def save_ann_index(
             "non-empty corpus (or pass centroids explicitly)"
         )
     assigned = assign_to_centroids(emb, cent_rows, id_col, vec_col)
+    # canonicalize the id's physical type: an epoch whose id column is
+    # INT landing next to a BIGINT seed makes the unioned read fail with
+    # a physical-type clash (found live) — and the tombstone ledger
+    # compares against bigint
+    assigned = assigned.withColumn("nid", F.col("nid").cast("bigint"))
     if append:
         # the PQ shape is a property of the INDEX, not the call: an
         # append that silently skipped encoding would land code-less
@@ -1482,6 +1487,9 @@ def ann_screen_vs_index(
     landed = spark.read.parquet(f"{path}/vectors")
     if exclude_batch is not None:
         landed = landed.filter(F.col("batch") != exclude_batch)
+    # forgotten subjects never match (logical erasure — a pushed scan
+    # filter / broadcast anti-join, the index still never shuffles)
+    landed = _ann_without_tombstones(landed, spark, path)
     scored_arr = _centroid_scored_array(cent_rows, "qv", "_qnrm")
     nprobe = min(int(nprobe), len(cent_rows))
     probe = f"slice(reverse(array_sort({scored_arr})), 1, {nprobe})"
@@ -1621,8 +1629,12 @@ def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
     fs = root.getFileSystem(hconf)
     batches = ann_index_batches(spark, path)
     fold = [b for b in batches if b not in tuple(keep_batches)]
+    keep = [b for b in batches if b in tuple(keep_batches)]
     if len(fold) <= 1:
-        return {"folded": 0, "rows": 0}
+        return {
+            "folded": 0, "rows": 0, "removed": 0,
+            "tombstones_cleared": False,
+        }
     # the consolidated partition promotes under batch=seed; if the
     # CALLER kept 'seed' unfolded (plausible: fold >=2 epochs while the
     # seed stays), that destination already exists and Hadoop rename
@@ -1647,6 +1659,16 @@ def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
     # compacted index); only the batch partition label folds away
     src = src.select([c for c in src.columns if c != "batch"])
     rows_in = src.count()
+    # physical erasure: folded rows drop their tombstoned nids here —
+    # the rewrite the logical forget deferred. Row accounting stays
+    # exact: rows_in - removed must equal what lands.
+    ts = ann_tombstone_ids(spark, path)
+    removed = 0
+    rows_keep = rows_in
+    if ts:
+        src = _ann_without_tombstones(src, tombstone_ids=ts)
+        rows_keep = src.count()
+        removed = rows_in - rows_keep
     tmp = f"{path}/_compact_tmp/batch={dest}"
     _hfs_delete(spark, f"{path}/_compact_tmp")
     # repartition ON the partition column: each cell's rows land in one
@@ -1657,10 +1679,11 @@ def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
         "cid"
     ).parquet(tmp)
     rows_out = spark.read.parquet(tmp).count()
-    if rows_in != rows_out:
+    if rows_keep != rows_out:
         raise RuntimeError(
             f"ann index compaction row-count mismatch: {rows_in} in, "
-            f"{rows_out} out — staged output left at {tmp}, index untouched"
+            f"{removed} tombstoned, {rows_out} out (expected "
+            f"{rows_keep}) — staged output left at {tmp}, index untouched"
         )
     trash = HPath(f"{path}/_compact_trash")
     _hfs_delete(spark, f"{path}/_compact_trash")
@@ -1692,7 +1715,151 @@ def compact_ann_index(spark, path: str, keep_batches: tuple = ()) -> dict:
     _rename(tmp, dest_dir)
     _hfs_delete(spark, f"{path}/_compact_trash")
     _hfs_delete(spark, f"{path}/_compact_tmp")
-    return {"folded": len(fold), "rows": rows_out, "dest": dest}
+    if removed and not keep:
+        # every landed row passed the tombstone filter, so every
+        # tombstoned row is now PHYSICALLY gone — the erasure ledger can
+        # close. With kept (unfoldable) partitions the tombstones must
+        # survive: their rows may still live in a kept epoch.
+        _hfs_delete(spark, f"{path}/tombstones")
+    return {
+        "folded": len(fold),
+        "rows": rows_out,
+        "dest": dest,
+        "removed": removed,
+        "tombstones_cleared": bool(removed and not keep),
+    }
+
+
+# ---------------------------------------------------------------------------
+# right-to-erasure: tombstones on the persisted ANN index
+# ---------------------------------------------------------------------------
+
+# above this many tombstoned ids the serve-side exclusion switches from a
+# pushed Not(In(nid, ...)) scan filter to a broadcast anti-join — a literal
+# list this long would bloat every query plan, while the anti-join's only
+# Exchange carries the (small) tombstone side
+_TOMBSTONE_ISIN_CAP = 4096
+
+
+def ann_tombstone_ids(spark, path: str) -> "list[int]":
+    """The sorted forgotten ids of the ANN index at ``path`` — empty when
+    nothing was ever forgotten (or the ledger was cleared by a full
+    compaction, which physically removes the rows)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return []
+    return sorted(
+        int(r["nid"])
+        for r in spark.read.parquet(f"{path}/tombstones").collect()
+    )
+
+
+def forget_from_ann_index(spark, path: str, ids) -> dict:
+    """Right-to-erasure for the persisted ANN index (the reference's
+    whole purpose — anonymise/minimise — applied to the vector store,
+    cf. anonymiser.go's remove-the-subject contract): record ``ids`` as
+    tombstones under ``<path>/tombstones`` so every serve/screen path
+    excludes them immediately, then let ``compact_ann_index`` remove the
+    rows physically (it verifies ``rows_in - removed == rows_out`` and
+    clears the ledger once every batch folded).
+
+    Logical-then-physical is the only shape that works at 100 TB: a
+    takedown cannot rewrite a billion-vector index synchronously, but it
+    CAN land a tombstone whose exclusion is a pushed scan filter. The
+    write is crash-safe (staged tmp, trash, rename — the compaction
+    idiom) and idempotent: re-forgetting an already-forgotten id is a
+    no-op, the ledger stays deduplicated. A later re-append of a
+    forgotten nid stays hidden until the ledger clears — conservative
+    erasure; re-admitting a subject is a caller decision.
+
+    Returns ``{"requested", "new", "already", "landed"}`` — ``landed``
+    counts index rows the tombstones currently hide."""
+    want = sorted({int(i) for i in ids})
+    if not want:
+        raise ValueError("forget_from_ann_index: no ids given")
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(HPath(f"{path}/centroids")):
+        raise FileNotFoundError(
+            f"no ANN index at {path} — nothing to forget from"
+        )
+    from .dedup import _hfs_delete
+
+    existing = set(ann_tombstone_ids(spark, path))
+    new = [i for i in want if i not in existing]
+    merged = sorted(existing.union(want))
+    if new:
+        tmp = f"{path}/_tombstones_tmp"
+        _hfs_delete(spark, tmp)
+        spark.createDataFrame(
+            [(i,) for i in merged], "nid bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        n_out = spark.read.parquet(tmp).count()
+        if n_out != len(merged):
+            raise RuntimeError(
+                f"tombstone write verification failed: {len(merged)} "
+                f"in, {n_out} out — staged at {tmp}, ledger untouched"
+            )
+        # swap order keeps a readable ledger at every crash point:
+        # old -> trash (old still complete), tmp -> live, drop trash
+        trash = f"{path}/_tombstones_trash"
+        _hfs_delete(spark, trash)
+        live = f"{path}/tombstones"
+        if fs.exists(HPath(live)) and not fs.rename(
+            HPath(live), HPath(trash)
+        ):
+            raise RuntimeError(
+                f"forget_from_ann_index: rename {live} -> {trash} failed"
+            )
+        if not fs.rename(HPath(tmp), HPath(live)):
+            raise RuntimeError(
+                f"forget_from_ann_index: rename {tmp} -> {live} failed; "
+                f"previous ledger preserved at {trash}"
+            )
+        _hfs_delete(spark, trash)
+    landed = (
+        _ann_without_tombstones(
+            spark.read.parquet(f"{path}/vectors"), tombstone_ids=merged,
+            invert=True,
+        ).count()
+    )
+    return {
+        "requested": len(want),
+        "new": len(new),
+        "already": len(want) - len(new),
+        "landed": landed,
+    }
+
+
+def _ann_without_tombstones(
+    landed: DataFrame,
+    spark=None,
+    path: str | None = None,
+    tombstone_ids: "list[int] | None" = None,
+    invert: bool = False,
+) -> DataFrame:
+    """Exclude tombstoned ``nid`` rows from a landed-index relation
+    without ever shuffling it: small ledgers become a pushed
+    ``Not(In(nid, ...))`` parquet scan filter (PushedFilters — the
+    zero-index-side-Exchange plan gates hold unchanged), large ones a
+    broadcast LEFT ANTI join whose only Exchange carries the tombstones.
+    ``invert=True`` returns the HIDDEN rows instead (reporting)."""
+    ts = (
+        tombstone_ids
+        if tombstone_ids is not None
+        else ann_tombstone_ids(spark, path)
+    )
+    if not ts:
+        return landed.filter(F.lit(False)) if invert else landed
+    if len(ts) <= _TOMBSTONE_ISIN_CAP:
+        cond = F.col("nid").isin([int(i) for i in ts])
+        return landed.filter(cond if invert else ~cond)
+    sess = landed.sparkSession
+    tsdf = sess.createDataFrame([(int(i),) for i in ts], "nid bigint")
+    how = "left_semi" if invert else "left_anti"
+    return landed.join(F.broadcast(tsdf), "nid", how)
 
 
 def mutual_top1_pairs(
@@ -2527,6 +2694,10 @@ def ann_ivf_pq_topk_vs_index(
     dsub = d // m
     if exclude_batch is not None:
         landed = landed.filter(F.col("batch") != exclude_batch)
+    # forgotten subjects never serve (logical erasure; the rescore
+    # twin's refine stage re-reads only THIS stage's survivors, so one
+    # exclusion covers both)
+    landed = _ann_without_tombstones(landed, spark, path)
     q_rows = [
         (int(r[id_col]), [float(v) for v in r[vec_col]])
         for r in new_emb.select(id_col, vec_col).collect()
