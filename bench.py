@@ -265,6 +265,11 @@ HEADLINE = [
     # (grid-sized shortlist broadcast for the vector fetch; prices like
     # ivf_pq + one broadcast-join pass over the corpus)
     "ann_pq_rescore_topk",
+    # round-14: stability-based DP heavy hitters (one groupBy +
+    # TakeOrderedAndProject) and the recursive (c,l)-diversity audit
+    # (two map-side-combined aggregations)
+    "privacy_dp_stable_topk",
+    "privacy_recursive_cl_diversity",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one

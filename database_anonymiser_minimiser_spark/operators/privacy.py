@@ -893,3 +893,161 @@ def duck_dp_quantiles_sql(
     WHERE _cum * 100 >= pcts.pct * _tot
     GROUP BY 1
     """
+
+
+def dp_stable_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    threshold: int = 10,
+    k: int = 10,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_count",
+) -> DataFrame:
+    """Stability-based DP heavy hitters over a DATA-DERIVED key domain —
+    the release :func:`dp_noisy_count`'s precondition forbids (its key
+    set must be public) and :func:`dp_noisy_count_known_domain` cannot
+    reach (no caller can enumerate free-text values / user ids): add
+    geometric noise to every group's count, release only groups whose
+    noisy count clears ``threshold``, then keep the top ``k``. The
+    thresholding is what protects the KEY release: a value contributed
+    by one row survives only if its noise alone reaches ``threshold``,
+    which for the two-sided geometric mechanism has probability
+    ~ a^(threshold-1)/(1+a), a = e^(-epsilon) — pick
+    ``threshold >= 1 + ceil(ln(1/(2*delta))/epsilon)`` for an
+    (epsilon, delta)-DP release (Korolova et al., WWW'09 "Releasing
+    search queries and clicks privately"; the widely-deployed
+    unknown-domain mechanism). Adjacency is row-level, as everywhere in
+    this family — bound per-entity contribution first for user-level
+    guarantees.
+
+    Scale shape: ONE map-side-combined groupBy shuffle; noise is the
+    usual literal-table lookup on the aggregated relation; the
+    threshold filter prunes before the global top-k, which plans as
+    TakeOrderedAndProject (per-partition partial top-k, never a full
+    sort); rank attaches via a window over the k survivors only.
+    Deterministic total order: (noisy count desc, key asc)."""
+    noisy = dp_noisy_count(
+        df, group_cols, epsilon=epsilon, seed=seed, alias=alias
+    )
+    keys = [F.col(c).asc_nulls_first() for c in group_cols]
+    order = [F.col(alias).desc(), *keys]
+    topk = noisy.filter(
+        F.col(alias) >= F.lit(int(threshold)).cast("long")
+    ).orderBy(*order).limit(int(k))
+    w = Window.orderBy(*order)
+    return topk.select(
+        *group_cols, alias, F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def duck_dp_stable_topk_sql(
+    table: str,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    threshold: int = 10,
+    k: int = 10,
+    seed: str = "dbmask-dp",
+    alias: str = "noisy_count",
+) -> str:
+    """DuckDB twin of :func:`dp_stable_topk` — same noisy counts, same
+    deterministic (count desc, key asc) order, same threshold + top-k."""
+    inner = duck_dp_noisy_count_sql(
+        table, group_cols, epsilon=epsilon, seed=seed, alias=alias
+    )
+    cols = ", ".join(group_cols)
+    order = f"{alias} DESC, " + ", ".join(
+        f"{c} ASC NULLS FIRST" for c in group_cols
+    )
+    return f"""
+    WITH noisy AS ({inner}),
+    topk AS (SELECT * FROM noisy WHERE {alias} >= {int(threshold)}
+             ORDER BY {order} LIMIT {int(k)})
+    SELECT {cols}, {alias},
+           CAST(row_number() OVER (ORDER BY {order}) AS BIGINT) AS rank
+    FROM topk
+    """
+
+
+def recursive_cl_diversity_stats(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+    c: int = 3,
+) -> DataFrame:
+    """Recursive (c,l)-diversity audit (Machanavajjhala et al., TKDD'07
+    §4.2) — the guard :func:`l_diversity_stats` misses: a class can hold
+    l distinct sensitive values yet be 95% one of them (the skewness
+    attack). Per equivalence class, with sensitive-value frequencies
+    sorted descending r1 >= r2 >= ... >= rm, the class passes iff
+    ``r1 < c * (r_l + r_{l+1} + ... + r_m)`` — the most frequent value
+    must not dominate the tail that starts at the l-th value.
+
+    All-integer arithmetic (counts, sums, one multiply by the integer
+    ``c``), so the audit is bit-exact cross-engine; the tail sum is
+    order-stable under ties because tied frequencies contribute equally
+    wherever the slice boundary falls.
+
+    Scale shape: two map-side-combined groupBy shuffles (class x
+    sensitive, then class) — the collected frequency list is bounded by
+    the sensitive column's per-class cardinality, which a release with
+    meaningful l has already bounded."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    cell = df.groupBy(
+        *[F.col(f"`{q}`") for q in quasi_cols],
+        F.col(f"`{sensitive_col}`"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    freqs = F.sort_array(F.collect_list("_cnt"), asc=False)
+    tail = F.expr(
+        f"aggregate(slice(_freqs, {int(l)}, "
+        f"greatest(0, size(_freqs) - {int(l) - 1})), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        cell.groupBy(*[F.col(f"`{q}`") for q in quasi_cols])
+        .agg(
+            F.sum("_cnt").cast("long").alias("class_size"),
+            F.count(F.lit(1)).cast("long").alias("n_sensitive"),
+            freqs.alias("_freqs"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            "n_sensitive",
+            F.element_at("_freqs", 1).alias("top_count"),
+            tail.alias("tail_sum"),
+            (
+                F.element_at("_freqs", 1) < F.lit(int(c)) * tail
+            ).alias("cl_diverse"),
+        )
+    )
+
+
+def duck_recursive_cl_diversity_sql(
+    table: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+    c: int = 3,
+) -> str:
+    """DuckDB twin of :func:`recursive_cl_diversity_stats` — same sorted
+    frequency list, same integer tail-sum comparison."""
+    q = ", ".join(quasi_cols)
+    return f"""
+    WITH cell AS (
+      SELECT {q}, {sensitive_col}, CAST(count(*) AS BIGINT) AS _cnt
+      FROM {table} GROUP BY {q}, {sensitive_col}),
+    cls AS (
+      SELECT {q}, CAST(sum(_cnt) AS BIGINT) AS class_size,
+        CAST(count(*) AS BIGINT) AS n_sensitive,
+        list_sort(list(_cnt), 'DESC') AS _freqs
+      FROM cell GROUP BY {q})
+    SELECT {q}, class_size, n_sensitive,
+      _freqs[1] AS top_count,
+      CAST(COALESCE(list_sum(_freqs[{int(l)}:]), 0) AS BIGINT) AS tail_sum,
+      _freqs[1] < {int(c)} * CAST(COALESCE(list_sum(_freqs[{int(l)}:]), 0)
+        AS BIGINT) AS cl_diverse
+    FROM cls
+    """

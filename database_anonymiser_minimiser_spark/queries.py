@@ -2340,6 +2340,46 @@ def q_privacy_dp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "privacy_dp_stable_topk",
+    _priv.duck_dp_stable_topk_sql(
+        "events", ["user_id"], epsilon=1.0, threshold=67, k=10
+    ),
+)
+def q_privacy_dp_stable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stability-based DP heavy hitters (r14): the top event-generating
+    users released from a DATA-DERIVED key domain — noisy count per
+    user, keys kept only above the stability threshold (what makes the
+    key release private over an unenumerable domain — Korolova et al.
+    WWW'09), then global top-10 with rank. The release the unknown-
+    domain precondition blocks dp_noisy_count from making. Plans as one
+    groupBy + TakeOrderedAndProject; rank windows over the 10
+    survivors. See privacy.py:dp_stable_topk."""
+    return _priv.dp_stable_topk(
+        load(spark, sf_dir, "events"), ["user_id"], epsilon=1.0,
+        threshold=67, k=10,
+    )
+
+
+@register(
+    "privacy_recursive_cl_diversity",
+    _priv.duck_recursive_cl_diversity_sql(
+        "customer", ["c_nationkey"], "c_mktsegment", l=2, c=3
+    ),
+)
+def q_privacy_recursive_cl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive (c,l)-diversity audit (r14): per nation class, the
+    sensitive (segment) frequency list sorted descending must satisfy
+    r1 < c * (r_l + ... + r_m) — the skewness guard plain l-diversity
+    misses (a class can hold l distinct values and still be dominated
+    by one). All-integer comparisons, bit-exact cross-engine. See
+    privacy.py:recursive_cl_diversity_stats."""
+    return _priv.recursive_cl_diversity_stats(
+        load(spark, sf_dir, "customer"), ["c_nationkey"], "c_mktsegment",
+        l=2, c=3,
+    )
+
+
+@register(
     "sample_weighted_chars",
     f"""
     WITH mx AS (SELECT max(n_chars) AS m FROM documents)

@@ -841,3 +841,31 @@ def test_dp_quantiles_window_is_public_grid_sized(spark, sf):
     # consumer reads the local relation
     assert "Scan parquet" not in plan, plan[:2000]
     assert "InMemoryTableScan" not in plan, plan[:2000]
+
+
+def test_dp_stable_topk_take_ordered(spark, sf):
+    """r14: stability-based DP top-k plans as ONE map-side-combined
+    groupBy Exchange + TakeOrderedAndProject (per-partition partial
+    top-k — never a global Sort of the key domain); the rank window
+    runs after the limit, over k rows."""
+    plan = plan_of(Q.QUERIES["privacy_dp_stable_topk"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "Python" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in tree, tree
+    assert tree.count("HashAggregate") == 2, tree  # partial + final
+    # exactly one corpus-side shuffle (the groupBy); the window's
+    # single-partition exchange carries k rows
+    assert tree.index("Exchange") == tree.rindex("Exchange") or (
+        tree.count(" Exchange (") <= 2
+    ), tree
+
+
+def test_recursive_cl_diversity_two_aggregations(spark, sf):
+    """r14: the (c,l)-diversity audit is exactly two map-side-combined
+    groupBy shuffles (class x sensitive, then class) — no window, no
+    join, no Python."""
+    plan = plan_of(Q.QUERIES["privacy_recursive_cl_diversity"](spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "Python" not in plan, plan[:2000]
+    assert tree.count(" Exchange (") == 2, tree
+    assert "Join" not in tree and "Window" not in tree, tree

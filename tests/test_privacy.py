@@ -567,3 +567,72 @@ def test_dp_quantiles_postprocessing_properties(spark):
     assert got0 == {50: 0}
     with _pytest.raises(ValueError, match="percentiles"):
         dp_quantiles_from_histogram(df, "b", bins, [0], epsilon=1.0)
+
+
+def test_dp_stable_topk_suppresses_rare_keys(spark):
+    """r14: the stability threshold is the whole point — a key
+    contributed by one row must not survive (its noisy count would
+    have to clear the threshold on noise alone), heavy keys must, and
+    ranks are a deterministic total order."""
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        dp_stable_topk,
+    )
+
+    rows = (
+        [("heavy_a",)] * 200 + [("heavy_b",)] * 150 + [("rare_one",)]
+        + [("rare_two",)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r["k"]: (r["noisy_count"], r["rank"])
+        for r in dp_stable_topk(
+            df, ["k"], epsilon=1.0, threshold=20, k=5, seed="stest"
+        ).collect()
+    }
+    assert set(got) == {"heavy_a", "heavy_b"}  # rare keys suppressed
+    assert got["heavy_a"][1] == 1 and got["heavy_b"][1] == 2
+    assert abs(got["heavy_a"][0] - 200) <= 15  # noise is small at eps=1
+    # k truncates: with k=1 only the top key releases
+    one = dp_stable_topk(
+        df, ["k"], epsilon=1.0, threshold=20, k=1, seed="stest"
+    ).collect()
+    assert [(r["k"], r["rank"]) for r in one] == [("heavy_a", 1)]
+
+
+def test_recursive_cl_diversity_flags_skew(spark):
+    """r14: a class can be l-diverse by distinct count yet fail the
+    recursive check when one value dominates — and the boundary is the
+    exact integer inequality r1 < c * tail_sum."""
+    from database_anonymiser_minimiser_spark.operators.privacy import (
+        recursive_cl_diversity_stats,
+    )
+
+    rows = (
+        # class A: 90/5/5 — distinct l=3 but heavily skewed
+        [("A", "x")] * 90 + [("A", "y")] * 5 + [("A", "z")] * 5
+        # class B: 12/10/8 — balanced
+        + [("B", "x")] * 12 + [("B", "y")] * 10 + [("B", "z")] * 8
+        # class C: single sensitive value -> tail empty, always fails
+        + [("C", "x")] * 7
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {
+        r["q"]: r
+        for r in recursive_cl_diversity_stats(
+            df, ["q"], "s", l=2, c=3
+        ).collect()
+    }
+    assert (got["A"]["top_count"], got["A"]["tail_sum"]) == (90, 10)
+    assert not got["A"]["cl_diverse"]  # 90 >= 3 * 10
+    assert (got["B"]["top_count"], got["B"]["tail_sum"]) == (12, 18)
+    assert got["B"]["cl_diverse"]  # 12 < 54
+    assert (got["C"]["tail_sum"], got["C"]["cl_diverse"]) == (0, False)
+    # boundary: r1 = c*tail exactly -> strict inequality fails it
+    edge = spark.createDataFrame(
+        [("E", "x")] * 30 + [("E", "y")] * 10, "q string, s string"
+    )
+    (r,) = recursive_cl_diversity_stats(edge, ["q"], "s", l=2, c=3).collect()
+    assert r["top_count"] == 30 and r["tail_sum"] == 10
+    assert not r["cl_diverse"]
+    with pytest.raises(ValueError, match="l must be"):
+        recursive_cl_diversity_stats(df, ["q"], "s", l=0)
