@@ -412,3 +412,70 @@ def test_cli_forget_e2e(spark, sf_dir, tmp_path, capsys):
     )
     _, err = capsys.readouterr()
     assert rc == 2 and "no MinHash index" in err
+
+
+def test_ann_forget_sequence_invariant(spark, tmp_path):
+    """Randomized (seeded) lifecycle fuzz: any interleaving of append /
+    forget / compact(keep or full) must preserve `visible == landed -
+    forgotten` (checked via an exhaustive screen whose n_close counts
+    every visible row) and keep the ledger exactly tracking the model
+    (cleared iff a full fold ran while tombstones existed)."""
+    import random
+
+    rng = random.Random(14)
+    path = str(tmp_path / "fuzz_idx")
+
+    def vec(i):
+        return [float((i * 37 + 11) % 23) + 0.5, float((i * 17 + 5) % 19) + 0.5]
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            [(i, vec(i)) for i in ids],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    landed = list(range(8))
+    S.save_ann_index(df_of(landed), path, num_centroids=4)
+    forgotten: set = set()
+    next_id = 100
+    probe = spark.createDataFrame(
+        [(999999, [1.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+
+    def visible_count():
+        rows = S.ann_screen_vs_index(
+            probe, path, threshold=-2.0, nprobe=99
+        ).collect()
+        return rows[0]["n_close"] if rows else 0
+
+    for step in range(18):
+        op = rng.choice(["append", "forget", "compact", "compact_keep"])
+        if op == "append":
+            new = [next_id + j for j in range(rng.randint(1, 3))]
+            next_id += 10
+            S.save_ann_index(
+                df_of(new), path, append=True, batch=f"b{step}"
+            )
+            landed.extend(new)
+        elif op == "forget" and landed:
+            victims = rng.sample(landed, min(len(landed), rng.randint(1, 2)))
+            S.forget_from_ann_index(spark, path, victims)
+            forgotten.update(victims)
+        elif op == "compact":
+            batches = S.ann_index_batches(spark, path)
+            stats = S.compact_ann_index(spark, path)
+            if len(batches) > 1:
+                landed = [i for i in landed if i not in forgotten]
+                if forgotten:
+                    assert stats["tombstones_cleared"], (step, stats)
+                forgotten = set()
+        elif op == "compact_keep":
+            batches = S.ann_index_batches(spark, path)
+            keep = batches[-1:]
+            stats = S.compact_ann_index(spark, path, keep_batches=tuple(keep))
+            # ledger must SURVIVE a partial fold
+            assert not stats["tombstones_cleared"], (step, stats)
+        want = len([i for i in landed if i not in forgotten])
+        got = visible_count()
+        assert got == want, (step, op, got, want, sorted(forgotten))
+        assert S.ann_tombstone_ids(spark, path) == sorted(forgotten), step
