@@ -270,6 +270,11 @@ HEADLINE = [
     # (two map-side-combined aggregations)
     "privacy_dp_stable_topk",
     "privacy_recursive_cl_diversity",
+    # round-14: unigram-LM tokenizer (Viterbi hard-EM on the
+    # distinct-word relation; encode = train + one broadcast join back
+    # to the corpus — the trainer's cost is the difference)
+    "unigram_learn_vocab",
+    "unigram_encode_token_count",
 ]
 
 # printed in the driver-facing JSON line (bounded tail capture); one
