@@ -413,25 +413,42 @@ def build_parser() -> argparse.ArgumentParser:
     )
     forget = sub.add_parser(
         "forget",
-        help="right-to-erasure for a persisted dedup/ANN index: record "
-        "the given ids as tombstones so every screen/retrieve stops "
-        "matching them immediately (a pushed scan filter — no index "
-        "rewrite), then 'compact --index' removes the rows physically "
-        "and closes the ledger. Idempotent; runs without -c/--config",
+        help="right-to-erasure. Index mode (--index/--path, no config): "
+        "record ids as tombstones in a persisted dedup/ANN index so "
+        "every screen/retrieve stops matching them immediately (a "
+        "pushed scan filter — no index rewrite); 'compact --index' "
+        "then removes the rows physically and closes the ledger. "
+        "Relational mode (--table, with -c): compute the FK-CLOSURE of "
+        "the subject ids (their rows plus everything transitively "
+        "referencing them) and emit a children-first, dialect-aware "
+        "DELETE script whose statements are keyed only by the root ids "
+        "— apply it to the live database the dump came from. --dry-run "
+        "prints the per-table row counts (Spark-planned semi joins) "
+        "without writing the script",
     )
     forget.add_argument(
-        "--index", required=True, choices=["minhash", "ann"],
-        help="which index kind lives at --path (minhash = bucketed "
-        "manifest index, falling back to the plain bands/shingles "
-        "layout; ann = vector index)",
+        "--index", default=None, choices=["minhash", "ann"],
+        help="index mode: which index kind lives at --path (minhash = "
+        "bucketed manifest index, falling back to the plain "
+        "bands/shingles layout; ann = vector index)",
     )
     forget.add_argument(
-        "--path", required=True, help="persisted index path"
+        "--path", default=None, help="index mode: persisted index path"
+    )
+    forget.add_argument(
+        "--table", default=None, metavar="T",
+        help="relational mode: the subject's table (requires -c; key "
+        "column from --key or the table's configured primary_key)",
+    )
+    forget.add_argument(
+        "--key", default=None, metavar="COL",
+        help="relational mode: subject key column (default: the "
+        "table's configured primary_key)",
     )
     forget.add_argument(
         "--ids", default=None, metavar="A,B",
         help="comma-separated ids to forget (doc ids for minhash, "
-        "vector ids for ann)",
+        "vector ids for ann, subject keys for --table)",
     )
     forget.add_argument(
         "--ids-file", default=None, metavar="FILE",
@@ -587,6 +604,28 @@ def _print_releases(engine: Engine, specs) -> None:
             print("\t".join(str(r[c]) for c in cols))
 
 
+def _parse_forget_ids(args) -> "tuple[list, str | None]":
+    """Shared id-list parsing for both forget modes: --ids and/or
+    --ids-file, all-digit lists coerced to ints."""
+    raw: list[str] = []
+    if args.ids:
+        raw.extend(s.strip() for s in args.ids.split(",") if s.strip())
+    if args.ids_file:
+        try:
+            with open(args.ids_file) as fh:
+                raw.extend(s.strip() for s in fh if s.strip())
+        except OSError as exc:
+            return [], f"error: cannot read --ids-file: {exc}"
+    if not raw:
+        return [], "error: pass --ids and/or --ids-file"
+    ids: list = (
+        [int(s) for s in raw]
+        if all(s.lstrip("-").isdigit() for s in raw)
+        else raw
+    )
+    return ids, None
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "version":
@@ -738,30 +777,19 @@ def main(argv: list[str] | None = None) -> int:
             f"verified, {stats['bytes']} bytes"
         )
         return 0
-    if args.command == "forget":
-        # path-based verb: no config/connection involved
-        raw: list[str] = []
-        if args.ids:
-            raw.extend(
-                s.strip() for s in args.ids.split(",") if s.strip()
+    if args.command == "forget" and args.table is None:
+        # index mode — path-based, no config/connection involved
+        if args.index is None or args.path is None:
+            print(
+                "error: forget needs --index+--path (index mode) or "
+                "--table with -c (relational mode)",
+                file=sys.stderr,
             )
-        if args.ids_file:
-            try:
-                with open(args.ids_file) as fh:
-                    raw.extend(s.strip() for s in fh if s.strip())
-            except OSError as exc:
-                print(f"error: cannot read --ids-file: {exc}",
-                      file=sys.stderr)
-                return 2
-        if not raw:
-            print("error: pass --ids and/or --ids-file",
-                  file=sys.stderr)
             return 2
-        ids: list = (
-            [int(s) for s in raw]
-            if all(s.lstrip("-").isdigit() for s in raw)
-            else raw
-        )
+        ids, err = _parse_forget_ids(args)
+        if err:
+            print(err, file=sys.stderr)
+            return 2
         spark = get_spark()
         spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
         try:
@@ -957,6 +985,55 @@ def main(argv: list[str] | None = None) -> int:
     if args.verbose:
         print(f"config: {args.config}", file=sys.stderr)
         print(f"connection: {cfg.connection.type}", file=sys.stderr)
+    if args.command == "forget":
+        # relational mode: FK-closure subject erasure over the config's
+        # connection (the index mode returned before config parsing)
+        from .plans.forget import count_forget_plan, render_forget_script
+
+        ids, err = _parse_forget_ids(args)
+        if err:
+            print(err, file=sys.stderr)
+            return 2
+        key = args.key
+        if not key:
+            tc = cfg.configuration.get(args.table)
+            key = tc.primary_key if tc else ""
+        if not key:
+            print(
+                f"error: no key column for table {args.table!r} — pass "
+                "--key or set primary_key in the config",
+                file=sys.stderr,
+            )
+            return 2
+        dialect = args.dialect or (
+            cfg.connection.type
+            if cfg.connection.type in ("mysql", "postgres", "sqlite")
+            else "mysql"
+        )
+        try:
+            plan = count_forget_plan(
+                engine.spark, engine.source, args.table, key, ids
+            )
+            script = render_forget_script(
+                engine.source, args.table, key, ids, dialect
+            )
+        except (ValueError, FileNotFoundError) as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        total = sum(td.n_rows or 0 for td in plan)
+        print(f"Subject erasure: {args.table}.{key} IN ({len(ids)} id(s))")
+        for td in plan:
+            print(f"  DELETE {td.table}: {td.n_rows} row(s)")
+        print(f"  Total: {total} row(s) across {len(plan)} table(s)")
+        if args.dry_run:
+            return 0
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(script)
+            print(f"wrote delete script: {args.output} ({dialect})")
+        else:
+            print(script)
+        return 0
     if args.command == "release":
         import json as _json
 
