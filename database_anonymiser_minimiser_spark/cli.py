@@ -454,6 +454,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--ids-file", default=None, metavar="FILE",
         help="file with one id per line (takedown lists)",
     )
+    forget.add_argument(
+        "--apply-parquet", default=None, metavar="DIR",
+        help="relational mode: additionally rewrite every affected "
+        "table MINUS its closure rows as parquet under DIR/<table> — "
+        "the lake counterpart of the SQL script (NULL foreign keys "
+        "survive; row accounting verified per table). Swap the written "
+        "datasets over the originals",
+    )
     release = sub.add_parser(
         "release",
         help="differentially-private aggregate releases: run every entry "
@@ -1027,6 +1035,22 @@ def main(argv: list[str] | None = None) -> int:
         print(f"  Total: {total} row(s) across {len(plan)} table(s)")
         if args.dry_run:
             return 0
+        if args.apply_parquet:
+            from .plans.forget import apply_forget_parquet
+
+            try:
+                apply_forget_parquet(
+                    engine.spark, engine.source, args.table, key, ids,
+                    args.apply_parquet,
+                )
+            except Exception as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+            print(
+                f"wrote {len(plan)} erased table dataset(s) under "
+                f"{args.apply_parquet} (row accounting verified); swap "
+                "them over the originals"
+            )
         if args.output:
             with open(args.output, "w") as fh:
                 fh.write(script)

@@ -152,6 +152,38 @@ def count_forget_plan(
     return plan
 
 
+def apply_forget_parquet(
+    spark, source, root_table: str, key_col: str, ids: list, out: str
+) -> "list[TableDelete]":
+    """The LAKE half of relational erasure: rewrite every affected
+    table MINUS its closure rows as parquet under ``out/<table>`` —
+    what a takedown does to an exported dataset (the SQL script's job
+    on the live database). Untouched tables are not rewritten; swap the
+    written datasets over their originals.
+
+    Keep-predicate NULL semantics matter: a NULL foreign key makes the
+    closure predicate NULL (``NULL IN (...)``), and a bare ``NOT pred``
+    would silently DROP those rows — rows that reference nobody and
+    must survive. The keep filter is ``NOT COALESCE(pred, FALSE)``.
+    Row accounting is verified per table: kept == before − deleted."""
+    plan = count_forget_plan(spark, source, root_table, key_col, ids)
+    for td in plan:
+        before = source.read(td.table).count()
+        kept = spark.sql(
+            f"SELECT * FROM `{td.table}` "
+            f"WHERE NOT COALESCE(({td.predicate}), FALSE)"
+        )
+        dest = f"{out}/{td.table}"
+        kept.write.mode("error").parquet(dest)
+        n_out = spark.read.parquet(dest).count()
+        if n_out != before - td.n_rows:
+            raise RuntimeError(
+                f"forget parquet rewrite mismatch for {td.table}: "
+                f"{before} before, {td.n_rows} deleted, {n_out} written"
+            )
+    return plan
+
+
 def render_forget_script(
     source,
     root_table: str,

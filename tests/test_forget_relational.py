@@ -253,3 +253,59 @@ def test_cli_forget_relational_errors(tmp_path, capsys):
     rc = cli.main(["forget", "--ids", "1"])
     _, err = capsys.readouterr()
     assert rc == 2 and "--table" in err
+
+
+def test_apply_forget_parquet(spark, tmp_path):
+    """The lake half: affected tables rewritten minus their closure,
+    accounting verified, untouched tables not written."""
+    from database_anonymiser_minimiser_spark.plans.forget import (
+        apply_forget_parquet,
+    )
+
+    src = ParquetSource(spark, SF)
+    out = str(tmp_path / "erased")
+    plan = apply_forget_parquet(
+        spark, src, "customer", "c_custkey", [1, 7], out
+    )
+    import os
+
+    assert sorted(os.listdir(out)) == sorted(
+        td.table for td in plan
+    )  # only affected tables written
+    li = spark.read.parquet(f"{out}/lineitem")
+    assert li.count() == 6000 - 72
+    cust = spark.read.parquet(f"{out}/customer")
+    assert cust.filter("c_custkey IN (1, 7)").count() == 0
+    ords = spark.read.parquet(f"{out}/orders")
+    assert ords.filter("o_custkey IN (1, 7)").count() == 0
+
+
+def test_apply_forget_parquet_null_fk_survives(spark, tmp_path):
+    """A NULL foreign key makes the closure predicate NULL; those rows
+    reference nobody and MUST survive the rewrite — the bare NOT(pred)
+    trap."""
+    import json
+
+    base = tmp_path / "corpus"
+    base.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    ).write.parquet(str(base / "parent.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (11, 2), (12, None)], "cid bigint, pid bigint"
+    ).write.parquet(str(base / "child.parquet"))
+    (base / "foreign_keys.json").write_text(json.dumps([
+        {"table": "child", "column": "pid",
+         "referenced_table": "parent", "referenced_column": "id"}
+    ]))
+    from database_anonymiser_minimiser_spark.plans.forget import (
+        apply_forget_parquet,
+    )
+
+    src = ParquetSource(spark, str(base))
+    out = str(tmp_path / "erased")
+    apply_forget_parquet(spark, src, "parent", "id", [1], out)
+    kept = {
+        r["cid"] for r in spark.read.parquet(f"{out}/child").collect()
+    }
+    assert kept == {11, 12}  # 10 erased; the NULL-fk row 12 SURVIVES
