@@ -998,6 +998,14 @@ def main(argv: list[str] | None = None) -> int:
         # connection (the index mode returned before config parsing)
         from .plans.forget import count_forget_plan, render_forget_script
 
+        if args.index or args.path:
+            print(
+                "error: --table (relational mode) and --index/--path "
+                "(index mode) are separate invocations — run them one "
+                "at a time",
+                file=sys.stderr,
+            )
+            return 2
         ids, err = _parse_forget_ids(args)
         if err:
             print(err, file=sys.stderr)

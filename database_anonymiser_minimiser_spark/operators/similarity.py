@@ -1771,7 +1771,11 @@ def forget_from_ann_index(spark, path: str, ids) -> dict:
     idiom) and idempotent: re-forgetting an already-forgotten id is a
     no-op, the ledger stays deduplicated. A later re-append of a
     forgotten nid stays hidden until the ledger clears — conservative
-    erasure; re-admitting a subject is a caller decision.
+    erasure; re-admitting a subject is a caller decision. Like the
+    compactions, the swap has a non-concurrency window: a serve racing
+    the two renames can read an ABSENT ledger and briefly serve
+    unfiltered — run forgets where compactions run (between
+    micro-batches / serve calls).
 
     Returns ``{"requested", "new", "already", "landed"}`` — ``landed``
     counts index rows the tombstones currently hide."""

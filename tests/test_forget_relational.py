@@ -309,3 +309,19 @@ def test_apply_forget_parquet_null_fk_survives(spark, tmp_path):
         r["cid"] for r in spark.read.parquet(f"{out}/child").collect()
     }
     assert kept == {11, 12}  # 10 erased; the NULL-fk row 12 SURVIVES
+
+
+def test_cli_forget_mixed_modes_refused(tmp_path, capsys):
+    from database_anonymiser_minimiser_spark import cli
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "connection: {type: parquet, path: %s}\nconfiguration: {}\n" % SF
+    )
+    rc = cli.main(
+        ["-c", str(cfg), "forget", "--table", "customer",
+         "--key", "c_custkey", "--index", "ann", "--path", "/tmp/x",
+         "--ids", "1"]
+    )
+    _, err = capsys.readouterr()
+    assert rc == 2 and "separate invocations" in err
