@@ -479,3 +479,70 @@ def test_ann_forget_sequence_invariant(spark, tmp_path):
         got = visible_count()
         assert got == want, (step, op, got, want, sorted(forgotten))
         assert S.ann_tombstone_ids(spark, path) == sorted(forgotten), step
+
+
+def test_streaming_screen_honors_mid_stream_forget(spark, tmp_path):
+    """Takedown between stream runs: a checkpointed streaming screen
+    consumes epoch 1, the operator forgets a landed subject while the
+    stream is stopped (the documented between-micro-batches window),
+    and the resumed stream's next epoch no longer matches it — the
+    tombstone rides into every subsequent micro-batch plan."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_minimiser_spark.streaming.events import (
+        run_streaming_ann_screen,
+    )
+
+    def vec(*vals):
+        return [float(v) for v in vals]
+
+    def pq_write(path, rows):
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+            }),
+            path,
+        )
+
+    landed = str(tmp_path / "landed.parquet")
+    pq_write(landed, [
+        (100, vec(1, 0, 0, 0)),
+        (101, vec(0, 1, 0, 0)),
+        (102, vec(0, 0, 1, 0)),
+    ])
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    f0 = spool / "part0.parquet"
+    pq_write(str(f0), [(0, vec(0, 0, 0, 1))])  # matches nothing
+    os.utime(f0, (1700000000, 1700000000))
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    got1 = run_streaming_ann_screen(
+        spark, landed, str(spool), idx, threshold=0.95, nprobe=3,
+        num_centroids=3, checkpoint=ckpt,
+    )
+    assert [(q, bool(d)) for _e, q, _n, _c, d in got1] == [(0, False)]
+
+    # the takedown, while the stream is stopped
+    S.forget_from_ann_index(spark, idx, [100])
+
+    f1 = spool / "part1.parquet"
+    pq_write(str(f1), [(7, vec(1, 0, 0, 0))])  # identical to landed 100
+    os.utime(f1, (1700000001, 1700000001))
+    got2 = run_streaming_ann_screen(
+        spark, landed, str(spool), idx, threshold=0.95, nprobe=3,
+        num_centroids=3, checkpoint=ckpt, resume=True,
+    )
+    by_id = {q: (n, bool(d)) for _e, q, n, _c, d in got2}
+    # without the forget, vec 7 would flag against landed 100 at
+    # cosine 1.0; with it, nothing in the visible index comes close
+    assert by_id[7] == (0, False)
+    # and the forgotten id stays ledgered for the eventual compaction
+    assert S.ann_tombstone_ids(spark, idx) == [100]
