@@ -63,9 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="dump dialect (default: the connection type, mysql for parquet)",
     )
     p.add_argument(
-        "--format", default="sql", choices=["sql", "parquet"],
+        "--format", default="sql", choices=["sql", "parquet", "jsonl"],
         help="sql = text dump (reference-compatible); parquet = native "
-        "columnar datasets under the output directory (the scale path)",
+        "columnar datasets under the output directory (the scale "
+        "path); jsonl = JSON-Lines shards per table (the training-data "
+        "handoff format; --max-records-per-file bounds shard size)",
     )
     p.add_argument("--dry-run", action="store_true", help="print plan, export nothing")
     p.add_argument(
@@ -1300,6 +1302,15 @@ def main(argv: list[str] | None = None) -> int:
             args.output,
             resume=args.resume,
             sort_keys=args.sort_keys,
+            max_records_per_file=args.max_records_per_file,
+        )
+    elif args.format == "jsonl":
+        if not args.output:
+            print("error: --format jsonl requires -o <dir>", file=sys.stderr)
+            return 2
+        stats = engine.export_jsonl(
+            args.output,
+            resume=args.resume,
             max_records_per_file=args.max_records_per_file,
         )
     else:

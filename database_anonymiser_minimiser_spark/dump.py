@@ -455,6 +455,30 @@ def write_parquet(
     w.parquet(str(path))
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str | Path,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """JSON-Lines sink — the lingua franca of LLM training-data
+    pipelines (one JSON object per line, shard-per-file, streamable by
+    any loader). Distributed and splittable like the parquet sink
+    (uncompressed or with a splittable codec); timestamps serialise as
+    ISO-8601 strings, arrays/maps as native JSON. ``max_records_per_
+    file`` caps SHARD size — training loaders shuffle at shard
+    granularity, so bounded shards are a data-quality property, not
+    just an IO one. ``compression`` e.g. ``gzip``/``zstd`` (gzip
+    shards are not splittable; at 100 TB prefer zstd or none)."""
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if compression:
+        w = w.option("compression", compression)
+    w.json(str(path))
+
+
 def write_sorted_parquet(
     df: DataFrame,
     path: str | Path,

@@ -306,6 +306,64 @@ class Engine:
         self._print_stats(stats, time.time() - started)
         return stats
 
+    def export_jsonl(
+        self,
+        out_dir: str,
+        resume: bool = False,
+        max_records_per_file: int | None = None,
+        compression: str | None = None,
+    ) -> dump_mod.ExportStats:
+        """JSON-Lines export: one JSONL dataset per table under
+        ``out_dir`` — the training-data handoff format (every loader
+        streams shard-per-file JSONL; parquet stays the analytical
+        path, the SQL dump the database-compatibility path). The full
+        masking/retain pipeline applies identically; truncated tables
+        get an empty dataset. Resume semantics are the parquet
+        exporter's verbatim (``_SUCCESS`` + rules-fingerprint sidecar,
+        format-tagged so a parquet directory is never mistaken for a
+        finished JSONL export); ``max_records_per_file`` bounds shard
+        size for loader-granularity shuffling."""
+        started = time.time()
+        stats = dump_mod.ExportStats()
+        for p in self.plan_tables():
+            fp = "jsonl:" + self._table_fingerprint(p, None)
+            if (
+                resume
+                and self._dataset_committed(out_dir, p.name)
+                and self._read_fingerprint(out_dir, p.name) == fp
+            ):
+                if p.config.truncate:
+                    stats.tables_truncated += 1
+                else:
+                    n = self.spark.read.json(
+                        f"{out_dir}/{p.name}"
+                    ).count()
+                    stats.rows_exported += n
+                    stats.per_table_rows[p.name] = n
+                    stats.tables_exported += 1
+                continue
+            df = self.source.read(p.name)
+            df = df.limit(0) if p.config.truncate else p.build(df)
+            with _wide_codegen(self.spark, len(df.columns)):
+                dump_mod.write_jsonl(
+                    df,
+                    f"{out_dir}/{p.name}",
+                    max_records_per_file=max_records_per_file,
+                    compression=compression,
+                )
+            self._write_fingerprint(out_dir, p.name, fp)
+            if p.config.truncate:
+                stats.tables_truncated += 1
+            else:
+                # count back what landed (an empty-schema read of a
+                # truncated dataset cannot infer, hence the branch)
+                n = self.spark.read.json(f"{out_dir}/{p.name}").count()
+                stats.rows_exported += n
+                stats.per_table_rows[p.name] = n
+                stats.tables_exported += 1
+        self._print_stats(stats, time.time() - started)
+        return stats
+
     @staticmethod
     def _table_fingerprint(
         plan: TablePlan,
