@@ -254,6 +254,20 @@ SHOWCASE = [
         "touches NO corpus scan at all, aggregates the corpus exactly "
         "once at call time, and leaves no session-lifetime cache.",
     ),
+    (
+        "privacy_dp_stable_topk",
+        "Stability-based DP heavy hitters: ONE map-side-combined groupBy "
+        "Exchange, then TakeOrderedAndProject (per-partition partial top-k "
+        "- a global Sort of the key domain never happens); the rank window "
+        "runs after the limit, over k rows.",
+    ),
+    (
+        "privacy_recursive_cl_diversity",
+        "Recursive (c,l)-diversity: exactly two map-side-combined "
+        "aggregations (class x sensitive, then class with a sorted "
+        "frequency-list fold) - no join, no window, no Python; all-integer "
+        "comparisons keep it bit-exact cross-engine.",
+    ),
 ]
 
 
