@@ -25,6 +25,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 # ---------------------------------------------------------------------------
 # fold expressions (spark + duckdb mirrors)
@@ -456,6 +457,18 @@ def assign_to_centroids(
     (k * dim in the 10^7 range) fall back to a broadcast-join
     assignment and accept the row multiplication it brings."""
     scored = _centroid_scored_array(cent_rows, "nv", "nrm")
+    # coalesce with an unreachable sentinel: the scored array is a
+    # non-empty literal, so array_max(...).cid is never null in practice
+    # — but Catalyst cannot prove that, marks cid NULLABLE, and every
+    # downstream equi-join on cid then infers an IsNotNull(cid) filter
+    # that gets pushed BELOW this projection with the whole k-centroid
+    # scoring expression substituted into it (r14 plan audit: the
+    # bitext/IVF-PQ candidate joins evaluated all k dot-folds AND k
+    # norm-folds a second time, per corpus row, inside that filter —
+    # the "never filter on a computed array expr" class resurfacing via
+    # join null-checks). A non-null literal branch makes the attribute
+    # non-nullable, so no null-filter is ever inferred; values are
+    # unchanged.
     return (
         emb.select(
             F.col(id_col).alias("nid"),
@@ -464,7 +477,7 @@ def assign_to_centroids(
         )
         .select(
             "nid", "nv", "nrm",
-            F.expr(f"array_max({scored}).cid").alias("cid"),
+            F.expr(f"coalesce(array_max({scored}).cid, -1)").alias("cid"),
         )
     )
 
@@ -503,7 +516,11 @@ def assign_to_centroids_chunked(
         else "greatest(" + ", ".join(best_cols) + ")"
     )
     return df.select(
-        "nid", "nv", "nrm", F.expr(f"{combined}.cid").alias("cid")
+        "nid", "nv", "nrm",
+        # same non-nullable coalesce as assign_to_centroids: stops
+        # join-inferred IsNotNull(cid) from re-evaluating the chunked
+        # argmax below the projection
+        F.expr(f"coalesce({combined}.cid, -1)").alias("cid"),
     )
 
 
@@ -635,7 +652,12 @@ def ann_ivf_topk(
             "query_id",
             "qv",
             "_qnrm",
-            F.expr(f"transform({probe}, s -> s.cid)").alias("qcids"),
+            # coalesce keeps the element non-nullable: the cid == qcid
+            # join then infers no IsNotNull(qcid), which would otherwise
+            # re-evaluate the probe scoring below this projection
+            F.expr(
+                f"transform({probe}, s -> coalesce(s.cid, -1))"
+            ).alias("qcids"),
         )
         .select("query_id", "qv", "_qnrm", F.explode("qcids").alias("qcid"))
     )
@@ -1503,7 +1525,12 @@ def ann_screen_vs_index(
             "query_id",
             "qv",
             "_qnrm",
-            F.expr(f"transform({probe}, s -> s.cid)").alias("qcids"),
+            # coalesce keeps the element non-nullable: the cid == qcid
+            # join then infers no IsNotNull(qcid), which would otherwise
+            # re-evaluate the probe scoring below this projection
+            F.expr(
+                f"transform({probe}, s -> coalesce(s.cid, -1))"
+            ).alias("qcids"),
         )
         .select("query_id", "qv", "_qnrm", F.explode("qcids").alias("qcid"))
     )
@@ -1907,7 +1934,18 @@ def mutual_top1_pairs(
         "cid",
     )
     cos = F.expr(_spark_dot("av", "bv")) / (F.col("anrm") * F.col("bnrm"))
-    cand = a.join(b, "cid").select("a_id", "b_id", cos.alias("cosine"))
+    # persist the candidate relation: it feeds BOTH top-1 windows, and
+    # Catalyst does not reuse subtrees across join sides (the
+    # PERFORMANCE.md "persist any relation feeding >= 2 plan subtrees"
+    # lesson) — unpersisted, the cell join + d-dim cosine folds computed
+    # TWICE per call. Post-projection rows are (id, id, cosine) — the
+    # float arrays are projected away, so the cached bytes are pair-count
+    # x 24B, MEMORY_AND_DISK so big cells spill instead of OOM.
+    cand = (
+        a.join(b, "cid")
+        .select("a_id", "b_id", cos.alias("cosine"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     w_a = Window.partitionBy("a_id").orderBy(
         F.col("cosine").desc(), F.col("b_id")
     )
@@ -1974,16 +2012,22 @@ def bitext_margin_pairs(
         "cid",
     )
     cos = F.expr(_spark_dot("av", "bv")) / (F.col("anrm") * F.col("bnrm"))
-    cand = a.join(b, "cid").select("a_id", "b_id", cos.alias("cosine"))
     # the candidate relation feeds the per-a AND per-b views; naively
     # expressing mutuality + neighbourhoods as four consumers of one
     # ranked relation recomputes the corpus-sized candidate join FOUR
     # times (zero exchange reuse — the q15 class, measured 8 scans).
-    # Instead each side's ONE window pass extracts its top-1 pair AND
-    # its neighbourhood sum in the same aggregation, so the candidates
-    # compute exactly twice — the same pass count as mutual_top1_pairs
-    # — and the mutuality check becomes a key join of the two
-    # grid-sized aggregates. Plan-gated in tests/test_plans.py.
+    # Each side's ONE window pass extracts its top-1 pair AND its
+    # neighbourhood sum in the same aggregation, and (r14) the candidate
+    # relation itself is PERSISTED so the cell join + cosine folds
+    # compute exactly ONCE — the two windows read the cached (id, id,
+    # cosine) rows (arrays projected away before the cache). The
+    # mutuality check is a key join of the two grid-sized aggregates.
+    # Plan-gated in tests/test_plans.py.
+    cand = (
+        a.join(b, "cid")
+        .select("a_id", "b_id", cos.alias("cosine"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     w_a = Window.partitionBy("a_id").orderBy(
         F.col("cosine").desc(), F.col("b_id")
     )
@@ -2337,23 +2381,40 @@ def ann_pq_adc_topk(
             (int(r["cid"]), [float(v) for v in r["cv"]])
             for r in codebook.collect()
         ]
-    else:
-        code_rows = [
-            (int(r[id_col]), list(r[vec_col]))
-            for r in emb.filter(F.col(id_col) < num_codes)
+        q_rows = [
+            (int(r[id_col]), [float(v) for v in r[vec_col]])
+            for r in emb.filter(F.col(id_col).isin(query_ids))
             .select(id_col, vec_col)
             .collect()
+        ]
+    else:
+        # ONE bounded collect serves both the stand-in codebook and the
+        # query vectors (r14: two separate collects = two scan jobs of
+        # the same parquet; the driver-side split below reproduces each
+        # row set exactly)
+        both = (
+            emb.filter(
+                (F.col(id_col) < num_codes)
+                | F.col(id_col).isin(query_ids)
+            )
+            .select(id_col, vec_col)
+            .collect()
+        )
+        code_rows = [
+            (int(r[id_col]), list(r[vec_col]))
+            for r in both
+            if int(r[id_col]) < num_codes
+        ]
+        qset = set(query_ids)
+        q_rows = [
+            (int(r[id_col]), [float(v) for v in r[vec_col]])
+            for r in both
+            if int(r[id_col]) in qset
         ]
     codes = pq_encode(emb, code_rows, m=m, id_col=id_col, vec_col=vec_col)
     rows = sorted(code_rows)
     d = len(rows[0][1])
     dsub = d // m
-    q_rows = [
-        (int(r[id_col]), [float(v) for v in r[vec_col]])
-        for r in emb.filter(F.col(id_col).isin(query_ids))
-        .select(id_col, vec_col)
-        .collect()
-    ]
     # one struct literal per query: its id + the m ADC lookup tables
     q_elems = []
     for qid, qv in sorted(q_rows):
@@ -2499,17 +2560,28 @@ def ann_ivf_pq_topk(
     quantization; both gated in tests/test_similarity.py, and the
     oracle re-derives cells, codes, probes, tables and fold order in
     SQL (cross-engine exact ranking, ties on neighbor id)."""
-    cent_rows = [
-        {"cid": int(r[id_col]), "cv": list(r[vec_col])}
-        for r in emb.filter(F.col(id_col) < num_centroids)
+    # ONE bounded collect serves centroids, codebook AND query vectors
+    # (r14: three separate collects = three scan jobs over the same
+    # parquet; the driver-side splits below reproduce each row set
+    # exactly — centroid ids are < num_centroids, codebook ids
+    # < num_codes, queries by membership)
+    bound = max(int(num_centroids), int(num_codes))
+    both = (
+        emb.filter(
+            (F.col(id_col) < bound) | F.col(id_col).isin(query_ids)
+        )
         .select(id_col, vec_col)
         .collect()
+    )
+    cent_rows = [
+        {"cid": int(r[id_col]), "cv": list(r[vec_col])}
+        for r in both
+        if int(r[id_col]) < num_centroids
     ]
     code_rows = sorted(
         (int(r[id_col]), [float(v) for v in r[vec_col]])
-        for r in emb.filter(F.col(id_col) < num_codes)
-        .select(id_col, vec_col)
-        .collect()
+        for r in both
+        if int(r[id_col]) < num_codes
     )
     if [c for c, _ in code_rows] != list(range(len(code_rows))):
         raise ValueError("pq codebook ids must be 0..K-1 for table lookup")
@@ -2523,11 +2595,11 @@ def ann_ivf_pq_topk(
     )
     # query side: probe cells AND ADC tables computed driver-side with
     # the engines' exact folds, embedded as one bounded literal relation
+    qset = set(query_ids)
     q_rows = [
         (int(r[id_col]), [float(v) for v in r[vec_col]])
-        for r in emb.filter(F.col(id_col).isin(query_ids))
-        .select(id_col, vec_col)
-        .collect()
+        for r in both
+        if int(r[id_col]) in qset
     ]
     nprobe = min(int(nprobe), len(cent_rows))
     q_elems = []

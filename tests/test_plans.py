@@ -813,15 +813,21 @@ def test_ivf_pq_single_exchange_and_broadcast(spark, sf):
 
 
 def test_bitext_margin_two_candidate_passes(spark, sf):
-    """r14: the margin variant must compute the corpus-sized candidate
-    join exactly TWICE (one window pass per side, each extracting its
-    top-1 pair AND its neighbourhood fold in the same aggregation) —
-    the naive four-consumer shape recomputed it 4x (8 scans, the q15
-    class, caught by plan inspection before it shipped)."""
+    """r14: the corpus-sized candidate join (cell join + d-dim cosine
+    folds) is PERSISTED, so it computes exactly ONCE per call — both
+    window passes read the cached (a_id, b_id, cosine) rows via
+    InMemoryTableScan. (History: the naive four-consumer shape
+    recomputed it 4x — 8 scans, the q15 class; the first fix folded
+    top-1 extraction into each side's aggregation for 2 computations;
+    the r14 optimization round cached the candidates for 1.)"""
     plan = plan_of(Q.QUERIES["bitext_margin_pairs"](spark, sf))
     tree = plan.split("\n\n")[0]
     assert "Python" not in plan, plan[:2000]
-    assert tree.count("Scan parquet") <= 4, tree  # 2 passes x 2 sides
+    # the 2 scans inside the InMemoryRelation definition print once per
+    # consumer but execute once (cache); nothing outside the cache
+    # touches parquet
+    assert tree.count("InMemoryTableScan") == 2, tree
+    assert tree.count("Scan parquet") <= 4, tree
     assert tree.count("Window (") == 2, tree  # one ranking per side
     assert "CartesianProduct" not in tree, tree
 
