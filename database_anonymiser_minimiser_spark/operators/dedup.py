@@ -2246,9 +2246,23 @@ def connected_components(
     # iterating over the touched subgraph keeps every per-round join
     # proportional to the PAIR universe, not the document universe; the
     # untouched ids rejoin as singletons in one anti-join at the end.
-    touched = edges.select(F.col("a").alias("id")).distinct()
-    labels = touched.selectExpr("id", "id AS cluster_id").localCheckpoint(
-        eager=True
+    # r14: seed labels one hop ahead — min(id, min(direct neighbours))
+    # instead of id. This is the SAME single aggregation shuffle the old
+    # `.distinct()` paid (groupBy a), but propagation starts with round
+    # 1's result already in hand, so every call saves one full
+    # join+checkpoint round (the common near-dup case — doubles/triples
+    # — now CONFIRMS convergence on round 1 instead of 2, at any
+    # scale). Correctness invariant unchanged: a label is always the id
+    # of a node reachable from the keyed node and only ever decreases,
+    # so the fixpoint (min reachable id) is identical.
+    labels = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("_nb"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("_nb")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neigh = (

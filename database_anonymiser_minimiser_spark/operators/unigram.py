@@ -190,13 +190,22 @@ def _segment_counts(
 
 
 def train_unigram(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> "list[tuple[str, int, int]]":
     """Full trainer: returns the final vocabulary as (piece, count,
     rank) rows, rank ordered by (count desc, piece asc) with single
     chars always retained. Driver-side control flow over EM_ITERS
-    bounded iterations; one piece-table-sized collect per iteration."""
-    words = word_freqs(docs, text_col).persist()
+    bounded iterations; one piece-table-sized collect per iteration.
+
+    ``words`` (r14): an already-built :func:`word_freqs` relation to
+    train from — the encode query passes its persisted copy so train +
+    encode share ONE corpus pass; the caller owns its lifecycle. When
+    omitted the trainer builds (and releases) its own, as before."""
+    owned = words is None
+    if owned:
+        words = word_freqs(docs, text_col).persist()
     try:
         seed_rows = [
             (r["piece"], int(r["weight"]))
@@ -216,7 +225,8 @@ def train_unigram(
                 if len(p) == 1 or new.get(p, 0) > 0
             }
     finally:
-        words.unpersist()
+        if owned:
+            words.unpersist()
     chars = {p: c for p, c in counts.items() if len(p) == 1}
     multi = sorted(
         ((p, c) for p, c in counts.items() if len(p) > 1),
@@ -229,13 +239,23 @@ def train_unigram(
 
 
 def unigram_token_counts(
-    docs: DataFrame, vocab: "list[tuple[str, int, int]]"
+    docs: DataFrame,
+    vocab: "list[tuple[str, int, int]]",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """SERVING: Viterbi-encode the corpus under a trained vocabulary and
     count tokens per document — (doc_id, n_unigram_tokens). The
     distinct-word relation is segmented once (mapInPandas); per-word
     counts broadcast-join back to the corpus; one doc-keyed partial-agg
-    shuffle."""
+    shuffle.
+
+    ``words`` (r14): an already-built :func:`word_freqs` relation whose
+    word column replaces the corpus-side ``distinct()`` re-derivation
+    for the segmentation input — the word SET is identical by
+    construction (same tokenization, same empty-word filter), so the
+    result is unchanged, but the broadcast build reads a (usually
+    persisted) vocabulary-sized relation instead of re-exploding the
+    corpus."""
     import pandas as pd
 
     counts = {p: c for p, c, _r in vocab}
@@ -264,7 +284,12 @@ def unigram_token_counts(
                 }
             )
 
-    word_tok = doc_words.select("word").distinct().mapInPandas(
+    word_src = (
+        words.select("word")
+        if words is not None
+        else doc_words.select("word").distinct()
+    )
+    word_tok = word_src.mapInPandas(
         run, "word string, n_word_tokens long"
     )
     return (

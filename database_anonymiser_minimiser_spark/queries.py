@@ -5677,7 +5677,17 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL merge list — rank, pair, and count — at sf0.001 and in
     the synthetic edge cases (overlap runs like 'aaaa', ties)."""
     docs = load(spark, sf_dir, "documents")
-    words = (
+    words = _bpe_word_freqs(docs)
+    return spark.createDataFrame(
+        _bpe_learn_from_words(words),
+        "rank int, left string, right string, merged string, pair_count long",
+    )
+
+
+def _bpe_word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, freq) — the single corpus pass feeding the BPE trainer
+    (and, in the encode query, the vocabulary for the broadcast build)."""
+    return (
         docs.select(
             F.explode(
                 F.split(
@@ -5690,6 +5700,13 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
+
+
+def _bpe_learn_from_words(words: DataFrame) -> "list[tuple]":
+    """The BPE merge loop over a (word, freq) relation — extracted (r14)
+    so the encode query can train and encode off ONE shared words
+    relation instead of re-deriving it from the corpus. Identical
+    algorithm and determinism spec as before the extraction."""
     vocab = words.select(
         "freq", F.expr("split(word, '')").alias("tokens")
     ).persist()
@@ -5739,9 +5756,23 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         prev.unpersist()
 
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count long"
-    )
+    return merges
+
+
+# last persisted (word, freq) relation of a tokenizer encode query —
+# released on the next invocation (the returned DataFrame consumes it
+# lazily, so it cannot be dropped inside the call; the cap keeps a
+# long-lived session at one invocation's cache, the _NGRAM_PERSISTS /
+# _RESAMPLE_PERSISTS pattern)
+_TOKENIZER_PERSISTS: "list[DataFrame]" = []
+
+
+def _release_tokenizer_persists() -> None:
+    while _TOKENIZER_PERSISTS:
+        try:
+            _TOKENIZER_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
 
 
 @register("bpe_encode_token_count")
@@ -5762,9 +5793,19 @@ def q_bpe_encode_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative trainer). Exact gate in tests/test_bpe_learn.py: the
     independent pure-Python reference learns the same merges, encodes
     every document, and must match every per-doc count."""
-    merges = q_bpe_learn_merges(spark, sf_dir).collect()  # K rows (bounded)
+    from pyspark.storagelevel import StorageLevel
 
+    _release_tokenizer_persists()
     docs = load(spark, sf_dir, "documents")
+    # ONE (word, freq) relation feeds BOTH the trainer's iterations and
+    # the encode-side vocabulary (r14: the old shape re-derived the
+    # distinct words from the corpus a second time — an extra corpus
+    # explode + distinct shuffle — for the broadcast build; the word set
+    # is identical by construction, so the result is unchanged).
+    words = _bpe_word_freqs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    _TOKENIZER_PERSISTS.append(words)
+    merges = _bpe_learn_from_words(words)  # K rows (bounded)
+
     doc_words = docs.select(
         "doc_id",
         F.explode(
@@ -5774,15 +5815,13 @@ def q_bpe_encode_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word"),
     ).filter(F.col("word") != "")
 
-    vocab = doc_words.select("word").distinct().withColumn(
+    vocab = words.select("word").withColumn(
         "tokens", F.expr("split(word, '')")
     )
     for m in merges:
         vocab = vocab.select(
             "word",
-            F.expr(_bpe_apply_merge_expr(m["left"], m["right"])).alias(
-                "tokens"
-            ),
+            F.expr(_bpe_apply_merge_expr(m[1], m[2])).alias("tokens"),
         )
     word_tok = vocab.select(
         "word", F.size("tokens").cast("long").alias("n_word_tokens")
@@ -5831,10 +5870,20 @@ def q_unigram_encode_token_count(
     broadcast-join back to the corpus (the bpe_encode_token_count
     shape). Rows-only BY DESIGN; exact per-doc gate in
     tests/test_unigram.py via the independent reference."""
+    from pyspark.storagelevel import StorageLevel
+
     from .operators import unigram as U
 
+    _release_tokenizer_persists()
     docs = load(spark, sf_dir, "documents")
-    return U.unigram_token_counts(docs, U.train_unigram(docs))
+    # ONE persisted (word, freq) relation serves the trainer's EM
+    # iterations AND the encode-side segmentation input (r14: the old
+    # shape re-exploded + re-distincted the corpus for the broadcast
+    # build; identical word set by construction, result unchanged)
+    words = U.word_freqs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    _TOKENIZER_PERSISTS.append(words)
+    vocab = U.train_unigram(docs, words=words)
+    return U.unigram_token_counts(docs, vocab, words=words)
 
 
 # Bloom parameters: m bits, k=3 hash functions. m is sized for the test
