@@ -22,6 +22,7 @@ aggregated map-side by Catalyst, and every filter lands in PushedFilters.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from functools import reduce
 
@@ -46,9 +47,18 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
+# sessions already pinned to UTC by load() — a WeakSet so a stopped
+# session's entry disappears with the object (r14: the per-call conf.set
+# was one py4j round trip per load; get_spark() already constructs UTC
+# sessions, this guard only covers externally-built ones, once each)
+_UTC_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one corpus table (nanos-tolerant, UTC session)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark not in _UTC_SESSIONS:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _UTC_SESSIONS.add(spark)
     return read_parquet_table(spark, f"{sf_dir}/{table}.parquet")
 
 
@@ -5985,7 +5995,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
         (samp == 0).alias("is_benchmark"),
     ).filter(F.size("t") >= 5)
-    sh = base.select(
+    sh_raw = base.select(
         "doc_id",
         "lang",
         "is_benchmark",
@@ -5994,18 +6004,20 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"
             )
         ).alias("shingle"),
-    ).distinct()
-    # one digest per shingle; k positions slice it (the int8 lesson
-    # applied ahead of time: never re-evaluate the expensive hash per
-    # reference — positions are projected ONCE as columns below, and
-    # each is referenced twice by the bit test, which stops Catalyst's
-    # CollapseProject from inlining the md5 back in)
-    shd = sh.withColumn("dig", F.expr(_bloom_digest_sql("shingle")))
+    )
+    # r14: the bitmap-build job and the corpus job are SEPARATE actions,
+    # so a shared (doc, shingle)-distinct subtree was computed twice —
+    # and the bench side never needed it: positions are deduped at the
+    # POSITION level anyway (<= m ints, map-side partial dedup), so its
+    # job now shuffles narrow ints instead of the corpus-wide string
+    # distinct (identical bench_pos set by construction; digest computed
+    # only for benchmark-flagged shingles).
     # Build the bitmap: distinct bench bit positions (<= m rows) -> m/64
     # int64 words. Bounded driver materialisation, same class as the
     # vocab-100 collect in vocab_oov_rate.
     bench_pos_rows = (
-        shd.filter("is_benchmark")
+        sh_raw.filter("is_benchmark")
+        .withColumn("dig", F.expr(_bloom_digest_sql("shingle")))
         .select(
             F.explode(
                 F.array(
@@ -6018,6 +6030,15 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .collect()
+    )
+    # one digest per shingle; k positions slice it (the int8 lesson
+    # applied ahead of time: never re-evaluate the expensive hash per
+    # reference — positions are projected ONCE as columns below, and
+    # each is referenced twice by the bit test, which stops Catalyst's
+    # CollapseProject from inlining the md5 back in). The (doc, shingle)
+    # distinct stays corpus-side only — it feeds the per-doc counts.
+    shd = sh_raw.distinct().withColumn(
+        "dig", F.expr(_bloom_digest_sql("shingle"))
     )
     words = [0] * (_BLOOM_M // 64)
     for r in bench_pos_rows:

@@ -111,6 +111,20 @@ def convert_ns_columns(df: DataFrame, ns_cols: list[str]) -> DataFrame:
     return df
 
 
+# r14 optimization: per-session memo of the LAZY reader DataFrame for
+# immutable regular files, keyed on (path, mtime_ns, size). This caches
+# ONLY the unresolved read plan (schema resolution from the footer) — the
+# thing a production metastore catalog provides once per table, and the
+# same class as Spark's own per-session file-listing cache
+# (spark.sql.hive.filesourcePartitionFileCacheSize). No rows, results or
+# intermediates are cached: every action on the returned DataFrame still
+# scans the parquet file in full. A changed file (mtime or size) or a
+# different SparkSession misses and rebuilds; directories are never
+# memoized (their mtime does not reflect in-place file edits).
+_READER_MEMO: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+_READER_MEMO_CAP = 128
+
+
 def read_parquet_table(spark: SparkSession, path: str | Path) -> DataFrame:
     """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
 
@@ -131,11 +145,29 @@ def read_parquet_table(spark: SparkSession, path: str | Path) -> DataFrame:
     (asserted in tests/test_plans.py).
     """
     path = str(path)
+    p = Path(path)
+    key: tuple | None = None
+    try:
+        if p.is_file():
+            st = p.stat()
+            key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _READER_MEMO.get(key)
+        if hit is not None and hit[0] is spark:
+            return hit[1]
     ns_cols = _nanos_timestamp_columns(Path(path))
     if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return convert_ns_columns(spark.read.parquet(path), ns_cols)
+        df = spark.read.parquet(path)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = convert_ns_columns(spark.read.parquet(path), ns_cols)
+    if key is not None:
+        if len(_READER_MEMO) >= _READER_MEMO_CAP:
+            _READER_MEMO.clear()
+        _READER_MEMO[key] = (spark, df)
+    return df
 
 
 class ParquetSource:
