@@ -45,11 +45,19 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
 def shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = SHINGLE_K
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, s: array<string>) — distinct word k-gram shingles; documents
-    with fewer than k tokens yield no shingles and are dropped (they
-    cannot near-duplicate anything under this measure).
+    """(id, s: array<string>[, *extra_cols]) — distinct word k-gram
+    shingles; documents with fewer than k tokens yield no shingles and
+    are dropped (they cannot near-duplicate anything under this
+    measure). ``extra_cols`` (r14) carries already-computed columns
+    through unchanged, so a caller that needs a side flag alongside the
+    shingles (incremental new-vs-landed split) can shingle the corpus
+    ONCE instead of once per side.
 
     Repartitions by id first: shingling + k-permutation hashing is
     CPU-bound, and a small input file otherwise arrives as ONE split so
@@ -58,6 +66,7 @@ def shingles(
     verification joins downstream. At 100 TB the input already has
     thousands of splits and this repartition is a cheap rebalance.
     """
+    extra_cols = extra_cols or []
     parts = ", ".join(f"element_at(ts, i + {j})" for j in range(k))
     sh = (
         f"array_distinct(transform(sequence(1, size(ts) - {k - 1}), "
@@ -74,9 +83,10 @@ def shingles(
         .select(
             F.col(id_col).alias("id"),
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ts"),
+            *extra_cols,
         )
         .filter(F.size("ts") >= k)
-        .select("id", F.expr(sh).alias("s"))
+        .select("id", F.expr(sh).alias("s"), *extra_cols)
     )
 
 
@@ -442,6 +452,7 @@ def minhash_lsh_incremental(
     threshold: float = 0.5,
     mode: str | None = None,
     persist: bool = True,
+    pre_shingled: bool = False,
 ) -> DataFrame:
     """(doc_id, n_dups, best_jaccard) for every NEW document that
     near-duplicates something already LANDED — the near-dup counterpart
@@ -458,9 +469,17 @@ def minhash_lsh_incremental(
     within-batch ``minhash_lsh_pairs`` run, a separate, much smaller
     job). At 100 TB the landed banded relation is precomputed once and
     maintained incrementally (append each admitted batch's bands), so
-    the daily cost is batch-shingling + one bucket join."""
-    sh_new = shingles(new_df, text_col, id_col)
-    sh_landed = shingles(landed_df, text_col, id_col)
+    the daily cost is batch-shingling + one bucket join.
+
+    ``pre_shingled=True`` (r14): the inputs are already ``(id, s)``
+    shingle relations (e.g. both sides filtered from ONE shingled+
+    persisted corpus scan) — skip the per-side shingling; the caller
+    owns persistence (pass ``persist=False``)."""
+    if pre_shingled:
+        sh_new, sh_landed = new_df, landed_df
+    else:
+        sh_new = shingles(new_df, text_col, id_col)
+        sh_landed = shingles(landed_df, text_col, id_col)
     if persist:
         from pyspark.storagelevel import StorageLevel
 

@@ -158,6 +158,22 @@ def profile_pii(
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=42)
 
+    # r14 (guide §2/§1.3): the detector pass is regex CPU over every
+    # profiled value, and a small input file arrives as ONE scan split —
+    # the whole partial aggregate then runs on one core (the shingles()
+    # lesson: observed 20x there). Prune to the profiled columns FIRST
+    # (the exchange carries only what the detectors read), then
+    # round-robin to cluster parallelism so the regex work fans out —
+    # but ONLY when the scan under-parallelises: a 100 TB table already
+    # has thousands of splits, and an unconditional repartition there
+    # would be a pure-overhead exchange (the _fan_out guard rule).
+    # Counts are integers and aggregation is commutative — results are
+    # partitioning-invariant.
+    df = df.select(*dict.fromkeys(columns))
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+
     aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in columns:
         aggs.append(F.count(F.col(c)).cast("long").alias(f"__nn_{c}"))

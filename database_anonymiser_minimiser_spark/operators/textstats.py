@@ -255,29 +255,47 @@ def bigram_novelty(
     cardinality is corpus-bounded (Heaps' law); no per-pair or per-doc^2
     term anywhere. Docs with fewer than 2 tokens have no bigrams and
     drop out (guard documented; emit-with-zeros would need an outer join
-    back to the id universe)."""
+    back to the id universe).
+
+    r14 (guide §2.1/§2.2): the old shape fed the exploded bigram
+    relation to THREE consumers (per-bigram df, per-(doc,bigram)
+    distinct, per-doc totals) — Catalyst reuses no subtrees, so the
+    corpus was tokenised+exploded three times per action. Now:
+    ``n_bigrams`` is ``size(w) - 1``, computed map-side and carried
+    through the aggregation keys (it is functionally dependent on the
+    doc id — no join, no extra pass); the per-bigram document frequency
+    rides ONE count window over the deduped relation (each (doc,bigram)
+    row is one distinct doc for its bigram, so the window count equals
+    the old countDistinct) instead of a groupBy feeding a join back
+    into a second evaluation of the same subtree. One tokenise pass,
+    three bounded shuffles, zero joins; every aggregate stays integer
+    so the output is bit-identical."""
     w = df.select(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
     ).filter(F.size("w") >= 2)
     bi = w.select(
         F.col(id_col),
+        (F.size("w") - 1).alias("n_bigrams"),
         F.explode(
             F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
         ).alias("bg"),
     )
-    bdf = bi.groupBy("bg").agg(F.countDistinct(id_col).alias("df"))
+    # distinct over (id, n_bigrams, bg) == distinct over (id, bg): the
+    # instance count is a function of the id
     dist = bi.distinct()
-    tot = bi.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_bigrams"))
-    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    from pyspark.sql import Window
+
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("bg"))
     return (
-        dist.join(bdf, "bg")
-        .groupBy(id_col)
+        dist.withColumn("df", dfreq)
+        .groupBy(F.col(id_col), F.col("n_bigrams"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_distinct"),
-            novel.cast("long").alias("n_novel"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
         )
-        .join(tot, id_col)
         .select(
             id_col,
             F.col("n_bigrams").cast("long").alias("n_bigrams"),

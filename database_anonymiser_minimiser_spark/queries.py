@@ -62,6 +62,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return read_parquet_table(spark, f"{sf_dir}/{table}.parquet")
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance BEFORE CPU-heavy per-row work, only when the
+    scan under-parallelises (r14, guide §2/§1.3): a small single-row-group
+    parquet file arrives as ONE split, so hash/regex/tokenise map work
+    would run on one core (the shingles() lesson — observed 20x there).
+    Scale-adaptive, not a local[32] constant: when the input already has
+    >= defaultParallelism splits (any real 100 TB table) this is a no-op
+    and NO exchange is inserted. Results are unchanged — callers apply it
+    only under pure per-row maps or commutative exact-type aggregations,
+    where partitioning is result-invariant. Prune columns before calling
+    so the exchange carries only what downstream reads."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 # per-query last-call-released persist registry (the generalised form of
 # the resample/ngram/simhash caps): a query whose returned-lazy plan
 # consumes one relation TWICE persists it here; the NEXT invocation of
@@ -709,8 +727,10 @@ def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
     )
+    # _fan_out: md5 per 3-shingle is the cost; a one-split scan would
+    # run it all on one core (results are a pure per-row map)
     d = (
-        load(spark, sf_dir, "documents")
+        _fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 3)
     )
@@ -4553,7 +4573,11 @@ def _contamination_ngram_impl(
     from . import settings as _settings
 
     hashed = _settings.key_mode(key_mode) == "hashed"
-    docs = load(spark, sf_dir, "documents")
+    # _fan_out: tokenise + md5-sample + shingle-hash are per-row CPU; a
+    # one-split scan would run them on one core (r14, guide §2/§1.3)
+    docs = _fan_out(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     samp = F.expr(
         "CAST(substr(translate(md5(CAST(text AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 20"
     )
@@ -4568,20 +4592,31 @@ def _contamination_ngram_impl(
     sh_of = "array_join(slice(t, i, 5), ' ')"
     if hashed:
         sh_of = f"xxhash64({sh_of})"
-    sh = base.select(
+    # r14 (guide §2.1): the old shape computed ONE corpus-wide
+    # (doc, shingle) distinct and fed it to BOTH the bench branch and
+    # the per-doc branch — Catalyst does not reuse the subtree across
+    # the two consumers, so the full tokenise+explode+distinct ran
+    # TWICE. Each branch now filters its side FIRST: bench tokenises
+    # only benchmark docs (shingle-level distinct — the per-doc dedup
+    # was redundant for set membership), the corpus branch only
+    # non-benchmark docs. Same sets by construction (is_benchmark is
+    # per-doc, so filtering before the distinct is equivalent).
+    sh_raw = base.select(
         "doc_id",
         "lang",
         "is_benchmark",
         F.explode(
             F.expr(f"transform(sequence(1, size(t) - 4), i -> {sh_of})")
         ).alias("shingle"),
-    ).distinct()
+    )
     bench = (
-        sh.filter("is_benchmark").select("shingle").distinct()
+        sh_raw.filter("is_benchmark").select("shingle").distinct()
         .withColumnRenamed("shingle", "bshingle")
     )
     per_doc = (
-        sh.filter(~F.col("is_benchmark"))
+        sh_raw.filter(~F.col("is_benchmark"))
+        .select("doc_id", "lang", "shingle")
+        .distinct()
         .join(F.broadcast(bench), F.col("shingle") == F.col("bshingle"), "left")
         .groupBy("doc_id", "lang")
         .agg(
@@ -5139,14 +5174,28 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     with itself); exact-Jaccard verification touches survivors only. At
     100 TB the landed banded relation persists across days and each
     admitted batch appends its bands — daily cost is batch shingling +
-    one bucket join."""
+    one bucket join.
+
+    r14: the corpus is scanned, md5-sampled and shingled ONCE (is_new
+    carried through shingles); both sides filter the one persisted
+    relation instead of each paying a full parquet scan + sampling pass
+    (the old shape materialised two side-sliced shingle caches from two
+    corpus scans). Side row sets identical by construction."""
     docs = load(spark, sf_dir, "documents")
     samp = F.expr(
         "CAST(substr(translate(md5(CAST(text AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 10"
     )
     flagged = docs.withColumn("is_new", samp == 0)
+    sh_all = _cap_persist(
+        "dedup_minhash_incremental",
+        _dd.shingles(flagged, extra_cols=["is_new"]),
+    )
     return _dd.minhash_lsh_incremental(
-        flagged.filter("is_new"), flagged.filter("NOT is_new"), mode="md5"
+        sh_all.filter("is_new").select("id", "s"),
+        sh_all.filter("NOT is_new").select("id", "s"),
+        mode="md5",
+        persist=False,
+        pre_shingled=True,
     )
 
 
