@@ -2838,7 +2838,16 @@ def q_tfdf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary-sized, not corpus-sized), joined back on word, then a
     per-doc row_number window keeps the top 3. The word join is AQE-
     planned (vocab side broadcast when it fits); the window partitions
-    on doc_id — high cardinality, no hotspot."""
+    on doc_id — high cardinality, no hotspot.
+
+    r14 audit note (audit_rescans flag, measured, LEFT AS IS): `tf`
+    feeds two consumers and Catalyst declines ReuseExchange across them
+    (the df branch prunes differently), so the tokenise+count subtree
+    runs twice per action. A registry persist of (doc_id, word, tf) was
+    A/B-tested and LOST (0.728 -> 0.823 s interleaved medians at
+    sf0.1): materialising the distinct-pair relation costs more than
+    the cheap second map-side pass it saves, and the second pass adds
+    no shuffle — it is scan-bound CPU. The no-persist form stays."""
     from .operators.textstats import tokens_column
 
     docs = load(spark, sf_dir, "documents")
@@ -5449,15 +5458,25 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the per-lang medians are a tiny aggregate (one row per
     language) computed with exact `percentile` here and broadcast back
-    onto the corpus — the big table is scanned once and never shuffles
+    onto the corpus — the TEXT is scored once and never shuffles
     (the score is columnar, the join side is broadcast). At 100 TB swap
     percentile -> percentile_approx (mergeable sketch, bounded memory);
-    the filter-join structure is unchanged."""
+    the filter-join structure is unchanged.
+
+    r14 (guide §2.1, audit_rescans flag): the scored relation feeds TWO
+    consumers (the median aggregate and the join side), so the full
+    text-scoring scan ran twice per action. Persist the PROJECTED
+    (doc_id, lang, q) rows — ~20 B/row, orders of magnitude under the
+    text bytes the second scan re-tokenised — via the last-call-released
+    registry (a within-query intermediate, not a cross-run cache)."""
     from .operators.textstats import quality_score_column
 
     docs = load(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id", "lang", quality_score_column(F.col("text")).alias("q")
+    scored = _cap_persist(
+        "quality_quantile_filter",
+        docs.select(
+            "doc_id", "lang", quality_score_column(F.col("text")).alias("q")
+        ),
     )
     med = scored.groupBy("lang").agg(F.expr("percentile(q, 0.5D)").alias("med"))
     return (
