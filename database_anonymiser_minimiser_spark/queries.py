@@ -1128,21 +1128,33 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (the ANALYZE/data-quality primitive): row/null/
-    distinct counts + min/max per column, one aggregation pass per
-    column set, string-cast for a uniform schema."""
+    distinct counts + min/max per column, string-cast for a uniform
+    schema.
+
+    r14 (guide §2.1): one multi-aggregate pass instead of one scan per
+    column (the old union-of-3-aggregates shape scanned customer three
+    times). The three count_distincts share a single scan via Spark's
+    Expand-based multi-distinct aggregation; the 1-row result pivots to
+    the 3 output rows with stack() — same values, same row order as the
+    old union (stack emits in argument order)."""
     df = load(spark, sf_dir, "customer")
-    parts = []
-    for c in ["c_custkey", "c_name", "c_acctbal"]:
-        parts.append(
-            df.groupBy().agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.count(F.col(c)).cast("long").alias("n_nonnull"),
-                F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
-                F.min(F.col(c)).cast("string").alias("min_val"),
-                F.max(F.col(c)).cast("string").alias("max_val"),
-            ).select(F.lit(c).alias("column_name"), "*")
-        )
-    return reduce(DataFrame.unionAll, parts)
+    cols = ["c_custkey", "c_name", "c_acctbal"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("long").alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    one = df.groupBy().agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows, nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"
+    )
 
 
 @register(
