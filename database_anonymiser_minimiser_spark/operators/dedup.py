@@ -1581,7 +1581,7 @@ def ngram_jaccard_pairs(
         rare = (
             dfs.join(F.broadcast(cap))
             .filter(F.col("df_count") <= F.col("cap"))
-            .select("sh")
+            .select("sh", "df_count")
         )
     else:
         # Adaptive cliff guard (round 6; found by the sf2/sf4 scaling
@@ -1607,7 +1607,10 @@ def ngram_jaccard_pairs(
         capval = _adaptive_df_cap(
             dfs, max_df, fallback_quantile, "ngram_jaccard_pairs"
         )
-        rare = dfs.filter(F.col("df_count") <= F.lit(capval)).select("sh")
+        rare = (
+            dfs.filter(F.col("df_count") <= F.lit(capval))
+            .select("sh", "df_count")
+        )
     # per-doc rare-shingle count r rides a window over the index itself:
     # one row per doc would have been broadcast-able at test scale, but
     # its cardinality is O(#docs with a rare shingle) — at billions of
@@ -1616,7 +1619,7 @@ def ngram_jaccard_pairs(
     # agg) and scales with the cluster instead of the driver.
     from pyspark.sql import Window
 
-    # The candidate self-join keys on xxhash64(shingle), not the string:
+    # Candidate generation keys on xxhash64(shingle), not the string:
     # rarity/df/r are still computed on exact strings (the semantic rule
     # is untouched), but the dominant Theta(sum df^2) shuffle+compare
     # moves from ~50-byte string keys to 8-byte longs. A hash collision
@@ -1624,16 +1627,19 @@ def ngram_jaccard_pairs(
     # only INFLATE the shared-count c — both keep the pruned candidate
     # set a superset of the string-keyed one — and the full-array verify
     # is exact, so the RESULT is provably identical, collisions or not.
+    #
+    # df_count == 1 rows are dropped AFTER r is counted: a df=1 shingle
+    # exists in exactly one document, so it can never be SHARED — it
+    # contributes zero candidate pairs, yet under the old self-join every
+    # such row was shuffled into both join sides. r (the per-doc rare
+    # count feeding the intersection upper bound) still counts ALL rare
+    # shingles, so the bound — and the verified result — is unchanged.
     inv_rare = (
         inv.join(rare, "sh")
         .withColumn("r", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .filter(F.col("df_count") >= 2)
         .withColumn("shh", F.xxhash64("sh"))
-        .drop("sh")
-    )
-    a, b = inv_rare.alias("a"), inv_rare.alias("b")
-    size_ok = (
-        F.least(F.col("a.n"), F.col("b.n")).cast("double")
-        >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(1e-9)
+        .select("id", "n", "r", "shh")
     )
     # Count-then-verify: the old `.distinct()` shuffled every co-occurring
     # pair straight into the expensive array-verify joins (at sf0.1 that
@@ -1647,20 +1653,44 @@ def ngram_jaccard_pairs(
     # arrays — a necessary condition, so the verified result is
     # byte-identical. On corpora where most shingles are rare the bound
     # is nearly exact and verify degenerates to confirming true pairs.
+    #
+    # r15: the pair generation is ONE bucket pass (groupBy(shh) +
+    # collect_list + in-bucket combinations) instead of a hash self-join.
+    # AQE never reused the two identical join-side exchanges at runtime
+    # (the t_closeness/AQE reuse gap, confirmed in the committed r14
+    # plan: the explode + rare join + window subtree appears TWICE), so
+    # the self-join paid the inverted index twice plus a SortMergeJoin
+    # sort on both sides. The bucket pass shuffles the index ONCE and
+    # emits exactly the same (a.id < b.id, size-compatible) pair
+    # multiset the join produced — each bucket holds each doc at most
+    # once (shingles are array_distinct per doc), so in-bucket
+    # combinations == the join's per-bucket cross product under a < b.
+    # Buckets are df-capped (<= capval rows), so per-row pair arrays are
+    # bounded; the per-ELEMENT slice keeps peak memory O(bucket), not
+    # O(bucket^2), in the quantile-fallback regime.
+    size_ok_sql = (
+        f"CAST(least(p.x.n, p.y.n) AS DOUBLE) >= "
+        f"{threshold!r} * greatest(p.x.n, p.y.n) - 1e-9"
+    )
+    pair_arr_sql = (
+        "filter(transform(slice(xs, i + 2, size(xs) - i - 1), y -> "
+        "IF(x.id < y.id, named_struct('x', x, 'y', y), "
+        "named_struct('x', y, 'y', x))), "
+        f"p -> p.x.id <> p.y.id AND {size_ok_sql})"
+    )
     pair_counts = (
-        a.join(
-            b,
-            (F.col("a.shh") == F.col("b.shh"))
-            & (F.col("a.id") < F.col("b.id"))
-            & size_ok,
-        )
+        inv_rare.groupBy("shh")
+        .agg(F.collect_list(F.struct("id", "n", "r")).alias("xs"))
+        .filter(F.size("xs") >= 2)
+        .select("xs", F.posexplode("xs").alias("i", "x"))
+        .select(F.explode(F.expr(pair_arr_sql)).alias("p"))
         .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-            F.col("a.r").alias("ra"),
-            F.col("b.r").alias("rb"),
+            F.col("p.x.id").alias("id_a"),
+            F.col("p.y.id").alias("id_b"),
+            F.col("p.x.n").alias("na"),
+            F.col("p.y.n").alias("nb"),
+            F.col("p.x.r").alias("ra"),
+            F.col("p.y.r").alias("rb"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1727,35 +1757,48 @@ def ngram_containment_pairs(
     capval = _adaptive_df_cap(
         dfs, max_df, fallback_quantile, "ngram_containment_pairs"
     )
-    rare = dfs.filter(F.col("df_count") <= F.lit(capval)).select("sh")
+    rare = (
+        dfs.filter(F.col("df_count") <= F.lit(capval))
+        .select("sh", "df_count")
+    )
     from pyspark.sql import Window
 
+    # df=1 rows dropped after r is counted; ONE bucket pass replaces the
+    # hash self-join — see ngram_jaccard_pairs (r15), the shared
+    # restructure rationale. The DIRECTED relation emits BOTH
+    # orientations of each in-bucket combination, each gated by its own
+    # size necessary condition (|A∩B| >= t·|A| and |A∩B| <= |B| =>
+    # |B| >= t·|A|), exactly the old join's (a.id != b.id) & size_ok
+    # ordered-pair multiset.
     inv_rare = (
         inv.join(rare, "sh")
         .withColumn("r", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .filter(F.col("df_count") >= 2)
         .withColumn("shh", F.xxhash64("sh"))
-        .drop("sh")
+        .select("id", "n", "r", "shh")
     )
-    a, b = inv_rare.alias("a"), inv_rare.alias("b")
-    # necessary: |A∩B| >= t·|A| and |A∩B| <= |B|  =>  |B| >= t·|A|
-    size_ok = (
-        F.col("b.n").cast("double")
-        >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9)
+    size_ok_sql = (
+        f"CAST(p.y.n AS DOUBLE) >= {threshold!r} * p.x.n - 1e-9"
+    )
+    pair_arr_sql = (
+        "filter(flatten(transform(slice(xs, i + 2, size(xs) - i - 1), "
+        "y -> array(named_struct('x', x, 'y', y), "
+        "named_struct('x', y, 'y', x)))), "
+        f"p -> p.x.id <> p.y.id AND {size_ok_sql})"
     )
     pair_counts = (
-        a.join(
-            b,
-            (F.col("a.shh") == F.col("b.shh"))
-            & (F.col("a.id") != F.col("b.id"))
-            & size_ok,
-        )
+        inv_rare.groupBy("shh")
+        .agg(F.collect_list(F.struct("id", "n", "r")).alias("xs"))
+        .filter(F.size("xs") >= 2)
+        .select("xs", F.posexplode("xs").alias("i", "x"))
+        .select(F.explode(F.expr(pair_arr_sql)).alias("p"))
         .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-            F.col("a.r").alias("ra"),
-            F.col("b.r").alias("rb"),
+            F.col("p.x.id").alias("id_a"),
+            F.col("p.y.id").alias("id_b"),
+            F.col("p.x.n").alias("na"),
+            F.col("p.y.n").alias("nb"),
+            F.col("p.x.r").alias("ra"),
+            F.col("p.y.r").alias("rb"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -53,6 +53,7 @@ pinned, not left to float luck):
 
 from __future__ import annotations
 
+import os
 from fractions import Fraction
 
 from pyspark.sql import DataFrame
@@ -62,6 +63,41 @@ MAX_PIECE_LEN = 4
 SEED_MULTI = 120
 EM_ITERS = 3
 FINAL_MULTI = 60
+
+
+def _driver_vocab_cap() -> int:
+    """Row cap under which a tokenizer trainer may run its iteration
+    loop DRIVER-SIDE on the collected (word, freq) relation (r15, guide
+    §1.2/§5.3): the trainers' per-iteration math is already pure
+    per-word Python (Viterbi/merge folds), so below the cap the
+    distributed loop buys nothing but 4-9 sequential Spark jobs of pure
+    scheduling overhead (~0.4 s each at bench scale over a 31-word
+    vocabulary). The collect is BOUNDED (LIMIT cap+1 probe, ~50 B/row
+    -> a few MB at the default cap — broadcast-class, guide §3.1);
+    above it the distributed Heaps'-law path runs unchanged. 0 disables
+    the driver path entirely (used by the equality gates in
+    tests/test_unigram.py / test_bpe_learn.py)."""
+    try:
+        return int(
+            os.environ.get("SPARK_GRAFT_TOKENIZER_DRIVER_VOCAB_CAP", "65536")
+        )
+    except ValueError:
+        return 65536
+
+
+def collect_words_if_small(
+    words: DataFrame, cap: int | None = None
+) -> "list[tuple[str, int]] | None":
+    """Bounded probe: the full (word, freq) relation iff it has at most
+    ``cap`` rows, else None. ONE LIMIT cap+1 job — never an unbounded
+    collect (the limit is the memory guarantee, not the observed size)."""
+    cap = _driver_vocab_cap() if cap is None else cap
+    if cap <= 0:
+        return None
+    rows = words.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return [(r["word"], int(r["freq"])) for r in rows]
 
 _WORD_SPLIT = r"\s+"
 
@@ -207,6 +243,32 @@ def train_unigram(
     if owned:
         words = word_freqs(docs, text_col).persist()
     try:
+        # r15 (guide §1.2 order-of-operations: fix the distributed
+        # algorithm's overhead before per-task work): below the bounded
+        # cap the whole EM loop runs driver-side on the collected
+        # relation — the SAME _select_seed/viterbi_segment/
+        # _probs_from_counts functions the executors run, applied to
+        # the same (word, freq) rows, so the vocabulary is identical by
+        # construction (gated distributed-vs-driver in
+        # tests/test_unigram.py). Saves 1 + EM_ITERS sequential Spark
+        # jobs (each a mapInPandas pass + shuffle + collect) at bench
+        # scale; a Heaps'-law corpus exceeds the cap and takes the
+        # distributed path unchanged.
+        small = collect_words_if_small(words)
+        if small is not None:
+            counts = _seed_counts_python(small)
+            for _ in range(EM_ITERS):
+                probs = _probs_from_counts(counts)
+                new: dict = {}
+                for w, f in small:
+                    for piece in viterbi_segment(w, probs):
+                        new[piece] = new.get(piece, 0) + f
+                counts = {
+                    p: new.get(p, 0)
+                    for p in counts
+                    if len(p) == 1 or new.get(p, 0) > 0
+                }
+            return _finalise_vocab(counts)
         seed_rows = [
             (r["piece"], int(r["weight"]))
             for r in seed_piece_weights(words).collect()
@@ -227,6 +289,30 @@ def train_unigram(
     finally:
         if owned:
             words.unpersist()
+    return _finalise_vocab(counts)
+
+
+def _seed_counts_python(word_rows: "list[tuple[str, int]]") -> "dict[str, int]":
+    """Driver-side twin of seed_piece_weights + _select_seed: every
+    substring of length 1..MAX_PIECE_LEN, weight = sum(freq x
+    occurrences), overlapping occurrences all counted — the SQL
+    expression's semantics verbatim (substring is character-indexed in
+    both)."""
+    weights: dict = {}
+    for w, f in word_rows:
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, MAX_PIECE_LEN + 1):
+                if i + ln <= n:
+                    p = w[i : i + ln]
+                    weights[p] = weights.get(p, 0) + f
+    return _select_seed(list(weights.items()))
+
+
+def _finalise_vocab(counts: "dict[str, int]") -> "list[tuple[str, int, int]]":
+    """Final-vocabulary policy (shared by both trainer paths): single
+    chars always retained, top FINAL_MULTI multi-char pieces by
+    (count desc, piece asc), ranked in that order."""
     chars = {p: c for p, c in counts.items() if len(p) == 1}
     multi = sorted(
         ((p, c) for p, c in counts.items() if len(p) > 1),

@@ -5792,11 +5792,66 @@ def _bpe_word_freqs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_learn_python(
+    word_freqs: "dict[str, int]", n_merges: int
+) -> "list[tuple]":
+    """Driver-side twin of the distributed merge loop: adjacent pairs
+    weighted by word freq, winner by (count desc, left asc, right asc),
+    greedy left-to-right non-overlapping apply — exactly the SQL fold's
+    semantics (a just-merged token never re-merges in the same pass).
+    Gated equal to the distributed path in tests/test_bpe_learn.py."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges: "list[tuple]" = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, toks in vocab.items():
+            f = word_freqs[w]
+            for i in range(len(toks) - 1):
+                k = (toks[i], toks[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, left + right, int(n)))
+        if rank == n_merges:  # the final apply has no consumer
+            break
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == left
+                    and toks[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
 def _bpe_learn_from_words(words: DataFrame) -> "list[tuple]":
     """The BPE merge loop over a (word, freq) relation — extracted (r14)
     so the encode query can train and encode off ONE shared words
     relation instead of re-deriving it from the corpus. Identical
-    algorithm and determinism spec as before the extraction."""
+    algorithm and determinism spec as before the extraction.
+
+    r15 (guide §1.2/§5.3): below the bounded driver-vocab cap the loop
+    runs driver-side on the collected relation (see
+    operators/unigram.py:collect_words_if_small — ONE LIMIT-bounded job
+    instead of _BPE_N_MERGES sequential pair-count jobs of pure
+    scheduling overhead at bench scale); a Heaps'-law vocabulary
+    exceeds the cap and takes the distributed loop below unchanged.
+    Both paths are gated identical in tests/test_bpe_learn.py."""
+    from .operators.unigram import collect_words_if_small
+
+    small = collect_words_if_small(words)
+    if small is not None:
+        return _bpe_learn_python(dict(small), _BPE_N_MERGES)
     vocab = words.select(
         "freq", F.expr("split(word, '')").alias("tokens")
     ).persist()

@@ -87,6 +87,7 @@ def _ref_asof(lefts, rights):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_asof_join_boundary_matches_reference(spark, lefts, rights):
     from database_anonymiser_minimiser_spark.operators.asof import asof_join
 
@@ -191,6 +192,7 @@ def _ref_stream_join(events):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_stream_join_interval_bounds_match_reference(spark, tmp_path, events):
     from database_anonymiser_minimiser_spark.streaming.events import (
         run_streaming_stream_join,

@@ -142,3 +142,19 @@ def test_bpe_encode_matches_python_reference(spark, sf_dir):
         if any(w != "" for w in words)
     }
     assert got == expected
+
+
+def test_bpe_driver_path_equals_distributed_path(spark, sf_dir, monkeypatch):
+    """r15 scale-adaptive trainer: the driver-side small-vocab merge
+    loop must produce the IDENTICAL merge list as the distributed loop
+    (cap=0 forces the distributed path; the default cap takes the
+    driver path on this corpus)."""
+    from database_anonymiser_minimiser_spark import queries as Q
+
+    docs = Q.load(spark, sf_dir, "documents")
+    monkeypatch.setenv("SPARK_GRAFT_TOKENIZER_DRIVER_VOCAB_CAP", "0")
+    distributed = Q._bpe_learn_from_words(Q._bpe_word_freqs(docs))
+    monkeypatch.delenv("SPARK_GRAFT_TOKENIZER_DRIVER_VOCAB_CAP")
+    driver_side = Q._bpe_learn_from_words(Q._bpe_word_freqs(docs))
+    assert driver_side == distributed
+    assert len(driver_side) == 8

@@ -152,6 +152,7 @@ DOCS = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_curate_budget_fuzz(spark, docs, budget):
     """Both admission rules against their pure-Python references. The
     first run of this fuzz CAUGHT the semantics split: the window

@@ -414,6 +414,7 @@ def test_cli_forget_e2e(spark, sf_dir, tmp_path, capsys):
     assert rc == 2 and "no MinHash index" in err
 
 
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_ann_forget_sequence_invariant(spark, tmp_path):
     """Randomized (seeded) lifecycle fuzz: any interleaving of append /
     forget / compact(keep or full) must preserve `visible == landed -

@@ -89,6 +89,7 @@ def test_forget_multipath_or(spark):
         assert order.index(child) < order.index(parent), order
 
 
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_forget_script_applies_to_sqlite_dump(tmp_path):
     """End-state: dump the corpus with the engine (sqlite dialect),
     import into a real SQLite database WITH foreign keys enforced,

@@ -61,6 +61,7 @@ def ref_funnel(events, steps):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_funnel_matches_reference_on_random_event_sets(spark, events):
     df = spark.createDataFrame(events, "user_id int, ts int, event_type string")
     want_counts, want_times = ref_funnel(events, STEPS)

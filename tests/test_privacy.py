@@ -362,6 +362,7 @@ def test_dp_null_group_keys_cross_engine(spark):
     assert got == want
 
 
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_dp_noisy_avg_null_on_clamped_count(spark):
     """A group whose noisy count clamps to 0 releases NULL, not a
     division error — and the released means are deterministic."""

@@ -471,6 +471,7 @@ def test_release_audit_only_privacy_block_clean_error(tmp_path, capsys):
     assert "error:" in err and "releases" in err
 
 
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_export_plus_release_one_run_one_manifest(spark, tmp_path, capsys):
     """r12 verdict item 4: ONE config drives the masked export AND the
     DP releases in ONE run, under ONE ledger-enforced manifest covering
@@ -561,6 +562,7 @@ def test_export_with_releases_requires_manifest_and_output(tmp_path, capsys):
     assert not manifest_path.exists()
 
 
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_contracts_recorded_in_export_manifest(spark, tmp_path, capsys):
     """r14 (r13 verdict item 7): a config with BOTH privacy.releases and
     a quality block records contract outcomes in the SAME manifest as

@@ -72,11 +72,16 @@ from database_anonymiser_minimiser_spark.operators.dedup import (
 
 SF1 = "/tmp/dbmask_scale/sf1"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(SF1),
-    reason="sf1 scale corpus absent - regenerate with "
-    "`python tools/gen_corpus.py --sf 1 --out /tmp/dbmask_scale/sf1`",
-)
+pytestmark = [
+    # r15 full tier: every gate here is a 10x-scale golden TWIN of a
+    # default-tier correctness gate (see tests/conftest.py)
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(SF1),
+        reason="sf1 scale corpus absent - regenerate with "
+        "`python tools/gen_corpus.py --sf 1 --out /tmp/dbmask_scale/sf1`",
+    ),
+]
 
 _HEX_TR = str.maketrans("abcdef", "012345")
 

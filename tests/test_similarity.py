@@ -478,6 +478,7 @@ def test_ann_screen_exhaustive_equals_brute_force(
     assert got == want  # exact float equality: same fold, same order
 
 
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_ann_screen_recall_grows_with_nprobe(spark, tmp_path, ann_corpus):
     """The IVF contract: per-query best_cosine is monotonically
     non-decreasing in nprobe (more cells probed => superset of
@@ -501,6 +502,7 @@ def test_ann_screen_recall_grows_with_nprobe(spark, tmp_path, ann_corpus):
         assert b2.get(qid, float("-inf")) <= full + 1e-18
 
 
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_ann_index_append_and_replay_idempotence(spark, tmp_path):
     """The ingest loop's maintenance step: append lands a batch under
     its own batch=<label> partition (replaying the SAME label rewrites
@@ -911,6 +913,41 @@ def test_mutual_top1_pairs_planted(spark):
         (r["a_id"], r["b_id"]) for r in S.mutual_top1_pairs(a, b, cent).collect()
     }
     assert got == {(0, 10), (2, 12)}
+
+
+def test_bitext_persists_released_across_calls(spark):
+    """r15 leak fix (VERDICT r14 #5): the bitext candidate persists must
+    be routed through the last-call-released registry — N repeated CLI/
+    notebook calls may strand at most ONE cached relation, and each call
+    releases the previous call's cache."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    a = spark.createDataFrame([(0, vec(1, 0, 0, 0)), (2, vec(0, 1, 0, 0))], schema)
+    b = spark.createDataFrame([(10, vec(0.9, 0.1, 0, 0))], schema)
+    cent = [{"cid": 0, "cv": [1.0, 1.0, 1.0, 1.0]}]
+
+    spark.catalog.clearCache()
+    S._BITEXT_PERSISTS.clear()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    base = cm.cachedData().size()
+    for _ in range(3):
+        S.mutual_top1_pairs(a, b, cent).collect()
+        assert len(S._BITEXT_PERSISTS) == 1  # at most one call's cache
+        # JVM-side: net cached relations never exceed one call's worth
+        # (repeat calls share a canonicalized plan, so the ceiling is 1)
+        assert cm.cachedData().size() - base <= 1
+    for _ in range(2):  # the margin sibling shares the registry
+        S.bitext_margin_pairs(a, b, cent).collect()
+        assert len(S._BITEXT_PERSISTS) == 1
+        assert cm.cachedData().size() - base <= 1
+    S._BITEXT_PERSISTS.clear()
+    spark.catalog.clearCache()
 
 
 def test_ann_index_append_to_missing_index_is_friendly(spark, tmp_path):

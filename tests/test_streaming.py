@@ -565,6 +565,7 @@ def test_stream_join_bucket_is_floor_based_for_negative_timestamps(spark):
     assert trunc[0] == 0  # proves the old expression was wrong pre-epoch
 
 
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_streaming_neardup_ingest_layouts_agree_and_replay_idempotent(
     spark, tmp_path
 ):
@@ -672,6 +673,7 @@ def test_streaming_neardup_ingest_layouts_agree_and_replay_idempotent(
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_streaming_neardup_ingest_with_compaction(spark, tmp_path):
     """r11: compact_every folds older epochs inside the sink while
     KEEPING the current epoch's partition — flags identical to the
@@ -757,6 +759,7 @@ def test_streaming_neardup_ingest_with_compaction(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_streaming_neardup_ingest_checkpoint_resume(spark, tmp_path):
     """r11: the restartable screen — a checkpointed first run processes
     the backlog; a resume run after a simulated driver restart (catalog

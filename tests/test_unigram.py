@@ -212,3 +212,18 @@ def test_viterbi_determinism_spec():
     assert U.viterbi_segment("qz", probs) == ["q", "z"]
     with pytest.raises(ValueError, match="not segmentable"):
         U.viterbi_segment("qx", {"q": Fraction(1, 2)})
+
+
+def test_unigram_driver_path_equals_distributed_path(spark, sf_dir, monkeypatch):
+    """r15 scale-adaptive trainer: the driver-side small-vocab EM loop
+    must produce the IDENTICAL (piece, count, rank) vocabulary as the
+    distributed mapInPandas loop (cap=0 forces distributed)."""
+    from database_anonymiser_minimiser_spark.operators import unigram as U
+    from database_anonymiser_minimiser_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")
+    monkeypatch.setenv("SPARK_GRAFT_TOKENIZER_DRIVER_VOCAB_CAP", "0")
+    distributed = U.train_unigram(docs)
+    monkeypatch.delenv("SPARK_GRAFT_TOKENIZER_DRIVER_VOCAB_CAP")
+    driver_side = U.train_unigram(docs)
+    assert driver_side == distributed

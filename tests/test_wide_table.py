@@ -11,6 +11,7 @@ correctness invariant gated here: the MASKED VALUES are identical in
 every codegen regime — compiled, split, or interpreted fallback.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from database_anonymiser_minimiser_spark.config import TableConfig
@@ -44,6 +45,7 @@ def _wide_config() -> TableConfig:
     )
 
 
+@pytest.mark.slow  # r15 full-tier (scale/fuzz/e2e twin; see conftest)
 def test_wide_anonymise_values_identical_across_codegen_modes(spark):
     """300 masked columns, three codegen regimes (default = interpreted
     projection, raised = whole-stage codegen, raised past the 64KB
