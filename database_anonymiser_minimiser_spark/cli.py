@@ -850,9 +850,14 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark()
         spark.sparkContext.setLogLevel("INFO" if args.verbose else "WARN")
         try:
-            q_all = spark.read.parquet(args.queries).select(
+            # one reader for rows AND schema (r15 continuation-surface
+            # audit: the second spark.read.parquet re-listed and
+            # re-read the footer for schema only)
+            q_df = spark.read.parquet(args.queries).select(
                 "vec_id", "embedding"
-            ).collect()
+            )
+            schema = q_df.schema
+            q_all = q_df.collect()
         except Exception as exc:
             print(
                 f"error: cannot read queries: {str(exc).splitlines()[0]}",
@@ -862,9 +867,6 @@ def main(argv: list[str] | None = None) -> int:
         if not q_all:
             print("error: --queries holds no rows", file=sys.stderr)
             return 2
-        schema = spark.read.parquet(args.queries).select(
-            "vec_id", "embedding"
-        ).schema
         results = []
         try:
             # the ADC query side embeds m x K literal tables per query,

@@ -6118,7 +6118,12 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact op. The oracle replicates membership relationally (position
     IN bench positions), which is equivalent by construction.
     """
-    docs = load(spark, sf_dir, "documents")
+    # fan out the single-split scan BEFORE the per-row shingle/md5 work
+    # (r15, the winnow/profile_pii guard): the whole corpus side is now
+    # map-side expression CPU, which would otherwise run on one core
+    docs = _fan_out(load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ))
     samp = F.expr(
         "CAST(substr(translate(md5(CAST(text AS STRING)), 'abcdef', '012345'), 1, 6) AS BIGINT) % 20"
     )
@@ -6130,28 +6135,24 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
         (samp == 0).alias("is_benchmark"),
     ).filter(F.size("t") >= 5)
-    sh_raw = base.select(
-        "doc_id",
-        "lang",
-        "is_benchmark",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"
-            )
-        ).alias("shingle"),
+    # the doc's DISTINCT shingle set as a doc-side array (r15, guide
+    # §2.4): the (doc, shingle) dedup the audit counts over is per-DOC,
+    # so array_distinct inside the row replaces the old corpus-wide
+    # explode + string-distinct shuffle — the distinct sets (and so
+    # n_sh / n_hit) are identical by construction, and the whole corpus
+    # side becomes map-side expression work feeding ONE lang-keyed
+    # aggregation exchange (plan-gated).
+    sh_arr = (
+        "array_distinct(transform(sequence(1, size(t) - 4), "
+        "i -> array_join(slice(t, i, 5), ' ')))"
     )
-    # r14: the bitmap-build job and the corpus job are SEPARATE actions,
-    # so a shared (doc, shingle)-distinct subtree was computed twice —
-    # and the bench side never needed it: positions are deduped at the
-    # POSITION level anyway (<= m ints, map-side partial dedup), so its
-    # job now shuffles narrow ints instead of the corpus-wide string
-    # distinct (identical bench_pos set by construction; digest computed
-    # only for benchmark-flagged shingles).
-    # Build the bitmap: distinct bench bit positions (<= m rows) -> m/64
-    # int64 words. Bounded driver materialisation, same class as the
-    # vocab-100 collect in vocab_oov_rate.
+    # r14: the bitmap-build job shuffles narrow int positions, deduped
+    # at the POSITION level (<= m rows), digest computed only for
+    # benchmark-flagged shingles. Bounded driver materialisation, same
+    # class as the vocab-100 collect in vocab_oov_rate.
     bench_pos_rows = (
-        sh_raw.filter("is_benchmark")
+        base.filter("is_benchmark")
+        .select(F.explode(F.expr(sh_arr)).alias("shingle"))
         .withColumn("dig", F.expr(_bloom_digest_sql("shingle")))
         .select(
             F.explode(
@@ -6166,15 +6167,6 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )
-    # one digest per shingle; k positions slice it (the int8 lesson
-    # applied ahead of time: never re-evaluate the expensive hash per
-    # reference — positions are projected ONCE as columns below, and
-    # each is referenced twice by the bit test, which stops Catalyst's
-    # CollapseProject from inlining the md5 back in). The (doc, shingle)
-    # distinct stays corpus-side only — it feeds the per-doc counts.
-    shd = sh_raw.distinct().withColumn(
-        "dig", F.expr(_bloom_digest_sql("shingle"))
-    )
     words = [0] * (_BLOOM_M // 64)
     for r in bench_pos_rows:
         p = r["p"]
@@ -6183,30 +6175,23 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = F.array(
         *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
     )
-    corpus = shd.filter(~F.col("is_benchmark")).select(
-        "doc_id",
+    # one digest per distinct shingle (transform), then the k=3 bit
+    # tests slice that digest inside the filter lambda — the md5 is
+    # never re-evaluated per position window
+    hit_sql = " AND ".join(
+        f"(shiftright(element_at(bm, CAST(({_bloom_pos_from_digest_sql('d', w)}) / 64 AS INT) + 1), "
+        f"CAST(({_bloom_pos_from_digest_sql('d', w)}) % 64 AS INT)) & 1) = 1"
+        for w in _BLOOM_WINDOWS
+    )
+    digs = f"transform({sh_arr}, s -> {_bloom_digest_sql('s')})"
+    per_doc = base.filter(~F.col("is_benchmark")).select(
         "lang",
         bm.alias("bm"),
-        *[
-            F.expr(_bloom_pos_from_digest_sql("dig", w)).alias(f"p{i}")
-            for i, w in enumerate(_BLOOM_WINDOWS)
-        ],
-    )
-    hit = reduce(
-        lambda a, b: a & b,
-        [
-            F.expr(
-                f"(shiftright(element_at(bm, CAST(p{i} / 64 AS INT) + 1), "
-                f"CAST(p{i} % 64 AS INT)) & 1) = 1"
-            )
-            for i in range(len(_BLOOM_WINDOWS))
-        ],
-    )
-    per_doc = corpus.select("doc_id", "lang", hit.alias("hit")).groupBy(
-        "doc_id", "lang"
-    ).agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        F.count(F.when(F.col("hit"), 1)).alias("n_hit"),
+        F.expr(digs).alias("digs"),
+    ).select(
+        "lang",
+        F.size("digs").alias("n_sh"),
+        F.size(F.expr(f"filter(digs, d -> {hit_sql})")).alias("n_hit"),
     )
     frac = F.col("n_hit") * 1.0 / F.col("n_sh")
     return per_doc.groupBy("lang").agg(
