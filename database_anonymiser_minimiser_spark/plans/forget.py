@@ -49,6 +49,7 @@ class TableDelete:
     table: str
     predicate: str  # ANSI predicate over quoted identifiers
     n_rows: int | None = None  # filled by the dry-run count
+    n_before: int | None = None  # table total, same dry-run scan (r15)
 
 
 def _quote_preds(db_type: str):
@@ -145,10 +146,16 @@ def count_forget_plan(
     for td in plan:
         source.read(td.table).createOrReplaceTempView(td.table)
     for td in plan:
+        # ONE scan yields the closure count AND the table total (r15:
+        # apply_forget_parquet previously re-scanned each table for
+        # `before`; count_if(pred) counts exactly the rows a
+        # WHERE pred would keep — NULL/false both excluded)
         row = spark.sql(
-            f"SELECT count(*) AS n FROM `{td.table}` WHERE {td.predicate}"
+            f"SELECT count_if(({td.predicate})) AS n, count(*) AS total "
+            f"FROM `{td.table}`"
         ).first()
         td.n_rows = int(row["n"])
+        td.n_before = int(row["total"])
     return plan
 
 
@@ -168,7 +175,9 @@ def apply_forget_parquet(
     Row accounting is verified per table: kept == before − deleted."""
     plan = count_forget_plan(spark, source, root_table, key_col, ids)
     for td in plan:
-        before = source.read(td.table).count()
+        # before-count rides the dry-run scan (see count_forget_plan);
+        # the kept == before − deleted accounting check is unchanged
+        before = td.n_before
         kept = spark.sql(
             f"SELECT * FROM `{td.table}` "
             f"WHERE NOT COALESCE(({td.predicate}), FALSE)"

@@ -223,7 +223,8 @@ def run_streaming_tumbling(
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(_bounded_state_partitions())
+        "spark.sql.shuffle.partitions",
+        str(min(int(old_parts), _bounded_state_partitions())),
     )
     try:
         q = (

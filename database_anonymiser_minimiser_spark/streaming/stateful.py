@@ -384,15 +384,31 @@ def run_streaming_heavy_hitters(
         )
         stream = convert_ns_columns(stream, ns_cols)
 
-        q = (
-            running_shard_heavy_hitters(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+        # bounded-state rule (r15, see events._bounded_state_partitions):
+        # the state key domain is HH_SHARDS (= 4) shards, so sizing the
+        # stateful exchange at the session default only multiplies
+        # state-store and Python-worker overhead by empty partitions —
+        # per micro-batch, times n_splits batches. Result-invariant
+        # (per-shard grouping is unchanged); restored after the run.
+        from .events import _bounded_state_partitions
+
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(old_parts), _bounded_state_partitions())),
         )
-        q.awaitTermination()
+        try:
+            q = (
+                running_shard_heavy_hitters(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
