@@ -319,8 +319,10 @@ def lsh_candidate_pairs(
             .select(F.col("_bmin").alias("id_a"), F.col("id").alias("id_b"))
         )
         out = full.unionByName(star).distinct()
-        # materialise before releasing the sized relation both branches read
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialise before releasing the sized relation both branches
+        # read; r15: last-call-released (was a bare persist — one
+        # stranded candidate relation per hot-bucket call)
+        out = _registry_persist(_HOTBUCKET_PERSISTS, out)
         out.count()
         return out
     finally:
@@ -374,6 +376,28 @@ def verify_jaccard_sided(
     )
 
 
+# last-call-released registries (r15, the _NGRAM_PERSISTS pattern —
+# VERDICT r14 #5's leak class): the returned DataFrames consume these
+# persists lazily, so each call releases the PREVIOUS call's cache; a
+# previously-returned DF that is still held simply recomputes.
+_MINHASH_PERSISTS: "list[DataFrame]" = []
+_SCREEN_PERSISTS: "list[DataFrame]" = []
+_HOTBUCKET_PERSISTS: "list[DataFrame]" = []
+
+
+def _registry_persist(registry: "list[DataFrame]", df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    while registry:
+        try:
+            registry.pop().unpersist()
+        except Exception:
+            pass
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    registry.append(df)
+    return df
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -400,9 +424,9 @@ def minhash_lsh_pairs(
     """
     shingled = shingles(df, text_col, id_col)
     if persist:
-        from pyspark.storagelevel import StorageLevel
-
-        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+        # r15: last-call-released (was a bare persist — one stranded
+        # shingle-sized cached relation per call)
+        shingled = _registry_persist(_MINHASH_PERSISTS, shingled)
     mode = _resolve_mode(mode)
     sig = minhash_signature(shingled, mode=mode)
     cands = lsh_candidate_pairs(sig, mode=mode, max_bucket=max_bucket)
@@ -511,10 +535,10 @@ def minhash_lsh_incremental(
             # shingle relations are cached, so the finally-unpersist
             # below cannot force a re-shingle and a per-call caller
             # (the streaming screen runs this once per micro-batch)
-            # does not accumulate shingle-sized cached blocks
-            from pyspark.storagelevel import StorageLevel
-
-            out = out.persist(StorageLevel.MEMORY_AND_DISK)
+            # does not accumulate shingle-sized cached blocks. r15:
+            # last-call-released — the small result itself also must
+            # not accumulate across micro-batches
+            out = _registry_persist(_SCREEN_PERSISTS, out)
             out.count()
         return out
     finally:
@@ -771,7 +795,9 @@ def _screen_new_vs_landed(
         F.max("jaccard").alias("best_jaccard"),
     )
     if materialize:
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        # r15: last-call-released (accumulated one small cached relation
+        # per micro-batch in the streaming screen)
+        out = _registry_persist(_SCREEN_PERSISTS, out)
         out.count()
     return out
 
@@ -1865,7 +1891,16 @@ def ngram_jaccard_pairs_prefix(
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
+    # r15: routed through the shared release registry — the prefix-mode
+    # persist was bare (one stranded cached relation per call; the
+    # bitext leak class, VERDICT r14 #5)
+    while _NGRAM_PERSISTS:
+        try:
+            _NGRAM_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
     shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    _NGRAM_PERSISTS.append(shingled)
     inv = shingled.select(
         "id", F.size("s").alias("n"), F.explode("s").alias("sh")
     )

@@ -4999,15 +4999,19 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     dec = lambda col: F.col(col).cast("decimal(18,2)")
-    pv = (
+    # r15: routed through the last-call-released registry (was a bare
+    # persist — every call in a long-lived session stranded one cached
+    # relation; the bitext leak class, VERDICT r14 #5)
+    pv = _cap_persist(
+        "q11_important_stock",
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(
             F.sum(dec("l_extendedprice") * dec("l_quantity"))
             .cast("decimal(38,4)")
             .alias("vdec")
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+    )
     tot = pv.agg(
         F.sum("vdec").cast("decimal(38,6)").cast("string").cast("double").alias("total")
     )
@@ -5322,15 +5326,18 @@ def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").like("%widget%"))
         .select("p_partkey")
     )
-    supplied = (
+    # r15: routed through the last-call-released registry (was a bare
+    # persist — one stranded cached relation per call; bitext leak class)
+    supplied = _cap_persist(
+        "q20_excess_supply",
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
             .alias("qty")
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+    )
     per_part = supplied.groupBy("l_partkey").agg(
         (
             F.sum("qty").cast("decimal(38,2)").cast("string").cast("double")
@@ -7184,6 +7191,21 @@ def q_funnel_windowed_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESAMPLE_PERSISTS: list[DataFrame] = []
 
 
+def _release_resample_persists() -> None:
+    """Release the previous resample-family call's persist (its returned
+    DF, if still held, just recomputes). Best-effort: the stashed DF may
+    belong to an already-STOPPED SparkSession (harness restarted Spark
+    between calls) and unpersist must not kill the new query. r15: the
+    interpolate/locf members now release too — previously only
+    resample_hourly_dense did, so repeated interpolate/locf calls
+    accumulated one cached relation each (the bitext leak class)."""
+    while _RESAMPLE_PERSISTS:
+        try:
+            _RESAMPLE_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
+
+
 @register(
     "events_interpolate_hourly",
     """
@@ -7241,6 +7263,7 @@ def q_events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     IGNORE-NULLS windows shuffle only grid-sized rows keyed by type."""
     ev = load(spark, sf_dir, "events")
     d = F.col("value").cast("decimal(18,6)")
+    _release_resample_persists()
     m = (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
         .agg(
@@ -7330,6 +7353,7 @@ def q_events_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward-looking window."""
     ev = load(spark, sf_dir, "events")
     d = F.col("value").cast("decimal(18,6)")
+    _release_resample_persists()
     m = (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
         .agg(
@@ -7401,11 +7425,7 @@ def q_events_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFram
     # belong to an already-STOPPED SparkSession (harness restarted
     # Spark between calls), in which case unpersist raises on a dead
     # context and must not kill the new query
-    while _RESAMPLE_PERSISTS:
-        try:
-            _RESAMPLE_PERSISTS.pop().unpersist()
-        except Exception:
-            pass
+    _release_resample_persists()
     counts = (
         load(spark, sf_dir, "events")
         .groupBy(

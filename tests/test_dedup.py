@@ -991,3 +991,30 @@ def test_dedup_exact_seed_bucketed_layout(spark, tmp_path):
     finally:
         for t in (f"{prefix}_bands", f"{prefix}_shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_repeat_calls_do_not_accumulate_persists(spark, sf_dir):
+    """r15 leak-class sweep (VERDICT r14 #5 generalised): repeated calls
+    of the registry-persisting operators strand at most ONE call's worth
+    of cached relations in the JVM cacheManager."""
+    from database_anonymiser_minimiser_spark import queries as Q
+    from database_anonymiser_minimiser_spark.operators import dedup as D
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    base = cm.cachedData().size()
+    docs = Q.load(spark, sf_dir, "documents")
+    for _ in range(2):
+        D.minhash_lsh_pairs(docs).collect()
+        assert cm.cachedData().size() - base <= 1
+    spark.catalog.clearCache()
+    base = cm.cachedData().size()
+    for _ in range(2):
+        Q.QUERIES["q20_excess_supply"](spark, sf_dir).collect()
+        assert cm.cachedData().size() - base <= 1
+    for _ in range(2):
+        Q.QUERIES["events_interpolate_hourly"](spark, sf_dir).collect()
+        Q.QUERIES["events_locf_hourly"](spark, sf_dir).collect()
+        # the resample registry keeps at most one member's persist
+        assert cm.cachedData().size() - base <= 2  # q20's + one resample
+    spark.catalog.clearCache()
