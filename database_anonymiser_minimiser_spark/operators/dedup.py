@@ -1803,14 +1803,20 @@ def ngram_containment_pairs(
         .withColumn("shh", F.xxhash64("sh"))
         .select("id", "n", "r", "shh")
     )
-    size_ok_sql = (
-        f"CAST(p.y.n AS DOUBLE) >= {threshold!r} * p.x.n - 1e-9"
-    )
+    # The shared-shingle count c is SYMMETRIC, so the bucket pass
+    # aggregates each UNORDERED pair once (the Jaccard core's shape —
+    # half the generated structs and half the aggregation input of an
+    # orientation-expanded pass) and both directions are expanded only
+    # AFTER the grid-sized aggregation, each gated by its own directed
+    # necessary conditions. Identical to the old ordered-pair join: the
+    # directed size_ok and count bound are per-ordered-pair constants,
+    # and for t <= 1 the (small -> large) orientation always satisfies
+    # the size condition, so no unordered pair can be pre-pruned.
     pair_arr_sql = (
-        "filter(flatten(transform(slice(xs, i + 2, size(xs) - i - 1), "
-        "y -> array(named_struct('x', x, 'y', y), "
-        "named_struct('x', y, 'y', x)))), "
-        f"p -> p.x.id <> p.y.id AND {size_ok_sql})"
+        "filter(transform(slice(xs, i + 2, size(xs) - i - 1), y -> "
+        "IF(x.id < y.id, named_struct('x', x, 'y', y), "
+        "named_struct('x', y, 'y', x))), "
+        "p -> p.x.id <> p.y.id)"
     )
     pair_counts = (
         inv_rare.groupBy("shh")
@@ -1828,12 +1834,32 @@ def ngram_containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    both = pair_counts.select(
+        F.explode(
+            F.array(
+                F.struct("id_a", "id_b", "na", "nb", "ra", "rb", "c"),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.col("nb").alias("na"),
+                    F.col("na").alias("nb"),
+                    F.col("rb").alias("ra"),
+                    F.col("ra").alias("rb"),
+                    F.col("c"),
+                ),
+            )
+        ).alias("o")
+    ).select("o.*")
+    # necessary: |A∩B| >= t·|A| and |A∩B| <= |B|  =>  |B| >= t·|A|
+    size_ok = (
+        F.col("nb").cast("double") >= F.lit(threshold) * F.col("na") - F.lit(1e-9)
+    )
     inter_ub = F.col("c") + F.least(
         F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
     )
     need = F.lit(threshold) * F.col("na")
-    cands = pair_counts.filter(
-        inter_ub.cast("double") >= need - F.lit(1e-9)
+    cands = both.filter(
+        size_ok & (inter_ub.cast("double") >= need - F.lit(1e-9))
     ).select("id_a", "id_b")
     sa = shingled.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
